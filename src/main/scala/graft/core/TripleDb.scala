@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A triple database: a DataFrame with columns `s`, `p`, `o`, each a
+  * [[Term]] struct.
+  *
+  * Mirrors the reference's pldb fact database (alpha.clj:52, 60-76):
+  *   - set semantics — duplicate triples are idempotent (alpha_test.clj:
+  *     211-231); [[TripleDb.index]] ≙ `index-triples` = dropDuplicates +
+  *     persist, so repeated queries reuse the deduped, cached relation;
+  *   - [[TripleDb.merge]] ≙ `merge-dbs` (alpha.clj:728-746) = set union.
+  *
+  * Scale notes: the reference's 3-position hash index (alpha.clj:52) maps
+  * to Catalyst predicate pushdown on ground positions — patterns compile
+  * to `where` clauses *before* any join, so the parquet scan prunes both
+  * rows and columns. At cluster scale, persist the triple table
+  * partitioned by `p` (predicates are low-cardinality and queries are
+  * almost always predicate-ground), which turns each pattern scan into
+  * partition pruning instead of a full scan.
+  */
+final case class TripleDb(df: DataFrame) {
+  /** ≙ `index-triples` (alpha.clj:60-69): dedup + cache for reuse. */
+  def index(): TripleDb = TripleDb(df.dropDuplicates("s", "p", "o").persist())
+  def unpersist(): TripleDb = { df.unpersist(); this }
+}
+
+object TripleDb {
+  val schema: StructType = StructType(Seq(
+    StructField("s", Term.schema, nullable = false),
+    StructField("p", Term.schema, nullable = false),
+    StructField("o", Term.schema, nullable = false)))
+
+  /** In-memory triples → DB (≙ raw seq-of-triples input, alpha.clj:54-58). */
+  def fromTerms(spark: SparkSession, triples: Seq[(Term, Term, Term)]): TripleDb = {
+    val rows = triples.map { case (s, p, o) =>
+      Row(Term.toRow(s), Term.toRow(p), Term.toRow(o))
+    }
+    TripleDb(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, math.max(1, rows.size / 50000)),
+      schema))
+  }
+
+  /** ≙ `merge-dbs` (alpha.clj:728-746): set union of databases. */
+  def merge(dbs: TripleDb*): TripleDb =
+    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)).dropDuplicates("s", "p", "o"))
+
+  /** Union without the dedup shuffle — for callers that `.index()` after,
+    * or that know inputs are disjoint (e.g. unpivoted tables with
+    * distinct subject prefixes, where dedup would be a pure waste of a
+    * shuffle at 100 TB).
+    */
+  def union(dbs: TripleDb*): TripleDb =
+    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)))
+
+  /** Unpivot a wide table into triples — our "connector" (the reference
+    * has none; its data arrives as in-memory seqs, README:17-20).
+    *
+    * subject   = `<table>/<key>` URI term
+    * predicate = column-name keyword term
+    * object    = column value as a typed term; FK columns (in `fks`)
+    *             become URI terms `<targetTable>/<value>` so BGP joins
+    *             hop across tables.
+    *
+    * This is a narrow map (no shuffle): each input row emits one output
+    * row per column via an inline explode, so it scales linearly and
+    * partitions inherit from the parquet scan.
+    */
+  def fromWideTable(df: DataFrame, table: String, keyCol: String,
+                    fks: Map[String, String] = Map.empty,
+                    cols: Seq[String] = Nil): TripleDb = {
+    val useCols = if (cols.nonEmpty) cols else df.columns.toSeq.filter(_ != keyCol)
+    val subj = Term.uriCol(concat(lit(table + "/"), col(keyCol).cast(StringType)))
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pairs: Seq[Column] = useCols.map { c =>
+      val obj = fks.get(c) match {
+        case Some(target) =>
+          when(col(c).isNull, Term.lit(Term.TNil))
+            .otherwise(Term.uriCol(concat(lit(target + "/"), col(c).cast(StringType))))
+        case None => Term.fromRaw(col(c), dtypes(c))
+      }
+      struct(Term.lit(Term.TKeyword(c)).as("p"), obj.as("o"))
+    }
+    val exploded = df
+      .select(subj.as("s"), explode(array(pairs: _*)).as("po"))
+      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
+    TripleDb(exploded)
+  }
+}

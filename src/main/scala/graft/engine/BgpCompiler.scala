@@ -1,0 +1,228 @@
+package graft.engine
+
+import graft.core.{Term, TripleDb}
+import graft.dsl._
+import org.apache.spark.sql.{Column, DataFrame, Row, functions}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Compiles a BGP (triple patterns + values + optionals) into a solution
+  * DataFrame with one term-struct column per query variable.
+  *
+  * Reference semantics being reproduced (SURVEY §2, §3):
+  *   - each `[s p o]` pattern ≙ a `(triple s p o)` goal (alpha.clj:188-191)
+  *     → a filtered projection of the triple table; ground positions
+  *     become `where` predicates that Catalyst pushes into the scan
+  *     (≙ the pldb per-position hash index, alpha.clj:52);
+  *   - pattern conjunction ≙ unification on shared vars (alpha.clj:193-203)
+  *     → a fold of inner equi-joins on shared var columns;
+  *   - `values` ≙ `l/membero` (alpha.clj:175-176) → an OR-filter /
+  *     broadcast semi-join when the var is already bound, a generator
+  *     cross-join when not (bag semantics preserved);
+  *   - `optional` ≙ the single-conde disjunction + per-group regrouping
+  *     (alpha.clj:193-203, 274-313, 382-411) → one `left_outer` join per
+  *     optional clause on the vars it shares with the *required* pattern
+  *     set; unbound → SQL NULL (≙ reified `_N`, alpha.clj:315). Two
+  *     clauses binding the same non-required var act as alternatives →
+  *     `coalesce` (alpha_test.clj:511-518). Documented divergence
+  *     (SURVEY §2.3): within one clause binding ≥2 vars the reference
+  *     cross-products per-var *columns* per group; we keep the
+  *     SPARQL-correct row pairing of a left join.
+  *
+  * What the reference leaves to the user, we optimize (SURVEY §4):
+  * patterns are pre-ordered most-selective-first (ground-term count +
+  * already-bound vars) before the join fold, so Catalyst sees a join tree
+  * that filters early. The reference executes patterns in written order
+  * (alpha.clj:193-203).
+  */
+object BgpCompiler {
+
+  /** Compile a full BGP against a db. Result columns = variable names. */
+  def compile(db: TripleDb, rows: Seq[PatternRow]): DataFrame = {
+    if (rows.isEmpty) throw new InvalidBgp("empty BGP")
+    val spark = db.df.sparkSession
+
+    val patterns = rows.collect { case p: TriplePattern => p }
+    val values = rows.collect { case v: Values => v }
+    val optionals = rows.collect { case o: Optional => o }
+
+    val requiredVarNames: Set[String] = Bgp.requiredVars(rows).map(_.name).toSet
+
+    // ---- required conjunction: ordered join fold over pattern scans ----
+    var acc: Option[DataFrame] = None
+    var bound: Set[String] = Set.empty
+    val pendingValues = mutable.ArrayBuffer(values: _*)
+
+    def applyBoundValues(): Unit = {
+      var i = 0
+      while (i < pendingValues.length) {
+        val v = pendingValues(i)
+        if (bound.contains(v.v.name)) {
+          acc = acc.map(valuesFilter(_, v))
+          pendingValues.remove(i)
+        } else i += 1
+      }
+    }
+
+    val (withVars, groundOnly) = patterns.partition(_.vars.nonEmpty)
+    for (pat <- orderPatterns(withVars)) {
+      val scanned = scan(db.df, pat)
+      acc = acc match {
+        case None => Some(scanned)
+        case Some(a) =>
+          val shared = scanned.columns.toSeq.filter(a.columns.contains)
+          if (shared.nonEmpty) Some(a.join(scanned, shared, "inner"))
+          else Some(a.crossJoin(scanned))
+      }
+      bound ++= pat.vars.map(_.name)
+      applyBoundValues()
+    }
+
+    // fully-ground patterns = existence gates (facts are deduped at
+    // index time, so each contributes a 0-or-1-row cross join)
+    for ((pat, i) <- groundOnly.zipWithIndex) {
+      val gate = scanGround(db.df, pat).limit(1)
+        .select(functions.lit(1).as(s"__exists_$i"))
+      acc = acc match {
+        case None    => Some(gate)
+        case Some(a) => Some(a.crossJoin(broadcast(gate)))
+      }
+    }
+
+    // values whose var no pattern binds → generators (membero on fresh var)
+    for (v <- pendingValues) {
+      val gen = collDf(spark, v)
+      acc = acc match {
+        case None    => Some(gen)
+        case Some(a) => Some(a.crossJoin(broadcast(gen)))
+      }
+      bound += v.v.name
+    }
+
+    acc = acc.map(_.drop(groundOnly.indices.map(i => s"__exists_$i"): _*))
+
+    // ---- optionals: one left join per clause ----
+    val noRequired = acc.isEmpty
+    var result: DataFrame = acc.getOrElse(
+      spark.range(1).select(functions.lit(1).as("__base")))
+
+    for (opt <- optionals) {
+      val clause = compile(db, opt.rows)
+      val accCols = result.columns.toSet
+      val keys = clause.columns.toSeq
+        .filter(c => requiredVarNames.contains(c) && accCols.contains(c))
+      // same-var alternatives: a non-key var already bound by an earlier
+      // optional clause → rename + coalesce after the join
+      val overlap = clause.columns.toSeq
+        .filter(c => accCols.contains(c) && !keys.contains(c))
+      var right = clause
+      for (c <- overlap) right = right.withColumnRenamed(c, s"__alt_$c")
+      result =
+        if (keys.nonEmpty) result.join(right, keys, "left_outer")
+        else result.join(right, functions.lit(true), "left_outer")
+      for (c <- overlap)
+        result = result.withColumn(c, coalesce(col(c), col(s"__alt_$c")))
+          .drop(s"__alt_$c")
+    }
+
+    if (noRequired && optionals.nonEmpty) {
+      // optional-only query: the reference's conde has no succeed branch,
+      // so "nothing matched" yields NO solutions (alpha_test.clj:469-479)
+      // — drop the all-NULL row the left joins produced.
+      val optVars = result.columns.toSeq.filterNot(_ == "__base")
+      if (optVars.nonEmpty)
+        result = result.where(optVars.map(col(_).isNotNull).reduce(_ || _))
+      result = result.drop("__base")
+    }
+    result
+  }
+
+  /** One pattern scan: ground positions filter (→ pushdown), var positions
+    * project under the var's name; a var repeated within the pattern adds
+    * an intra-row equality filter.
+    */
+  private def scan(db: DataFrame, pat: TriplePattern): DataFrame = {
+    val pos: Seq[(String, TermOrVar)] = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
+    var cur = db
+    for ((c, tv) <- pos) tv match {
+      case T(t) => cur = cur.where(col(c) === Term.lit(t))
+      case _    =>
+    }
+    val varPos = pos.collect { case (c, v: V) => (c, v) }
+    for ((_, group) <- varPos.groupBy(_._2) if group.size > 1) {
+      val cols = group.map(_._1)
+      for (other <- cols.tail) cur = cur.where(col(cols.head) === col(other))
+    }
+    val firstPos = varPos.groupBy(_._2).map { case (v, g) => v -> g.head._1 }
+    val proj = pat.vars.map(v => col(firstPos(v)).as(v.name))
+    cur.select(proj: _*)
+  }
+
+  private def scanGround(db: DataFrame, pat: TriplePattern): DataFrame = {
+    var cur = db
+    for ((c, tv) <- Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)) tv match {
+      case T(t) => cur = cur.where(col(c) === Term.lit(t))
+      case _    =>
+    }
+    cur
+  }
+
+  /** Values on an already-bound var: small coll → OR-chain filter (codegen
+    * friendly, no shuffle); large coll → broadcast left-semi join.
+    * NOTE: semi-join dedups, which is correct here — the var is already
+    * bound, membero on a ground term succeeds at most once per element,
+    * but duplicate coll elements cannot multiply an already-ground
+    * solution in the reference either (conjunction of membero with a
+    * bound var yields one success per *matching element*; duplicates DO
+    * multiply). For exact bag parity with duplicate coll elements we use
+    * an inner join against the (non-deduped) coll for colls with dups.
+    */
+  private def valuesFilter(df: DataFrame, v: Values): DataFrame = {
+    val terms = v.coll.toSeq
+    val hasDups = terms.size != terms.distinct.size
+    if (terms.isEmpty) df.where(functions.lit(false))
+    else if (hasDups)
+      df.join(broadcast(collDf(df.sparkSession, v)), Seq(v.v.name), "inner")
+    else if (terms.size <= 64)
+      df.where(terms.map(t => col(v.v.name) === Term.lit(t)).reduce(_ || _))
+    else
+      df.join(broadcast(collDf(df.sparkSession, v).dropDuplicates()),
+        Seq(v.v.name), "left_semi")
+  }
+
+  /** The values collection as a 1-column DataFrame (bag — keeps dups). */
+  private def collDf(spark: org.apache.spark.sql.SparkSession, v: Values): DataFrame = {
+    val rows = v.coll.toSeq.map(t => Row(Term.toRow(t)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(v.v.name, Term.schema, nullable = false))))
+  }
+
+  /** Greedy selectivity ordering: start from the most-ground pattern, then
+    * repeatedly take the pattern that shares the most already-bound vars
+    * (connected join > cross join), tie-broken by ground-term count, then
+    * by original position (stable). The reference runs patterns in user
+    * order (alpha.clj:193-203) and tells users to put selective patterns
+    * first; we do it for them.
+    */
+  private def orderPatterns(pats: Seq[TriplePattern]): Seq[TriplePattern] = {
+    if (pats.size <= 1) return pats
+    def groundCount(p: TriplePattern): Int =
+      Seq(p.s, p.p, p.o).count(_.isInstanceOf[T])
+    val remaining = mutable.ArrayBuffer(pats.zipWithIndex: _*)
+    val out = mutable.ArrayBuffer.empty[TriplePattern]
+    val bound = mutable.Set.empty[String]
+    while (remaining.nonEmpty) {
+      val bestEntry = remaining.maxBy { case (p, idx) =>
+        val shared = p.vars.count(v => bound.contains(v.name))
+        val connected = if (bound.isEmpty || shared > 0) 1 else 0
+        (connected, shared * 4 + groundCount(p) * 2, -idx)
+      }
+      remaining -= bestEntry
+      out += bestEntry._1
+      bound ++= bestEntry._1.vars.map(_.name)
+    }
+    out.toSeq
+  }
+}

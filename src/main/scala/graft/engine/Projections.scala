@@ -1,0 +1,167 @@
+package graft.engine
+
+import graft.core.{Term, TripleDb}
+import graft.dsl._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Projection shapes over compiled BGP solutions (SURVEY §2.1 rows 5-12).
+  *
+  * `selectDf` is the distributed primary path (a DataFrame of term-struct
+  * columns — feed it to further Spark ops at any scale). The driver-side
+  * collectors (`select`, `construct`, `build`) mirror the reference's
+  * in-memory result shapes (alpha.clj:343-412, 641-665, 580-627); like the
+  * reference they materialize results, so they are for human-sized
+  * outputs — the scale path stays in DataFrames.
+  */
+object Projections {
+
+  /** Distributed select: project query vars as term-struct columns.
+    * `vars` empty → all vars in first-appearance order (alpha.clj:85-89,
+    * 357-358). Bag semantics — no DISTINCT (SURVEY §2.2).
+    */
+  def selectDf(db: TripleDb, rows: Seq[PatternRow], vars: Seq[V] = Nil): DataFrame = {
+    val proj = if (vars.nonEmpty) vars else Bgp.allVars(rows)
+    val sol = BgpCompiler.compile(db, rows)
+    val missing = proj.filterNot(v => sol.columns.contains(v.name))
+    if (missing.nonEmpty) throw new InvalidBgp(
+      s"projected vars not bound by any pattern: ${missing.map(_.name).mkString(", ")}")
+    sol.select(proj.map(v => col(v.name)): _*)
+  }
+
+  /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of
+    * terms; unbound optional vars are `null` (≙ reified `_N`).
+    */
+  def select(db: TripleDb, rows: Seq[PatternRow], vars: Seq[V] = Nil): Seq[Seq[Term]] =
+    selectDf(db, rows, vars).collect().toSeq
+      .map(r => r.toSeq.indices.map(i => termAt(r, i)))
+
+  /** ≙ `select-1` (alpha.clj:414-431). Solution order is undefined (the
+    * reference's order is incidental index order; SURVEY §2.2).
+    */
+  def select1(db: TripleDb, rows: Seq[PatternRow], vars: Seq[V] = Nil): Option[Seq[Term]] =
+    selectDf(db, rows, vars).head(1).headOption
+      .map(r => r.toSeq.indices.map(i => termAt(r, i)))
+
+  /** ≙ `ask` (alpha.clj:713-722) — with the early-exit the reference lacks
+    * (its `run*` enumerates everything; SURVEY §3.3).
+    */
+  def ask(db: TripleDb, rows: Seq[PatternRow]): Boolean =
+    !BgpCompiler.compile(db, rows).isEmpty
+
+  // ---------------------------------------------------------------- construct
+
+  /** Magic subject-grouping key (alpha.clj:497-512). */
+  val UriKey: Term = Term.TKeyword("grafter.rdf/uri")
+
+  /** Vars referenced anywhere in a template tree (≙ find-vars-in-tree,
+    * alpha.clj:444-445).
+    */
+  def templateVars(template: Any): Seq[V] = {
+    val buf = scala.collection.mutable.LinkedHashSet.empty[V]
+    def walk(t: Any): Unit = t match {
+      case v: V         => buf += v
+      case m: Map[_, _] => m.foreach { case (k, v) => walk(k); walk(v) }
+      case s: Iterable[_] => s.foreach(walk)
+      case _            =>
+    }
+    walk(template)
+    buf.toSeq
+  }
+
+  /** Instantiate a template against one solution (≙ postwalk-replace,
+    * alpha.clj:459-462). Unbound vars → null (≙ `_N` left in construct
+    * output, README:131-134).
+    */
+  def instantiate(template: Any, b: Map[String, Term]): Any = template match {
+    case V(n)           => b.getOrElse(n, null)
+    case m: Map[_, _]   => m.map { case (k, v) => instantiate(k, b) -> instantiate(v, b) }
+    case s: Set[_]      => s.map(instantiate(_, b))
+    case s: Seq[_]      => s.map(instantiate(_, b))
+    case other          => other
+  }
+
+  /** ≙ `construct` (alpha.clj:641-665): instantiate an arbitrary template
+    * per solution; a map template containing [[UriKey]] groups by that
+    * key and merges other keys (scalar if 1 distinct value, Set if ≥2 —
+    * alpha.clj:497-512, alpha_test.clj:196-209).
+    */
+  def construct(db: TripleDb, template: Any, rows: Seq[PatternRow]): Seq[Any] = {
+    val vars = templateVars(template)
+    val sols = bindings(db, rows, vars)
+    val inst = sols.map(instantiate(template, _))
+    template match {
+      case m: Map[_, _] if m.asInstanceOf[Map[Any, Any]].contains(UriKey) =>
+        groupByMagicKey(inst.map(_.asInstanceOf[Map[Any, Any]]))
+      case _ => inst
+    }
+  }
+
+  def construct1(db: TripleDb, template: Any, rows: Seq[PatternRow]): Option[Any] =
+    construct(db, template, rows).headOption
+
+  private def groupByMagicKey(maps: Seq[Map[Any, Any]]): Seq[Any] =
+    maps.groupBy(_(UriKey)).toSeq.map { case (_, group) =>
+      val keys = group.flatMap(_.keys).distinct
+      keys.map { k =>
+        val vals = group.flatMap(_.get(k)).distinct
+        k -> (if (vals.size == 1) vals.head else vals.toSet)
+      }.toMap
+    }
+
+  // -------------------------------------------------------------------- build
+
+  /** ≙ `build` (alpha.clj:580-627): subject-grouped resource maps.
+    * Per subject: `subjKey -> subject` plus, per template entry, the
+    * distinct values across solutions — key dropped when unbound
+    * (alpha.clj:464-486), scalar when 1 value, Set when ≥2
+    * (alpha.clj:555-569).
+    */
+  def build(db: TripleDb, subj: TermOrVar, template: Map[Term, Any],
+            rows: Seq[PatternRow], subjKey: Term = UriKey): Seq[Map[Term, Any]] = {
+    val subjVars = subj match { case v: V => Seq(v); case _ => Seq.empty }
+    val vars = (subjVars ++ templateVars(template)).distinct
+    val sols = bindings(db, rows, vars)
+    val keyed = sols.map { b =>
+      val sv = subj match {
+        case v: V  => b.getOrElse(v.name, null)
+        case T(t)  => t
+      }
+      sv -> b
+    }.filter(_._1 != null)
+    keyed.groupBy(_._1).toSeq.map { case (sv, group) =>
+      val merged = template.flatMap { case (k, tmpl) =>
+        val vals = group.map(g => instantiate(tmpl, g._2)).filter(_ != null).distinct
+        if (vals.isEmpty) None
+        else if (vals.size == 1) Some(k -> vals.head)
+        else Some(k -> vals.toSet)
+      }
+      merged + (subjKey -> (sv: Any))
+    }
+  }
+
+  def build1(db: TripleDb, subj: TermOrVar, template: Map[Term, Any],
+             rows: Seq[PatternRow], subjKey: Term = UriKey): Option[Map[Term, Any]] =
+    build(db, subj, template, rows, subjKey).headOption
+
+  // ------------------------------------------------------------------ helpers
+
+  private def bindings(db: TripleDb, rows: Seq[PatternRow],
+                       vars: Seq[V]): Seq[Map[String, Term]] = {
+    val available = Bgp.allVars(rows).map(_.name).toSet
+    val proj = vars.filter(v => available.contains(v.name))
+    if (proj.isEmpty) {
+      // no projectable vars: every solution instantiates the template as-is
+      val n = BgpCompiler.compile(db, rows).count()
+      return Seq.fill(n.toInt)(Map.empty[String, Term])
+    }
+    selectDf(db, rows, proj).collect().toSeq.map { r =>
+      proj.indices.flatMap { i =>
+        Option(termAt(r, i)).map(t => proj(i).name -> t)
+      }.toMap
+    }
+  }
+
+  private def termAt(r: Row, i: Int): Term =
+    if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i))
+}
