@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.TripleDb
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders turning the driver's TPC-H-ish parquet tables into triple
+  * databases for the matcha-parity queries.
+  *
+  * The graph view unpivots each wide table (TripleDb.fromWideTable — a
+  * narrow map, no shuffle) and tags FK columns so their objects become
+  * URI terms of the referenced table's subjects; BGP joins then hop
+  * across tables exactly like the reference's cross-entity patterns
+  * (reference README:156-163). Subject prefixes are disjoint per table,
+  * so the union needs no dedup shuffle (TripleDb.union, not merge).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def customerDb(spark: SparkSession, dir: String): TripleDb =
+    TripleDb.fromWideTable(t(spark, dir, "customer"), "customer", "c_custkey",
+      fks = Map("c_nationkey" -> "nation"))
+
+  def nationDb(spark: SparkSession, dir: String): TripleDb =
+    TripleDb.fromWideTable(t(spark, dir, "nation"), "nation", "n_nationkey",
+      fks = Map("n_regionkey" -> "region"))
+
+  def regionDb(spark: SparkSession, dir: String): TripleDb =
+    TripleDb.fromWideTable(t(spark, dir, "region"), "region", "r_regionkey")
+
+  def supplierDb(spark: SparkSession, dir: String): TripleDb =
+    TripleDb.fromWideTable(t(spark, dir, "supplier"), "supplier", "s_suppkey",
+      fks = Map("s_nationkey" -> "nation"))
+
+  def ordersDb(spark: SparkSession, dir: String): TripleDb =
+    TripleDb.fromWideTable(t(spark, dir, "orders"), "orders", "o_orderkey",
+      fks = Map("o_custkey" -> "customer"))
+
+  /** The whole star schema as one triple DB. */
+  def graph(spark: SparkSession, dir: String): TripleDb =
+    TripleDb.union(customerDb(spark, dir), nationDb(spark, dir),
+      regionDb(spark, dir), supplierDb(spark, dir), ordersDb(spark, dir))
+}

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.{Column, Row, functions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -81,7 +81,7 @@ object Term {
       case KKeyword    => TKeyword(lex)
       case KUri        => TUri(lex)
       case KString     => TString(lex)
-      case KLong       => TLong(r.getDouble(2).toLong)
+      case KLong       => TLong(lex.toLong) // decode from lex: exact past 2^53
       case KDouble     => TDouble(r.getDouble(2))
       case KBool       => TBool(r.getDouble(2) != 0.0)
       case KLangString => TLangString(lex, r.getString(3))
@@ -136,7 +136,7 @@ object Term {
         when(c.isNull, lit(TNil))
           .otherwise(mk(k(KBool), nullS,
             when(c, 1.0).otherwise(0.0), nullS, nullS))
-      case TimestampType | DateType =>
+      case TimestampType | TimestampNTZType | DateType =>
         when(c.isNull, lit(TNil))
           .otherwise(mk(k(KDate),
             date_format(c, "yyyy-MM-dd'T'HH:mm:ss"), nullD, nullS, nullS))
@@ -162,7 +162,7 @@ object Term {
       .when(kind === KKeyword, concat(functions.lit("k|"), lex))
       .when(kind === KUri, concat(functions.lit("u|"), lex))
       .when(kind === KString, concat(functions.lit("s|"), lex))
-      .when(kind === KLong, concat(functions.lit("l|"), num.cast(LongType).cast(StringType)))
+      .when(kind === KLong, concat(functions.lit("l|"), lex)) // lex is exact past 2^53
       .when(kind === KDouble, concat(functions.lit("d|"), format_string("%.2f", num)))
       .when(kind === KBool, concat(functions.lit("b|"), num.cast(IntegerType).cast(StringType)))
       .when(kind === KLangString,
@@ -170,5 +170,9 @@ object Term {
       .when(kind === KTyped,
         concat(functions.lit("lit|"), lex, functions.lit("^^"), c.getField("datatype")))
       .when(kind === KDate, concat(functions.lit("t|"), lex))
+      // unknown kind must fail loudly, not encode as NULL (which would
+      // hash-match another NULL and hide oracle drift)
+      .otherwise(raise_error(concat(functions.lit("unknown term kind: "),
+        kind.cast(StringType))))
   }
 }

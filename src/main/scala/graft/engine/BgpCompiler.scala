@@ -90,14 +90,22 @@ object BgpCompiler {
       }
     }
 
-    // values whose var no pattern binds → generators (membero on fresh var)
-    for (v <- pendingValues) {
-      val gen = collDf(spark, v)
-      acc = acc match {
-        case None    => Some(gen)
-        case Some(a) => Some(a.crossJoin(broadcast(gen)))
+    // values whose var no pattern binds → generators (membero on fresh var).
+    // A later clause on the SAME var must filter, not re-generate (two
+    // conjoined membero goals intersect in the reference), so re-check
+    // `bound` each iteration and route bound clauses through valuesFilter.
+    while (pendingValues.nonEmpty) {
+      val v = pendingValues.remove(0)
+      if (bound.contains(v.v.name)) {
+        acc = acc.map(valuesFilter(_, v))
+      } else {
+        val gen = collDf(spark, v)
+        acc = acc match {
+          case None    => Some(gen)
+          case Some(a) => Some(a.crossJoin(broadcast(gen)))
+        }
+        bound += v.v.name
       }
-      bound += v.v.name
     }
 
     acc = acc.map(_.drop(groundOnly.indices.map(i => s"__exists_$i"): _*))

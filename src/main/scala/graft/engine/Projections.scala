@@ -111,14 +111,72 @@ object Projections {
 
   // -------------------------------------------------------------------- build
 
+  /** Distributed build (SURVEY §2.4) — the scale path. One row per
+    * subject, one `array<term>` column per template entry holding the
+    * distinct non-null values of that entry's variable across the
+    * subject's solutions (`collect_set` = map-side-combining aggregate:
+    * partial aggregation before the shuffle, one shuffle total).
+    * Flattening singleton arrays to scalars is an API-edge concern
+    * (a Spark column cannot be "string or array", SURVEY §7.4) — see
+    * [[build]]. Arrays are NOT sorted; callers needing determinism sort.
+    */
+  def buildDf(db: TripleDb, subj: V, template: Seq[(String, V)],
+              rows: Seq[PatternRow]): DataFrame = {
+    val vars = (subj +: template.map(_._2)).distinct
+    val sol = selectDf(db, rows, vars)
+    val aggs = template.map { case (name, v) => collect_set(col(v.name)).as(name) }
+    sol.where(col(subj.name).isNotNull)
+      .groupBy(col(subj.name))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** ≙ `build` (alpha.clj:580-627): subject-grouped resource maps.
     * Per subject: `subjKey -> subject` plus, per template entry, the
     * distinct values across solutions — key dropped when unbound
     * (alpha.clj:464-486), scalar when 1 value, Set when ≥2
     * (alpha.clj:555-569).
+    *
+    * Flat templates (every value a `V` or ground `Term` — the common
+    * case, alpha_test.clj:763-790) aggregate distributedly via
+    * [[buildDf]]; only the already-grouped per-subject rows are
+    * collected. Nested templates fall back to per-solution
+    * instantiation on the driver (human-sized results only).
     */
   def build(db: TripleDb, subj: TermOrVar, template: Map[Term, Any],
             rows: Seq[PatternRow], subjKey: Term = UriKey): Seq[Map[Term, Any]] = {
+    val flat = template.forall {
+      case (_, _: V) => true; case (_, _: Term) => true; case _ => false
+    }
+    subj match {
+      case sv: V if flat =>
+        val entries = template.toSeq
+        val varEntries = entries.zipWithIndex.collect {
+          case ((_, v: V), i) => s"__c$i" -> v
+        }
+        val grouped = buildDf(db, sv, varEntries, rows).collect()
+        grouped.toSeq.map { r =>
+          val subjTerm = termAt(r, 0)
+          val varVals: Map[String, Seq[Term]] = varEntries.map { case (cn, _) =>
+            cn -> r.getSeq[Row](r.fieldIndex(cn)).map(Term.fromRow)
+          }.toMap
+          val merged = entries.zipWithIndex.flatMap {
+            case ((k, _: V), i) =>
+              val vals = varVals(s"__c$i")
+              if (vals.isEmpty) None
+              else if (vals.size == 1) Some(k -> (vals.head: Any))
+              else Some(k -> (vals.toSet: Any))
+            case ((k, t: Term), _) => Some(k -> (t: Any)) // ground: constant per solution
+            case ((k, other), _)   => Some(k -> other)
+          }.toMap
+          merged + (subjKey -> (subjTerm: Any))
+        }
+      case _ => buildCollect(db, subj, template, rows, subjKey)
+    }
+  }
+
+  /** Driver-side fallback for ground subjects / nested templates. */
+  private def buildCollect(db: TripleDb, subj: TermOrVar, template: Map[Term, Any],
+                           rows: Seq[PatternRow], subjKey: Term): Seq[Map[Term, Any]] = {
     val subjVars = subj match { case v: V => Seq(v); case _ => Seq.empty }
     val vars = (subjVars ++ templateVars(template)).distinct
     val sols = bindings(db, rows, vars)
@@ -153,6 +211,8 @@ object Projections {
     if (proj.isEmpty) {
       // no projectable vars: every solution instantiates the template as-is
       val n = BgpCompiler.compile(db, rows).count()
+      require(n <= Int.MaxValue,
+        s"$n solutions exceed the driver-side collector limit; use the Df variants")
       return Seq.fill(n.toInt)(Map.empty[String, Term])
     }
     selectDf(db, rows, proj).collect().toSeq.map { r =>

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: oracle_check.py <sfdir> <verify_out_dir>
+
+Loads each <verify_out_dir>/<name> parquet (Spark result), runs the
+matching SQL from oracle_sql.json in DuckDB with views over the sfdir
+parquet tables, and compares as column-name-sorted multisets.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> list:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for t in df.itertuples(index=False):
+        rows.append(tuple("NULL" if pd.isna(v) else str(v) for v in t))
+    return sorted(rows)
+
+
+def main(sfdir: str, outdir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = 0
+    names = sorted(oracle)
+    for name in names:
+        try:
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark result parquet")
+                continue
+            spark_df = pd.concat([pd.read_parquet(f) for f in files])
+            duck_df = con.execute(oracle[name]).fetchdf()
+            a, b = canon(spark_df), canon(duck_df)
+            if a == b:
+                print(f"OK   {name}: {len(a)} rows")
+                n_ok += 1
+            else:
+                print(f"FAIL {name}: spark {len(a)} rows vs duck {len(b)} rows")
+                sa, sb = set(a), set(b)
+                for r in list(sa - sb)[:3]:
+                    print(f"  spark-only: {r}")
+                for r in list(sb - sa)[:3]:
+                    print(f"  duck-only:  {r}")
+                if len(a) == len(b) and sa == sb:
+                    print("  (same sets, different multiplicities)")
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+    print(f"== {n_ok}/{len(names)} green ==")
+    return 0 if n_ok == len(names) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
