@@ -53,24 +53,24 @@ object Matcha {
     construct1(template, bgps, _)
 
   // ---- build ----
-  def build(subj: TermOrVar, template: Map[Term, Any], bgps: Seq[PatternRow],
-            db: TripleDb): Seq[Map[Term, Any]] =
+  def build(subj: TermOrVar, template: Map[Any, Any], bgps: Seq[PatternRow],
+            db: TripleDb): Seq[Map[Any, Any]] =
     Projections.build(db, subj, template, bgps)
-  def build(subj: TermOrVar, template: Map[Term, Any], bgps: Seq[PatternRow],
-            subjKey: Term, db: TripleDb): Seq[Map[Term, Any]] =
+  def build(subj: TermOrVar, template: Map[Any, Any], bgps: Seq[PatternRow],
+            subjKey: Term, db: TripleDb): Seq[Map[Any, Any]] =
     Projections.build(db, subj, template, bgps, subjKey)
-  def build(subj: TermOrVar, template: Map[Term, Any],
-            bgps: Seq[PatternRow]): TripleDb => Seq[Map[Term, Any]] =
+  def build(subj: TermOrVar, template: Map[Any, Any],
+            bgps: Seq[PatternRow]): TripleDb => Seq[Map[Any, Any]] =
     build(subj, template, bgps, _)
   /** ⚠ The reference's prepared-fn `build-1` arity forgets `first`
     * (alpha.clj:634-637); we implement the documented intent (SURVEY
     * §2.1 row 11).
     */
-  def build1(subj: TermOrVar, template: Map[Term, Any], bgps: Seq[PatternRow],
-             db: TripleDb): Option[Map[Term, Any]] =
+  def build1(subj: TermOrVar, template: Map[Any, Any], bgps: Seq[PatternRow],
+             db: TripleDb): Option[Map[Any, Any]] =
     Projections.build1(db, subj, template, bgps)
-  def build1(subj: TermOrVar, template: Map[Term, Any],
-             bgps: Seq[PatternRow]): TripleDb => Option[Map[Term, Any]] =
+  def build1(subj: TermOrVar, template: Map[Any, Any],
+             bgps: Seq[PatternRow]): TripleDb => Option[Map[Any, Any]] =
     build1(subj, template, bgps, _)
 
   // ---- db constructors (≙ index-triples / merge-dbs) ----

@@ -115,8 +115,11 @@ object BgpCompiler {
     var result: DataFrame = acc.getOrElse(
       spark.range(1).select(functions.lit(1).as("__base")))
 
-    for (opt <- optionals) {
-      val clause = compile(db, opt.rows)
+    for ((opt, i) <- optionals.zipWithIndex) {
+      // marker column: non-null iff this clause matched — needed because a
+      // clause of only ground patterns compiles to zero var columns
+      // (alpha_test.clj:477-501)
+      val clause = compile(db, opt.rows).withColumn(s"__m_$i", functions.lit(1))
       val accCols = result.columns.toSet
       val keys = clause.columns.toSeq
         .filter(c => requiredVarNames.contains(c) && accCols.contains(c))
@@ -137,13 +140,13 @@ object BgpCompiler {
     if (noRequired && optionals.nonEmpty) {
       // optional-only query: the reference's conde has no succeed branch,
       // so "nothing matched" yields NO solutions (alpha_test.clj:469-479)
-      // — drop the all-NULL row the left joins produced.
-      val optVars = result.columns.toSeq.filterNot(_ == "__base")
-      if (optVars.nonEmpty)
-        result = result.where(optVars.map(col(_).isNotNull).reduce(_ || _))
-      result = result.drop("__base")
+      // — keep only rows where at least one clause matched.
+      val markers = optionals.indices.map(i => col(s"__m_$i"))
+      result = result.where(markers.map(_.isNotNull).reduce(_ || _))
     }
     result
+      .drop(optionals.indices.map(i => s"__m_$i"): _*)
+      .drop("__base")
   }
 
   /** One pattern scan: ground positions filter (→ pushdown), var positions

@@ -23,10 +23,13 @@ object Projections {
   def selectDf(db: TripleDb, rows: Seq[PatternRow], vars: Seq[V] = Nil): DataFrame = {
     val proj = if (vars.nonEmpty) vars else Bgp.allVars(rows)
     val sol = BgpCompiler.compile(db, rows)
+    // a projected var no pattern binds is a fresh var in the reference,
+    // reified as `_N` (alpha_test.clj:792-807 projects unbound ?title) —
+    // our unbound representation is a NULL term column
     val missing = proj.filterNot(v => sol.columns.contains(v.name))
-    if (missing.nonEmpty) throw new InvalidBgp(
-      s"projected vars not bound by any pattern: ${missing.map(_.name).mkString(", ")}")
-    sol.select(proj.map(v => col(v.name)): _*)
+    val padded = missing.foldLeft(sol)((d, v) =>
+      d.withColumn(v.name, lit(null).cast(Term.schema)))
+    padded.select(proj.map(v => col(v.name)): _*)
   }
 
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of
@@ -142,10 +145,10 @@ object Projections {
     * collected. Nested templates fall back to per-solution
     * instantiation on the driver (human-sized results only).
     */
-  def build(db: TripleDb, subj: TermOrVar, template: Map[Term, Any],
-            rows: Seq[PatternRow], subjKey: Term = UriKey): Seq[Map[Term, Any]] = {
+  def build(db: TripleDb, subj: TermOrVar, template: Map[Any, Any],
+            rows: Seq[PatternRow], subjKey: Term = UriKey): Seq[Map[Any, Any]] = {
     val flat = template.forall {
-      case (_, _: V) => true; case (_, _: Term) => true; case _ => false
+      case (_: Term, _: V) => true; case (_: Term, _: Term) => true; case _ => false
     }
     subj match {
       case sv: V if flat =>
@@ -174,9 +177,13 @@ object Projections {
     }
   }
 
-  /** Driver-side fallback for ground subjects / nested templates. */
-  private def buildCollect(db: TripleDb, subj: TermOrVar, template: Map[Term, Any],
-                           rows: Seq[PatternRow], subjKey: Term): Seq[Map[Term, Any]] = {
+  /** Driver-side fallback for ground subjects, nested templates, and
+    * variable-keyed templates like `{?p ?o}` (alpha_test.clj:619-629):
+    * instantiate the whole template map per solution, then merge per
+    * subject with build's drop-unbound / singleton-flatten rules.
+    */
+  private def buildCollect(db: TripleDb, subj: TermOrVar, template: Map[Any, Any],
+                           rows: Seq[PatternRow], subjKey: Term): Seq[Map[Any, Any]] = {
     val subjVars = subj match { case v: V => Seq(v); case _ => Seq.empty }
     val vars = (subjVars ++ templateVars(template)).distinct
     val sols = bindings(db, rows, vars)
@@ -185,21 +192,23 @@ object Projections {
         case v: V  => b.getOrElse(v.name, null)
         case T(t)  => t
       }
-      sv -> b
+      sv -> instantiate(template, b).asInstanceOf[Map[Any, Any]]
     }.filter(_._1 != null)
     keyed.groupBy(_._1).toSeq.map { case (sv, group) =>
-      val merged = template.flatMap { case (k, tmpl) =>
-        val vals = group.map(g => instantiate(tmpl, g._2)).filter(_ != null).distinct
+      val maps = group.map(_._2)
+      val keys = maps.flatMap(_.keys).distinct.filter(_ != null)
+      val merged = keys.flatMap { k =>
+        val vals = maps.flatMap(_.get(k)).filter(_ != null).distinct
         if (vals.isEmpty) None
         else if (vals.size == 1) Some(k -> vals.head)
-        else Some(k -> vals.toSet)
-      }
+        else Some(k -> (vals.toSet: Any))
+      }.toMap
       merged + (subjKey -> (sv: Any))
     }
   }
 
-  def build1(db: TripleDb, subj: TermOrVar, template: Map[Term, Any],
-             rows: Seq[PatternRow], subjKey: Term = UriKey): Option[Map[Term, Any]] =
+  def build1(db: TripleDb, subj: TermOrVar, template: Map[Any, Any],
+             rows: Seq[PatternRow], subjKey: Term = UriKey): Option[Map[Any, Any]] =
     build(db, subj, template, rows, subjKey).headOption
 
   // ------------------------------------------------------------------ helpers

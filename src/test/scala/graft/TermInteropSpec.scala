@@ -1,0 +1,141 @@
+package graft
+
+import graft.core.{Term, TripleDb}
+import graft.core.Term._
+import graft.dsl._
+import graft.engine.Projections
+import org.apache.spark.sql.functions.col
+
+/** Grafter record interop (alpha_test.clj:234-249), long precision, set
+  * semantics of indexing/merge (T:211-231), values validation
+  * (T:401-448), and term-encoding canonical forms.
+  */
+class TermInteropSpec extends GraftSpec {
+
+  test("LangString round-trips and unifies (T:237-238, issue-5)") {
+    val ls = TLangString("foo", "en")
+    val d = db((k("a"), k("b"), ls))
+    val r = Projections.construct1(d, ?("o2"), Seq(pat(?("s2"), ?("p2"), ?("o2"))))
+    assert(r.contains(ls))
+  }
+
+  test("RDFLiteral round-trips (T:240-241)") {
+    val rl = TTyped("foo", "http://some/datatype")
+    val d = db((k("a"), k("b"), rl))
+    val r = Projections.construct1(d, ?("o2"), Seq(pat(?("s2"), ?("p2"), ?("o2"))))
+    assert(r.contains(rl))
+  }
+
+  test("OffsetDate-like date terms round-trip (T:247-248)") {
+    val od = TDate("2024-03-01T00:00:00")
+    val d = db((k("s"), k("p"), od))
+    val r = Projections.construct1(d, ?("o2"), Seq(pat(?("s2"), ?("p2"), ?("o2"))))
+    assert(r.contains(od))
+  }
+
+  test("LangStrings with different language tags do not unify") {
+    val d = db(
+      (k("a"), k("b"), TLangString("foo", "en")),
+      (k("c"), k("b"), TLangString("foo", "fr")))
+    val r = resultSet(d, Seq(?("s2")),
+      Seq(pat(?("s2"), T(k("b")), T(TLangString("foo", "en")))))
+    assert(r == Set(Seq(k("a"))))
+  }
+
+  test("long terms are exact past 2^53") {
+    val big = 9007199254740993L // 2^53 + 1
+    val d = db(
+      (k("x"), k("v"), TLong(big)),
+      (k("y"), k("v"), TLong(big - 1)))
+    val r = resultSet(d, Seq(?("s2")), Seq(pat(?("s2"), T(k("v")), T(TLong(big)))))
+    assert(r == Set(Seq(k("x"))))
+    val round = Projections.select(d, Seq(pat(T(k("x")), T(k("v")), ?("o2"))), Seq(?("o2")))
+    assert(round == Seq(Seq(TLong(big))))
+  }
+
+  test("doubles, booleans round-trip") {
+    val d = db(
+      (k("d"), k("v"), TDouble(1.25)),
+      (k("t"), k("v"), TBool(true)),
+      (k("f"), k("v"), TBool(false)))
+    assert(Projections.select(d, Seq(pat(T(k("d")), T(k("v")), ?("o2"))), Seq(?("o2")))
+      == Seq(Seq(TDouble(1.25))))
+    assert(Projections.select(d, Seq(pat(T(k("t")), T(k("v")), ?("o2"))), Seq(?("o2")))
+      == Seq(Seq(TBool(true))))
+    assert(Projections.select(d, Seq(pat(T(k("f")), T(k("v")), ?("o2"))), Seq(?("o2")))
+      == Seq(Seq(TBool(false))))
+  }
+
+  test("index-triples dedups: duplicate facts are idempotent (T:211-231)") {
+    val d = TripleDb.fromTerms(spark, Seq(
+      (k("s"), k("p"), k("o")),
+      (k("s"), k("p"), k("o")))).index()
+    assert(d.df.count() == 1)
+    d.unpersist()
+  }
+
+  test("merge-dbs equals indexing the union (T:211-231)") {
+    val a = db((l(1), l(2), l(3)))
+    val b = db((l(4), l(5), l(6)))
+    val merged = TripleDb.merge(a, b, a)
+    assert(merged.df.count() == 2)
+    val self = TripleDb.merge(friends, friends)
+    assert(self.df.count() == 7)
+  }
+
+  test("values with null collection throws InvalidValues (T:430-448)") {
+    intercept[InvalidValues] { Values(?("x"), null) }
+  }
+
+  test("values with empty collection yields no solutions") {
+    val r = resultSet(friends, Seq(?("name")), Seq(
+      pat(?("p2"), T(label), ?("name")),
+      Values(?("p2"), Seq.empty)))
+    assert(r.isEmpty)
+  }
+
+  test("values intersection: two clauses on one generated var (ADVICE)") {
+    val r = resultSet(friends, Seq(?("x")), Seq(
+      Values(?("x"), Seq(rick, katie)),
+      Values(?("x"), Seq(katie, julie))))
+    assert(r == Set(Seq(katie)))
+  }
+
+  test("values syntax over friends (T:401-428)") {
+    val r1 = resultSet(friends, Seq(?("name")), Seq(
+      pat(?("person"), T(knows), ?("o2")),
+      pat(?("o2"), T(label), ?("name")),
+      Values(?("person"), Seq(rick))))
+    assert(r1 == Set(Seq(s("Martin")), Seq(s("Katie"))))
+    val r2 = resultSet(friends, Seq(?("name")), Seq(
+      pat(?("person"), T(knows), ?("o2")),
+      pat(?("o2"), T(label), ?("name")),
+      Values(?("person"), Seq(rick, katie))))
+    assert(r2 == Set(Seq(s("Martin")), Seq(s("Katie")), Seq(s("Julie"))))
+    val r3 = resultSet(friends, Seq(?("name")), Seq(
+      pat(?("person"), T(knows), ?("o2")),
+      Values(?("person"), Seq(rick, katie)),
+      pat(?("o2"), T(label), ?("name")),
+      Values(?("name"), Seq(s("Julie")))))
+    assert(r3 == Set(Seq(s("Julie"))))
+  }
+
+  test("encode produces canonical strings per kind") {
+    val terms: Seq[(Term, String)] = Seq(
+      TNil -> "n|",
+      TKeyword("foo/bar") -> "k|foo/bar",
+      TUri("http://x/y") -> "u|http://x/y",
+      TString("hi") -> "s|hi",
+      TLong(-42L) -> "l|-42",
+      TLong(9007199254740993L) -> "l|9007199254740993",
+      TDouble(1.5) -> "d|1.50",
+      TBool(true) -> "b|1",
+      TLangString("foo", "en") -> "ls|foo@en",
+      TTyped("v", "http://dt") -> "lit|v^^http://dt",
+      TDate("2024-01-01T00:00:00") -> "t|2024-01-01T00:00:00")
+    val d = TripleDb.fromTerms(spark, terms.map(t => (t._1, k("p"), k("o"))))
+    val got = d.df.select(Term.encode(col("s")).as("e"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == terms.map(_._2).toSet)
+  }
+}
