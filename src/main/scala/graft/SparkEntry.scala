@@ -202,6 +202,100 @@ object SparkEntry {
         pat(V("o"), kw("o_custkey"), V("c"))),
         "o", "d", "c")
     }),
+
+    // ================= LLM-pipeline tier =================
+
+    // ---- exact dedup: one hash groupBy, no pairs ----
+    "q17_dedup_exact" -> ((sp, dir) =>
+      ops.Dedup.exactDedup(Tables.t(sp, dir, "documents"), "doc_id",
+        md5(col("text")))),
+
+    // ---- document fingerprinting (normalized content hash) ----
+    "q18_fingerprint" -> ((sp, dir) =>
+      Tables.t(sp, dir, "documents").select(col("doc_id"),
+        ops.Text.fingerprint(col("text")).as("fp"))),
+
+    // ---- text quality/statistics profile + language ID ----
+    "q19_text_profile" -> ((sp, dir) =>
+      ops.Text.profile(Tables.t(sp, dir, "documents"), "doc_id", "text")),
+
+    // ---- brute-force cosine top-5 (correctness baseline ANN) ----
+    "q20_ann_brute" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      ops.Similarity.bruteKnn(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
+    // ---- MinHash-LSH near-dup pairs, exact-Jaccard verified ----
+    "q21_minhash_lsh" -> ((sp, dir) =>
+      ops.Dedup.minhashNearDupPairs(Tables.t(sp, dir, "documents"),
+        "doc_id", "text")),
+
+    // ---- SimHash near-dup pairs (hamming ≤ 7, 8×8 banding) ----
+    "q22_simhash" -> ((sp, dir) =>
+      ops.Dedup.simhashNearDupPairs(Tables.t(sp, dir, "documents"),
+        "doc_id", "text")),
+
+    // ---- embedding-cosine near-dup pairs ----
+    "q23_embed_neardup" -> ((sp, dir) =>
+      ops.Similarity.cosinePairs(Tables.t(sp, dir, "embeddings"), 0.45)),
+
+    // ---- hourly tumbling aggregation over events ----
+    "q24_events_hourly" -> ((sp, dir) =>
+      streaming.Events.hourlyCounts(Tables.events(sp, dir))),
+
+    // ---- sessionization (30-min gap) ----
+    "q25_sessionize" -> ((sp, dir) =>
+      streaming.Events.sessionize(Tables.events(sp, dir))),
+
+    // ---- multimodal: binary payloads + batch decode (stub codec) ----
+    "q26_multimodal_meta" -> ((sp, dir) =>
+      ops.Multimodal.decodeMeta(ops.Multimodal.textAsBlobs(
+          Tables.t(sp, dir, "documents"), "doc_id", "text"))
+        .toDF().select(col("id"), col("byte_len"), col("width"),
+          col("height"), col("n_frames"), col("media_type"))),
+
+    // ---- multimodal: frame sampling (every 4th stub frame) ----
+    "q27_frame_sample" -> ((sp, dir) =>
+      ops.Multimodal.sampleFrames(ops.Multimodal.textAsBlobs(
+          Tables.t(sp, dir, "documents"), "doc_id", "text"), 4)
+        .toDF().select(col("id"), col("frame_idx"))),
+
+    // ---- LSH-bucketed approximate KNN (rows-only; recall tested in
+    //      SimilaritySpec against the brute baseline) ----
+    "q28_ann_lsh" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      ops.Similarity.lshKnn(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
+    // ================= relational extension =================
+
+    // ---- numeric aggregation (TPC-H Q1 shape, exact integer money) ----
+    "q29_tpch_agg" -> ((sp, dir) =>
+      Tables.t(sp, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(functions.lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))),
+
+    // ---- window top-k per group ----
+    "q30_topk_window" -> ((sp, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(round(col("o_totalprice") * 100).cast("long").desc, col("o_orderkey"))
+      Tables.t(sp, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    }),
+
+    // ---- anti join: orders with no lineitems ----
+    "q31_anti_join" -> ((sp, dir) => {
+      val o = Tables.t(sp, dir, "orders")
+      val li = Tables.t(sp, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,5 +376,124 @@ object SparkEntry {
         |  't|' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS d,
         |  'u|customer/' || o_custkey AS c
         |FROM orders""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q18_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q19_text_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(len(list_intersect(toks, ['the','and','of','to','in','a','is','that','for','it','on','was','with','as','at','be','this','are','or','an'])) AS BIGINT) AS n_stopwords,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','was','with'])) AS s_en,
+        |    len(list_intersect(toks, ['und','der','die','das','ist','nicht','ein','mit'])) AS s_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','une','dans','pour'])) AS s_fr,
+        |    len(list_intersect(toks, ['el','los','las','es','una','que','por','con'])) AS s_es,
+        |    regexp_matches(text, '\p{Han}') AS is_zh
+        |  FROM base
+        |)
+        |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_stopwords, n_punct,
+        |  (n_chars >= 100 AND n_tokens >= 15 AND n_stopwords >= 1
+        |   AND n_punct * 10 < n_chars) AS is_quality,
+        |  CASE WHEN is_zh THEN 'zh'
+        |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM m""".stripMargin,
+
+    "q20_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |        list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, nid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |      FROM s)
+        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
+
+    "q21_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ia, ib FROM inter
+        |JOIN sizes sa ON sa.doc_id = ia
+        |JOIN sizes sb ON sb.doc_id = ib
+        |WHERE 3 * i >= sa.n + sb.n""".stripMargin,
+
+    "q23_embed_neardup" ->
+      """SELECT a.vec_id AS ia, b.vec_id AS ib
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+
+    "q24_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT user_id,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |               OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q26_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
+        |  'text/plain' AS media_type
+        |FROM documents""".stripMargin,
+
+    "q27_frame_sample" ->
+      """SELECT doc_id AS id, CAST(f.i AS INTEGER) AS frame_idx
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0, octet_length(encode(text)) % 16, 4)) AS i) f
+        |WHERE octet_length(encode(text)) % 16 > 0""".stripMargin,
+
+    "q29_tpch_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q30_topk_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rank FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q31_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
   )
 }

@@ -17,6 +17,14 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader only accepts as a raw long (legacy flag); Events.withTsUs
+    * converts to integer microseconds downstream. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+
   def customerDb(spark: SparkSession, dir: String): TripleDb =
     TripleDb.fromWideTable(t(spark, dir, "customer"), "customer", "c_custkey",
       fks = Map("c_nationkey" -> "nation"))

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded per-partition in batches.
+  *
+  * The Spark-side machinery here is real — schema, partition-preserving
+  * mapPartitions, batch shape — while the actual media decode is a
+  * clearly marked deterministic STUB (`fakeDecode`): the container has
+  * no image/audio codecs. Swapping `fakeDecode` for a real decoder
+  * (JavaCV, TwelveMonkeys, ffmpeg-cli per partition) keeps every other
+  * line unchanged.
+  *
+  * Scale notes: decode runs as a narrow map (no shuffle) and inherits
+  * scan partitioning; binary payloads never pass through a wide
+  * transform, so executor memory holds one partition of blobs at a
+  * time. Frame sampling emits rows (explode), still narrow.
+  */
+object Multimodal {
+
+  case class MediaBlob(id: Long, payload: Array[Byte], mediaType: String)
+  case class MediaMeta(id: Long, byte_len: Long, width: Int, height: Int,
+                       n_frames: Int, media_type: String)
+  case class Frame(id: Long, frame_idx: Int, feature: Array[Float])
+
+  /** STUB decoder — deterministic fake dimensions derived from the
+    * payload. Replace with a real codec; the signature (bytes in,
+    * metadata out) is the real contract.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val len = payload.length
+    (len % 640, (len * 7) % 480, len % 16)
+  }
+
+  /** Binary blobs + typed metadata via per-partition batch decode. */
+  def decodeMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val (w, h, f) = fakeDecode(b.payload)
+        MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame with a (stubbed) feature
+    * vector — the shape a video/image feature-extraction stage emits. */
+  def sampleFrames(blobs: Dataset[MediaBlob], everyN: Int): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { b =>
+      val (_, _, frames) = fakeDecode(b.payload)
+      (0 until frames by math.max(1, everyN)).map { i =>
+        // STUB feature: deterministic from (id, frame); a real extractor
+        // would decode the frame and run the vision model here
+        Frame(b.id, i, Array.tabulate(8)(j => ((b.id * 31 + i * 7 + j) % 97).toFloat))
+      }
+    }
+  }
+
+  /** Wrap a text table as fake media blobs (UTF-8 payloads) — gives the
+    * pipeline real bytes to move without codecs in the container. */
+  def textAsBlobs(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"),
+        lit("text/plain"))
+      .as[(Long, Array[Byte], String)]
+      .map { case (i, p, m) => MediaBlob(i, p, m) }
+  }
+}

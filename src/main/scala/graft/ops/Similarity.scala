@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * All arithmetic is done in DOUBLE with a sequential left-fold
+  * (`aggregate` over `zip_with`) so results are deterministic and
+  * reproducible by the oracle.
+  *
+  * Scale shapes:
+  *  - [[bruteKnn]] broadcast-joins a SMALL query set against the corpus
+  *    — one pass over the corpus, no corpus shuffle; right for "few
+  *    queries × huge corpus". All-pairs over a huge corpus is never
+  *    expressed.
+  *  - [[lshKnn]] buckets the corpus by random-hyperplane signature and
+  *    only scores same-bucket candidates — the join is shuffled by
+  *    bucket id; recall trades off with #planes (probe more buckets by
+  *    lowering planes or unioning rotations).
+  *  - [[cosinePairs]] is the bounded quadratic primitive for near-dup
+  *    mining on a subset/block.
+  */
+object Similarity {
+
+  /** dot(a,b) in double precision, sequential fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector (brute force —
+    * the correctness baseline). `queries` must be broadcast-small.
+    * Ties break on neighbor id for determinism.
+    */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `planes` × `dim`, seeded. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH signature (an Int bucket id: bit p set iff
+    * dot(v, plane_p) > 0). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: multi-table random-hyperplane LSH. Each of
+    * `tables` hash tables buckets every vector by `planesPerTable`
+    * sign bits; candidates are vectors sharing ANY table's bucket with
+    * the query, then scored exactly and ranked.
+    *
+    * Recall math: a neighbor at angle θ agrees on one plane with
+    * p = 1 − θ/π, on a table with p^b, over L tables with
+    * 1 − (1−p^b)^L — 8 tables × 4 planes gives ~0.83 for cosine-0.5
+    * neighbors, →1 for near-dups. The join shuffles by (table,
+    * bucket): never all-pairs, and only ids travel through the
+    * explode (vectors re-join on the candidate set).
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(planesPerTable, dim, seed = 42L + t))
+    def buckets(df: DataFrame, id: String): DataFrame = df.select(
+      col(idCol).as(id),
+      posexplode(array(allPlanes.map(hp => lshBucket(col(vecCol), hp)): _*))
+        .as(Seq("tbl", "bucket")))
+    val cand = buckets(corpus, "nid").join(buckets(queries, "qid"), Seq("tbl", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").dropDuplicates("qid", "nid")
+    val scored = cand
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid")
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), "qid")
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** All pairs (ia < ib) with cosine ≥ threshold — bounded quadratic;
+    * callers restrict the input to a block/subset. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("ia"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("ib"), col(vecCol).as("vb"))
+    a.join(b, col("ia") < col("ib"))
+      .where(cosine(col("va"), col("vb")) >= threshold)
+      .select("ia", "ib")
+  }
+}

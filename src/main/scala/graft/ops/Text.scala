@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenizing,
+  * quality scoring, language ID, fingerprinting. All pure column
+  * expressions (whole-stage-codegen'd, no UDFs) — they run inside the
+  * scan projection, so at 100 TB they cost one pass with no shuffle.
+  *
+  * Everything is engineered to be exactly reproducible in ANSI SQL
+  * (integer counts, md5, regex) so the DuckDB oracle can replay it.
+  */
+object Text {
+
+  /** Whitespace tokens of lowercased text (single-space split — the
+    * synthetic corpus is single-spaced; see `bpeTokens` for the
+    * regex-based tokenizer).
+    */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single
+    * punctuation — the classic GPT-2 pre-split shape, minus unicode
+    * categories (RE2/Java-portable).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
+  /** Word n-gram shingles over whitespace tokens, distinct. Short texts
+    * (< n tokens) yield one shingle holding all tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(lit(1), size(t) - (n - 1)) - 1),
+      i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint of the normalized text — exact-dup detection
+    * robust to case/punctuation/whitespace noise. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "a", "is", "that", "for", "it",
+    "on", "was", "with", "as", "at", "be", "this", "are", "or", "an")
+
+  /** Distinct stopwords present (array_intersect = distinct semantics,
+    * mirrors SQL list_intersect). */
+  def stopwordCount(text: Column): Column =
+    size(array_intersect(tokens(text), array(Stopwords.map(lit): _*))).cast("long")
+
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Heuristic quality gate — all-integer arithmetic so the oracle
+    * reproduces it bit-for-bit: long enough, token-dense, has stopword
+    * signal, not punctuation-soup (10× punct < chars).
+    */
+  def isQuality(text: Column): Column =
+    (length(text) >= 100) && (tokenCount(text) >= 15) &&
+      (stopwordCount(text) >= 1) && (punctCount(text) * 10 < length(text))
+
+  // language-ID marker words, distinct-count scored; priority-ordered
+  // CASE keeps ties deterministic and SQL-replicable
+  private val MarkersEn = Seq("the", "and", "of", "to", "in", "is", "was", "with")
+  private val MarkersDe = Seq("und", "der", "die", "das", "ist", "nicht", "ein", "mit")
+  private val MarkersFr = Seq("le", "la", "les", "et", "est", "une", "dans", "pour")
+  private val MarkersEs = Seq("el", "los", "las", "es", "una", "que", "por", "con")
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(markers.map(lit): _*)))
+
+  /** N-gram/marker heuristic language ID over {en,de,fr,es,zh}:
+    * Han script → zh, else the marker-richest language with fixed
+    * priority en > de > fr > es on ties.
+    */
+  def langId(text: Column): Column = {
+    val en = markerHits(text, MarkersEn)
+    val de = markerHits(text, MarkersDe)
+    val fr = markerHits(text, MarkersFr)
+    val es = markerHits(text, MarkersEs)
+    when(text.rlike("\\p{IsHan}"), "zh")
+      .when(en >= greatest(de, fr, es), "en")
+      .when(de >= greatest(fr, es), "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Per-document text statistics + quality flag, as a ready projection. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      bpeTokenCount(t).as("n_bpe_tokens"),
+      stopwordCount(t).as("n_stopwords"),
+      punctCount(t).as("n_punct"),
+      isQuality(t).as("is_quality"),
+      langId(t).as("pred_lang"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event analytics over the `events` table, written once and usable
+  * both batch and streaming (the transforms are identical DataFrame
+  * programs; Structured Streaming just changes the source/sink).
+  *
+  * Scale notes: hourly aggregation is a single hash-partitioned
+  * groupBy with map-side combine; sessionization is one shuffle by
+  * user (window function in batch, mapGroupsWithState in streaming —
+  * state is per-user O(1)).
+  */
+object Events {
+
+  /** Normalize the event timestamp to integer microseconds (`tus`).
+    * The events parquet carries TIMESTAMP(NANOS) which Spark reads
+    * only as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) —
+    * integer `div` keeps full precision (nanos exceed 2^53, so any
+    * double detour would corrupt them).
+    */
+  def withTsUs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn("tus", expr("ts div 1000"))
+      case _ =>
+        events.withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+    }
+
+  /** Tumbling hourly counts/sums per event type. Money is summed in
+    * integer cents (exact, oracle-reproducible). Batch shape; the same
+    * aggregation streams with `hourlyCountsStream`.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    withTsUs(events).groupBy(
+        date_format(date_trunc("hour", timestamp_micros(col("tus"))),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+
+  /** Streaming variant: watermark + windowed aggregation. */
+  def hourlyCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+
+  /** Batch sessionization: sessions split on gaps > `gapMinutes`.
+    * Per user: number of sessions and events. Timestamps compare in
+    * integer microseconds (exact).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    withTsUs(events)
+      .select(col("user_id"), col("event_id"), col("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Streaming sessionization via mapGroupsWithState: per-user state is
+    * three longs regardless of history length. (Batch-callable too for
+    * testing; events must arrive time-ordered per user within a batch.)
+    */
+  def sessionizeStream(events: Dataset[(Long, Long, Long)], // (user_id, event_id, tus)
+                       gapMinutes: Int = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+            val newSession = st.lastTs == Long.MinValue || e._3 - st.lastTs > gapUs
+            st = SessionState(e._3,
+              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(user, st.nSessions, st.nEvents)
+      }
+  }
+}

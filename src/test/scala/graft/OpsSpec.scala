@@ -1,0 +1,142 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.streaming.Events
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator tests over the driver's sf0.001 tables. */
+class OpsSpec extends GraftSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  def docs = Tables.t(spark, dir, "documents")
+  def emb = Tables.t(spark, dir, "embeddings")
+
+  test("minhash-LSH near-dup pairs == exact all-pairs Jaccard >= 0.5") {
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash at hamming<=3: precision >= 0.7, recall >= 0.7 vs exact J>=0.5") {
+    // simhash on ~50-token docs cannot fully separate J≈0.9 near-dups
+    // from natural pairs (observed: planted pairs span hamming 0-9,
+    // naturals start ~5) — it is a cheap candidate stage, not an exact
+    // decision; pin its operating point instead.
+    val planted = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty && got.nonEmpty)
+    val precision = (got & planted).size.toDouble / got.size
+    val recall = (got & planted).size.toDouble / planted.size
+    info(s"simhash@3: precision=$precision recall=$recall " +
+      s"(${got.size} found, ${planted.size} planted)")
+    // measured on this corpus: precision 0.78, recall 0.75 — the
+    // fingerprints are 64-bit summaries of ~50-token docs, so a few
+    // natural pairs land within 3 bits; downstream exact verification
+    // (as in minhashNearDupPairs) is the precision stage.
+    assert(precision >= 0.7 && recall >= 0.7)
+  }
+
+  test("lshKnn recall >= 0.6 of brute-force top-5") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(s"lshKnn recall@5 = $recall")
+    assert(recall >= 0.6)
+  }
+
+  test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val r = df.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 1.0) < 1e-12 && math.abs(r(2L)) < 1e-12)
+  }
+
+  test("exact dedup groups identical content") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val r = Dedup.exactDedup(d, "doc_id", md5(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("language ID classifies genuinely multilingual text") {
+    // the synthetic corpus's `lang` column is a label only — every text
+    // shares one English-ish vocabulary — so agreement with it is not a
+    // meaningful target; test on real sentences instead.
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat on the mat and it was happy with this"),
+      (2L, "der hund ist nicht zu hause und das ist gut so"),
+      (3L, "le chat est dans la maison et les enfants sont pour lui"),
+      (4L, "el perro es una mascota que vive con los humanos por siglos"),
+      (5L, "今天天气很好我们去公园散步")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), Text.langId(col("text")).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("fingerprint is invariant to case/punct/whitespace noise") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello,   World!"), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = d.select(Text.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal: stub decode meta is deterministic and batch-shaped") {
+    val meta = Multimodal.decodeMeta(Multimodal.textAsBlobs(docs, "doc_id", "text"))
+    val m = meta.collect()
+    assert(m.length == docs.count())
+    assert(m.forall(x => x.width == (x.byte_len % 640).toInt &&
+      x.height == ((x.byte_len * 7) % 480).toInt))
+  }
+
+  test("streaming hourly counts == batch hourly counts (MemoryStream)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+    val input = Events.withTsUs(ev)
+      .select(timestamp_micros(col("tus")).as("ts"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    stream.addData(input)
+    val sq = Events.hourlyCountsStream(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table("hourly_test")
+      .select("hour", "event_type", "n_events", "sum_cents")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.hourlyCounts(ev)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization (mapGroupsWithState) == batch sessionize") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val typed = Events.withTsUs(ev)
+      .select(col("user_id"), col("event_id"), col("tus"))
+      .as[(Long, Long, Long)]
+    val streamed = Events.sessionizeStream(typed)
+      .collect().map(u => (u.user_id, u.n_sessions, u.n_events)).toSet
+    val batch = Events.sessionize(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
