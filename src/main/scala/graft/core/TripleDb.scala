@@ -21,9 +21,15 @@ import org.apache.spark.sql.types._
   * almost always predicate-ground), which turns each pattern scan into
   * partition pruning instead of a full scan.
   */
-final case class TripleDb(df: DataFrame) {
-  /** ≙ `index-triples` (alpha.clj:60-69): dedup + cache for reuse. */
-  def index(): TripleDb = TripleDb(df.dropDuplicates("s", "p", "o").persist())
+final case class TripleDb(df: DataFrame,
+                          predIndex: Map[String, DataFrame] = Map.empty) {
+  /** ≙ `index-triples` (alpha.clj:60-69): dedup + cache for reuse.
+    * Predicate slices dedup too (a union of overlapping DBs duplicates
+    * facts inside a slice as well as in the full view).
+    */
+  def index(): TripleDb =
+    TripleDb(df.dropDuplicates("s", "p", "o").persist(),
+      predIndex.view.mapValues(_.dropDuplicates("s", "p", "o")).toMap)
   def unpersist(): TripleDb = { df.unpersist(); this }
 }
 
@@ -43,9 +49,14 @@ object TripleDb {
       schema))
   }
 
-  /** ≙ `merge-dbs` (alpha.clj:728-746): set union of databases. */
+  /** ≙ `merge-dbs` (alpha.clj:728-746): set union of databases.
+    * Per-predicate slices dedup independently (a fact lives in exactly
+    * one predicate slice), so the merged index stays consistent with
+    * the merged full view.
+    */
   def merge(dbs: TripleDb*): TripleDb =
-    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)).dropDuplicates("s", "p", "o"))
+    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)).dropDuplicates("s", "p", "o"),
+      mergeIndexes(dbs, dedup = true))
 
   /** Union without the dedup shuffle — for callers that `.index()` after,
     * or that know inputs are disjoint (e.g. unpivoted tables with
@@ -53,7 +64,17 @@ object TripleDb {
     * shuffle at 100 TB).
     */
   def union(dbs: TripleDb*): TripleDb =
-    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)))
+    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)), mergeIndexes(dbs, dedup = false))
+
+  private def mergeIndexes(dbs: Seq[TripleDb], dedup: Boolean): Map[String, DataFrame] = {
+    if (dbs.exists(_.predIndex.isEmpty)) return Map.empty // partial index is unsound
+    dbs.flatMap(_.predIndex.toSeq)
+      .groupBy(_._1)
+      .map { case (p, slices) =>
+        val u = slices.map(_._2).reduce(_.unionByName(_))
+        p -> (if (dedup && slices.size > 1) u.dropDuplicates("s", "p", "o") else u)
+      }
+  }
 
   /** Unpivot a wide table into triples — our "connector" (the reference
     * has none; its data arrives as in-memory seqs, README:17-20).
@@ -86,6 +107,14 @@ object TripleDb {
     val exploded = df
       .select(subj.as("s"), explode(array(pairs: _*)).as("po"))
       .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
-    TripleDb(exploded)
+    // Predicate index: each column is its own narrow (s,p,o) projection
+    // — a pattern with that ground predicate scans ONLY this slice, so
+    // parquet reads exactly two columns of one table instead of the
+    // whole exploded union (≙ "partition the triple store by p").
+    val perPred: Map[String, DataFrame] = useCols.zipWithIndex.map { case (c, i) =>
+      c -> df.select(subj.as("s"), pairs(i).getField("p").as("p"),
+        pairs(i).getField("o").as("o"))
+    }.toMap
+    TripleDb(exploded, perPred)
   }
 }

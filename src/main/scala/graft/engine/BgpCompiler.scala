@@ -67,7 +67,7 @@ object BgpCompiler {
 
     val (withVars, groundOnly) = patterns.partition(_.vars.nonEmpty)
     for (pat <- orderPatterns(withVars)) {
-      val scanned = scan(db.df, pat)
+      val scanned = scan(sourceFor(db, pat), pat)
       acc = acc match {
         case None => Some(scanned)
         case Some(a) =>
@@ -82,7 +82,7 @@ object BgpCompiler {
     // fully-ground patterns = existence gates (facts are deduped at
     // index time, so each contributes a 0-or-1-row cross join)
     for ((pat, i) <- groundOnly.zipWithIndex) {
-      val gate = scanGround(db.df, pat).limit(1)
+      val gate = scanGround(sourceFor(db, pat), pat).limit(1)
         .select(functions.lit(1).as(s"__exists_$i"))
       acc = acc match {
         case None    => Some(gate)
@@ -148,6 +148,18 @@ object BgpCompiler {
       .drop(optionals.indices.map(i => s"__m_$i"): _*)
       .drop("__base")
   }
+
+  /** Pick the narrowest source for a pattern: a ground keyword
+    * predicate hits the per-predicate slice (≙ the reference's
+    * predicate-position hash index, alpha.clj:52 — but here it also
+    * means the parquet scan reads two columns of one table instead of
+    * the whole unpivoted union).
+    */
+  private def sourceFor(db: TripleDb, pat: TriplePattern): DataFrame =
+    pat.p match {
+      case T(Term.TKeyword(name)) => db.predIndex.getOrElse(name, db.df)
+      case _ => db.df
+    }
 
   /** One pattern scan: ground positions filter (→ pushdown), var positions
     * project under the var's name; a var repeated within the pattern adds

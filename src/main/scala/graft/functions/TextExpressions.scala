@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text/hash expressions for the dedup hot paths. Each replaces a chain
+  * of higher-order functions (interpreted lambda frame per element)
+  * with one flat JVM loop per row.
+  */
+object TextExpressions {
+
+  /** Distinct word n-gram shingles from a token array, in one pass.
+    * Fewer than n tokens → a single shingle of all tokens (same
+    * semantics as the transform/slice/array_join formulation and the
+    * SQL oracle).
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val space = UTF8String.fromString(" ")
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val toks = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val count = math.max(1, m - n + 1)
+      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      i = 0
+      while (i < count) {
+        val upper = math.min(i + n, m)
+        val parts = new Array[UTF8String](upper - i)
+        var j = i
+        while (j < upper) { parts(j - i) = toks(j); j += 1 }
+        seen.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of a token array in one pass — no explode, no
+    * shuffle: per token an XXH64 (seed 42, matching Spark's xxhash64),
+    * ±1 vote per bit, sign of the vote sets the bit.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Fused MinHash signature + LSH banding in one pass: compute the
+    * `perms` signature minima, then hash each of the `bands` groups of
+    * perms/bands adjacent minima (XXH64-chained, band index as seed).
+    * One expression evaluation per row — composing the signature and
+    * banding as separate column expressions re-evaluates the signature
+    * once per band (expression trees have no common-subexpression
+    * elimination inside higher-order lambdas).
+    */
+  case class MinHashBandHashes(child: Expression, perms: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(perms % bands == 0, "perms must divide evenly into bands")
+    private val rowsPerBand = perms / bands
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val sig = new Array[Long](perms)
+      java.util.Arrays.fill(sig, Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var p = 0
+        while (p < perms) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, p)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = b.toLong
+        var k = b * rowsPerBand
+        while (k < (b + 1) * rowsPerBand) { h = XXH64.hashLong(sig(k), h); k += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
+
+  def minhashBandHashes(shingles: Column, perms: Int, bands: Int): Column =
+    GraftSqlBridge.column(
+      MinHashBandHashes(GraftSqlBridge.expression(shingles), perms, bands))
+
+  def simhash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+}

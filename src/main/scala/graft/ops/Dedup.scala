@@ -29,10 +29,12 @@ object Dedup {
       .select("keep_id", "n_dups")
 
   /** MinHash signature: `perms` minimums of per-permutation shingle
-    * hashes (xxhash64 seeded by the permutation index). */
+    * hashes (XXH64 seeded by the permutation index) — one tight loop
+    * via the custom MinHashSig expression (the nested
+    * transform/array_min formulation pays an interpreted lambda frame
+    * per (shingle, perm)). */
   def minhashSignature(shingleSet: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)),
-      p => array_min(transform(shingleSet, s => xxhash64(p, s))))
+    graft.functions.VectorExpressions.minhashSig(shingleSet, perms)
 
   /** LSH band hashes: split the signature into `bands` rows of
     * `rowsPerBand` and hash each band. */
@@ -56,13 +58,14 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, perms: Int = 64,
                           bands: Int = 16, jNum: Int = 1, jDen: Int = 2): DataFrame = {
-    val rowsPerBand = perms / bands
+    // shingle sets feed the banding AND both sides of the verify join —
+    // persist so the tokenize+shingle pass runs once, not three times
     val base = docs.select(col(idCol).as("id"),
-      Text.shingles(col(textCol), shingleN).as("sh"))
+      Text.shingles(col(textCol), shingleN).as("sh")).persist()
     val banded = base
       .select(col("id"),
-        posexplode(lshBands(minhashSignature(col("sh"), perms), bands, rowsPerBand))
-          .as(Seq("band", "bh")))
+        posexplode(graft.functions.TextExpressions.minhashBandHashes(
+          col("sh"), perms, bands)).as(Seq("band", "bh")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -94,34 +97,36 @@ object Dedup {
         lit(jNum) * (size(col("sha")) + size(col("shb"))))
       .select("ia", "ib")
 
-  /** 64-bit SimHash fingerprints: explode tokens once, sum a ±1 vote per
-    * bit position, sign of the vote sets the bit. One shuffle (the
-    * groupBy), 64 codegen'd sum aggregates.
+  /** 64-bit SimHash fingerprints in one narrow pass — per-document
+    * custom expression (graft.functions.TextExpressions.SimHash64):
+    * no explode, no shuffle, fingerprints computed inside the scan
+    * projection.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(shiftrightunsigned(col("h"), j).bitwiseAND(1).cast("long") * 2 - 1).as(s"b$j"))
-    tok.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.simhash64(Text.tokens(col(textCol)))
+        .as("simhash"))
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (must be
-    * < 8): candidates via 8 bands of 8 bits — pigeonhole guarantees a
-    * clean band for ≤7 bit flips, so banding has perfect recall here.
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming:
+    * candidates via maxHamming+1 bands (pigeonhole: ≤ maxHamming bit
+    * flips leave at least one band untouched, so banding has perfect
+    * recall). Fewer bands ⇒ wider bands ⇒ sparser buckets ⇒ fewer
+    * candidate pairs — at hamming ≤ 3 the bands are 16-bit, which
+    * keeps vocabulary-clustered fingerprints from flooding buckets.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 7): DataFrame = {
-    require(maxHamming < 8, "8x8 banding only guarantees recall for hamming <= 7")
-    val sh = simhash(docs, idCol, textCol)
-    val bandCols = (0 until 8).map(b =>
+                          maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(64 % nBands == 0, s"band count ${nBands} must divide 64")
+    val bits = 64 / nBands
+    val mask = (1L << bits) - 1
+    // persist = projection-collapse barrier: without it Catalyst inlines
+    // the SimHash64 expression into all band columns and re-tokenizes
+    // every document once per band
+    val sh = simhash(docs, idCol, textCol).persist()
+    val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(255).as("bh")))
+        shiftrightunsigned(col("simhash"), bits * b).bitwiseAND(mask).as("bh")))
     val banded = sh.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))

@@ -29,14 +29,13 @@ object Text {
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
 
   /** Word n-gram shingles over whitespace tokens, distinct. Short texts
-    * (< n tokens) yield one shingle holding all tokens.
+    * (< n tokens) yield one shingle holding all tokens. One-pass custom
+    * expression (graft.functions.TextExpressions) — the equivalent
+    * transform/slice/array_join chain pays an interpreted lambda frame
+    * per shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(lit(1), size(t) - (n - 1)) - 1),
-      i => array_join(slice(t, i + 1, lit(n)), " ")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.wordShingles(tokens(text), n)
 
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace. */
