@@ -39,6 +39,13 @@ object TripleDb {
     StructField("p", Term.schema, nullable = false),
     StructField("o", Term.schema, nullable = false)))
 
+  /** Quads → DB: the 4th element (graph) is silently dropped, exactly
+    * like the reference's positional destructuring of grafter Quads
+    * (alpha.clj:54-58; alpha_test.clj:244-245). */
+  def fromQuads(spark: SparkSession,
+                quads: Seq[(Term, Term, Term, Term)]): TripleDb =
+    fromTerms(spark, quads.map(q => (q._1, q._2, q._3)))
+
   /** In-memory triples → DB (≙ raw seq-of-triples input, alpha.clj:54-58). */
   def fromTerms(spark: SparkSession, triples: Seq[(Term, Term, Term)]): TripleDb = {
     val rows = triples.map { case (s, p, o) =>
@@ -91,8 +98,11 @@ object TripleDb {
     */
   def fromWideTable(df: DataFrame, table: String, keyCol: String,
                     fks: Map[String, String] = Map.empty,
-                    cols: Seq[String] = Nil): TripleDb = {
-    val useCols = if (cols.nonEmpty) cols else df.columns.toSeq.filter(_ != keyCol)
+                    cols: Seq[String] = Nil,
+                    keep: Seq[String] = Nil): TripleDb = {
+    val useCols = (if (cols.nonEmpty) cols
+                   else df.columns.toSeq.filter(_ != keyCol))
+      .filterNot(keep.contains)
     val subj = Term.uriCol(concat(lit(table + "/"), col(keyCol).cast(StringType)))
     val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val pairs: Seq[Column] = useCols.map { c =>
@@ -105,8 +115,10 @@ object TripleDb {
       struct(Term.lit(Term.TKeyword(c)).as("p"), obj.as("o"))
     }
     val exploded = df
-      .select(subj.as("s"), explode(array(pairs: _*)).as("po"))
-      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
+      .select(subj.as("s") +: explode(array(pairs: _*)).as("po") +:
+        keep.map(col): _*)
+      .select(col("s") +: col("po.p").as("p") +: col("po.o").as("o") +:
+        keep.map(col): _*)
     // Predicate index: each column is its own narrow (s,p,o) projection
     // — a pattern with that ground predicate scans ONLY this slice, so
     // parquet reads exactly two columns of one table instead of the
