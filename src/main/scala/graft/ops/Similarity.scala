@@ -98,6 +98,36 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Embedding near-dup pairs at scale: multi-table hyperplane LSH
+    * candidates, then exact cosine ≥ threshold on candidates only —
+    * the join shuffles by (table, bucket), never all-pairs. Recall
+    * follows the lshKnn s-curve (→1 for true near-dups at high
+    * cosine); use [[cosinePairs]] as the exact baseline on bounded
+    * blocks.
+    */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double,
+                     tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(planesPerTable, dim, seed = 42L + t))
+    val buckets = corpus.select(
+      col(idCol).as("id"),
+      posexplode(array(allPlanes.map(hp => lshBucket(col(vecCol), hp)): _*))
+        .as(Seq("tbl", "bucket")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .dropDuplicates("ia", "ib")
+    val va = corpus.select(col(idCol).as("ia"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val vb = corpus.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    cand.join(va, "ia").join(vb, "ib")
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("ia", "ib")
+  }
+
   /** All pairs (ia < ib) with cosine ≥ threshold — bounded quadratic;
     * callers restrict the input to a block/subset. Norms are computed
     * once per vector (N, not N²); only the codegen'd dot runs per pair.

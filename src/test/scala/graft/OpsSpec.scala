@@ -53,6 +53,19 @@ class OpsSpec extends GraftSpec {
     assert(recall >= 0.6)
   }
 
+  test("cosinePairsLsh finds the high-cosine pairs the exact scan finds") {
+    // at the near-dup threshold the s-curve recall is ~1; on this corpus
+    // the exact scan finds a small planted/clustered set
+    val exact = Similarity.cosinePairs(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verification must keep only true pairs")
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    info(s"cosinePairsLsh recall at 0.45: $recall (${exact.size} exact pairs)")
+    assert(recall >= 0.5)
+  }
+
   test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
     import spark.implicits._
     val df = Seq(
