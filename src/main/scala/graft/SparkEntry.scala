@@ -296,6 +296,24 @@ object SparkEntry {
       o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
         .select(col("o_orderkey"))
     }),
+
+    // ---- as-of join: each purchase matched to the user's latest
+    //      click at-or-before it (union + carry-forward: one shuffle) ----
+    "q32_asof_join" -> ((sp, dir) => {
+      val ev = streaming.Events.withTsUs(Tables.events(sp, dir))
+        .select(col("user_id"), col("event_id"), col("tus"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase").drop("event_type")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("tus"))
+      ops.AsOf.join(purchases, clicks, Seq("user_id"), "tus", "event_id", "event_id")
+        .select(col("event_id"), col("asof_event_id"))
+    }),
+
+    // ---- IVF approximate KNN (rows-only; recall pinned in OpsSpec) ----
+    "q33_ann_ivf" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      ops.Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10), 5)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -495,5 +513,22 @@ object SparkEntry {
     "q31_anti_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "q32_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |u AS (
+        |  SELECT user_id, tus, event_id AS tie, 1 AS side, event_id AS lid,
+        |         CAST(NULL AS BIGINT) AS payload
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, tus, event_id, 0, NULL, event_id
+        |  FROM ev WHERE event_type = 'click'),
+        |c AS (SELECT side, lid,
+        |        last_value(payload IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY tus, side, tie
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+        |      FROM u)
+        |SELECT lid AS event_id, a AS asof_event_id FROM c WHERE side = 1""".stripMargin,
   )
 }

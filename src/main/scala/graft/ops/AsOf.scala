@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: match each left row to the right row with the greatest
+  * timestamp ≤ the left row's timestamp, per key.
+  *
+  * Implementation is the union + carry-forward pattern: tag both
+  * sides, sort per key by (ts, side, tie), and carry the last right
+  * payload forward with `last(..., ignoreNulls)` over an unbounded
+  * preceding window. One shuffle (by key), no range-join row
+  * explosion — the classic scalable shape for "latest value as of
+  * time t" at any data size. Ties (equal ts) see the right row
+  * (right sorts before left), and among equal right timestamps the
+  * largest tie-break wins. Semantics are deterministic and exactly
+  * reproducible in window SQL for the oracle.
+  */
+object AsOf {
+
+  /** @param left       rows to enrich
+    * @param right      rows providing the as-of payload
+    * @param keyCols    equi-join key
+    * @param tsCol      ordering column name (present in both sides)
+    * @param tieCol     deterministic tie-break column (both sides)
+    * @param payloadCol right column carried to the output (as `asof_<payloadCol>`)
+    */
+  def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           tsCol: String, tieCol: String, payloadCol: String): DataFrame = {
+    val keep = keyCols ++ Seq(tsCol, tieCol)
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right.select((keep.map(col) :+ col(payloadCol).as("__payload")): _*)
+      .withColumn("__side", lit(0))
+    val lCols = left.columns
+    val unioned = l.select((keep ++ Seq("__side", "__payload")).map(col) ++
+        lCols.filterNot(keep.contains).filterNot(Set("__side", "__payload"))
+          .map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(s"asof_$payloadCol", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__side", "__payload")
+  }
+}

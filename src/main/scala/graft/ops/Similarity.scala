@@ -98,6 +98,49 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate KNN: a KMeans coarse quantizer
+    * partitions the corpus into `nClusters` cells; each query probes
+    * its `nProbe` nearest centroids and scores only those cells.
+    *
+    * Scale shape: the corpus is assigned once (narrow model.transform
+    * pass, then hash-partitioned by cell); per query the candidate set
+    * is ~nProbe/nClusters of the corpus. Centroids are driver-side
+    * (tiny) and compiled into codegen'd distance expressions — ranking
+    * cells costs nClusters dot products per query row, no shuffle.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nClusters: Int = 16, nProbe: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("features", toVec(col("nv")))
+    val model = new KMeans().setK(nClusters).setSeed(42).setMaxIter(10).fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("nid"), col("nv"), col("prediction").as("cell"))
+    val centroids: Array[Array[Float]] =
+      model.clusterCenters.map((v: MlVector) => v.toArray.map(_.toFloat))
+    // rank cells by squared distance: |q|^2 is constant per query, so
+    // score_i = |c_i|^2 - 2 q·c_i orders identically
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * dot(col("qv"), typedlit(c.toSeq))).as("d2"),
+        lit(i).as("cell"))
+    }
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(slice(array_sort(array(cellScores: _*)), 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cell").as("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Embedding near-dup pairs at scale: multi-table hyperplane LSH
     * candidates, then exact cosine ≥ threshold on candidates only —
     * the join shuffles by (table, bucket), never all-pairs. Recall

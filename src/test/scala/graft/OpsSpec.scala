@@ -42,6 +42,17 @@ class OpsSpec extends GraftSpec {
     assert(precision >= 0.7 && recall >= 0.7)
   }
 
+  test("ivfKnn recall >= 0.5 of brute-force top-5") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKnn(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(s"ivfKnn recall@5 = $recall")
+    assert(recall >= 0.5)
+  }
+
   test("lshKnn recall >= 0.6 of brute-force top-5") {
     val q = emb.where(col("vec_id") < 20)
     val brute = Similarity.bruteKnn(emb, q, 5)
