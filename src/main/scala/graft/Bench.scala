@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one cheap query first: JVM/codegen/parquet-footer warmup so the
+    // alphabetically-first query doesn't absorb one-time session costs
+    try SparkEntry.queries("q15_select_bag")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // stable order; failures report an err marker instead of skewing the total
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

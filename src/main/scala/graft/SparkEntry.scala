@@ -314,6 +314,18 @@ object SparkEntry {
       val emb = Tables.t(sp, dir, "embeddings")
       ops.Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10), 5)
     }),
+
+    // ---- set ops on solution sets (beyond the reference, SURVEY §2.2) ----
+    "q34_solution_setops" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      def seg(s: String) = sel(db, Seq(
+        pat(V("c"), kw("c_mktsegment"), strT(s)),
+        pat(V("c"), kw("c_acctbal"), V("bal"))), "c", "bal")
+      val positive = sel(db, Seq(pat(V("c"), kw("c_mktsegment"), V("seg"))), "c")
+      seg("BUILDING").select("c").union(seg("MACHINERY").select("c"))
+        .except(seg("AUTOMOBILE").select("c"))
+        .intersect(positive)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -530,5 +542,14 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
         |      FROM u)
         |SELECT lid AS event_id, a AS asof_event_id FROM c WHERE side = 1""".stripMargin,
+
+    "q34_solution_setops" ->
+      """WITH seg AS (SELECT 'u|customer/' || c_custkey AS c, c_mktsegment AS s
+        |             FROM customer)
+        |SELECT c FROM (
+        |  (SELECT c FROM seg WHERE s = 'BUILDING'
+        |   UNION SELECT c FROM seg WHERE s = 'MACHINERY')
+        |  EXCEPT SELECT c FROM seg WHERE s = 'AUTOMOBILE')
+        |INTERSECT SELECT c FROM seg""".stripMargin,
   )
 }

@@ -14,8 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so the union needs no dedup shuffle (TripleDb.union, not merge).
   */
 object Tables {
+  // schema inference + file listing per read adds up across 30+ queries;
+  // DataFrames are immutable plans, safe to share within a session
+  private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** The events table stores TIMESTAMP(NANOS), which Spark's parquet
     * reader only accepts as a raw long (legacy flag); Events.withTsUs
