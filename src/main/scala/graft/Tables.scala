@@ -15,12 +15,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   // schema inference + file listing per read adds up across 30+ queries;
-  // DataFrames are immutable plans, safe to share within a session
-  private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  // DataFrames are immutable plans, safe to share within a session.
+  // Weak-keyed by the session so stopped sessions' entries are collected
+  // (an identity-hash key could collide with a dead session's slot).
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = cache.synchronized {
+    val perSession = Option(cache.get(spark)).getOrElse {
+      val m = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+      cache.put(spark, m)
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** The events table stores TIMESTAMP(NANOS), which Spark's parquet
     * reader only accepts as a raw long (legacy flag); Events.withTsUs

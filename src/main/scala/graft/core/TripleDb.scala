@@ -24,12 +24,18 @@ import org.apache.spark.sql.types._
 final case class TripleDb(df: DataFrame,
                           predIndex: Map[String, DataFrame] = Map.empty) {
   /** ≙ `index-triples` (alpha.clj:60-69): dedup + cache for reuse.
-    * Predicate slices dedup too (a union of overlapping DBs duplicates
-    * facts inside a slice as well as in the full view).
+    * Predicate slices are rebuilt as filtered views OVER the single
+    * persisted relation — one cache, set semantics guaranteed
+    * consistent between the full view and every slice, and
+    * ground-predicate scans read from memory.
     */
-  def index(): TripleDb =
-    TripleDb(df.dropDuplicates("s", "p", "o").persist(),
-      predIndex.view.mapValues(_.dropDuplicates("s", "p", "o")).toMap)
+  def index(): TripleDb = {
+    val deduped = df.dropDuplicates("s", "p", "o").persist()
+    val slices = predIndex.keys.map { name =>
+      name -> deduped.where(col("p") === Term.lit(Term.TKeyword(name)))
+    }.toMap
+    TripleDb(deduped, slices)
+  }
   def unpersist(): TripleDb = { df.unpersist(); this }
 }
 
@@ -79,7 +85,9 @@ object TripleDb {
       .groupBy(_._1)
       .map { case (p, slices) =>
         val u = slices.map(_._2).reduce(_.unionByName(_))
-        p -> (if (dedup && slices.size > 1) u.dropDuplicates("s", "p", "o") else u)
+        // dedup even single-source slices: a source db may itself carry
+        // duplicate facts, and merge's contract is set semantics
+        p -> (if (dedup) u.dropDuplicates("s", "p", "o") else u)
       }
   }
 

@@ -151,7 +151,9 @@ object Projections {
       case (_: Term, _: V) => true; case (_: Term, _: Term) => true; case _ => false
     }
     subj match {
-      case sv: V if flat =>
+      // all-ground / empty flat templates have nothing to aggregate —
+      // route them through the per-solution path
+      case sv: V if flat && template.exists(_._2.isInstanceOf[V]) =>
         val entries = template.toSeq
         val varEntries = entries.zipWithIndex.collect {
           case ((_, v: V), i) => s"__c$i" -> v

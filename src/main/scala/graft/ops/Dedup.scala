@@ -36,12 +36,6 @@ object Dedup {
   def minhashSignature(shingleSet: Column, perms: Int): Column =
     graft.functions.VectorExpressions.minhashSig(shingleSet, perms)
 
-  /** LSH band hashes: split the signature into `bands` rows of
-    * `rowsPerBand` and hash each band. */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
-
   /** Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
     *
     * Returns (ia, ib) with ia < ib and word-`shingleN`-gram Jaccard
@@ -71,7 +65,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .dropDuplicates("ia", "ib")
-    verifyJaccard(cand, base, jNum, jDen)
+    // materialize the (small) verified pair set eagerly so the shingle
+    // cache can be released before returning — no cached-RDD leak per call
+    val result = verifyJaccard(cand, base, jNum, jDen).persist()
+    result.count()
+    base.unpersist()
+    result
   }
 
   /** Exact all-pairs shingle-Jaccard within small blocks (the honest
@@ -136,7 +135,12 @@ object Dedup {
       .select(col("a.id").as("ia"), col("b.id").as("ib"),
         col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .dropDuplicates("ia", "ib")
-    cand.where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+    val result = cand
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
       .select("ia", "ib")
+      .persist()
+    result.count() // materialize, then release the fingerprint cache
+    sh.unpersist()
+    result
   }
 }

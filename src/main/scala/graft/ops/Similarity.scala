@@ -51,6 +51,15 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Hyperplane/centroid methods silently truncate to min(len) inside
+    * the codegen'd dot product, so a wrong `dim` would corrupt buckets
+    * without erroring — fail fast on the first row instead. */
+  private def requireDim(corpus: DataFrame, vecCol: String, dim: Int): Unit =
+    corpus.select(size(col(vecCol))).head(1).headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"vector column '$vecCol' has ${r.getInt(0)} dims, expected $dim")
+    }
+
   /** Deterministic random hyperplanes: `planes` × `dim`, seeded. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -79,6 +88,7 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireDim(corpus, vecCol, dim)
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(planesPerTable, dim, seed = 42L + t))
     def buckets(df: DataFrame, id: String): DataFrame = df.select(
@@ -111,6 +121,7 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nClusters: Int = 16, nProbe: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // (dim mismatch impossible here: centroids are learned from the data)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
@@ -151,6 +162,7 @@ object Similarity {
   def cosinePairsLsh(corpus: DataFrame, threshold: Double,
                      tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireDim(corpus, vecCol, dim)
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(planesPerTable, dim, seed = 42L + t))
     val buckets = corpus.select(

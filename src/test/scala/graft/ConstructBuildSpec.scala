@@ -161,6 +161,29 @@ class ConstructBuildSpec extends GraftSpec {
       k("p2") -> Set(k("o2"), k("o3")), k("p") -> k("o"))))
   }
 
+  test("build with an all-ground template emits the constant per subject") {
+    val d = db(
+      (k("s"), k("p"), k("o")),
+      (k("s2"), k("p"), k("o3")))
+    val r = Projections.build(d, ?("s9"), Map[Any, Any](k("type") -> k("person")),
+      Seq(pat(?("s9"), T(k("p")), ?("o9")))).toSet
+    assert(r == Set(
+      Map(UriKey -> k("s"), k("type") -> k("person")),
+      Map(UriKey -> k("s2"), k("type") -> k("person"))))
+  }
+
+  test("merged duplicate facts stay deduped through the predicate index") {
+    // regression: merge() must dedup per-predicate slices even when a
+    // slice comes from a single source db that itself carries dups
+    import org.apache.spark.sql.functions.col
+    val wide = spark.createDataFrame(Seq((1L, "x"), (1L, "x"))).toDF("id", "val")
+    val dup = graft.core.TripleDb.fromWideTable(wide, "t", "id")
+    val merged = graft.core.TripleDb.merge(dup)
+    val viaSlice = bag(merged, Seq(?("s9"), ?("o9")),
+      Seq(pat(?("s9"), T(k("val")), ?("o9")))) // routes through the slice
+    assert(viaSlice.values.forall(_ == 1), s"slice returned dups: $viaSlice")
+  }
+
   test("build with custom subject key (T:697-716 shape)") {
     val d = db((k("s"), k("p"), k("o")))
     val r = Projections.build(d, ?("s9"), Map[Any, Any](k("p") -> ?("o9")),
