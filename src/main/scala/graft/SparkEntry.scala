@@ -315,6 +315,11 @@ object SparkEntry {
       ops.Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // ---- winnowing (rolling-window) document fingerprints ----
+    "q35_winnow_fingerprint" -> ((sp, dir) =>
+      Tables.t(sp, dir, "documents").select(col("doc_id"),
+        ops.Text.winnowFingerprint(col("text")).as("fp"))),
+
     // ---- set ops on solution sets (beyond the reference, SURVEY §2.2) ----
     "q34_solution_setops" -> ((sp, dir) => {
       val db = Tables.customerDb(sp, dir)
@@ -542,6 +547,21 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
         |      FROM u)
         |SELECT lid AS event_id, a AS asof_event_id FROM c WHERE side = 1""".stripMargin,
+
+    "q35_winnow_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(
+        |    range(greatest(1, length(text) - 15)),
+        |    i -> md5(substr(text, i + 1, 16))) AS hs
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, list_transform(
+        |    range(greatest(1, len(hs) - 7)),
+        |    j -> list_min(hs[j+1:j+8])) AS mins
+        |  FROM h)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(mins)), '~') AS fp
+        |FROM m""".stripMargin,
 
     "q34_solution_setops" ->
       """WITH seg AS (SELECT 'u|customer/' || c_custkey AS c, c_mktsegment AS s

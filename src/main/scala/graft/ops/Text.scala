@@ -37,6 +37,28 @@ object Text {
   def shingles(text: Column, n: Int): Column =
     graft.functions.TextExpressions.wordShingles(tokens(text), n)
 
+  /** Winnowing document fingerprint (rolling-window scheme of
+    * Schleimer/Wilkerson/Aiken): hash every character k-gram, take the
+    * minimum in each sliding window of `w` positions, dedup and
+    * canonically sort. Guarantees any shared substring of length
+    * ≥ w+k−1 contributes a shared fingerprint — the classic local
+    * dedup/plagiarism sketch.
+    *
+    * Hashes are md5 hex strings: fixed-length hex compares
+    * lexicographically exactly like the number it encodes, so the
+    * whole computation is reproducible in ANSI SQL for the oracle.
+    * Narrow projection — no shuffle.
+    */
+  def winnowFingerprint(text: Column, k: Int = 16, w: Int = 8): Column = {
+    val hashes = transform(
+      sequence(lit(0), greatest(lit(1), length(text) - (k - 1)) - 1),
+      i => md5(text.substr(i + 1, lit(k))))
+    val mins = transform(
+      sequence(lit(0), greatest(lit(1), size(hashes) - (w - 1)) - 1),
+      j => array_min(slice(hashes, j + 1, lit(w))))
+    array_join(array_sort(array_distinct(mins)), "~")
+  }
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace. */
   def normalize(text: Column): Column =

@@ -113,6 +113,20 @@ class OpsSpec extends GraftSpec {
     assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint hash") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, "PREFIX AAA " + shared + " SUFFIX BBB"),
+      (2L, "other start text " + shared + " other ending"),
+      (3L, "completely unrelated content with nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"), Text.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("~").toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must share a hash")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+  }
+
   test("fingerprint is invariant to case/punct/whitespace noise") {
     import spark.implicits._
     val d = Seq((1L, "Hello,   World!"), (2L, "hello world")).toDF("doc_id", "text")
