@@ -45,6 +45,32 @@ object TripleDb {
     StructField("p", Term.schema, nullable = false),
     StructField("o", Term.schema, nullable = false)))
 
+  /** Persist a triple DB as parquet partitioned by predicate (keyword
+    * predicates get their own directory; anything else lands in
+    * `__other`). At cluster scale this is the durable form of the
+    * predicate index: a ground-predicate pattern scan prunes to one
+    * partition directory instead of touching the whole store.
+    */
+  def save(db: TripleDb, path: String): Unit = {
+    val predName = when(col("p.kind") === Term.KKeyword, col("p.lex"))
+      .otherwise(lit("__other"))
+    db.df.withColumn("pred", predName)
+      .write.mode("overwrite").partitionBy("pred").parquet(path)
+  }
+
+  /** Load a [[save]]d store, rebuilding the predicate index from the
+    * partition directories (slices prune partitions at scan time). */
+  def load(spark: SparkSession, path: String): TripleDb = {
+    val raw = spark.read.parquet(path)
+    // metadata-only job: distinct values of a partition column
+    val preds = raw.select("pred").distinct().collect()
+      .map(_.getString(0)).filter(_ != "__other")
+    val slices = preds.map { name =>
+      name -> raw.where(col("pred") === name).drop("pred")
+    }.toMap
+    TripleDb(raw.drop("pred"), slices)
+  }
+
   /** Quads → DB: the 4th element (graph) is silently dropped, exactly
     * like the reference's positional destructuring of grafter Quads
     * (alpha.clj:54-58; alpha_test.clj:244-245). */

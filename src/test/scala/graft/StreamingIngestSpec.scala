@@ -20,6 +20,27 @@ class StreamingIngestSpec extends GraftSpec {
     assert(r == Set(Seq(k("p"), k("o")), Seq(k("p2"), k("o2"))))
   }
 
+  test("save/load round-trips a store with predicate-partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("triplestore").toString
+    val src = TripleDb.fromWideTable(
+      Tables.t(spark, "/root/testdata/sf0.001", "customer"), "customer", "c_custkey",
+      fks = Map("c_nationkey" -> "nation"))
+    TripleDb.save(src, dir)
+    val loaded = TripleDb.load(spark, dir)
+    // same facts
+    assert(loaded.df.count() == src.df.count())
+    assert(loaded.predIndex.keySet == src.predIndex.keySet)
+    // ground-predicate scan routes through a pruned slice and matches
+    val viaLoaded = resultSet(loaded, Seq(?("c"), ?("name")),
+      Seq(pat(?("c"), T(k("c_name")), ?("name"))))
+    val viaSrc = resultSet(src, Seq(?("c"), ?("name")),
+      Seq(pat(?("c"), T(k("c_name")), ?("name"))))
+    assert(viaLoaded == viaSrc && viaLoaded.nonEmpty)
+    // the slice's physical plan prunes to one partition directory
+    val plan = loaded.predIndex("c_name").queryExecution.executedPlan.toString
+    assert(plan.contains("pred=c_name") || plan.toLowerCase.contains("partitionfilters"))
+  }
+
   test("streaming unpivot == batch unpivot on the same wide rows") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
