@@ -1,0 +1,167 @@
+package graft
+
+import graft.core.{Term, TripleDb}
+import graft.core.Term._
+import graft.dsl._
+import graft.engine.{BgpCompiler, Projections}
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Differential fuzzing: an independent in-memory interpreter of the
+  * engine's documented semantics (SURVEY §2.3 left-join optional model,
+  * membero values, bag conjunction) is compared against the Spark
+  * engine on random small databases and random queries. Catches
+  * Spark-substrate bugs (join/null/codegen handling) that golden tests
+  * with hand-picked data would miss.
+  */
+object MiniInterp {
+  /** A solution row: var → value; null = unbound (SQL NULL). */
+  type Row = Map[String, Term]
+  /** Result = (column set, rows). Columns matter: a var can be present
+    * and unbound, or absent entirely. */
+  case class Rel(cols: Set[String], rows: Seq[Row])
+
+  private def unifyPattern(triple: (Term, Term, Term), pat: TriplePattern,
+                           row: Row): Option[Row] = {
+    val pairs = Seq(pat.s -> triple._1, pat.p -> triple._2, pat.o -> triple._3)
+    pairs.foldLeft(Option(row)) {
+      case (None, _) => None
+      case (Some(b), (T(t), v)) => if (t == v) Some(b) else None
+      case (Some(b), (V(n), v)) => b.get(n) match {
+        case Some(null) => None // engine joins on columns; null never matches
+        case Some(x)    => if (x == v) Some(b) else None
+        case None       => Some(b + (n -> v))
+      }
+    }
+  }
+
+  def solve(db: Seq[(Term, Term, Term)], rows: Seq[PatternRow]): Rel = {
+    val patterns = rows.collect { case p: TriplePattern => p }
+    val values = rows.collect { case v: Values => v }
+    val optionals = rows.collect { case o: Optional => o }
+    val requiredVarNames = Bgp.requiredVars(rows).map(_.name).toSet
+
+    // required conjunction: fold of natural joins (order-independent on
+    // deduped facts), then values as filter-or-generator
+    var acc = Rel(Set.empty, Seq(Map.empty))
+    for (pat <- patterns) {
+      val newRows = acc.rows.flatMap(b => db.flatMap(t => unifyPattern(t, pat, b)))
+      acc = Rel(acc.cols ++ pat.vars.map(_.name), newRows)
+    }
+    for (v <- values) {
+      val name = v.v.name
+      val newRows =
+        if (acc.cols.contains(name))
+          acc.rows.flatMap(b => v.coll.toSeq.filter(_ == b(name)).map(_ => b))
+        else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
+      acc = Rel(acc.cols + name, newRows)
+    }
+    val noRequired = patterns.isEmpty && values.isEmpty
+    if (noRequired) acc = Rel(Set.empty, Seq(Map.empty))
+
+    // optionals: left join per clause on keys = clauseCols ∩ required ∩ acc;
+    // same-var overlap coalesces; match markers for the optional-only rule
+    var markers = Vector.empty[String]
+    for ((opt, i) <- optionals.zipWithIndex) {
+      val m = s"__m_$i"
+      markers :+= m
+      val clause0 = solve(db, opt.rows)
+      val clause = Rel(clause0.cols + m,
+        clause0.rows.map(_ + (m -> TBool(true))))
+      val keys = clause.cols.intersect(requiredVarNames).intersect(acc.cols)
+      val overlap = (clause.cols - m).intersect(acc.cols) -- keys
+      val joined = acc.rows.flatMap { b =>
+        val matches = clause.rows.filter(c =>
+          keys.forall(k => b(k) != null && c.getOrElse(k, null) == b(k)))
+        if (matches.isEmpty)
+          Seq(b ++ (clause.cols -- keys -- overlap).map(_ -> (null: Term)) ++
+            overlap.flatMap(o => if (b.getOrElse(o, null) == null) Seq(o -> (null: Term)) else Seq(o -> b(o))))
+        else matches.map { c =>
+          val added = (clause.cols -- keys -- overlap).map(n => n -> c.getOrElse(n, null))
+          val co = overlap.map { o =>
+            val accV = b.getOrElse(o, null)
+            o -> (if (accV != null) accV else c.getOrElse(o, null))
+          }
+          b ++ added ++ co
+        }
+      }
+      acc = Rel(acc.cols ++ clause.cols, joined)
+    }
+    if (noRequired && optionals.nonEmpty)
+      acc = Rel(acc.cols, acc.rows.filter(r => markers.exists(m => r.getOrElse(m, null) != null)))
+    Rel(acc.cols -- markers, acc.rows.map(_ -- markers))
+  }
+}
+
+object DifferentialProps extends Properties("differential") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  lazy val spark = TestSpark.session
+
+  private val subjects = Seq(TKeyword("a"), TKeyword("b"), TKeyword("c"))
+  private val preds = Seq(TKeyword("p"), TKeyword("q"), TKeyword("r"))
+  private val objs = Seq[Term](TString("x"), TString("y"), TLong(1), TKeyword("a"))
+
+  val genTriple: Gen[(Term, Term, Term)] = for {
+    s <- Gen.oneOf(subjects); p <- Gen.oneOf(preds); o <- Gen.oneOf(objs)
+  } yield (s, p, o)
+
+  val genDb: Gen[Seq[(Term, Term, Term)]] =
+    Gen.listOfN(8, genTriple).map(_.distinct) // set semantics ≙ indexed pldb
+
+  private val varNames = Seq("v1", "v2", "v3", "v4")
+  val genTermOrVar: Gen[TermOrVar] = Gen.frequency(
+    3 -> Gen.oneOf(varNames).map(V(_)),
+    1 -> Gen.oneOf(subjects ++ preds ++ objs).map(T(_)))
+
+  val genPattern: Gen[TriplePattern] = for {
+    s <- genTermOrVar; p <- genTermOrVar; o <- genTermOrVar
+  } yield TriplePattern(s, p, o)
+
+  val genValues: Gen[Values] = for {
+    v <- Gen.oneOf(varNames)
+    coll <- Gen.nonEmptyListOf(Gen.oneOf(objs)).map(_.take(3))
+  } yield Values(V(v), coll)
+
+  val genOptional: Gen[Optional] =
+    Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genPattern)).map(Optional(_))
+
+  val genQuery: Gen[Seq[PatternRow]] = for {
+    nPat <- Gen.choose(1, 3)
+    pats <- Gen.listOfN(nPat, genPattern)
+    nVal <- Gen.choose(0, 1)
+    vals <- Gen.listOfN(nVal, genValues)
+    nOpt <- Gen.choose(0, 2)
+    opts <- Gen.listOfN(nOpt, genOptional)
+  } yield pats ++ vals ++ opts
+
+  private def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {
+    val cols = rel.cols.toSeq.sorted
+    rel.rows.map(r => cols.map(c =>
+        Option(r.getOrElse(c, null)).map(_.toString).getOrElse("∅")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  property("Spark engine ≡ in-memory interpreter on random BGPs") =
+    forAll(genDb, genQuery) { (dbTriples, query) =>
+      val expected = MiniInterp.solve(dbTriples, query)
+      val db = TripleDb.fromTerms(spark, dbTriples)
+      val compiled = BgpCompiler.compile(db, query)
+      val cols = compiled.columns.toSet
+      val gotRows = compiled.collect().toSeq.map { r =>
+        compiled.columns.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))
+        }.toMap
+      }
+      val got = MiniInterp.Rel(cols, gotRows)
+      val ok = cols == expected.cols && canon(got) == canon(expected)
+      if (!ok) {
+        println(s"DB: $dbTriples")
+        println(s"QUERY: $query")
+        println(s"expected cols=${expected.cols} rows=${canon(expected)}")
+        println(s"got      cols=$cols rows=${canon(got)}")
+      }
+      ok
+    }
+}
