@@ -315,6 +315,15 @@ object SparkEntry {
       ops.Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // ---- bounded multi-hop reachability over FK edges ----
+    "q36_khop_reach" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      ops.Paths.reachable(db, Seq(
+          TKeyword("o_custkey"), TKeyword("c_nationkey"),
+          TKeyword("s_nationkey"), TKeyword("n_regionkey")), 3)
+        .select(Term.encode(col("src")).as("src"), Term.encode(col("dst")).as("dst"))
+    }),
+
     // ---- winnowing (rolling-window) document fingerprints ----
     "q35_winnow_fingerprint" -> ((sp, dir) =>
       Tables.t(sp, dir, "documents").select(col("doc_id"),
@@ -547,6 +556,22 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
         |      FROM u)
         |SELECT lid AS event_id, a AS asof_event_id FROM c WHERE side = 1""".stripMargin,
+
+    "q36_khop_reach" ->
+      """WITH RECURSIVE e(s, d) AS (
+        |  SELECT 'u|orders/' || o_orderkey, 'u|customer/' || o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT 'u|customer/' || c_custkey, 'u|nation/' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'u|supplier/' || s_suppkey, 'u|nation/' || s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT 'u|nation/' || n_nationkey, 'u|region/' || n_regionkey FROM nation
+        |), r(s, d, n) AS (
+        |  SELECT s, d, 1 FROM e
+        |  UNION
+        |  SELECT r.s, e.d, r.n + 1 FROM r JOIN e ON r.d = e.s WHERE r.n < 3
+        |)
+        |SELECT DISTINCT s AS src, d AS dst FROM r""".stripMargin,
 
     "q35_winnow_fingerprint" ->
       """WITH h AS (

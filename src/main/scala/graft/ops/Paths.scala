@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.core.{Term, TripleDb}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded graph traversal over a triple DB (the "graph analytics"
+  * tier). Implemented as iterative DataFrame self-joins rather than
+  * GraphX: the edge relation stays a Catalyst plan (predicate-index
+  * scans, broadcast/AQE join selection, whole-stage codegen), where
+  * GraphX would drop to RDDs and lose the optimizer entirely.
+  *
+  * Scale shape: each hop is one equi-join shuffled by the frontier's
+  * destination + a distinct; frontier size is bounded by the reachable
+  * set, and `dropDuplicates` per hop keeps the exponential path count
+  * from materializing (we track reachable PAIRS, not paths). For
+  * unbounded closure, iterate to fixpoint with checkpointing every few
+  * hops to cut plan growth.
+  */
+object Paths {
+
+  /** Directed edges (src, dst) drawn from the given predicates. */
+  def edges(db: TripleDb, preds: Seq[Term]): DataFrame =
+    preds.map { p =>
+      val src = db.predIndex.get(p match {
+        case Term.TKeyword(n) => n; case _ => ""
+      })
+      src.getOrElse(db.df.where(col("p") === Term.lit(p)))
+        .select(col("s").as("src"), col("o").as("dst"))
+    }.reduce(_.unionByName(_))
+
+  /** All distinct (src, dst) pairs connected by 1..maxHops edges. */
+  def reachable(db: TripleDb, preds: Seq[Term], maxHops: Int): DataFrame = {
+    val e = edges(db, preds)
+    var all = e.dropDuplicates("src", "dst")
+    var frontier = all
+    for (_ <- 2 to maxHops) {
+      frontier = frontier.as("f")
+        .join(e.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .dropDuplicates("src", "dst")
+      all = all.unionByName(frontier).dropDuplicates("src", "dst")
+    }
+    all
+  }
+}

@@ -88,6 +88,21 @@ class OpsSpec extends GraftSpec {
     assert(math.abs(r(1L) - 1.0) < 1e-12 && math.abs(r(2L)) < 1e-12)
   }
 
+  test("bounded reachability: k-hop pairs over a chain") {
+    val d = db(
+      (k("a"), k("next"), k("b")),
+      (k("b"), k("next"), k("c")),
+      (k("c"), k("next"), k("d")),
+      (k("x"), k("other"), k("y")))
+    def pairs(h: Int) = ops.Paths.reachable(d, Seq(k("next")), h)
+      .collect().map(r => (graft.core.Term.fromRow(r.getStruct(0)),
+        graft.core.Term.fromRow(r.getStruct(1)))).toSet
+    assert(pairs(1) == Set((k("a"), k("b")), (k("b"), k("c")), (k("c"), k("d"))))
+    assert(pairs(3) == Set(
+      (k("a"), k("b")), (k("b"), k("c")), (k("c"), k("d")),
+      (k("a"), k("c")), (k("b"), k("d")), (k("a"), k("d"))))
+  }
+
   test("exact dedup groups identical content") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
