@@ -68,6 +68,21 @@ object Events {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Streaming session windows via Spark's native gap-based
+    * `session_window`: one state entry per open session, merged on the
+    * fly; emits (user, session start/end, n_events) on watermark
+    * close. Same session split as [[sessionize]]'s gap rule.
+    */
+  def sessionWindowsStream(events: DataFrame, gapMinutes: Int = 30,
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start"),
+        col("n_events"))
+
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 

@@ -180,6 +180,34 @@ class OpsSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("native session_window stream reproduces batch session counts") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+    val input = Events.withTsUs(ev)
+      .select(timestamp_micros(col("tus")).as("ts"), col("user_id"))
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    val maxTs = input.map(_._1.getTime).max
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    stream.addData(input)
+    // sentinel far-future event advances the watermark so every real
+    // session closes and emits in append mode
+    stream.addData(Seq((new java.sql.Timestamp(maxTs + 48L * 3600 * 1000), -1L)))
+    val sq = Events.sessionWindowsStream(
+        stream.toDF().toDF("ts", "user_id"), watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessw_test")
+      .outputMode("append").start()
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table("sessw_test").where(col("user_id") =!= -1L)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Events.sessionize(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming sessionization (mapGroupsWithState) == batch sessionize") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
