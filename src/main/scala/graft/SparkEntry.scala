@@ -315,6 +315,13 @@ object SparkEntry {
       ops.Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // ---- banded range join: same-user event pairs within 60 s ----
+    "q37_range_join" -> ((sp, dir) => {
+      val ev = streaming.Events.withTsUs(Tables.events(sp, dir))
+        .select(col("event_id"), col("user_id"), col("tus"))
+      ops.RangeJoin.bandPairs(ev, "event_id", "user_id", "tus", 60000000L)
+    }),
+
     // ---- bounded multi-hop reachability over FK edges ----
     "q36_khop_reach" -> ((sp, dir) => {
       val db = Tables.graph(sp, dir)
@@ -556,6 +563,12 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
         |      FROM u)
         |SELECT lid AS event_id, a AS asof_event_id FROM c WHERE side = 1""".stripMargin,
+
+    "q37_range_join" ->
+      """SELECT a.event_id AS ia, b.event_id AS ib
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000""".stripMargin,
 
     "q36_khop_reach" ->
       """WITH RECURSIVE e(s, d) AS (

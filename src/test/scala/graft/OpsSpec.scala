@@ -88,6 +88,18 @@ class OpsSpec extends GraftSpec {
     assert(math.abs(r(1L) - 1.0) < 1e-12 && math.abs(r(2L)) < 1e-12)
   }
 
+  test("banded range join finds exactly the within-delta pairs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 10L, 100L), (2L, 10L, 150L), (3L, 10L, 260L), // 1-2 within 60; 2-3 not (110)
+      (4L, 10L, 259L),                                   // 3-4 within 60 (1)
+      (5L, 99L, 120L)                                    // other key, never pairs
+    ).toDF("id", "key", "v")
+    val got = ops.RangeJoin.bandPairs(d, "id", "key", "v", 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L))) // |100-150|=50, |260-259|=1; rest > 60
+  }
+
   test("bounded reachability: k-hop pairs over a chain") {
     val d = db(
       (k("a"), k("next"), k("b")),
