@@ -104,11 +104,17 @@ object Projections {
     construct(db, template, rows).headOption
 
   private def groupByMagicKey(maps: Seq[Map[Any, Any]]): Seq[Any] =
-    maps.groupBy(_(UriKey)).toSeq.map { case (_, group) =>
+    maps.groupBy(_(UriKey)).toSeq.map { case (subj, group) =>
       val keys = group.flatMap(_.keys).distinct
-      keys.map { k =>
-        val vals = group.flatMap(_.get(k)).distinct
-        k -> (if (vals.size == 1) vals.head else vals.toSet)
+      keys.map {
+        case UriKey => (UriKey: Any) -> subj // the grouping key stays scalar
+        case k =>
+          // reference parity (group-predicates-xf, alpha.clj:500-516): a
+          // value contributed by ONE solution stays scalar; values merged
+          // from ≥2 solutions become a set even when equal — construct
+          // never flattens merged sets (only build does)
+          val vals = group.flatMap(_.get(k))
+          k -> (if (vals.size == 1) vals.head else vals.toSet)
       }.toMap
     }
 

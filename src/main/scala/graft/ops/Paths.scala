@@ -29,6 +29,36 @@ object Paths {
         .select(col("s").as("src"), col("o").as("dst"))
     }.reduce(_.unionByName(_))
 
+  /** Transitive closure to fixpoint: iterate until no new pairs appear.
+    * Each round localCheckpoints the accumulated pair set — lineage
+    * (and therefore plan size) stays constant instead of growing one
+    * join per round, the standard guard for iterative DataFrame jobs.
+    * `maxIter` bounds runaway graphs (diameter > maxIter throws).
+    */
+  def closure(db: TripleDb, preds: Seq[Term], maxIter: Int = 20): DataFrame = {
+    // re-alias after each checkpoint: fresh expression ids per round
+    // keep Union's constraint rewriting from seeing duplicate attrs
+    def barrier(df: DataFrame): DataFrame =
+      df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
+    val e = barrier(edges(db, preds).dropDuplicates("src", "dst"))
+    var all = e
+    var frontier = e
+    var i = 0
+    while (i < maxIter) {
+      val next = barrier(frontier.as("f")
+        .join(e.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .dropDuplicates("src", "dst")
+        .join(all, Seq("src", "dst"), "left_anti"))
+      if (next.isEmpty) return all
+      all = barrier(all.unionByName(next))
+      frontier = next
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"closure did not converge within $maxIter iterations")
+  }
+
   /** All distinct (src, dst) pairs connected by 1..maxHops edges. */
   def reachable(db: TripleDb, preds: Seq[Term], maxHops: Int): DataFrame = {
     val e = edges(db, preds)

@@ -20,6 +20,20 @@ class ConstructBuildSpec extends GraftSpec {
       knows -> Set(martin, katie))))
   }
 
+  test("construct grouping: a value merged from >=2 solutions becomes a set (A:500-516)") {
+    // martin has two labels, so (rick knows martin) arises twice; the
+    // reference wraps the merged ?o in a set even though it's one
+    // distinct value — construct never flattens merged sets
+    val d = db(
+      (rick, knows, martin),
+      (martin, label, s("M1")),
+      (martin, label, s("M2")))
+    val r = Projections.construct(d,
+      Map[Any, Any](UriKey -> ?("s2"), knows -> ?("o2")),
+      Seq(pat(?("s2"), T(knows), ?("o2")), pat(?("o2"), T(label), ?("n"))))
+    assert(r == Seq(Map(UriKey -> rick, knows -> Set(martin))))
+  }
+
   test("construct returns nothing when no matches (T:126-131)") {
     val d = db((k("a"), k("b"), k("c")), (k("d"), k("e"), k("f")))
     val r = Projections.construct(d, Seq(?("p2"), ?("o2")),

@@ -115,6 +115,22 @@ class OpsSpec extends GraftSpec {
       (k("a"), k("c")), (k("b"), k("d")), (k("a"), k("d"))))
   }
 
+  test("transitive closure converges to the full reachability set") {
+    val d = db(
+      (k("a"), k("next"), k("b")),
+      (k("b"), k("next"), k("c")),
+      (k("c"), k("next"), k("d")),
+      (k("d"), k("next"), k("e")))
+    val got = ops.Paths.closure(d, Seq(k("next")))
+      .collect().map(r => (graft.core.Term.fromRow(r.getStruct(0)),
+        graft.core.Term.fromRow(r.getStruct(1)))).toSet
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val expected = (for {
+      i <- nodes.indices; j <- nodes.indices if i < j
+    } yield (k(nodes(i)), k(nodes(j)))).toSet
+    assert(got == expected)
+  }
+
   test("exact dedup groups identical content") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
