@@ -315,6 +315,12 @@ object SparkEntry {
       ops.Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // ---- exact n-gram Jaccard similarity join (bounded block) ----
+    "q38_ngram_jaccard" -> ((sp, dir) =>
+      ops.Dedup.exactJaccardPairs(
+        Tables.t(sp, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", shingleN = 3, jNum = 1, jDen = 5)),
+
     // ---- banded range join: same-user event pairs within 60 s ----
     "q37_range_join" -> ((sp, dir) => {
       val ev = streaming.Events.withTsUs(Tables.events(sp, dir))
@@ -563,6 +569,23 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
         |      FROM u)
         |SELECT lid AS event_id, a AS asof_event_id FROM c WHERE side = 1""".stripMargin,
+
+    "q38_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents WHERE doc_id < 200),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ia, ib FROM inter
+        |JOIN sizes sa ON sa.doc_id = ia
+        |JOIN sizes sb ON sb.doc_id = ib
+        |WHERE 6 * i >= sa.n + sb.n""".stripMargin,
 
     "q37_range_join" ->
       """SELECT a.event_id AS ia, b.event_id AS ib

@@ -59,6 +59,16 @@ object Multimodal {
     }
   }
 
+  /** "Resize" stage: re-encode each blob to a bounded payload
+    * (deterministic STUB — truncation stands in for a real scaler; the
+    * partition-preserving byte-transform plumbing is the contract). */
+  def resize(blobs: Dataset[MediaBlob], maxBytes: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b =>
+      if (b.payload.length <= maxBytes) b
+      else MediaBlob(b.id, java.util.Arrays.copyOf(b.payload, maxBytes), b.mediaType)))
+  }
+
   /** Wrap a text table as fake media blobs (UTF-8 payloads) — gives the
     * pipeline real bytes to move without codecs in the container. */
   def textAsBlobs(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaBlob] = {

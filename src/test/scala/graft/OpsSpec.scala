@@ -177,6 +177,14 @@ class OpsSpec extends GraftSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("multimodal: resize bounds payloads, preserves small ones") {
+    val blobs = Multimodal.textAsBlobs(docs, "doc_id", "text")
+    val resized = Multimodal.resize(blobs, 100).collect()
+    assert(resized.forall(_.payload.length <= 100))
+    val origSmall = blobs.collect().filter(_.payload.length < 100).map(_.id).toSet
+    assert(resized.filter(_.payload.length < 100).map(_.id).toSet == origSmall)
+  }
+
   test("multimodal: stub decode meta is deterministic and batch-shaped") {
     val meta = Multimodal.decodeMeta(Multimodal.textAsBlobs(docs, "doc_id", "text"))
     val m = meta.collect()
