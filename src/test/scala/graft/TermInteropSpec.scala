@@ -101,6 +101,33 @@ class TermInteropSpec extends GraftSpec {
     assert(r == Set(Seq(katie)))
   }
 
+  test("values with a large collection takes the broadcast semi-join branch") {
+    val d = TripleDb.fromTerms(spark,
+      (0 until 50).map(i => (k(s"s$i"), k("p"), TLong(i.toLong))))
+    // 100 distinct elements (> the 64-element OR-chain cutoff), half matching
+    val coll = (0 until 100).map(i => TLong((i * 2).toLong))
+    val r = resultSet(d, Seq(?("s2")), Seq(
+      pat(?("s2"), T(k("p")), ?("v")),
+      Values(?("v"), coll)))
+    assert(r == (0 until 50 by 2).map(i => Seq(k(s"s$i"): Term)).toSet)
+  }
+
+  test("NULL wide-table cells become matchable nil terms") {
+    import spark.implicits._
+    val wide = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("id", "val")
+    val d = TripleDb.fromWideTable(wide, "t", "id")
+    // nil is a VALUE: patterns match it like any term (T:133-138)
+    val nils = resultSet(d, Seq(?("s2")),
+      Seq(pat(?("s2"), T(k("val")), T(TNil))))
+    assert(nils == Set(Seq(TUri("t/2"): Term), Seq(TUri("t/3"): Term)))
+    val bound = resultSet(d, Seq(?("s2"), ?("o2")),
+      Seq(pat(?("s2"), T(k("val")), ?("o2"))))
+    assert(bound == Set(
+      Seq(TUri("t/1"), TString("x")),
+      Seq(TUri("t/2"), TNil), Seq(TUri("t/3"), TNil)))
+  }
+
   test("values syntax over friends (T:401-428)") {
     val r1 = resultSet(friends, Seq(?("name")), Seq(
       pat(?("person"), T(knows), ?("o2")),
