@@ -230,14 +230,20 @@ object SparkEntry {
       ops.Dedup.minhashNearDupPairs(Tables.t(sp, dir, "documents"),
         "doc_id", "text")),
 
-    // ---- SimHash near-dup pairs (hamming ≤ 7, 8×8 banding) ----
+    // ---- SimHash near-dup pairs (hamming ≤ 3 → 4×16-bit bands;
+    //      md5-derived token hashes so the oracle can replay the
+    //      fingerprints; banding at ≤ maxHamming has perfect recall,
+    //      so the banded result equals the oracle's all-pairs scan) ----
     "q22_simhash" -> ((sp, dir) =>
       ops.Dedup.simhashNearDupPairs(Tables.t(sp, dir, "documents"),
-        "doc_id", "text")),
+        "doc_id", "text", maxHamming = 3, useMd5 = true)),
 
-    // ---- embedding-cosine near-dup pairs ----
+    // ---- embedding-cosine near-dup pairs (exact quadratic primitive —
+    //      input bounded to a block, per its contract; the scale path
+    //      is q41's LSH variant) ----
     "q23_embed_neardup" -> ((sp, dir) =>
-      ops.Similarity.cosinePairs(Tables.t(sp, dir, "embeddings"), 0.45)),
+      ops.Similarity.cosinePairs(
+        Tables.t(sp, dir, "embeddings").where(col("vec_id") < 500), 0.45)),
 
     // ---- hourly tumbling aggregation over events ----
     "q24_events_hourly" -> ((sp, dir) =>
@@ -260,11 +266,13 @@ object SparkEntry {
           Tables.t(sp, dir, "documents"), "doc_id", "text"), 4)
         .toDF().select(col("id"), col("frame_idx"))),
 
-    // ---- LSH-bucketed approximate KNN (rows-only; recall tested in
-    //      SimilaritySpec against the brute baseline) ----
+    // ---- LSH-bucketed approximate KNN, md5-derived ±1 hyperplanes so
+    //      the oracle reproduces the buckets exactly (the Gaussian-plane
+    //      variant stays the default op; recall pinned in OpsSpec) ----
     "q28_ann_lsh" -> ((sp, dir) => {
       val emb = Tables.t(sp, dir, "embeddings")
-      ops.Similarity.lshKnn(emb, emb.where(col("vec_id") < 10), 5)
+      ops.Similarity.lshKnn(emb, emb.where(col("vec_id") < 10), 5,
+        planes = ops.Similarity.md5SignPlanes(8, 4, 64))
     }),
 
     // ================= relational extension =================
@@ -309,10 +317,17 @@ object SparkEntry {
         .select(col("event_id"), col("asof_event_id"))
     }),
 
-    // ---- IVF approximate KNN (rows-only; recall pinned in OpsSpec) ----
+    // ---- IVF approximate KNN with fixed centroids (the first 16
+    //      corpus vectors) — same probe/score shape as the KMeans
+    //      variant (which stays the default op, recall pinned in
+    //      OpsSpec), but every stage is oracle-reproducible ----
     "q33_ann_ivf" -> ((sp, dir) => {
       val emb = Tables.t(sp, dir, "embeddings")
-      ops.Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10), 5)
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      ops.Similarity.ivfKnnFixed(emb, emb.where(col("vec_id") < 10), 5,
+        centroids, nProbe = 4)
     }),
 
     // ---- exact n-gram Jaccard similarity join (bounded block) ----
@@ -341,6 +356,13 @@ object SparkEntry {
     "q35_winnow_fingerprint" -> ((sp, dir) =>
       Tables.t(sp, dir, "documents").select(col("doc_id"),
         ops.Text.winnowFingerprint(col("text")).as("fp"))),
+
+    // ---- embedding near-dup pairs at scale: LSH candidates + exact
+    //      cosine verify (the 100 TB path complementing q23's bounded
+    //      exact block; md5-sign planes → oracle-reproducible) ----
+    "q41_embed_neardup_lsh" -> ((sp, dir) =>
+      ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
+        planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
 
     // ---- set ops on solution sets (beyond the reference, SURVEY §2.2) ----
     "q34_solution_setops" -> ((sp, dir) => {
@@ -499,11 +521,118 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = ib
         |WHERE 3 * i >= sa.n + sb.n""".stripMargin,
 
+    "q22_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id, substr(md5(t.tok), 1, 16) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) t
+        |), bits AS (
+        |  SELECT doc_id, r.b AS bit,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(h, CAST(16 - r.b // 4 AS INTEGER), 1)) - 1)
+        |          >> (r.b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(64) r(b)
+        |  GROUP BY doc_id, r.b
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN
+        |        CASE WHEN bit = 63 THEN -9223372036854775808
+        |             ELSE (1::BIGINT << CAST(bit AS INTEGER)) END
+        |      ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS ia, b.doc_id AS ib
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
     "q23_embed_neardup" ->
       """SELECT a.vec_id AS ia, b.vec_id AS ib
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |WHERE a.vec_id < 500 AND b.vec_id < 500
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+
+    "q28_ann_lsh" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |bk AS (
+        |  SELECT e.vec_id, t.t,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(64), j ->
+        |          e.v[CAST(j + 1 AS INTEGER)] *
+        |          CASE WHEN (strpos('0123456789abcdef',
+        |              substr(md5(concat(t.t, '_', p.p, '_', j)), 1, 1)) - 1) % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END)) > 0
+        |        THEN (1::BIGINT << CAST(p.p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM emb e, range(8) t(t), range(4) p(p)
+        |  GROUP BY e.vec_id, t.t
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
+        |  FROM bk q JOIN bk n ON q.t = n.t AND q.bucket = n.bucket
+        |  WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id
+        |), s AS (
+        |  SELECT c.qid, c.nid, list_cosine_similarity(eq.v, en.v) AS sim
+        |  FROM cand c JOIN emb eq ON eq.vec_id = c.qid
+        |              JOIN emb en ON en.vec_id = c.nid
+        |), r AS (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |  FROM s)
+        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
+
+    "q33_ann_ivf" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS c,
+        |           list_sum(list_transform(v, x -> x * x)) AS c2
+        |         FROM emb WHERE vec_id < 16),
+        |nsc AS (
+        |  SELECT e.vec_id AS nid, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb e, cent c
+        |), asg AS (SELECT nid, cell FROM nsc WHERE rk = 1),
+        |qsc AS (
+        |  SELECT q.vec_id AS qid, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        q.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb q, cent c WHERE q.vec_id < 10
+        |), cand AS (
+        |  SELECT p.qid, a.nid FROM qsc p JOIN asg a ON a.cell = p.cell
+        |  WHERE p.rk <= 4 AND p.qid <> a.nid
+        |), s AS (
+        |  SELECT c.qid, c.nid, list_cosine_similarity(eq.v, en.v) AS sim
+        |  FROM cand c JOIN emb eq ON eq.vec_id = c.qid
+        |              JOIN emb en ON en.vec_id = c.nid
+        |), r AS (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |  FROM s)
+        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
+
+    "q41_embed_neardup_lsh" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |bk AS (
+        |  SELECT e.vec_id, t.t,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(range(64), j ->
+        |          e.v[CAST(j + 1 AS INTEGER)] *
+        |          CASE WHEN (strpos('0123456789abcdef',
+        |              substr(md5(concat(t.t, '_', p.p, '_', j)), 1, 1)) - 1) % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END)) > 0
+        |        THEN (1::BIGINT << CAST(p.p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM emb e, range(8) t(t), range(4) p(p)
+        |  GROUP BY e.vec_id, t.t
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+        |             AND a.vec_id < b.vec_id)
+        |SELECT c.ia, c.ib
+        |FROM cand c JOIN emb a ON a.vec_id = c.ia JOIN emb b ON b.vec_id = c.ib
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
 
     "q24_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

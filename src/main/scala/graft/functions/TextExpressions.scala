@@ -50,19 +50,38 @@ object TextExpressions {
   }
 
   /** 64-bit SimHash of a token array in one pass — no explode, no
-    * shuffle: per token an XXH64 (seed 42, matching Spark's xxhash64),
-    * ±1 vote per bit, sign of the vote sets the bit.
+    * shuffle: per token a 64-bit hash, ±1 vote per bit, sign of the
+    * vote sets the bit.
+    *
+    * Two hash modes, same banding/verify pipeline downstream:
+    *  - default: XXH64 (seed 42, matching Spark's xxhash64) — fastest;
+    *  - `useMd5`: first 8 md5 bytes big-endian — ~2× slower per token
+    *    but exactly reproducible in ANSI SQL (`md5` + hex-nibble
+    *    arithmetic), so fingerprints can be verified by an external
+    *    SQL oracle.
     */
-  case class SimHash64(child: Expression)
+  case class SimHash64(child: Expression, useMd5: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
     override protected def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
       val votes = new Array[Int](64)
+      val md = if (useMd5) mdTL.get() else null
       var i = 0
       while (i < arr.numElements()) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        val h =
+          if (useMd5) {
+            val d = md.digest(s.getBytes)
+            ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          } else
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -132,6 +151,6 @@ object TextExpressions {
     GraftSqlBridge.column(
       MinHashBandHashes(GraftSqlBridge.expression(shingles), perms, bands))
 
-  def simhash64(tokens: Column): Column =
-    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+  def simhash64(tokens: Column, useMd5: Boolean = false): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens), useMd5))
 }

@@ -56,10 +56,14 @@ object Dedup {
     // persist so the tokenize+shingle pass runs once, not three times
     val base = docs.select(col(idCol).as("id"),
       Text.shingles(col(textCol), shingleN).as("sh")).persist()
+    // persist the banded (id, band, bh) frame too: the self-join would
+    // otherwise run the perms×|shingles| MinHash pass twice per row
+    // (base caches shingles, not band hashes)
     val banded = base
       .select(col("id"),
         posexplode(graft.functions.TextExpressions.minhashBandHashes(
           col("sh"), perms, bands)).as(Seq("band", "bh")))
+      .persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -69,6 +73,7 @@ object Dedup {
     // cache can be released before returning — no cached-RDD leak per call
     val result = verifyJaccard(cand, base, jNum, jDen).persist()
     result.count()
+    banded.unpersist()
     base.unpersist()
     result
   }
@@ -99,11 +104,13 @@ object Dedup {
   /** 64-bit SimHash fingerprints in one narrow pass — per-document
     * custom expression (graft.functions.TextExpressions.SimHash64):
     * no explode, no shuffle, fingerprints computed inside the scan
-    * projection.
+    * projection. `useMd5` switches the per-token hash from XXH64 to
+    * md5-derived — slower, but reproducible by a SQL oracle.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              useMd5: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"),
-      graft.functions.TextExpressions.simhash64(Text.tokens(col(textCol)))
+      graft.functions.TextExpressions.simhash64(Text.tokens(col(textCol)), useMd5)
         .as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming:
@@ -114,7 +121,7 @@ object Dedup {
     * keeps vocabulary-clustered fingerprints from flooding buckets.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, useMd5: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
     require(64 % nBands == 0, s"band count ${nBands} must divide 64")
     val bits = 64 / nBands
@@ -122,7 +129,7 @@ object Dedup {
     // persist = projection-collapse barrier: without it Catalyst inlines
     // the SimHash64 expression into all band columns and re-tokenizes
     // every document once per band
-    val sh = simhash(docs, idCol, textCol).persist()
+    val sh = simhash(docs, idCol, textCol, useMd5).persist()
     val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), bits * b).bitwiseAND(mask).as("bh")))

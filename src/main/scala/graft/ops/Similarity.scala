@@ -53,7 +53,9 @@ object Similarity {
 
   /** Hyperplane/centroid methods silently truncate to min(len) inside
     * the codegen'd dot product, so a wrong `dim` would corrupt buckets
-    * without erroring — fail fast on the first row instead. */
+    * without erroring — fail fast on the first row instead. Costs one
+    * tiny driver action (`head(1)`), so loops over many calls can opt
+    * out via `checkDim = false` once the schema is known-good. */
   private def requireDim(corpus: DataFrame, vecCol: String, dim: Int): Unit =
     corpus.select(size(col(vecCol))).head(1).headOption.foreach { r =>
       require(r.getInt(0) == dim,
@@ -64,6 +66,27 @@ object Similarity {
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(planes, dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** Deterministic ±1 hyperplanes for all `tables` hash tables at once:
+    * component (t, p, j) is +1 iff the first hex digit of
+    * md5("t_p_j") is even. Pseudo-random enough for sign-LSH, and —
+    * unlike seeded Gaussians — exactly reproducible in ANSI SQL
+    * (`md5` + `substr` + parity), so LSH bucket contents can be
+    * verified by an external SQL oracle. Recall behaves like the
+    * Gaussian planes (sign-LSH only needs directions that are
+    * near-uniform on the sphere; Rademacher ±1 vectors are a standard
+    * choice).
+    */
+  def md5SignPlanes(tables: Int, planesPerTable: Int,
+                    dim: Int): Seq[Array[Array[Float]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until tables).map { t =>
+      Array.tabulate(planesPerTable, dim) { (p, j) =>
+        val h = md.digest(s"${t}_${p}_${j}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0f else -1.0f
+      }
+    }
   }
 
   /** Random-hyperplane LSH signature (an Int bucket id: bit p set iff
@@ -87,15 +110,20 @@ object Similarity {
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    requireDim(corpus, vecCol, dim)
-    val allPlanes = (0 until tables).map(t =>
-      hyperplanes(planesPerTable, dim, seed = 42L + t))
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             planes: Seq[Array[Array[Float]]] = null,
+             checkDim: Boolean = true): DataFrame = {
+    if (checkDim) requireDim(corpus, vecCol, dim)
+    val allPlanes = Option(planes).getOrElse(
+      (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed = 42L + t)))
     def buckets(df: DataFrame, id: String): DataFrame = df.select(
       col(idCol).as(id),
       posexplode(array(allPlanes.map(hp => lshBucket(col(vecCol), hp)): _*))
         .as(Seq("tbl", "bucket")))
-    val cand = buckets(corpus, "nid").join(buckets(queries, "qid"), Seq("tbl", "bucket"))
+    // persist the (small) corpus bucket frame: the 32 hyperplane dot
+    // products per row run once, not once per downstream consumer
+    val nb = buckets(corpus, "nid").persist()
+    val cand = nb.join(buckets(queries, "qid"), Seq("tbl", "bucket"))
       .where(col("qid") =!= col("nid"))
       .select("qid", "nid").dropDuplicates("qid", "nid")
     val scored = cand
@@ -103,9 +131,13 @@ object Similarity {
       .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), "qid")
       .withColumn("sim", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
+    val result = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
+      .persist()
+    result.count() // materialize, then release the bucket cache
+    nb.unpersist()
+    result
   }
 
   /** IVF (inverted-file) approximate KNN: a KMeans coarse quantizer
@@ -152,6 +184,46 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** IVF with caller-supplied centroids — the same probe/score shape as
+    * [[ivfKnn]] minus the KMeans training step. Callers pass either a
+    * trained model's `clusterCenters` or any deterministic centroid set
+    * (e.g. a fixed sample of corpus vectors), which makes the whole
+    * computation reproducible by an external SQL oracle: cell
+    * assignment, probing, and exact re-scoring are all plain
+    * expressions.
+    *
+    * Scale shape (same as ivfKnn): centroids are driver-side (tiny) and
+    * compiled into codegen'd distance expressions; the corpus is
+    * assigned in one narrow pass; per query only ~nProbe/nClusters of
+    * the corpus is scored. Cell ranking uses
+    * d2 = |c|² − 2·v·c (|v|² is constant per vector, so the ordering
+    * matches true squared distance), ties broken on cell index.
+    */
+  def ivfKnnFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+                  centroids: Seq[Array[Float]], nProbe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def cellScores(vec: Column): Seq[Column] = centroids.zipWithIndex.map {
+      case (c, i) =>
+        val c2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+        struct((lit(c2) - lit(2.0) * dot(vec, typedlit(c.toSeq))).as("d2"),
+          lit(i).as("cell"))
+    }
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("cell",
+        element_at(array_sort(array(cellScores(col("nv")): _*)), 1).getField("cell"))
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(slice(array_sort(array(cellScores(col("qv")): _*)), 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cell").as("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Embedding near-dup pairs at scale: multi-table hyperplane LSH
     * candidates, then exact cosine ≥ threshold on candidates only —
     * the join shuffles by (table, bucket), never all-pairs. Recall
@@ -161,14 +233,18 @@ object Similarity {
     */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double,
                      tables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    requireDim(corpus, vecCol, dim)
-    val allPlanes = (0 until tables).map(t =>
-      hyperplanes(planesPerTable, dim, seed = 42L + t))
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     planes: Seq[Array[Array[Float]]] = null,
+                     checkDim: Boolean = true): DataFrame = {
+    if (checkDim) requireDim(corpus, vecCol, dim)
+    val allPlanes = Option(planes).getOrElse(
+      (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed = 42L + t)))
+    // persist before the self-join: otherwise every row pays the 32
+    // hyperplane dot products twice (once per join side)
     val buckets = corpus.select(
       col(idCol).as("id"),
       posexplode(array(allPlanes.map(hp => lshBucket(col(vecCol), hp)): _*))
-        .as(Seq("tbl", "bucket")))
+        .as(Seq("tbl", "bucket"))).persist()
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -178,9 +254,13 @@ object Similarity {
       norm(col(vecCol)).as("na"))
     val vb = corpus.select(col(idCol).as("ib"), col(vecCol).as("vb"),
       norm(col(vecCol)).as("nb"))
-    cand.join(va, "ia").join(vb, "ib")
+    val result = cand.join(va, "ia").join(vb, "ib")
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("ia", "ib")
+      .persist()
+    result.count() // materialize, then release the bucket cache
+    buckets.unpersist()
+    result
   }
 
   /** All pairs (ia < ib) with cosine ≥ threshold — bounded quadratic;
