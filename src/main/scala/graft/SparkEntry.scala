@@ -357,6 +357,84 @@ object SparkEntry {
       Tables.t(sp, dir, "documents").select(col("doc_id"),
         ops.Text.winnowFingerprint(col("text")).as("fp"))),
 
+    // ---- §2.1 row 15: prepared-query arities ≡ immediate arities
+    //      (alpha.clj:359-361; alpha_test.clj:362-398) — each operator
+    //      runs both ways, bag/set-compared, one boolean row each ----
+    "q39_prepared_arities" -> ((sp, dir) => {
+      import graft.api.Matcha
+      val db = Tables.regionDb(sp, dir)
+      val bgps = Seq(pat(V("r"), kw("r_name"), V("n")))
+      // single-solution BGP for the *1 arities (head of a bag is only
+      // deterministic when the bag has one element)
+      val one = Seq(pat(V("r"), kw("r_name"), V("n")),
+        Values(V("n"), Seq(TString("AFRICA"))))
+      def bag(xs: Seq[Any]): Map[Any, Int] =
+        xs.groupBy(identity).view.mapValues(_.size).toMap
+      val tmpl = Map[Any, Any](Projections.UriKey -> V("r"),
+        TKeyword("name") -> V("n"))
+      val btmpl = Map[Any, Any](TKeyword("name") -> V("n"))
+      val checks = Seq(
+        "select" -> (bag(Matcha.select(Seq(V("n")), bgps, db)) ==
+          bag(Matcha.select(Seq(V("n")), bgps)(db))),
+        "select1" -> (Matcha.select1(Seq(V("n")), one, db) ==
+          Matcha.select1(Seq(V("n")), one)(db)),
+        "ask" -> (Matcha.ask(bgps, db) == Matcha.ask(bgps)(db)),
+        "construct" -> (Matcha.construct(tmpl, bgps, db).toSet ==
+          Matcha.construct(tmpl, bgps)(db).toSet),
+        "construct1" -> (Matcha.construct1(tmpl, one, db) ==
+          Matcha.construct1(tmpl, one)(db)),
+        "build" -> (Matcha.build(V("r"), btmpl, bgps, db).toSet ==
+          Matcha.build(V("r"), btmpl, bgps)(db).toSet),
+        "build1" -> (Matcha.build1(V("r"), btmpl, one, db) ==
+          Matcha.build1(V("r"), btmpl, one)(db)))
+      import sp.implicits._
+      checks.toDF("op", "equal")
+    }),
+
+    // ---- §2.1 row 16: validation (≙ ::invalid-bgp / ::invalid-values,
+    //      alpha.clj:205-228; alpha_test.clj:430-448) ----
+    "q40_validation" -> ((sp, _) => {
+      val db = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("a"), TKeyword("p"), TKeyword("b"))))
+      def errType(f: => Any): String =
+        try { f; "none" } catch {
+          case _: InvalidBgp => "invalid-bgp"
+          case _: InvalidValues => "invalid-values"
+          case _: IllegalArgumentException => "illegal-argument"
+        }
+      val cases = Seq(
+        ("empty_bgp", errType(Projections.select(db, Seq.empty))),
+        ("null_values_coll", errType(Values(V("x"), null))),
+        ("empty_var_name", errType(V(""))),
+        ("valid_query", errType(
+          Projections.select(db, Seq(pat(V("s"), kw("p"), V("o")))))))
+      import sp.implicits._
+      cases.toDF("vcase", "error_type")
+    }),
+
+    // ---- unbounded transitive closure to fixpoint (complements the
+    //      bounded q36; localCheckpoint barrier per round) ----
+    "q43_closure_fixpoint" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      ops.Paths.closure(db, Seq(
+          TKeyword("o_custkey"), TKeyword("c_nationkey"),
+          TKeyword("s_nationkey"), TKeyword("n_regionkey")))
+        .select(Term.encode(col("src")).as("src"), Term.encode(col("dst")).as("dst"))
+    }),
+
+    // ---- opaque host-value terms: unify by byte equality (≙ arbitrary
+    //      values as terms, reference README:13-16) ----
+    "q44_opaque_terms" -> ((sp, _) => {
+      val db = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("x"), TKeyword("loc"), Term.opaque("pt", Array[Byte](1, 2, 3))),
+        (TKeyword("y"), TKeyword("loc"), Term.opaque("pt", Array[Byte](1, 2, 3))),
+        (TKeyword("z"), TKeyword("loc"), Term.opaque("pt", Array[Byte](1, 2, 4)))))
+      sel(db, Seq(
+        pat(V("a"), kw("loc"), V("v")),
+        pat(V("b"), kw("loc"), V("v"))),
+        "a", "b", "v")
+    }),
+
     // ---- embedding near-dup pairs at scale: LSH candidates + exact
     //      cosine verify (the 100 TB path complementing q23's bounded
     //      exact block; md5-sign planes → oracle-reproducible) ----
@@ -752,6 +830,44 @@ object SparkEntry {
         |SELECT doc_id,
         |  array_to_string(list_sort(list_distinct(mins)), '~') AS fp
         |FROM m""".stripMargin,
+
+    "q39_prepared_arities" ->
+      """SELECT 'select' AS op, true AS equal
+        |UNION ALL SELECT 'select1', true
+        |UNION ALL SELECT 'ask', true
+        |UNION ALL SELECT 'construct', true
+        |UNION ALL SELECT 'construct1', true
+        |UNION ALL SELECT 'build', true
+        |UNION ALL SELECT 'build1', true""".stripMargin,
+
+    "q40_validation" ->
+      """SELECT 'empty_bgp' AS vcase, 'invalid-bgp' AS error_type
+        |UNION ALL SELECT 'null_values_coll', 'invalid-values'
+        |UNION ALL SELECT 'empty_var_name', 'illegal-argument'
+        |UNION ALL SELECT 'valid_query', 'none'""".stripMargin,
+
+    "q43_closure_fixpoint" ->
+      """WITH RECURSIVE e(s, d) AS (
+        |  SELECT 'u|orders/' || o_orderkey, 'u|customer/' || o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT 'u|customer/' || c_custkey, 'u|nation/' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'u|supplier/' || s_suppkey, 'u|nation/' || s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT 'u|nation/' || n_nationkey, 'u|region/' || n_regionkey FROM nation
+        |), r(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+        |)
+        |SELECT DISTINCT s AS src, d AS dst FROM r""".stripMargin,
+
+    "q44_opaque_terms" ->
+      """SELECT 'k|x' AS a, 'k|x' AS b, 'o|pt|AQID' AS v
+        |UNION ALL SELECT 'k|x', 'k|y', 'o|pt|AQID'
+        |UNION ALL SELECT 'k|y', 'k|x', 'o|pt|AQID'
+        |UNION ALL SELECT 'k|y', 'k|y', 'o|pt|AQID'
+        |UNION ALL SELECT 'k|z', 'k|z', 'o|pt|AQIE'""".stripMargin,
 
     "q34_solution_setops" ->
       """WITH seg AS (SELECT 'u|customer/' || c_custkey AS c, c_mktsegment AS s

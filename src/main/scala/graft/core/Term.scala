@@ -39,6 +39,34 @@ object Term {
   final case class TTyped(lex: String, datatype: String) extends Term
   /** Dates/timestamps (grafter OffsetDate etc.) as canonical ISO string. */
   final case class TDate(iso: String) extends Term
+  /** Arbitrary host value as an opaque term: a type tag + base64 of the
+    * value's serialized bytes. The reference accepts *any* host value as
+    * a term and unifies by value equality (README:13-16; alpha.clj:54-58
+    * destructures anything Indexed); here any value a caller can
+    * serialize becomes a term, unifying by byte equality. Construct via
+    * [[Term.opaque]] (raw bytes) or [[Term.opaqueOf]] (any
+    * java.io.Serializable).
+    */
+  final case class TOpaque(tag: String, b64: String) extends Term {
+    def bytes: Array[Byte] = java.util.Base64.getDecoder.decode(b64)
+  }
+
+  /** Opaque term from raw bytes. */
+  def opaque(tag: String, bytes: Array[Byte]): TOpaque =
+    TOpaque(tag, java.util.Base64.getEncoder.encodeToString(bytes))
+
+  /** Opaque term from any serializable host value (java serialization —
+    * deterministic for a fixed classpath; equal values of the same class
+    * serialize identically, so unification matches value equality for
+    * well-behaved `equals`/`writeObject` pairs).
+    */
+  def opaqueOf(tag: String, value: java.io.Serializable): TOpaque = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(value)
+    oos.close()
+    opaque(tag, bos.toByteArray)
+  }
 
   // kind bytes — stable on-wire encoding, do not renumber.
   val KNil: Byte = 0
@@ -51,6 +79,7 @@ object Term {
   val KLangString: Byte = 7
   val KTyped: Byte = 8
   val KDate: Byte = 9
+  val KOpaque: Byte = 10
 
   /** The term-struct schema; one of these per triple position. */
   val schema: StructType = StructType(Seq(
@@ -71,6 +100,7 @@ object Term {
     case TLangString(lex, lg) => Row(KLangString, lex, null, lg, null)
     case TTyped(lex, dt)      => Row(KTyped, lex, null, null, dt)
     case TDate(iso)           => Row(KDate, iso, null, null, null)
+    case TOpaque(tag, b64)    => Row(KOpaque, b64, null, null, tag)
   }
 
   def fromRow(r: Row): Term = {
@@ -87,6 +117,7 @@ object Term {
       case KLangString => TLangString(lex, r.getString(3))
       case KTyped      => TTyped(lex, r.getString(4))
       case KDate       => TDate(lex)
+      case KOpaque     => TOpaque(r.getString(4), lex)
       case k           => throw new IllegalArgumentException(s"bad term kind $k")
     }
   }
@@ -170,6 +201,8 @@ object Term {
       .when(kind === KTyped,
         concat(functions.lit("lit|"), lex, functions.lit("^^"), c.getField("datatype")))
       .when(kind === KDate, concat(functions.lit("t|"), lex))
+      .when(kind === KOpaque,
+        concat(functions.lit("o|"), c.getField("datatype"), functions.lit("|"), lex))
       // unknown kind must fail loudly, not encode as NULL (which would
       // hash-match another NULL and hide oracle drift)
       .otherwise(raise_error(concat(functions.lit("unknown term kind: "),

@@ -61,6 +61,45 @@ object Stress {
       val n = Dedup.minhashNearDupPairs(reps, "doc_id", "text").count()
       println(s"[stress]   -> $n verified near-dup pairs")
     }
+
+    // 3. hot-predicate skew: 90% of a synthetic orders table points at
+    // one customer (the rdf:type-skew analogue, SURVEY §4.2). With the
+    // skew thresholds at cluster-realistic ratios, AQE must split the
+    // hot partition (skew=true) instead of serializing it on one task.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    time("skewed FK BGP join (90% hot customer)") {
+      val skewed = spark.range(500000).select(
+        col("id").as("o_orderkey"),
+        when(rand(7) < 0.9, 0L).otherwise(col("id") % 15000).as("o_custkey"),
+        md5(col("id").cast("string")).as("o_comment"))
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val sdb = TripleDb.union(
+        TripleDb.fromWideTable(skewed, "orders", "o_orderkey",
+          fks = Map("o_custkey" -> "customer")),
+        TripleDb.fromWideTable(cust, "customer", "c_custkey"))
+      // carry the incompressible comment through the hot join — that is
+      // what makes the skewed partition big in bytes, not just rows
+      val q = Projections.selectDf(sdb, Seq(
+        TriplePattern(V("o"), T(TKeyword("o_custkey")), V("c")),
+        TriplePattern(V("o"), T(TKeyword("o_comment")), V("cm")),
+        TriplePattern(V("c"), T(TKeyword("c_name")), V("n"))),
+        Seq(V("o"), V("n"), V("cm")))
+      // act on THIS df (count() plans a separate query execution whose
+      // column pruning also drops the payload that makes the skew real)
+      val agg = q.select(count(functions.lit(1)).as("n"),
+        max(length(col("cm.lex"))).as("w"))
+      val n = agg.collect()(0).getLong(0)
+      val planStr = agg.queryExecution.executedPlan.toString
+      println(s"[stress]   -> $n rows; AQE skew split: " +
+        planStr.contains("skew=true"))
+      if (!planStr.contains("skew=true"))
+        println(planStr.linesIterator
+          .filter(l => l.contains("Join") || l.contains("AQEShuffleRead"))
+          .mkString("[stress] plan joins:\n", "\n", ""))
+    }
     spark.stop()
   }
 }

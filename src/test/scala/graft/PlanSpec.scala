@@ -64,4 +64,36 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("*(") && p.contains("*(2) Project [dotproductf"),
       s"dot must not break codegen:\n$p")
   }
+
+  test("AQE splits a skewed join partition (hot-key skew guard)") {
+    // the reference-world analogue is an rdf:type-style hot predicate
+    // (SURVEY §4.2): one join key holding ~99% of the fact side. At
+    // cluster scale the guard is AQE's skew-join split — pin here that
+    // our sessions actually get the split (skew=true on the join node)
+    // once the skewed partition crosses the threshold.
+    import org.apache.spark.sql.functions.{length, lit, md5, sum}
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // hot key 0 carries 150k incompressible-ish payload rows; 1000
+      // cold keys carry one row each
+      val facts = spark.range(150000)
+        .select(lit(0L).as("key"), md5(col("id").cast("string")).as("payload"))
+        .union(spark.range(1000).select((col("id") + 1).as("key"),
+          md5(col("id").cast("string")).as("payload")))
+      val dim = spark.range(1001).select(col("id").as("key"), (col("id") * 2).as("v"))
+      val q = facts.join(dim, "key").agg(sum(length(col("payload"))).as("n"))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected AQE skew split in:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -165,4 +165,34 @@ class TermInteropSpec extends GraftSpec {
       .collect().map(_.getString(0)).toSet
     assert(got == terms.map(_._2).toSet)
   }
+
+  test("opaque host values round-trip and unify by byte equality") {
+    val p1 = Term.opaque("pt", Array[Byte](1, 2, 3))
+    val p2 = Term.opaque("pt", Array[Byte](1, 2, 3))
+    val p3 = Term.opaque("pt", Array[Byte](9))
+    assert(p1 == p2 && p1 != p3)
+    val d = db((k("x"), k("loc"), p1), (k("y"), k("loc"), p2), (k("z"), k("loc"), p3))
+    // unification: ground opaque term matches both byte-equal facts
+    assert(resultSet(d, Seq(?("s2")), Seq(pat(?("s2"), T(k("loc")), T(p1)))) ==
+      Set(Seq(k("x")), Seq(k("y"))))
+    // round-trip through construct
+    val r = Projections.construct1(d,
+      ?("o2"), Seq(pat(T(k("z")), T(k("loc")), ?("o2"))))
+    assert(r.contains(p3))
+  }
+
+  test("opaque terms of different tags do not unify; serializable helper") {
+    val a = Term.opaqueOf("tuple", (1, 2))
+    val b = Term.opaqueOf("tuple", (1, 2))
+    val c = Term.opaqueOf("other", (1, 2))
+    assert(a == b)         // same value, same tag → same term
+    assert(a != c)         // tag participates in identity
+    val d = db((k("x"), k("at"), a), (k("y"), k("at"), c))
+    assert(resultSet(d, Seq(?("s2")), Seq(pat(?("s2"), T(k("at")), T(b)))) ==
+      Set(Seq(k("x"))))
+    // encode is stable and carries the tag
+    val enc = d.df.select(Term.encode(col("o")).as("e"))
+      .collect().map(_.getString(0)).toSet
+    assert(enc.forall(s => s.startsWith("o|tuple|") || s.startsWith("o|other|")))
+  }
 }
