@@ -114,21 +114,22 @@ object SparkEntry {
         .limit(1)
     }),
 
-    // ---- 7-8: construct with magic-key subject grouping (distributed) ----
+    // ---- 7-8: construct with magic-key subject grouping — the
+    //      distributed constructDf path (one collect_set shuffle);
+    //      value sets are emitted canonically sorted + '~'-joined ----
     "q09_construct_group" -> ((sp, dir) => {
       val db = TripleDb.union(Tables.nationDb(sp, dir), Tables.customerDb(sp, dir))
-      val sol = Projections.selectDf(db, Seq(
-        pat(V("c"), kw("c_nationkey"), V("n")),
-        pat(V("c"), kw("c_name"), V("cname")),
-        pat(V("n"), kw("n_name"), V("nname"))),
-        Seq(V("n"), V("nname"), V("cname")))
       // ≙ construct {:grafter.rdf/uri ?n, :name ?nname, :members ?cname}
-      // grouping (alpha.clj:497-512): scalar when 1 distinct, set when ≥2;
-      // sets are emitted canonically sorted + '~'-joined for the oracle.
-      sol.groupBy(Term.encode(col("n")).as("n"))
-        .agg(
-          min(Term.encode(col("nname"))).as("nname"),
-          array_join(array_sort(collect_set(Term.encode(col("cname")))), "~").as("members"))
+      val g = Projections.constructDf(db, V("n"),
+        Seq("nname" -> V("nname"), "members" -> V("cname")),
+        Seq(
+          pat(V("c"), kw("c_nationkey"), V("n")),
+          pat(V("c"), kw("c_name"), V("cname")),
+          pat(V("n"), kw("n_name"), V("nname"))))
+      def joined(c: String): Column =
+        array_join(array_sort(transform(col(c).getField("vals"), Term.encode(_))), "~")
+      g.select(Term.encode(col("n")).as("n"),
+        joined("nname").as("nname"), joined("members").as("members"))
     }),
 
     // ---- 10: build — subject-grouped resource maps (distributed) ----
@@ -253,11 +254,14 @@ object SparkEntry {
     "q25_sessionize" -> ((sp, dir) =>
       streaming.Events.sessionize(Tables.events(sp, dir))),
 
-    // ---- multimodal: binary payloads + batch decode (stub codec) ----
+    // ---- multimodal: REAL image decode — synthetic PNGs (dimensions
+    //      derived from doc_id) round-trip through javax.imageio; the
+    //      oracle checks decoded dims against the generation rule.
+    //      byte_len is excluded (PNG encoded size isn't SQL-derivable). ----
     "q26_multimodal_meta" -> ((sp, dir) =>
-      ops.Multimodal.decodeMeta(ops.Multimodal.textAsBlobs(
-          Tables.t(sp, dir, "documents"), "doc_id", "text"))
-        .toDF().select(col("id"), col("byte_len"), col("width"),
+      ops.Multimodal.decodeMeta(ops.Multimodal.syntheticImages(
+          Tables.t(sp, dir, "documents"), "doc_id"))
+        .toDF().select(col("id"), col("width"),
           col("height"), col("n_frames"), col("media_type"))),
 
     // ---- multimodal: frame sampling (every 4th stub frame) ----
@@ -730,11 +734,10 @@ object SparkEntry {
 
     "q26_multimodal_meta" ->
       """SELECT doc_id AS id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
-        |  CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
-        |  'text/plain' AS media_type
+        |  CAST(1 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(1 + (doc_id * 3) % 16 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  'image/png' AS media_type
         |FROM documents""".stripMargin,
 
     "q27_frame_sample" ->

@@ -84,12 +84,51 @@ object Projections {
     case other          => other
   }
 
+  /** Distributed construct grouping for flat map templates — the scale
+    * path for [[construct]]'s magic-key grouping (mirrors what
+    * [[buildDf]] is to [[build]]). One row per subject, `__n_sols`
+    * solution count, and per template entry a
+    * `struct<n: long, vals: array<term>>`: `n` = solutions contributing
+    * a value (bag count — the reference's scalar-vs-set switch:
+    * scalar iff n == 1, Set otherwise, even when merged values are
+    * equal; group-predicates-xf, alpha.clj:500-516), `vals` = distinct
+    * values. One `collect_set` aggregation = map-side combine, one
+    * shuffle total. NULL (unbound) values are dropped — callers with
+    * optional template vars keep the driver path, where each unbound
+    * occurrence stays a distinct reified fresh var.
+    */
+  def constructDf(db: TripleDb, subj: V, entries: Seq[(String, V)],
+                  rows: Seq[PatternRow]): DataFrame = {
+    val vars = (subj +: entries.map(_._2)).distinct
+    val sol = selectDf(db, rows, vars)
+    val aggs = count(lit(1)).as("__n_sols") +: entries.map { case (name, v) =>
+      struct(count(col(v.name)).as("n"), collect_set(col(v.name)).as("vals"))
+        .as(name)
+    }
+    sol.where(col(subj.name).isNotNull)
+      .groupBy(col(subj.name))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** ≙ `construct` (alpha.clj:641-665): instantiate an arbitrary template
     * per solution; a map template containing [[UriKey]] groups by that
-    * key and merges other keys (scalar if 1 distinct value, Set if ≥2 —
-    * alpha.clj:497-512, alpha_test.clj:196-209).
+    * key and merges other keys (scalar if contributed by 1 solution,
+    * Set if ≥2 — alpha.clj:497-512, alpha_test.clj:196-209).
+    *
+    * Flat magic-key map templates (subject entry is a var, every other
+    * entry ground-key → var-or-ground-value, all vars required) group
+    * distributedly via [[constructDf]] — only the per-subject rows are
+    * collected. Everything else (nested templates, non-map templates,
+    * optional vars) takes the per-solution driver path.
     */
   def construct(db: TripleDb, template: Any, rows: Seq[PatternRow]): Seq[Any] = {
+    template match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[Any, Any]]
+        if (mm.contains(UriKey) && flatGroupable(mm, rows))
+          return constructGrouped(db, mm, rows)
+      case _ =>
+    }
     val vars = templateVars(template)
     val sols = bindings(db, rows, vars)
     val inst = sols.map(instantiate(template, _))
@@ -97,6 +136,53 @@ object Projections {
       case m: Map[_, _] if m.asInstanceOf[Map[Any, Any]].contains(UriKey) =>
         groupByMagicKey(inst.map(_.asInstanceOf[Map[Any, Any]]))
       case _ => inst
+    }
+  }
+
+  /** The distributed grouping applies iff the subject entry is a var,
+    * no key contains vars, every value is a var or a ground term, and
+    * every var (subject included) is a *required* var of the BGP — so
+    * no solution can leave one unbound (unbound values need the driver
+    * path's fresh-var-per-occurrence semantics).
+    */
+  private def flatGroupable(m: Map[Any, Any], rows: Seq[PatternRow]): Boolean = {
+    val req = Bgp.requiredVars(rows).map(_.name).toSet
+    m(UriKey) match {
+      case sv: V if req.contains(sv.name) =>
+        m.forall {
+          case (UriKey, _)      => true
+          case (k, v: V)        => templateVars(k).isEmpty && req.contains(v.name)
+          case (k, _: Term)     => templateVars(k).isEmpty
+          case _                => false
+        }
+      case _ => false
+    }
+  }
+
+  private def constructGrouped(db: TripleDb, m: Map[Any, Any],
+                               rows: Seq[PatternRow]): Seq[Any] = {
+    val subjV = m(UriKey).asInstanceOf[V]
+    val others = m.toSeq.filter(_._1 != UriKey)
+    val varEntries = others.zipWithIndex.collect {
+      case ((k, v: V), i) => (s"__c$i", k, v)
+    }
+    val grouped =
+      constructDf(db, subjV, varEntries.map(e => e._1 -> e._3), rows).collect()
+    grouped.toSeq.map { r =>
+      val subj = termAt(r, 0)
+      val nSols = r.getLong(1)
+      val varVals = varEntries.map { case (cn, k, _) =>
+        val st = r.getStruct(r.fieldIndex(cn))
+        val n = st.getLong(0)
+        val vals = st.getSeq[Row](1).map(Term.fromRow)
+        k -> (if (n == 1) vals.head: Any else vals.toSet: Any)
+      }
+      val groundVals = others.collect {
+        // a ground entry is contributed by every solution of the group:
+        // ≥2 solutions merge it into a 1-element Set (reference parity)
+        case (k, t: Term) => k -> (if (nSols == 1) t: Any else Set(t): Any)
+      }
+      ((UriKey -> (subj: Any)) +: (varVals ++ groundVals)).toMap
     }
   }
 

@@ -193,6 +193,22 @@ class OpsSpec extends GraftSpec {
       x.height == ((x.byte_len * 7) % 480).toInt))
   }
 
+  test("multimodal: real PNG decode round-trips generated dimensions") {
+    val imgs = Multimodal.syntheticImages(docs.limit(40), "doc_id")
+    val meta = Multimodal.decodeMeta(imgs).collect()
+    assert(meta.length == 40)
+    assert(meta.forall(m => m.width == 1 + (m.id % 16).toInt &&
+      m.height == 1 + ((m.id * 3) % 16).toInt &&
+      m.n_frames == 1 && m.media_type == "image/png"))
+    // payloads are real PNGs (magic bytes), not fakes
+    val blob = imgs.collect().head
+    assert(blob.payload.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    // corrupt bytes fail loudly rather than emitting garbage dims
+    intercept[Exception] {
+      Multimodal.imageDecode(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("streaming hourly counts == batch hourly counts (MemoryStream)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -48,6 +48,14 @@ class PlanSpec extends GraftSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$p")
   }
 
+  test("constructDf groups with exactly one shuffle (map-side combine)") {
+    val db = Tables.customerDb(spark, dir)
+    val p = plan(Projections.constructDf(db, V("c"),
+      Seq("names" -> V("name")), Seq(pat(V("c"), T(k("c_name")), V("name")))))
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$p")
+  }
+
   test("bruteKnn broadcasts the query side, never shuffles the corpus") {
     val emb = Tables.t(spark, dir, "embeddings")
     val p = plan(ops.Similarity.bruteKnn(emb, emb.where(col("vec_id") < 5), 3))
