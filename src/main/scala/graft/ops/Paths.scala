@@ -41,6 +41,11 @@ object Paths {
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
     val e = barrier(edges(db, preds).dropDuplicates("src", "dst"))
+    // `all` stays a UNION of per-round checkpointed frontiers — each
+    // segment is already materialized, so the accumulated set is never
+    // recomputed OR re-checkpointed per round (re-checkpointing `all`
+    // would rewrite the full pair set every round: O(rounds × |all|)).
+    // The union plan grows by one leaf per round, bounded by maxIter.
     var all = e
     var frontier = e
     var i = 0
@@ -51,7 +56,7 @@ object Paths {
         .dropDuplicates("src", "dst")
         .join(all, Seq("src", "dst"), "left_anti"))
       if (next.isEmpty) return all
-      all = barrier(all.unionByName(next))
+      all = all.unionByName(next)
       frontier = next
       i += 1
     }
