@@ -446,6 +446,33 @@ object SparkEntry {
       ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
         planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
 
+    // ---- streaming triple ingest, end-to-end: wide rows arrive on a
+    //      MemoryStream (each fact twice), unpivot with the batch
+    //      connector's expressions, dedup within the watermark, land in
+    //      a sink — the oracle is the batch unpivot (set semantics) ----
+    "q45_stream_ingest" -> ((sp, dir) => {
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val rows = Tables.t(sp, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .as[(Long, String)].collect().toSeq
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      stream.addData(rows.map { case (key, n) => (key, n, t0) })
+      stream.addData(rows.map { case (key, n) => (key, n, t0) }) // dup batch
+      val out = streaming.TripleIngest.ingestDedup(
+        stream.toDF().toDF("n_nationkey", "n_name", "arr"),
+        "nation", "n_nationkey", eventTimeCol = "arr", watermark = "1 minute")
+      val sink = "graft_q45_sink"
+      val sq = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      sq.processAllAvailable()
+      sq.stop()
+      sp.table(sink).select(Term.encode(col("s")).as("s"),
+        Term.encode(col("p")).as("p"), Term.encode(col("o")).as("o"))
+    }),
+
     // ---- set ops on solution sets (beyond the reference, SURVEY §2.2) ----
     "q34_solution_setops" -> ((sp, dir) => {
       val db = Tables.customerDb(sp, dir)
@@ -871,6 +898,11 @@ object SparkEntry {
         |UNION ALL SELECT 'k|y', 'k|x', 'o|pt|AQID'
         |UNION ALL SELECT 'k|y', 'k|y', 'o|pt|AQID'
         |UNION ALL SELECT 'k|z', 'k|z', 'o|pt|AQIE'""".stripMargin,
+
+    "q45_stream_ingest" ->
+      """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,
+        |  's|' || n_name AS o
+        |FROM nation""".stripMargin,
 
     "q34_solution_setops" ->
       """WITH seg AS (SELECT 'u|customer/' || c_custkey AS c, c_mktsegment AS s
