@@ -64,18 +64,23 @@ object Paths {
       s"closure did not converge within $maxIter iterations")
   }
 
-  /** All distinct (src, dst) pairs connected by 1..maxHops edges. */
+  /** All distinct (src, dst) pairs connected by 1..maxHops edges.
+    * Per-hop frontiers dedup individually (bounds frontier growth);
+    * the accumulated union dedups ONCE at the end — deduping the full
+    * set every hop would rescan O(hops × |all|) for nothing, since the
+    * loop never reads `all`.
+    */
   def reachable(db: TripleDb, preds: Seq[Term], maxHops: Int): DataFrame = {
     val e = edges(db, preds)
-    var all = e.dropDuplicates("src", "dst")
-    var frontier = all
+    var frontier = e.dropDuplicates("src", "dst")
+    var all = frontier
     for (_ <- 2 to maxHops) {
       frontier = frontier.as("f")
         .join(e.as("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .dropDuplicates("src", "dst")
-      all = all.unionByName(frontier).dropDuplicates("src", "dst")
+      all = all.unionByName(frontier)
     }
-    all
+    all.dropDuplicates("src", "dst")
   }
 }

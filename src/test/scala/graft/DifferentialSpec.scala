@@ -101,7 +101,11 @@ object DifferentialProps extends Properties("differential") {
 
   private val subjects = Seq(TKeyword("a"), TKeyword("b"), TKeyword("c"))
   private val preds = Seq(TKeyword("p"), TKeyword("q"), TKeyword("r"))
-  private val objs = Seq[Term](TString("x"), TString("y"), TLong(1), TKeyword("a"))
+  // every unification-relevant term shape: strings, longs, keywords,
+  // matchable nil, doubles, and opaque host values (byte equality)
+  private val objs = Seq[Term](TString("x"), TString("y"), TLong(1),
+    TKeyword("a"), TNil, TDouble(2.5),
+    Term.opaque("blob", Array[Byte](1, 2)), Term.opaque("blob", Array[Byte](3)))
 
   val genTriple: Gen[(Term, Term, Term)] = for {
     s <- Gen.oneOf(subjects); p <- Gen.oneOf(preds); o <- Gen.oneOf(objs)
