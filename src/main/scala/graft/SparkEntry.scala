@@ -446,6 +446,15 @@ object SparkEntry {
       ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
         planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
 
+    // ---- multimodal: resize/re-encode stage bounds payload bytes
+    //      (partition-preserving byte transform; UTF-8 text payloads so
+    //      the oracle can derive the clamped lengths) ----
+    "q46_resize" -> ((sp, dir) =>
+      ops.Multimodal.resize(ops.Multimodal.textAsBlobs(
+          Tables.t(sp, dir, "documents"), "doc_id", "text"), 100)
+        .toDF().select(col("id"),
+          length(col("payload")).cast("long").as("byte_len"))),
+
     // ---- streaming triple ingest, end-to-end: wide rows arrive on a
     //      MemoryStream (each fact twice), unpivot with the batch
     //      connector's expressions, dedup within the watermark, land in
@@ -898,6 +907,11 @@ object SparkEntry {
         |UNION ALL SELECT 'k|y', 'k|x', 'o|pt|AQID'
         |UNION ALL SELECT 'k|y', 'k|y', 'o|pt|AQID'
         |UNION ALL SELECT 'k|z', 'k|z', 'o|pt|AQIE'""".stripMargin,
+
+    "q46_resize" ->
+      """SELECT doc_id AS id,
+        |  least(CAST(octet_length(encode(text)) AS BIGINT), 100) AS byte_len
+        |FROM documents""".stripMargin,
 
     "q45_stream_ingest" ->
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,
