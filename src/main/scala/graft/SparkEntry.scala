@@ -446,6 +446,21 @@ object SparkEntry {
       ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
         planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
 
+    // ---- durable predicate-partitioned store round-trip: save the
+    //      triple db as parquet partitioned by predicate, reload (the
+    //      predicate index rebuilds from partition directories, scans
+    //      prune to one directory), and run a BGP against the loaded
+    //      store — the oracle never sees the intermediate store ----
+    "q47_save_load" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q47").toString
+      TripleDb.save(Tables.nationDb(sp, dir), tmp)
+      val loaded = TripleDb.load(sp, tmp)
+      sel(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- multimodal: resize/re-encode stage bounds payload bytes
     //      (partition-preserving byte transform; UTF-8 text payloads so
     //      the oracle can derive the clamped lengths) ----
@@ -912,6 +927,11 @@ object SparkEntry {
       """SELECT doc_id AS id,
         |  least(CAST(octet_length(encode(text)) AS BIGINT), 100) AS byte_len
         |FROM documents""".stripMargin,
+
+    "q47_save_load" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
 
     "q45_stream_ingest" ->
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,

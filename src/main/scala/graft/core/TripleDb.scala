@@ -58,6 +58,21 @@ object TripleDb {
       .write.mode("overwrite").partitionBy("pred").parquet(path)
   }
 
+  /** Subject-bucketed durable store: writes the triple table bucketed
+    * (and sorted) by the encoded subject. BGP conjunctions join
+    * patterns on shared subject vars — two scans of a subject-bucketed
+    * store are co-partitioned, so those joins need NO shuffle (the
+    * classic bucketed co-located join; pinned in PlanSpec). Use for
+    * subject-star query workloads; [[save]]'s predicate partitioning
+    * is the complementary layout for predicate-selective scans.
+    */
+  def saveBucketedBySubject(db: TripleDb, table: String,
+                            buckets: Int = 32): Unit =
+    db.df.withColumn("sk", Term.encode(col("s")))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "sk").sortBy("sk")
+      .saveAsTable(table)
+
   /** Load a [[save]]d store, rebuilding the predicate index from the
     * partition directories (slices prune partitions at scan time). */
   def load(spark: SparkSession, path: String): TripleDb = {

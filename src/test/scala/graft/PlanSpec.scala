@@ -73,6 +73,49 @@ class PlanSpec extends GraftSpec {
       s"dot must not break codegen:\n$p")
   }
 
+  test("subject-bucketed store joins without a shuffle (co-located join)") {
+    import graft.core.TripleDb
+    import org.apache.spark.sql.functions.lit
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      TripleDb.saveBucketedBySubject(
+        Tables.customerDb(spark, dir), "graft_bucketed_test", buckets = 4)
+      val t = spark.table("graft_bucketed_test")
+      val names = t.where(col("p.lex") === "c_name")
+        .select(col("sk"), col("o").as("name"))
+      val segs = t.where(col("p.lex") === "c_mktsegment")
+        .select(col("sk"), col("o").as("seg"))
+      val j = names.join(segs, "sk")
+      j.collect()
+      val p = plan(j)
+      assert(!p.contains("Exchange"),
+        s"bucketed self-join must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), s"expected bucketed scans:\n$p")
+      assert(j.count() == Tables.t(spark, dir, "customer").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
+  test("saltedJoin spreads a hot key and matches the unsalted join") {
+    import org.apache.spark.sql.functions.{lit, when}
+    val facts = spark.range(2000).select(
+      when(col("id") < 1800, 7L).otherwise(col("id") % 50).as("k"),
+      col("id").as("payload"))
+    val dim = spark.range(50).select(col("id").as("k"), (col("id") * 3).as("v"))
+    val plainRes = facts.join(dim, "k").select("k", "payload", "v")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = ops.Skew.saltedJoin(facts, dim, "k", salts = 8)
+      .select("k", "payload", "v")
+    assert(salted.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      plainRes.toSeq)
+    // the join key really is (k, salt): hot-key rows hash-spread
+    val p = plan(salted)
+    assert(p.contains("__salt"), s"expected salted join keys in:\n$p")
+  }
+
   test("AQE splits a skewed join partition (hot-key skew guard)") {
     // the reference-world analogue is an rdf:type-style hot predicate
     // (SURVEY §4.2): one join key holding ~99% of the fact side. At
