@@ -128,8 +128,16 @@ object DifferentialProps extends Properties("differential") {
     coll <- Gen.nonEmptyListOf(Gen.oneOf(objs)).map(_.take(3))
   } yield Values(V(v), coll)
 
-  val genOptional: Gen[Optional] =
-    Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, genPattern)).map(Optional(_))
+  // optional clauses may themselves contain values and nested optionals
+  // (the reference nests arbitrarily) — both engines recurse
+  val genOptional: Gen[Optional] = for {
+    n <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(n, genPattern)
+    extra <- Gen.frequency(
+      4 -> Gen.const(Seq.empty[PatternRow]),
+      1 -> genValues.map(Seq(_)),
+      1 -> genPattern.map(p => Seq(Optional(Seq(p)))))
+  } yield Optional(pats ++ extra)
 
   val genQuery: Gen[Seq[PatternRow]] = for {
     nPat <- Gen.choose(1, 3)
