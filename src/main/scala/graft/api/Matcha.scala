@@ -52,6 +52,12 @@ object Matcha {
   def construct1(template: Any, bgps: Seq[PatternRow]): TripleDb => Option[Any] =
     construct1(template, bgps, _)
 
+  /** Distributed construct grouping — the scale path for flat magic-key
+    * templates; stays a DataFrame (see Projections.constructDf). */
+  def constructDf(subj: V, entries: Seq[(String, V)], bgps: Seq[PatternRow],
+                  db: TripleDb): org.apache.spark.sql.DataFrame =
+    Projections.constructDf(db, subj, entries, bgps)
+
   // ---- build ----
   def build(subj: TermOrVar, template: Map[Any, Any], bgps: Seq[PatternRow],
             db: TripleDb): Seq[Map[Any, Any]] =

@@ -37,6 +37,15 @@ final case class TripleDb(df: DataFrame,
     TripleDb(deduped, slices)
   }
   def unpersist(): TripleDb = { df.unpersist(); this }
+
+  /** The database back as a seq of term triples — the reference's db
+    * representation (a seq of `[s p o]`, alpha.clj:54-58). Driver-side
+    * collector: human-sized stores only; the scale path stays in `df`.
+    */
+  def triples: Seq[(Term, Term, Term)] =
+    df.collect().toSeq.map(r =>
+      (Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1)),
+        Term.fromRow(r.getStruct(2))))
 }
 
 object TripleDb {

@@ -166,6 +166,14 @@ class TermInteropSpec extends GraftSpec {
     assert(got == terms.map(_._2).toSet)
   }
 
+  test("TripleDb.triples collects the db back as term triples") {
+    val facts = Seq[(Term, Term, Term)](
+      (k("a"), k("p"), s("x")),
+      (TNil, k("p"), TLangString("hi", "en")),
+      (k("b"), k("q"), Term.opaque("t", Array[Byte](7))))
+    assert(db(facts: _*).triples.toSet == facts.toSet)
+  }
+
   test("opaque host values round-trip and unify by byte equality") {
     val p1 = Term.opaque("pt", Array[Byte](1, 2, 3))
     val p2 = Term.opaque("pt", Array[Byte](1, 2, 3))
