@@ -446,6 +446,32 @@ object SparkEntry {
       ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
         planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
 
+    // ---- as-of join with a tolerance bound: clicks older than 10
+    //      minutes are no match (carry-forward + one comparison) ----
+    "q48_asof_tolerance" -> ((sp, dir) => {
+      val ev = streaming.Events.withTsUs(Tables.events(sp, dir))
+        .select(col("user_id"), col("event_id"), col("tus"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase").drop("event_type")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("tus"))
+      ops.AsOf.join(purchases, clicks, Seq("user_id"), "tus", "event_id",
+          "event_id", tolerance = 600000000L)
+        .select(col("event_id"), col("asof_event_id"))
+    }),
+
+    // ---- deterministic hash-bucket dataset split (train/val/test) ----
+    "q49_hash_split" -> ((sp, dir) =>
+      ops.Sample.hashSplit(Tables.t(sp, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))),
+
+    // ---- corpus document-frequency (vocabulary) table ----
+    "q50_doc_frequency" -> ((sp, dir) =>
+      ops.Text.docFrequency(Tables.t(sp, dir, "documents"), "doc_id", "text")),
+
+    // ---- top-3 keywords per document (integer tf/df/token ordering) ----
+    "q51_keywords" -> ((sp, dir) =>
+      ops.Text.keywords(Tables.t(sp, dir, "documents"), "doc_id", "text", 3)),
+
     // ---- durable predicate-partitioned store round-trip: save the
     //      triple db as parquet partitioned by predicate, reload (the
     //      predicate index rebuilds from partition directories, scans
@@ -932,6 +958,54 @@ object SparkEntry {
       """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
         |  'u|region/' || n_regionkey AS r
         |FROM nation""".stripMargin,
+
+    "q48_asof_tolerance" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |u AS (
+        |  SELECT user_id, tus, event_id AS tie, 1 AS side, event_id AS lid,
+        |         CAST(NULL AS BIGINT) AS payload, CAST(NULL AS BIGINT) AS pts
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, tus, event_id, 0, NULL, event_id, tus
+        |  FROM ev WHERE event_type = 'click'),
+        |c AS (SELECT side, lid, tus,
+        |        last_value(payload IGNORE NULLS) OVER w AS a,
+        |        last_value(pts IGNORE NULLS) OVER w AS apts
+        |      FROM u WINDOW w AS (
+        |        PARTITION BY user_id ORDER BY tus, side, tie
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT lid AS event_id,
+        |  CASE WHEN apts IS NOT NULL AND tus - apts <= 600000000
+        |       THEN a ELSE NULL END AS asof_event_id
+        |FROM c WHERE side = 1""".stripMargin,
+
+    "q49_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |          % 100 AS b
+        |      FROM documents)""".stripMargin,
+
+    "q50_doc_frequency" ->
+      """WITH dt AS (SELECT DISTINCT doc_id,
+        |              unnest(string_split(lower(text), ' ')) AS token
+        |            FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY token""".stripMargin,
+
+    "q51_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |r AS (SELECT tf.doc_id, tf.token,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, dfq.df ASC, tf.token) AS rk
+        |      FROM tf JOIN dfq USING (token))
+        |SELECT doc_id, token, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 3""".stripMargin,
 
     "q45_stream_ingest" ->
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,

@@ -25,14 +25,23 @@ object AsOf {
     * @param tsCol      ordering column name (present in both sides)
     * @param tieCol     deterministic tie-break column (both sides)
     * @param payloadCol right column carried to the output (as `asof_<payloadCol>`)
+    * @param tolerance  max allowed `left.ts − right.ts` (same units as
+    *                   `tsCol`); a match farther back yields NULL.
+    *                   Default unbounded — the plan is unchanged from
+    *                   the tolerance-free join (no extra columns).
     */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           tsCol: String, tieCol: String, payloadCol: String): DataFrame = {
+           tsCol: String, tieCol: String, payloadCol: String,
+           tolerance: Long = Long.MaxValue): DataFrame = {
+    val bounded = tolerance != Long.MaxValue
     val keep = keyCols ++ Seq(tsCol, tieCol)
     val l = left.withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast(right.schema(payloadCol).dataType))
-    val r = right.select((keep.map(col) :+ col(payloadCol).as("__payload")): _*)
+    val r0 = right.select((keep.map(col) :+ col(payloadCol).as("__payload")): _*)
       .withColumn("__side", lit(0))
+    // carry the matched right row's timestamp alongside the payload so
+    // the tolerance test is one arithmetic comparison after the window
+    val r = if (bounded) r0.withColumn("__pts", col(tsCol)) else r0
     val lCols = left.columns
     val unioned = l.select((keep ++ Seq("__side", "__payload")).map(col) ++
         lCols.filterNot(keep.contains).filterNot(Set("__side", "__payload"))
@@ -41,8 +50,18 @@ object AsOf {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val carried = unioned
       .withColumn(s"asof_$payloadCol", last(col("__payload"), ignoreNulls = true).over(w))
+    val gated =
+      if (bounded)
+        carried
+          .withColumn("__apts", last(col("__pts"), ignoreNulls = true).over(w))
+          .withColumn(s"asof_$payloadCol",
+            when(col("__apts").isNotNull &&
+              col(tsCol) - col("__apts") <= tolerance, col(s"asof_$payloadCol")))
+          .drop("__pts", "__apts")
+      else carried
+    gated
       .where(col("__side") === 1)
       .drop("__side", "__payload")
   }

@@ -116,6 +116,38 @@ object Text {
       .otherwise("es")
   }
 
+  /** Corpus document frequency: how many documents contain each
+    * distinct token. One explode of per-document distinct tokens +
+    * one map-side-combined groupBy — the standard vocabulary/DF-table
+    * shape at any corpus size.
+    */
+  def docFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** Top-k characteristic tokens per document, ranked by term
+    * frequency (desc), then corpus rarity (document frequency asc),
+    * then token — the tf-idf ordering expressed in pure integers, so
+    * ranks are deterministic and exactly SQL-reproducible (a float
+    * tf·idf score would tie-break on log rounding).
+    *
+    * Scale shape: explode + two combined groupBys, a join against the
+    * (small) DF table — Catalyst broadcasts it — and one window by
+    * document.
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(docFrequency(docs, idCol, textCol), "token")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("rank"))
+  }
+
   /** Per-document text statistics + quality flag, as a ready projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

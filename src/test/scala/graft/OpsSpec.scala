@@ -193,6 +193,54 @@ class OpsSpec extends GraftSpec {
       x.height == ((x.byte_len * 7) % 480).toInt))
   }
 
+  test("asof join tolerance: stale matches become NULL, fresh ones stay") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "ts", "id")
+    val right = Seq((1L, 70L, 900L), (2L, 49L, 901L)).toDF("k", "ts", "id")
+    val got = graft.ops.AsOf.join(left, right, Seq("k"), "ts", "id", "id",
+        tolerance = 40L)
+      .select("id", "asof_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // left@100: right@70, diff 30 ≤ 40 → match; left@200: diff 130 → NULL;
+    // left@50 (key 2): right@49, diff 1 → match
+    assert(got == Map(10L -> Some(900L), 11L -> None, 12L -> Some(901L)))
+    // unbounded tolerance keeps the stale match
+    val unbounded = graft.ops.AsOf.join(left, right, Seq("k"), "ts", "id", "id")
+      .select("id", "asof_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unbounded(11L) == 900L)
+  }
+
+  test("hashSplit is stable across repartitioning and roughly proportional") {
+    val a = graft.ops.Sample.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.ops.Sample.hashSplit(docs.repartition(17), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac: $frac")
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.1)
+  }
+
+  test("keywords rank by tf desc, rarity asc, token asc — integer-exact") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val kw = graft.ops.Text.keywords(tiny, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // doc 1: apple tf=2 → rank 1; banana (df 2) beats common (df 3)
+    assert(kw.toSet.contains((1L, "apple", 1)) && kw.toSet.contains((1L, "banana", 2)))
+    // doc 2: common tf=2 → rank 1, banana rank 2
+    assert(kw.toSet.contains((2L, "common", 1)) && kw.toSet.contains((2L, "banana", 2)))
+    // doc 3: tie tf=1 → cherry (df 1) beats common (df 3)
+    assert(kw.toSet.contains((3L, "cherry", 1)) && kw.toSet.contains((3L, "common", 2)))
+  }
+
   test("multimodal: real PNG decode round-trips generated dimensions") {
     val imgs = Multimodal.syntheticImages(docs.limit(40), "doc_id")
     val meta = Multimodal.decodeMeta(imgs).collect()
