@@ -446,6 +446,24 @@ object SparkEntry {
       ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
         planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
 
+    // ---- connected components over near-dup pairs: pairs → duplicate
+    //      groups with deterministic min-id labels ----
+    "q52_components" -> ((sp, dir) =>
+      ops.Components.connected(
+        ops.Similarity.cosinePairs(
+          Tables.t(sp, dir, "embeddings").where(col("vec_id") < 500), 0.45),
+        "ia", "ib")),
+
+    // ---- the dedup pipeline end-to-end: minhash near-dup pairs →
+    //      components → keep the min doc per duplicate group ----
+    "q53_dedup_keep" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      docs.join(ops.Components.dropSet(pairs, "ia", "ib"),
+          col("doc_id") === col("drop_id"), "left_anti")
+        .select(col("doc_id"))
+    }),
+
     // ---- as-of join with a tolerance bound: clicks older than 10
     //      minutes are no match (carry-forward + one comparison) ----
     "q48_asof_tolerance" -> ((sp, dir) => {
@@ -958,6 +976,47 @@ object SparkEntry {
       """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
         |  'u|region/' || n_regionkey AS r
         |FROM nation""".stripMargin,
+
+    "q52_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 500 AND b.vec_id < 500
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION SELECT ib, ia FROM pairs),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+        |SELECT a AS id, CAST(min(b) AS BIGINT) AS comp FROM r GROUP BY a""".stripMargin,
+
+    "q53_dedup_keep" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter
+        |          JOIN sizes sa ON sa.doc_id = ia
+        |          JOIN sizes sb ON sb.doc_id = ib
+        |          WHERE 3 * i >= sa.n + sb.n),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION SELECT ib, ia FROM pairs),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM r GROUP BY a)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)""".stripMargin,
 
     "q48_asof_tolerance" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type

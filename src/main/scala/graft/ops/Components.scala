@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the stage that turns
+  * near-duplicate PAIRS (minhash/simhash/cosine, q21/q22/q41) into
+  * duplicate GROUPS with a canonical representative, completing the
+  * dedup pipeline: pairs → components → keep min-id per component.
+  *
+  * Implemented as iterative min-label propagation on DataFrames
+  * (≙ the alternating-star MapReduce CC shape): each round every node
+  * takes the min label among itself and its neighbors — one
+  * edge⋈label join + one groupBy per round, converging in
+  * graph-diameter rounds (near-dup clusters have tiny diameters).
+  * Labels persist per round with the same lineage discipline as
+  * [[Paths.closure]]; edges stay cached across rounds. No GraphX —
+  * the joins stay Catalyst-planned (broadcast/AQE/codegen apply).
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `edges`; component =
+    * min node id of the connected component (deterministic labels).
+    * Undirected: (a,b) implies (b,a). Throws if not converged within
+    * `maxIter` rounds (diameter bound).
+    */
+  def connected(edges: DataFrame, srcCol: String, dstCol: String,
+                maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .dropDuplicates("a", "b")
+      .persist()
+    var labels = e.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var i = 0
+    while (i < maxIter) {
+      // neighbor labels: comp(b) proposed to a, plus own label
+      val proposals = e.join(labels.select(col("id").as("b"), col("comp")), "b")
+        .select(col("a").as("id"), col("comp"))
+        .unionByName(labels)
+      val next = proposals.groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .where(col("n.comp") =!= col("l.comp"))
+        .limit(1).isEmpty
+      val done = changed // no differing row found
+      labels = next
+      if (done) { e.unpersist(); return labels }
+      i += 1
+    }
+    e.unpersist()
+    throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds")
+  }
+
+  /** Dedup keep-list: for each component of the near-dup pair graph,
+    * keep the smallest id; nodes with no edges are implicitly kept
+    * (they form no component row — callers anti-join the drop set).
+    */
+  def dropSet(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val comp = connected(pairs, srcCol, dstCol)
+    comp.where(col("id") =!= col("comp")).select(col("id").as("drop_id"))
+  }
+}

@@ -193,6 +193,22 @@ class OpsSpec extends GraftSpec {
       x.height == ((x.byte_len * 7) % 480).toInt))
   }
 
+  test("connected components: min-label groups, dropSet keeps the min") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("ia", "ib")
+    val comp = graft.ops.Components.connected(pairs, "ia", "ib")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    val drops = graft.ops.Components.dropSet(pairs, "ia", "ib")
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 3L, 9L, 6L))
+    // a longer chain exercises multiple propagation rounds
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val cc = graft.ops.Components.connected(chain, "ia", "ib")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cc == Set(0L))
+  }
+
   test("asof join tolerance: stale matches become NULL, fresh ones stay") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
