@@ -446,6 +446,50 @@ object SparkEntry {
       ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
         planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
 
+    // ---- streaming windowed aggregation end-to-end: events arrive on
+    //      a MemoryStream, watermark + 1h window, complete-mode sink —
+    //      result must equal the batch aggregation (q24's oracle) ----
+    "q54_stream_hourly" -> ((sp, dir) => {
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val rows = streaming.Events.withTsUs(Tables.events(sp, dir))
+        .select(col("event_type"), col("value"), col("tus"))
+        .as[(String, Double, Long)].collect().toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double, Long)]
+      stream.addData(rows)
+      val in = stream.toDF().toDF("event_type", "value", "tus")
+        .withColumn("ts", timestamp_micros(col("tus")))
+      val sink = "graft_q54_sink"
+      val sq = streaming.Events.hourlyCountsStream(in)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      sq.processAllAvailable()
+      sq.stop()
+      sp.table(sink)
+    }),
+
+    // ---- streaming sessionization end-to-end: mapGroupsWithState over
+    //      a MemoryStream, update-mode sink — equals batch sessionize ----
+    "q55_sessionize_stream" -> ((sp, dir) => {
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val rows = streaming.Events.withTsUs(Tables.events(sp, dir))
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("tus"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      stream.addData(rows)
+      val sink = "graft_q55_sink"
+      val sq = streaming.Events.sessionizeStream(stream.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      sq.processAllAvailable()
+      sq.stop()
+      sp.table(sink)
+    }),
+
     // ---- connected components over near-dup pairs: pairs → duplicate
     //      groups with deterministic min-id labels ----
     "q52_components" -> ((sp, dir) =>
@@ -976,6 +1020,22 @@ object SparkEntry {
       """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
         |  'u|region/' || n_regionkey AS r
         |FROM nation""".stripMargin,
+
+    "q54_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q55_sessionize_stream" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT user_id,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |               OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
 
     "q52_components" ->
       """WITH RECURSIVE pairs AS (
