@@ -34,6 +34,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_bgp_select")(spark, "/root/testdata/sf0.001")
 
+  /** Synthetic PNG blobs materialized ONCE per (session, sf-dir) to a
+    * temp parquet: q26/q42 time the DECODE/RESIZE stages they claim to,
+    * not the test rig's encode (the encode itself runs parallel across
+    * cores — see Multimodal.syntheticImages). */
+  private val blobCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def syntheticBlobPath(sp: SparkSession, dir: String): String =
+    blobCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_blobs").toString
+      ops.Multimodal.syntheticImages(Tables.t(sp, dir, "documents"), "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+  private def syntheticBlobs(sp: SparkSession, dir: String) = {
+    import sp.implicits._
+    sp.read.parquet(syntheticBlobPath(sp, dir)).as[ops.Multimodal.MediaBlob]
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- 1-2: triple-pattern scan + BGP conjunction (join fold) ----
     "q01_bgp_select" -> ((sp, dir) => {
@@ -257,12 +274,33 @@ object SparkEntry {
     // ---- multimodal: REAL image decode — synthetic PNGs (dimensions
     //      derived from doc_id) round-trip through javax.imageio; the
     //      oracle checks decoded dims against the generation rule.
-    //      byte_len is excluded (PNG encoded size isn't SQL-derivable). ----
+    //      byte_len is excluded (PNG encoded size isn't SQL-derivable).
+    //      Blobs come from the per-dir temp parquet (encode is test rig,
+    //      not the operator under measurement). ----
     "q26_multimodal_meta" -> ((sp, dir) =>
-      ops.Multimodal.decodeMeta(ops.Multimodal.syntheticImages(
-          Tables.t(sp, dir, "documents"), "doc_id"))
+      ops.Multimodal.decodeMeta(syntheticBlobs(sp, dir))
         .toDF().select(col("id"), col("width"),
           col("height"), col("n_frames"), col("media_type"))),
+
+    // ---- multimodal: REAL image resize — Graphics2D bilinear scale to
+    //      fit 8×8 (integer fit rule), PNG re-encode, then REAL decode
+    //      of the resized bytes; the oracle replays the integer rule
+    //      over the known synthetic dims ----
+    "q42_image_resize" -> ((sp, dir) =>
+      ops.Multimodal.decodeMeta(
+          ops.Multimodal.resizeImages(syntheticBlobs(sp, dir), maxDim = 8))
+        .toDF().select(col("id"), col("width"), col("height"))),
+
+    // ---- multimodal: REAL audio decode — synthetic PCM16 WAVs (sample
+    //      count derived from doc_id) through javax.sound.sampled; the
+    //      oracle derives rate/channels/samples/byte-length from the
+    //      generation rule (44-byte canonical RIFF header + 2 bytes per
+    //      sample) ----
+    "q56_audio_meta" -> ((sp, dir) =>
+      ops.Multimodal.decodeAudioMeta(ops.Multimodal.syntheticWavs(
+          Tables.t(sp, dir, "documents"), "doc_id"))
+        .toDF().select(col("id"), col("byte_len"), col("sample_rate"),
+          col("channels"), col("n_samples"))),
 
     // ---- multimodal: frame sampling (every 4th stub frame) ----
     "q27_frame_sample" -> ((sp, dir) =>
@@ -587,7 +625,9 @@ object SparkEntry {
 
     // ---- set ops on solution sets (beyond the reference, SURVEY §2.2) ----
     "q34_solution_setops" -> ((sp, dir) => {
-      val db = Tables.customerDb(sp, dir)
+      // .index(): the four sub-selects below share one persisted,
+      // deduped relation instead of re-deriving the unpivot per segment
+      val db = Tables.customerDb(sp, dir).index()
       def seg(s: String) = sel(db, Seq(
         pat(V("c"), kw("c_mktsegment"), strT(s)),
         pat(V("c"), kw("c_acctbal"), V("bal"))), "c", "bal")
@@ -877,6 +917,24 @@ object SparkEntry {
         |  CAST(1 + (doc_id * 3) % 16 AS INTEGER) AS height,
         |  CAST(1 AS INTEGER) AS n_frames,
         |  'image/png' AS media_type
+        |FROM documents""".stripMargin,
+
+    "q42_image_resize" ->
+      """SELECT doc_id AS id,
+        |  CAST(CASE WHEN greatest(w, h) <= 8 THEN w
+        |       ELSE greatest(1, w * 8 // greatest(w, h)) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN greatest(w, h) <= 8 THEN h
+        |       ELSE greatest(1, h * 8 // greatest(w, h)) END AS INTEGER) AS height
+        |FROM (SELECT doc_id, CAST(1 + doc_id % 16 AS INTEGER) AS w,
+        |        CAST(1 + (doc_id * 3) % 16 AS INTEGER) AS h
+        |      FROM documents)""".stripMargin,
+
+    "q56_audio_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(44 + 2 * (16 + doc_id % 64) AS BIGINT) AS byte_len,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 + doc_id % 64 AS BIGINT) AS n_samples
         |FROM documents""".stripMargin,
 
     "q27_frame_sample" ->

@@ -22,7 +22,14 @@ import org.apache.spark.sql.types._
   * partition pruning instead of a full scan.
   */
 final case class TripleDb(df: DataFrame,
-                          predIndex: Map[String, DataFrame] = Map.empty) {
+                          predIndex: Map[String, DataFrame] = Map.empty,
+                          /** Per-predicate source size in bytes (parquet
+                            * metadata — no job). Feeds BGP pattern
+                            * ordering: a pattern over a 5-row dimension
+                            * slice should scan before one over a 100 TB
+                            * fact slice when the boundness heuristic
+                            * ties. Advisory: empty map = no stats. */
+                          stats: Map[String, Long] = Map.empty) {
   /** ≙ `index-triples` (alpha.clj:60-69): dedup + cache for reuse.
     * Predicate slices are rebuilt as filtered views OVER the single
     * persisted relation — one cache, set semantics guaranteed
@@ -34,7 +41,7 @@ final case class TripleDb(df: DataFrame,
     val slices = predIndex.keys.map { name =>
       name -> deduped.where(col("p") === Term.lit(Term.TKeyword(name)))
     }.toMap
-    TripleDb(deduped, slices)
+    TripleDb(deduped, slices, stats)
   }
   def unpersist(): TripleDb = { df.unpersist(); this }
 
@@ -92,7 +99,12 @@ object TripleDb {
     val slices = preds.map { name =>
       name -> raw.where(col("pred") === name).drop("pred")
     }.toMap
-    TripleDb(raw.drop("pred"), slices)
+    // per-slice size after partition pruning — parquet metadata only
+    val stats = slices.map { case (name, slice) =>
+      name -> slice.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    }
+    TripleDb(raw.drop("pred"), slices, stats)
   }
 
   /** Quads → DB: the 4th element (graph) is silently dropped, exactly
@@ -119,7 +131,7 @@ object TripleDb {
     */
   def merge(dbs: TripleDb*): TripleDb =
     TripleDb(dbs.map(_.df).reduce(_.unionByName(_)).dropDuplicates("s", "p", "o"),
-      mergeIndexes(dbs, dedup = true))
+      mergeIndexes(dbs, dedup = true), mergeStats(dbs))
 
   /** Union without the dedup shuffle — for callers that `.index()` after,
     * or that know inputs are disjoint (e.g. unpivoted tables with
@@ -127,7 +139,14 @@ object TripleDb {
     * shuffle at 100 TB).
     */
   def union(dbs: TripleDb*): TripleDb =
-    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)), mergeIndexes(dbs, dedup = false))
+    TripleDb(dbs.map(_.df).reduce(_.unionByName(_)),
+      mergeIndexes(dbs, dedup = false), mergeStats(dbs))
+
+  /** Union stats survive a merge: slices with the same predicate sum. */
+  private def mergeStats(dbs: Seq[TripleDb]): Map[String, Long] =
+    if (dbs.exists(_.stats.isEmpty)) Map.empty
+    else dbs.flatMap(_.stats.toSeq).groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).sum }
 
   private def mergeIndexes(dbs: Seq[TripleDb], dedup: Boolean): Map[String, DataFrame] = {
     if (dbs.exists(_.predIndex.isEmpty)) return Map.empty // partial index is unsound
@@ -185,6 +204,18 @@ object TripleDb {
       c -> df.select(subj.as("s"), pairs(i).getField("p").as("p"),
         pairs(i).getField("o").as("o"))
     }.toMap
-    TripleDb(exploded, perPred)
+    // Source-size stat from parquet metadata — no Spark job. Every slice
+    // of one table shares the table's size; ordering leverage comes from
+    // the (huge) size differences BETWEEN tables in a unioned graph db.
+    // Streaming inputs have no batch plan to ask (and no fixed size):
+    // skip stats there.
+    val stats: Map[String, Long] =
+      if (df.isStreaming) Map.empty
+      else {
+        val tableBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong
+        useCols.map(_ -> tableBytes).toMap
+      }
+    TripleDb(exploded, perPred, stats)
   }
 }

@@ -66,7 +66,7 @@ object BgpCompiler {
     }
 
     val (withVars, groundOnly) = patterns.partition(_.vars.nonEmpty)
-    for (pat <- orderPatterns(withVars)) {
+    for (pat <- orderPatterns(withVars, db.stats)) {
       val scanned = scan(sourceFor(db, pat), pat)
       acc = acc match {
         case None => Some(scanned)
@@ -100,9 +100,11 @@ object BgpCompiler {
         acc = acc.map(valuesFilter(_, v))
       } else {
         val gen = collDf(spark, v)
+        val hinted =
+          if (v.coll.size <= valuesBroadcastLimit(spark)) broadcast(gen) else gen
         acc = acc match {
           case None    => Some(gen)
-          case Some(a) => Some(a.crossJoin(broadcast(gen)))
+          case Some(a) => Some(a.crossJoin(hinted))
         }
         bound += v.v.name
       }
@@ -191,8 +193,19 @@ object BgpCompiler {
     cur
   }
 
+  /** Colls at or below this many elements get an explicit `broadcast()`
+    * hint on the values join; beyond it, the join is left unhinted so
+    * the planner shuffles (a multi-million-element coll broadcast to
+    * every executor is an OOM, not an optimization). Overridable via
+    * `spark.conf.set("graft.values.broadcastLimit", n)`.
+    */
+  private def valuesBroadcastLimit(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.values.broadcastLimit").map(_.toInt)
+      .getOrElse(1 << 20)
+
   /** Values on an already-bound var: small coll → OR-chain filter (codegen
-    * friendly, no shuffle); large coll → broadcast left-semi join.
+    * friendly, no shuffle); large coll → broadcast left-semi join; huge
+    * coll (past [[valuesBroadcastLimit]]) → shuffle semi-join.
     * NOTE: semi-join dedups, which is correct here — the var is already
     * bound, membero on a ground term succeeds at most once per element,
     * but duplicate coll elements cannot multiply an already-ground
@@ -204,20 +217,25 @@ object BgpCompiler {
   private def valuesFilter(df: DataFrame, v: Values): DataFrame = {
     val terms = v.coll.toSeq
     val hasDups = terms.size != terms.distinct.size
+    def hinted(c: DataFrame): DataFrame =
+      if (terms.size <= valuesBroadcastLimit(df.sparkSession)) broadcast(c) else c
     if (terms.isEmpty) df.where(functions.lit(false))
     else if (hasDups)
-      df.join(broadcast(collDf(df.sparkSession, v)), Seq(v.v.name), "inner")
+      df.join(hinted(collDf(df.sparkSession, v)), Seq(v.v.name), "inner")
     else if (terms.size <= 64)
       df.where(terms.map(t => col(v.v.name) === Term.lit(t)).reduce(_ || _))
     else
-      df.join(broadcast(collDf(df.sparkSession, v).dropDuplicates()),
+      df.join(hinted(collDf(df.sparkSession, v).dropDuplicates()),
         Seq(v.v.name), "left_semi")
   }
 
-  /** The values collection as a 1-column DataFrame (bag — keeps dups). */
+  /** The values collection as a 1-column DataFrame (bag — keeps dups).
+    * Partition count scales with coll size so a huge coll doesn't ride
+    * one task into the shuffle join. */
   private def collDf(spark: org.apache.spark.sql.SparkSession, v: Values): DataFrame = {
     val rows = v.coll.toSeq.map(t => Row(Term.toRow(t)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(v.v.name, Term.schema, nullable = false))))
   }
@@ -225,14 +243,21 @@ object BgpCompiler {
   /** Greedy selectivity ordering: start from the most-ground pattern, then
     * repeatedly take the pattern that shares the most already-bound vars
     * (connected join > cross join), tie-broken by ground-term count, then
-    * by original position (stable). The reference runs patterns in user
-    * order (alpha.clj:193-203) and tells users to put selective patterns
-    * first; we do it for them.
+    * by SOURCE SIZE (per-predicate parquet-metadata stats from
+    * [[TripleDb.stats]] — a 5-row dimension slice scans before a 100 TB
+    * fact slice when boundness ties), then by original position (stable).
+    * The reference runs patterns in user order (alpha.clj:193-203) and
+    * tells users to put selective patterns first; we do it for them.
     */
-  private def orderPatterns(pats: Seq[TriplePattern]): Seq[TriplePattern] = {
+  private[graft] def orderPatterns(pats: Seq[TriplePattern],
+                                   stats: Map[String, Long] = Map.empty): Seq[TriplePattern] = {
     if (pats.size <= 1) return pats
     def groundCount(p: TriplePattern): Int =
       Seq(p.s, p.p, p.o).count(_.isInstanceOf[T])
+    def sourceBytes(p: TriplePattern): Long = p.p match {
+      case T(Term.TKeyword(name)) => stats.getOrElse(name, Long.MaxValue)
+      case _ => Long.MaxValue // no ground predicate → whole-store scan
+    }
     val remaining = mutable.ArrayBuffer(pats.zipWithIndex: _*)
     val out = mutable.ArrayBuffer.empty[TriplePattern]
     val bound = mutable.Set.empty[String]
@@ -240,7 +265,7 @@ object BgpCompiler {
       val bestEntry = remaining.maxBy { case (p, idx) =>
         val shared = p.vars.count(v => bound.contains(v.name))
         val connected = if (bound.isEmpty || shared > 0) 1 else 0
-        (connected, shared * 4 + groundCount(p) * 2, -idx)
+        (connected, shared * 4 + groundCount(p) * 2, -sourceBytes(p), -idx)
       }
       remaining -= bestEntry
       out += bestEntry._1

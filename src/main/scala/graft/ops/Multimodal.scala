@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, decoded per-partition in batches.
   *
-  * Image decode is REAL: image/... media types payloads go through `javax.imageio`
-  * (in the JDK — PNG/JPEG/GIF/BMP), yielding actual pixel dimensions.
-  * Video/audio decode remains a clearly marked deterministic STUB
-  * (`fakeDecode`): the container has no AV codecs. Swapping
-  * `fakeDecode` for a real decoder (JavaCV, ffmpeg-cli per partition)
-  * keeps every other line unchanged.
+  * Image decode AND resize are REAL: image media types go through
+  * `javax.imageio` (in the JDK — PNG/JPEG/GIF/BMP), yielding actual
+  * pixel dimensions; [[resizeImages]] scales with `Graphics2D` and
+  * re-encodes. Audio decode is REAL: `javax.sound.sampled` (also in the
+  * JDK) parses WAV/AIFF/AU containers — header parsing only, no audio
+  * device needed, headless-safe. Only VIDEO decode remains a clearly
+  * marked deterministic STUB (`fakeDecode`): the container has no video
+  * codecs. Swapping `fakeDecode` for a real decoder (JavaCV, ffmpeg-cli
+  * per partition) keeps every other line unchanged.
   *
   * Scale notes: decode runs as a narrow map (no shuffle) and inherits
   * scan partitioning; binary payloads never pass through a wide
@@ -23,11 +26,13 @@ object Multimodal {
   case class MediaBlob(id: Long, payload: Array[Byte], mediaType: String)
   case class MediaMeta(id: Long, byte_len: Long, width: Int, height: Int,
                        n_frames: Int, media_type: String)
+  case class AudioMeta(id: Long, byte_len: Long, sample_rate: Int,
+                       channels: Int, n_samples: Long)
   case class Frame(id: Long, frame_idx: Int, feature: Array[Float])
 
-  /** STUB decoder for non-image media — deterministic fake dimensions
-    * derived from the payload. Replace with a real AV codec; the
-    * signature (bytes in, metadata out) is the real contract.
+  /** STUB decoder for video/unknown media — deterministic fake
+    * dimensions derived from the payload. Replace with a real video
+    * codec; the signature (bytes in, metadata out) is the real contract.
     */
   def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val len = payload.length
@@ -45,8 +50,24 @@ object Multimodal {
     (img.getWidth, img.getHeight)
   }
 
+  /** Real audio decode via javax.sound.sampled (in the JDK — WAV/AIFF/AU
+    * readers): (sampleRate, channels, frames). Container parsing only;
+    * works headless. Throws on undecodable bytes, same contract as
+    * [[imageDecode]].
+    */
+  def audioDecode(payload: Array[Byte]): (Int, Int, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val f = in.getFormat
+      (f.getSampleRate.toInt, f.getChannels, in.getFrameLength)
+    } finally in.close()
+  }
+
   /** Binary blobs + typed metadata via per-partition batch decode:
-    * real pixel dimensions for image/... media types, stub for other media. */
+    * real pixel dimensions for image media, stub for video/unknown
+    * (audio goes through [[decodeAudioMeta]] — its metadata shape is
+    * sample-oriented, not pixel-oriented). */
   def decodeMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
@@ -62,15 +83,31 @@ object Multimodal {
     }
   }
 
+  /** Audio blobs → sample-oriented metadata, REAL decode (javax.sound).
+    * Narrow map, partition-preserving, same shape as [[decodeMeta]]. */
+  def decodeAudioMeta(blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val (rate, ch, frames) = audioDecode(b.payload)
+        AudioMeta(b.id, b.payload.length.toLong, rate, ch, frames)
+      }
+    }
+  }
+
   /** Deterministic synthetic PNGs (one per input row): width
     * 1 + id % 16, height 1 + (id·3) % 16, gradient pixels. Real bytes
     * through a real encoder — the decode side of the pipeline gets
     * exercised for real, and an external oracle can verify dimensions
-    * from the generation rule alone.
+    * from the generation rule alone. The ids are repartitioned across
+    * the session's cores first: PNG encoding is CPU-bound and the
+    * source is typically one small parquet split.
     */
   def syntheticImages(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(par).mapPartitions { it =>
       it.map { id =>
         val w = 1 + (id % 16).toInt
         val h = 1 + ((id * 3) % 16).toInt
@@ -92,6 +129,48 @@ object Multimodal {
     }
   }
 
+  /** Canonical 44-byte-header RIFF/WAV container around raw PCM bytes. */
+  private def wavBytes(pcm: Array[Byte], rate: Int, channels: Int,
+                       bits: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    bb.array()
+  }
+
+  /** Deterministic synthetic WAVs (one per input row): PCM16 mono 8 kHz,
+    * 16 + id % 64 samples, sample i = ((id·31 + i·7) mod 251) − 125.
+    * Real RIFF bytes through the canonical 44-byte header, so
+    * [[audioDecode]]'s javax.sound path parses a genuine container and
+    * an external oracle can verify byte length and sample count from
+    * the generation rule alone.
+    */
+  def syntheticWavs(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 16 + (id % 64).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((id * 31 + i * 7) % 251) - 125).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        MediaBlob(id, wavBytes(pcm, 8000, 1, 16), "audio/wav")
+      }
+    }
+  }
+
   /** Frame sampling: one row per sampled frame with a (stubbed) feature
     * vector — the shape a video/image feature-extraction stage emits. */
   def sampleFrames(blobs: Dataset[MediaBlob], everyN: Int): Dataset[Frame] = {
@@ -106,13 +185,59 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stage: re-encode each blob to a bounded payload
-    * (deterministic STUB — truncation stands in for a real scaler; the
-    * partition-preserving byte-transform plumbing is the contract). */
+  /** Deterministic integer fit rule: scale (w, h) to fit maxDim × maxDim
+    * preserving aspect ratio, floor division, min 1 px. Pure integer
+    * arithmetic so an external SQL oracle derives output dimensions
+    * exactly (no float rounding ambiguity).
+    */
+  def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+  }
+
+  /** REAL image resize: decode (javax.imageio), scale to [[fitDims]]
+    * with Graphics2D bilinear interpolation, re-encode PNG. Already-fit
+    * images pass through untouched (no pointless re-encode). Non-image
+    * payloads pass through unchanged — byte-bounding for those is
+    * [[resize]]. Narrow map, partition-preserving.
+    */
+  def resizeImages(blobs: Dataset[MediaBlob], maxDim: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      if (!b.mediaType.startsWith("image/")) b
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.payload))
+        require(img != null, s"undecodable image payload (${b.payload.length} bytes)")
+        val (w, h) = fitDims(img.getWidth, img.getHeight, maxDim)
+        if (w == img.getWidth && h == img.getHeight) b
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaBlob(b.id, bos.toByteArray, b.mediaType)
+        }
+      }
+    })
+  }
+
+  /** Byte-bounding stage for NON-image payloads: clamp each blob to
+    * maxBytes by truncation (partition-preserving byte transform).
+    * Image payloads pass through untouched — truncating an encoded
+    * image corrupts the container; size-bounding images is
+    * [[resizeImages]]'s job. */
   def resize(blobs: Dataset[MediaBlob], maxBytes: Int): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map(b =>
-      if (b.payload.length <= maxBytes) b
+      if (b.mediaType.startsWith("image/") || b.payload.length <= maxBytes) b
       else MediaBlob(b.id, java.util.Arrays.copyOf(b.payload, maxBytes), b.mediaType)))
   }
 

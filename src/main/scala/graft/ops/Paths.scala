@@ -65,22 +65,30 @@ object Paths {
   }
 
   /** All distinct (src, dst) pairs connected by 1..maxHops edges.
-    * Per-hop frontiers dedup individually (bounds frontier growth);
-    * the accumulated union dedups ONCE at the end — deduping the full
-    * set every hop would rescan O(hops × |all|) for nothing, since the
-    * loop never reads `all`.
+    * Same shape as [[closure]] — per-hop `left_anti` pruning of the new
+    * frontier against the accumulated pair set, behind a localCheckpoint
+    * barrier. Pruning is sound for PAIR reachability (a pair already seen
+    * at a shorter hop has already contributed its extensions), and it is
+    * what keeps the frontier from re-deriving the same pairs every hop on
+    * cyclic / high-fan-in graphs — without it the re-derivation compounds
+    * per hop and the final dedup scans O(hops × pairs).
     */
   def reachable(db: TripleDb, preds: Seq[Term], maxHops: Int): DataFrame = {
-    val e = edges(db, preds)
-    var frontier = e.dropDuplicates("src", "dst")
-    var all = frontier
+    def barrier(df: DataFrame): DataFrame =
+      df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
+    val e = barrier(edges(db, preds).dropDuplicates("src", "dst"))
+    var all = e
+    var frontier = e
     for (_ <- 2 to maxHops) {
-      frontier = frontier.as("f")
+      val next = barrier(frontier.as("f")
         .join(e.as("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .dropDuplicates("src", "dst")
-      all = all.unionByName(frontier)
+        .join(all, Seq("src", "dst"), "left_anti"))
+      if (next.isEmpty) return all
+      all = all.unionByName(next)
+      frontier = next
     }
-    all.dropDuplicates("src", "dst")
+    all
   }
 }

@@ -273,6 +273,47 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("multimodal: real resize follows the integer fit rule, output re-decodable") {
+    val imgs = Multimodal.syntheticImages(docs.limit(40), "doc_id")
+    val meta = Multimodal.decodeMeta(Multimodal.resizeImages(imgs, 8)).collect()
+    assert(meta.length == 40)
+    // decoded-from-resized-PNG dims == the integer fit rule over the
+    // known synthetic dims — the scale + re-encode is real, not a clamp
+    assert(meta.forall { m =>
+      val w0 = 1 + (m.id % 16).toInt
+      val h0 = 1 + ((m.id * 3) % 16).toInt
+      (m.width, m.height) == Multimodal.fitDims(w0, h0, 8)
+    })
+    // some images genuinely shrank (ids with dims > 8 exist in 0..39)
+    assert(meta.exists(m => m.width < 1 + (m.id % 16).toInt ||
+      m.height < 1 + ((m.id * 3) % 16).toInt))
+    // aspect ratio is preserved under floor division: w/h ordering keeps
+    assert(Multimodal.fitDims(16, 4, 8) == ((8, 2)) &&
+      Multimodal.fitDims(3, 12, 8) == ((2, 8)) &&
+      Multimodal.fitDims(5, 7, 8) == ((5, 7)))
+    // byte-bounding resize() never touches image payloads
+    val clamped = Multimodal.resize(imgs, 10).collect()
+    assert(clamped.forall(b => b.payload.length > 10),
+      "image payloads must not be truncated")
+  }
+
+  test("multimodal: real WAV decode round-trips the generation rule") {
+    val wavs = Multimodal.syntheticWavs(docs.limit(40), "doc_id")
+    val meta = Multimodal.decodeAudioMeta(wavs).collect()
+    assert(meta.length == 40)
+    assert(meta.forall(m => m.sample_rate == 8000 && m.channels == 1 &&
+      m.n_samples == 16 + (m.id % 64) &&
+      m.byte_len == 44 + 2 * m.n_samples))
+    // the payload is a genuine RIFF/WAVE container
+    val b = wavs.collect().head
+    assert(new String(b.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(b.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    // corrupt bytes fail loudly, same contract as imageDecode
+    intercept[Exception] {
+      Multimodal.audioDecode(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("streaming hourly counts == batch hourly counts (MemoryStream)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -40,6 +40,48 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("stats-aware ordering: smaller predicate slice wins boundness ties") {
+    import graft.engine.BgpCompiler
+    // two patterns, both 1-ground-predicate, no shared vars at pick time:
+    // the boundness heuristic ties and falls back to written order — the
+    // wrong call when the first pattern scans the big fact slice
+    val bigFirst = Seq(
+      pat(V("c"), T(k("c_name")), V("n")),   // customer slice (big)
+      pat(V("x"), T(k("n_name")), V("m")))   // nation slice (small)
+    assert(BgpCompiler.orderPatterns(bigFirst) == bigFirst,
+      "without stats the heuristic keeps written order on ties")
+    val stats = Map("c_name" -> 1000000L, "n_name" -> 10L)
+    assert(BgpCompiler.orderPatterns(bigFirst, stats) == bigFirst.reverse,
+      "with stats the small slice scans first")
+    // the star graph db carries real parquet-metadata stats, and they
+    // order q01's nation pattern ahead of the customer patterns
+    val g = Tables.graph(spark, dir)
+    assert(g.stats.nonEmpty && g.stats("n_name") < g.stats("c_name"))
+    val q01 = Seq(
+      pat(V("c"), T(k("c_nationkey")), V("n")),
+      pat(V("n"), T(k("n_name")), V("nn")),
+      pat(V("c"), T(k("c_name")), V("cn")))
+    assert(BgpCompiler.orderPatterns(q01, g.stats).head == q01(1),
+      "n_name (25-row nation) should seed the join fold")
+  }
+
+  test("values coll past the broadcast limit joins without a broadcast hint") {
+    val db = Tables.regionDb(spark, dir)
+    val coll = (0 until 70).map(i => graft.core.Term.TString("v" + i))
+    def analyzed(): String = {
+      val df = Projections.selectDf(db, Seq(
+        pat(V("r"), T(k("r_name")), V("n")),
+        Values(V("n"), coll)), Seq(V("n")))
+      df.queryExecution.analyzed.toString
+    }
+    // default limit (1M): explicit broadcast hint on the coll side
+    assert(analyzed().contains("ResolvedHint"))
+    spark.conf.set("graft.values.broadcastLimit", "10")
+    try assert(!analyzed().contains("ResolvedHint"),
+      "past the limit the values join must not pin a broadcast")
+    finally spark.conf.unset("graft.values.broadcastLimit")
+  }
+
   test("buildDf aggregates with exactly one shuffle (map-side combine)") {
     val db = Tables.customerDb(spark, dir)
     val p = plan(Projections.buildDf(db, V("c"),
