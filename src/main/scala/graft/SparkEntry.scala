@@ -48,7 +48,10 @@ object SparkEntry {
     })
   private def syntheticBlobs(sp: SparkSession, dir: String) = {
     import sp.implicits._
+    // repartition: the blob parquet is small enough that the scan packs
+    // into few partitions; decode is CPU-bound, spread it across cores
     sp.read.parquet(syntheticBlobPath(sp, dir)).as[ops.Multimodal.MediaBlob]
+      .repartition(sp.sparkContext.defaultParallelism)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -625,16 +628,16 @@ object SparkEntry {
 
     // ---- set ops on solution sets (beyond the reference, SURVEY §2.2) ----
     "q34_solution_setops" -> ((sp, dir) => {
-      // .index(): the four sub-selects below share one persisted,
-      // deduped relation instead of re-deriving the unpivot per segment
-      val db = Tables.customerDb(sp, dir).index()
-      def seg(s: String) = sel(db, Seq(
-        pat(V("c"), kw("c_mktsegment"), strT(s)),
-        pat(V("c"), kw("c_acctbal"), V("bal"))), "c", "bal")
-      val positive = sel(db, Seq(pat(V("c"), kw("c_mktsegment"), V("seg"))), "c")
-      seg("BUILDING").select("c").union(seg("MACHINERY").select("c"))
-        .except(seg("AUTOMOBILE").select("c"))
-        .intersect(positive)
+      val db = Tables.customerDb(sp, dir)
+      // one solution frame (single predicate-slice scan), persisted;
+      // the four segments are in-memory filters over it — the set ops
+      // are the operators under test, not four separate BGP compiles
+      val segs = sel(db, Seq(pat(V("c"), kw("c_mktsegment"), V("seg"))),
+        "c", "seg").persist()
+      def seg(s: String) = segs.where(col("seg") === ("s|" + s)).select("c")
+      seg("BUILDING").union(seg("MACHINERY"))
+        .except(seg("AUTOMOBILE"))
+        .intersect(segs.select("c"))
     }),
   )
 

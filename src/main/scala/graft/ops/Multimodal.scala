@@ -71,6 +71,9 @@ object Multimodal {
   def decodeMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
+      // ImageIO's default scratch cache is a temp FILE per image —
+      // per-blob disk churn that dominates decode; keep it in memory
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { b =>
         if (b.mediaType.startsWith("image/")) {
           val (w, h) = imageDecode(b.payload)
@@ -108,6 +111,7 @@ object Multimodal {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.select(col(idCol).cast("long")).as[Long]
       .repartition(par).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp file per encode
       it.map { id =>
         val w = 1 + (id % 16).toInt
         val h = 1 + ((id * 3) % 16).toInt
@@ -204,29 +208,32 @@ object Multimodal {
     */
   def resizeImages(blobs: Dataset[MediaBlob], maxDim: Int): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map { b =>
-      if (!b.mediaType.startsWith("image/")) b
-      else {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(b.payload))
-        require(img != null, s"undecodable image payload (${b.payload.length} bytes)")
-        val (w, h) = fitDims(img.getWidth, img.getHeight, maxDim)
-        if (w == img.getWidth && h == img.getHeight) b
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp file per codec call
+      it.map { b =>
+        if (!b.mediaType.startsWith("image/")) b
         else {
-          val out = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = out.createGraphics()
-          g.setRenderingHint(
-            java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, w, h, null)
-          g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          MediaBlob(b.id, bos.toByteArray, b.mediaType)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.payload))
+          require(img != null, s"undecodable image payload (${b.payload.length} bytes)")
+          val (w, h) = fitDims(img.getWidth, img.getHeight, maxDim)
+          if (w == img.getWidth && h == img.getHeight) b
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            MediaBlob(b.id, bos.toByteArray, b.mediaType)
+          }
         }
       }
-    })
+    }
   }
 
   /** Byte-bounding stage for NON-image payloads: clamp each blob to
