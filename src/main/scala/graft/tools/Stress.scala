@@ -62,6 +62,80 @@ object Stress {
       println(s"[stress]   -> $n verified near-dup pairs")
     }
 
+    // 2b. graph fixpoint at 10×: ten disjoint copies of the star-schema
+    // FK graph (offsets keep each copy's FKs internally consistent) —
+    // same diameter, 10× the edges and pairs. Checks that the
+    // closure/reachable shapes (left_anti frontier pruning, checkpoint
+    // barriers) scale linearly in |pairs|, not in hops × |pairs|.
+    def repKeys(df: org.apache.spark.sql.DataFrame,
+                offs: Map[String, Long]): org.apache.spark.sql.DataFrame =
+      (0 until 10).map { r =>
+        offs.foldLeft(df) { case (d, (c, o)) =>
+          d.withColumn(c, col(c) + functions.lit(r * o))
+        }
+      }.reduce(_.unionByName(_))
+    val g10 = TripleDb.union(
+      TripleDb.fromWideTable(repKeys(spark.read.parquet(s"$sfDir/orders.parquet"),
+        Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L)),
+        "orders", "o_orderkey", fks = Map("o_custkey" -> "customer")),
+      TripleDb.fromWideTable(repKeys(spark.read.parquet(s"$sfDir/customer.parquet"),
+        Map("c_custkey" -> 1000000L, "c_nationkey" -> 1000L)),
+        "customer", "c_custkey", fks = Map("c_nationkey" -> "nation")),
+      TripleDb.fromWideTable(repKeys(spark.read.parquet(s"$sfDir/supplier.parquet"),
+        Map("s_suppkey" -> 1000000L, "s_nationkey" -> 1000L)),
+        "supplier", "s_suppkey", fks = Map("s_nationkey" -> "nation")),
+      TripleDb.fromWideTable(repKeys(spark.read.parquet(s"$sfDir/nation.parquet"),
+        Map("n_nationkey" -> 1000L, "n_regionkey" -> 1000L)),
+        "nation", "n_nationkey", fks = Map("n_regionkey" -> "region")),
+      TripleDb.fromWideTable(repKeys(spark.read.parquet(s"$sfDir/region.parquet"),
+        Map("r_regionkey" -> 1000L)), "region", "r_regionkey"))
+    val fkPreds = Seq(TKeyword("o_custkey"), TKeyword("c_nationkey"),
+      TKeyword("s_nationkey"), TKeyword("n_regionkey"))
+    time("transitive closure to fixpoint at 10x edges") {
+      val n = graft.ops.Paths.closure(g10, fkPreds).count()
+      println(s"[stress]   -> $n closure pairs")
+    }
+    time("3-hop reachability at 10x edges") {
+      val n = graft.ops.Paths.reachable(g10, fkPreds, 3).count()
+      println(s"[stress]   -> $n reachable pairs")
+    }
+
+    // 2c. ANN + embedding near-dup at 10× vectors: replicas are exact
+    // duplicates, so LSH buckets get 10× dense — candidate generation
+    // grows quadratically per bucket, which is precisely the behavior
+    // to watch (banding must keep it bounded).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb10 = (0 until 10).map { r =>
+      emb.select((col("vec_id") + functions.lit(r * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_.unionByName(_))
+    println(s"[stress] 10x embedding corpus: ${emb10.count()} vectors")
+    time("LSH ANN top-5 at 10x corpus") {
+      val n = graft.ops.Similarity.lshKnn(emb10,
+        emb10.where(col("vec_id") < 10), 5,
+        planes = graft.ops.Similarity.md5SignPlanes(8, 4, 64)).count()
+      println(s"[stress]   -> $n result rows")
+    }
+    time("embedding near-dup (LSH + exact verify) at 10x") {
+      val n = graft.ops.Similarity.cosinePairsLsh(emb10, 0.45,
+        planes = graft.ops.Similarity.md5SignPlanes(8, 4, 64)).count()
+      println(s"[stress]   -> $n verified pairs")
+    }
+
+    // 2d. multimodal decode at 10×: 10 id-shifted copies of documents →
+    // real PNG encode once (test rig), then timed real decode of the
+    // full 10× blob set (narrow map, CPU-bound).
+    val docs10 = (0 until 10).map { r =>
+      docs.select((col("doc_id") + functions.lit(r * 10000000L)).as("doc_id"))
+    }.reduce(_.unionByName(_))
+    val blobs10 = graft.ops.Multimodal.syntheticImages(docs10, "doc_id").persist()
+    println(s"[stress] 10x blob corpus: ${blobs10.count()} PNGs")
+    time("real image decode at 10x blobs") {
+      val n = graft.ops.Multimodal.decodeMeta(blobs10).count()
+      println(s"[stress]   -> $n decoded")
+    }
+    blobs10.unpersist()
+
     // 3. hot-predicate skew: 90% of a synthetic orders table points at
     // one customer (the rdf:type-skew analogue, SURVEY §4.2). With the
     // skew thresholds at cluster-realistic ratios, AQE must split the
