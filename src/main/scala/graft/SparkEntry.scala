@@ -575,6 +575,31 @@ object SparkEntry {
     "q51_keywords" -> ((sp, dir) =>
       ops.Text.keywords(Tables.t(sp, dir, "documents"), "doc_id", "text", 3)),
 
+    // ---- PII redaction: inject a deterministic email+phone per doc
+    //      (the synthetic corpus carries none), then mask and count;
+    //      identical string-building + regex on the oracle side ----
+    "q57_pii_redact" -> ((sp, dir) => {
+      val injected = Tables.t(sp, dir, "documents").select(col("doc_id"),
+        concat(col("text"), functions.lit(" reach user"),
+          col("doc_id").cast("string"), functions.lit("@mail.example or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          functions.lit("-0199")).as("text"))
+      ops.Text.redactPii(injected, "doc_id", "text")
+    }),
+
+    // ---- benchmark decontamination: docs sharing any 3-gram with the
+    //      "benchmark" (docs 0-4); broadcast semi-join, no corpus
+    //      shuffle ----
+    "q58_decontaminate" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      ops.Text.contaminated(docs.where(col("doc_id") >= 5), "doc_id", "text",
+        docs.where(col("doc_id") < 5), "text", 3)
+    }),
+
+    // ---- repetition profile (Gopher-style repetitiousness signal) ----
+    "q59_repetition" -> ((sp, dir) =>
+      ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
+
     // ---- durable predicate-partitioned store round-trip: save the
     //      triple db as parquet partitioned by predicate, reload (the
     //      predicate index rebuilds from partition directories, scans
@@ -1186,6 +1211,39 @@ object SparkEntry {
         |          ORDER BY tf.tf DESC, dfq.df ASC, tf.token) AS rk
         |      FROM tf JOIN dfq USING (token))
         |SELECT doc_id, token, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 3""".stripMargin,
+
+    "q57_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text || ' reach user' || doc_id || '@mail.example or 555-'
+        |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM inj""".stripMargin,
+
+    "q58_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |b AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id < 5),
+        |d AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id >= 5)
+        |SELECT DISTINCT d.doc_id FROM d JOIN b ON d.s = b.s""".stripMargin,
+
+    "q59_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(c) AS BIGINT) AS max_tok_freq
+        |FROM tf GROUP BY doc_id""".stripMargin,
 
     "q45_stream_ingest" ->
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,

@@ -148,6 +148,59 @@ object Text {
       .select(col(idCol), col("token"), col("rank"))
   }
 
+  // PII patterns: character-class-only regexes behave identically under
+  // Java regex (Spark) and RE2 (DuckDB), so redaction is oracle-exact.
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9.]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: mask email-like and phone-like substrings, count
+    * what was masked. Pure codegen'd column expressions — one pass in
+    * the scan projection, no shuffle, the shape a 100 TB scrubbing
+    * stage needs. Emails redact before phones so an address containing
+    * digits can't be double-masked.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("clean"),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"))
+  }
+
+  /** Benchmark decontamination: documents sharing ANY word n-gram with
+    * a benchmark corpus. The benchmark side is small by construction
+    * (eval sets are thousands of docs, not billions) → its distinct
+    * shingle set broadcasts; the corpus side stays unshuffled — one
+    * explode + broadcast semi-join + distinct on ids, never a corpus
+    * shuffle. The standard eval-overlap filter for training data.
+    */
+  def contaminated(docs: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   n: Int = 3): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val benchSh = bench.select(explode(shingles(col(benchTextCol), n)).as("sh"))
+      .distinct()
+    docSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Repetition profile (the Gopher-style repetitiousness signal):
+    * total tokens, distinct tokens, and the top token's frequency per
+    * document — all integers, oracle-exact. Two map-side-combined
+    * groupBys keyed by (doc, token) then doc; scales like any word
+    * count.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_tok_freq"))
+
   /** Per-document text statistics + quality flag, as a ready projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

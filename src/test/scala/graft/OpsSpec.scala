@@ -273,6 +273,37 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("pii redaction masks emails and phones with exact counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact me at bob.smith@example.com or 555-123-4567 thanks"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = Text.redactPii(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("contact me at <EMAIL> or <PHONE> thanks", 1L, 1L)))
+    assert(r(2L) == (("no pii here at all", 0L, 0L)))
+  }
+
+  test("decontamination flags only docs overlapping benchmark n-grams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "totally different words entirely here")).toDF("doc_id", "text")
+    val bench = Seq((1L, "xx alpha beta gamma yy")).toDF("doc_id", "text")
+    val got = Text.contaminated(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L))
+  }
+
+  test("repetition profile: exact integer token stats") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val r = Text.repetition(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((5L, 3L, 3L)))
+    assert(r(2L) == ((2L, 2L, 1L)))
+  }
+
   test("multimodal: real resize follows the integer fit rule, output re-decodable") {
     val imgs = Multimodal.syntheticImages(docs.limit(40), "doc_id")
     val meta = Multimodal.decodeMeta(Multimodal.resizeImages(imgs, 8)).collect()
