@@ -651,6 +651,48 @@ object SparkEntry {
         Term.encode(col("p")).as("p"), Term.encode(col("o")).as("o"))
     }),
 
+    // ---- JSONL export/import round-trip: schema-exact text
+    //      interchange sink + source; BGP runs against the reloaded
+    //      store, oracle never sees the intermediate files ----
+    "q60_jsonl_roundtrip" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q60").toString
+      TripleDb.saveJsonl(Tables.nationDb(sp, dir), tmp)
+      val loaded = TripleDb.loadJsonl(sp, tmp)
+      sel(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
+    // ---- stream-stream interval join end-to-end: purchases and clicks
+    //      arrive on separate MemoryStreams, watermarked interval join
+    //      (bounded state), append sink; oracle is the batch interval
+    //      join over the same events ----
+    "q61_stream_join" -> ((sp, dir) => {
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val ev = streaming.Events.withTsUs(Tables.events(sp, dir))
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("tus"), col("event_type"))
+      def feed(t: String) = {
+        val rows = ev.where(col("event_type") === t)
+          .select("user_id", "event_id", "tus")
+          .as[(Long, Long, Long)].collect().toSeq
+        val s = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        s.addData(rows)
+        s.toDF().toDF("user_id", "event_id", "tus")
+          .withColumn("ts", timestamp_micros(col("tus")))
+      }
+      val sink = "graft_q61_sink"
+      val sq = streaming.Events.purchaseClickJoin(feed("purchase"), feed("click"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      sq.processAllAvailable()
+      sq.stop()
+      sp.table(sink)
+    }),
+
     // ---- set ops on solution sets (beyond the reference, SURVEY §2.2) ----
     "q34_solution_setops" -> ((sp, dir) => {
       val db = Tables.customerDb(sp, dir)
@@ -1249,6 +1291,17 @@ object SparkEntry {
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,
         |  's|' || n_name AS o
         |FROM nation""".stripMargin,
+
+    "q60_jsonl_roundtrip" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
+
+    "q61_stream_join" ->
+      """SELECT p.event_id AS event_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 600000000 AND epoch_us(p.ts)""".stripMargin,
 
     "q34_solution_setops" ->
       """WITH seg AS (SELECT 'u|customer/' || c_custkey AS c, c_mktsegment AS s

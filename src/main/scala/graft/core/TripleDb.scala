@@ -89,6 +89,22 @@ object TripleDb {
       .bucketBy(buckets, "sk").sortBy("sk")
       .saveAsTable(table)
 
+  /** Save as JSON-lines — one `{"s":{…},"p":{…},"o":{…}}` object per
+    * line. Schema-exact interchange sink: JSON escaping handles any
+    * lexical content (tabs, newlines, quotes, unicode), unlike an
+    * ad-hoc delimited text format. Use [[save]] (predicate-partitioned
+    * parquet) for the durable store; this is the export/interop form.
+    */
+  def saveJsonl(db: TripleDb, path: String): Unit =
+    db.df.select("s", "p", "o").write.mode("overwrite").json(path)
+
+  /** Load a [[saveJsonl]] export. No predicate index (a text format
+    * carries no partition layout) — patterns filter the full relation;
+    * `.index()` after loading if the store will be queried repeatedly.
+    */
+  def loadJsonl(spark: SparkSession, path: String): TripleDb =
+    TripleDb(spark.read.schema(schema).json(path))
+
   /** Load a [[save]]d store, rebuilding the predicate index from the
     * partition directories (slices prune partitions at scan time). */
   def load(spark: SparkSession, path: String): TripleDb = {

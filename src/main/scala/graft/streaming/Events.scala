@@ -83,6 +83,34 @@ object Events {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start"),
         col("n_events"))
 
+  /** Stream-stream interval join: each purchase matched to same-user
+    * clicks within (purchase_ts − tolerance, purchase_ts]. Both sides
+    * watermarked, and the time bound sits in the join condition — that
+    * is what lets Structured Streaming evict click state older than
+    * watermark + interval instead of buffering the stream forever (the
+    * canonical bounded-state stream-stream join). The same program
+    * runs batch (watermarks are no-ops there).
+    *
+    * Inputs need columns (user_id, event_id, ts); output one row per
+    * qualifying (purchase, click) pair.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        toleranceMinutes: Int = 10,
+                        watermark: String = "2 hours"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+        s"""user_id = c_user AND
+           |c_ts BETWEEN p_ts - INTERVAL $toleranceMinutes MINUTES AND p_ts
+           |""".stripMargin.replace('\n', ' ')))
+      .select(col("p_id").as("event_id"), col("c_id").as("click_id"))
+  }
+
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 

@@ -203,4 +203,26 @@ class TermInteropSpec extends GraftSpec {
       .collect().map(_.getString(0)).toSet
     assert(enc.forall(s => s.startsWith("o|tuple|") || s.startsWith("o|other|")))
   }
+
+  test("JSONL sink/source round-trips every term kind, hostile lexicals included") {
+    // tabs, newlines, quotes, pipes, unicode — content an ad-hoc
+    // delimited text format would mangle; JSON escaping must not
+    val exotic = db(
+      (k("a"), k("p"), s("tab\there\nand \"quotes\" | pipes")),
+      (TNil, k("p"), s("nil subject")),
+      (k("b"), k("p"), l(9007199254740993L)),          // exact past 2^53
+      (k("c"), k("p"), TDouble(-0.0)),
+      (k("d"), k("p"), TLangString("héllo wörld", "de")),
+      (k("e"), k("p"), TTyped("42", "http://www.w3.org/2001/XMLSchema#int")),
+      (k("f"), k("p"), TDate("2024-02-29T00:00:00")),
+      (k("g"), k("p"), Term.opaque("pt", Array[Byte](0, 127, -128))),
+      (k("h"), k("p"), TBool(true)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    TripleDb.saveJsonl(exotic, tmp)
+    val loaded = TripleDb.loadJsonl(spark, tmp)
+    assert(loaded.triples.toSet == exotic.triples.toSet)
+    // the reloaded store answers BGPs (long precision survives the text hop)
+    assert(resultSet(loaded, Seq(?("s2")),
+      Seq(pat(?("s2"), T(k("p")), T(l(9007199254740993L))))) == Set(Seq(k("b"))))
+  }
 }
