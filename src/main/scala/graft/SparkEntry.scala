@@ -600,6 +600,25 @@ object SparkEntry {
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
 
+    // ---- distribution profiling: exact p50/p90/p99 of token counts
+    //      per train/val/test split (histogram + cumulative window —
+    //      never collects a group); the cross-split distribution check
+    //      a curation pipeline runs after splitting ----
+    "q62_token_quantiles" -> ((sp, dir) => {
+      val toks = ops.Sample.hashSplit(Tables.t(sp, dir, "documents"), "doc_id")
+        .select(col("split"), ops.Text.tokenCount(col("text")).as("n_tokens"))
+      ops.Text.discQuantiles(toks, "split", "n_tokens",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
+
+    // ---- deterministic stratified sample: 20 docs per split in
+    //      md5-hash order (stable across runs and partitionings) ----
+    "q63_stratified_sample" -> ((sp, dir) =>
+      ops.Sample.stratifiedSample(
+          ops.Sample.hashSplit(Tables.t(sp, dir, "documents"), "doc_id"),
+          "split", "doc_id", 20)
+        .select(col("doc_id"), col("split"))),
+
     // ---- durable predicate-partitioned store round-trip: save the
     //      triple db as parquet partitioned by predicate, reload (the
     //      predicate index rebuilds from partition directories, scans
@@ -1286,6 +1305,41 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct,
         |  CAST(max(c) AS BIGINT) AS max_tok_freq
         |FROM tf GROUP BY doc_id""".stripMargin,
+
+    "q62_token_quantiles" ->
+      """WITH s AS (
+        |  SELECT text,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT text,
+        |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |            % 100 AS b
+        |        FROM documents)),
+        |t AS (SELECT split,
+        |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |      FROM s),
+        |h AS (SELECT split, n_tokens, count(*) AS c FROM t GROUP BY 1, 2),
+        |cum AS (SELECT split, n_tokens, c,
+        |          sum(c) OVER (PARTITION BY split ORDER BY n_tokens) AS cum,
+        |          sum(c) OVER (PARTITION BY split) AS n
+        |        FROM h)
+        |SELECT split, p.pct, n_tokens AS value
+        |FROM cum, (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) p(pct, q)
+        |WHERE cum - c < ceil(p.q * n) AND ceil(p.q * n) <= cum""".stripMargin,
+
+    "q63_stratified_sample" ->
+      """SELECT doc_id, split FROM (
+        |  SELECT doc_id, split, row_number() OVER (
+        |    PARTITION BY split
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |               ELSE 'test' END AS split
+        |        FROM (SELECT doc_id,
+        |                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |                  % 100 AS b
+        |              FROM documents)))
+        |WHERE rn <= 20""".stripMargin,
 
     "q45_stream_ingest" ->
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,

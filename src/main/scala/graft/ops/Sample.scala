@@ -36,4 +36,25 @@ object Sample {
   def hashSplit(df: DataFrame, idCol: String,
                 pctTrain: Int = 80, pctVal: Int = 10): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), pctTrain, pctVal))
+
+  /** Deterministic stratified sample: the k rows per group that sort
+    * first by md5(id) — a content-hash shuffle, so the sample is stable
+    * across runs/partitionings AND uniformly random-like within each
+    * group (unlike "first k by id", which biases toward old rows).
+    *
+    * Scale shape: one shuffle by group + a streaming row_number per
+    * group partition. Exact per-group top-k serializes each group
+    * through one task — fine for curation-sized k and group counts;
+    * for billions-per-group pre-filter with [[hashBucket]] first
+    * (hash < k·buckets/|group| keeps ~k candidates, then exact top-k).
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

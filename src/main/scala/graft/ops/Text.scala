@@ -201,6 +201,31 @@ object Text {
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("max_tok_freq"))
 
+  /** Exact discrete per-group quantiles of an integer column WITHOUT
+    * collecting groups: build the per-group value histogram (one
+    * map-side-combined groupBy — the only pass over the data), then
+    * pick the value whose cumulative count covers rank ceil(q·n) with
+    * a window over the SMALL histogram. This is the scalable
+    * exact-percentile shape for integer-valued metrics: a 10B-row
+    * group reduces to at most |distinct values| histogram rows, so the
+    * window never sees big data. Rank arithmetic is IEEE
+    * double·long → ceil on both engines, so the oracle replays it
+    * bit-for-bit.
+    */
+  def discQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                    qs: Seq[(String, Double)]): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val hist = df.groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byGroup.orderBy(col(valCol))))
+      .withColumn("n", sum(col("c")).over(byGroup))
+    qs.map { case (label, q) =>
+      val rank = ceil(lit(q) * col("n"))
+      hist.where(col("cum") - col("c") < rank && rank <= col("cum"))
+        .select(col(groupCol), lit(label).as("pct"), col(valCol).as("value"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-document text statistics + quality flag, as a ready projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -295,6 +295,31 @@ class OpsSpec extends GraftSpec {
     assert(got == Set(10L))
   }
 
+  test("discQuantiles: histogram-exact per-group percentiles") {
+    import graft.ops.{Sample, Text => T2}
+    import spark.implicits._
+    val d = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val q = T2.discQuantiles(d, "g", "v", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // expectation computed with the SAME double·ceil formula the op
+    // (and the SQL oracle) uses — replication, not idealized math
+    def expect(q: Double) = math.ceil(q * 10).toLong
+    assert(q == Map("p50" -> expect(0.5), "p90" -> expect(0.9)))
+    // rank landing inside a duplicate run picks that value
+    val dup = (Seq.fill(7)(1L) ++ Seq(2L, 3L, 4L)).map(("h", _)).toDF("g", "v")
+    val q2 = T2.discQuantiles(dup, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(q2 == Map("p50" -> 1L))
+    // stratifiedSample: deterministic, k per group, partition-stable
+    val rows = (1L to 100L).map(i => (i, (i % 2).toString)).toDF("id", "g")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sample.stratifiedSample(df, "g", "id", 5)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val a = ids(rows)
+    assert(a == ids(rows.repartition(13)), "sample must not depend on partitioning")
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("repetition profile: exact integer token stats") {
     import spark.implicits._
     val d = Seq((1L, "a a a b c"), (2L, "x y")).toDF("doc_id", "text")
