@@ -270,6 +270,31 @@ object SparkEntry {
     "q24_events_hourly" -> ((sp, dir) =>
       streaming.Events.hourlyCounts(Tables.events(sp, dir))),
 
+    // ---- sliding-window counts (1h window, 15m slide: each event in
+    //      4 overlapping windows; oracle replays the epoch-aligned
+    //      window arithmetic with integer floor division) ----
+    "q64_sliding_window" -> ((sp, dir) =>
+      streaming.Events.slidingCounts(Tables.events(sp, dir))),
+
+    // ---- global top-N by a computed metric (TakeOrdered shape: local
+    //      top-N per partition, single merge — no global sort) ----
+    "q65_global_topn" -> ((sp, dir) =>
+      Tables.t(sp, dir, "documents")
+        .select(col("doc_id"), ops.Text.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+        .limit(100)),
+
+    // ---- quarantine decode: every 50th blob is corrupted (truncated
+    //      to 8 bytes); lenient decode emits dead-letter rows instead
+    //      of failing the pass ----
+    "q66_quarantine_decode" -> ((sp, dir) => {
+      import sp.implicits._
+      val blobs = syntheticBlobs(sp, dir).map(b =>
+        if (b.id % 50 == 0) b.copy(payload = b.payload.take(8)) else b)
+      ops.Multimodal.decodeMetaLenient(blobs)
+        .toDF().select(col("id"), col("ok"), col("width"), col("height"))
+    }),
+
     // ---- sessionization (30-min gap) ----
     "q25_sessionize" -> ((sp, dir) =>
       streaming.Events.sessionize(Tables.events(sp, dir))),
@@ -989,6 +1014,29 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q64_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT event_type,
+        |        (tus // 900000000) * 900000000 - k.k * 900000000 AS ws
+        |      FROM e, range(4) k(k))
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q65_global_topn" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |ORDER BY n_tokens DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q66_quarantine_decode" ->
+      """SELECT doc_id AS id, doc_id % 50 <> 0 AS ok,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN -1
+        |       ELSE 1 + doc_id % 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 50 = 0 THEN -1
+        |       ELSE 1 + (doc_id * 3) % 16 END AS INTEGER) AS height
+        |FROM documents""".stripMargin,
 
     "q25_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),

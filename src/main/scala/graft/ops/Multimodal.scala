@@ -28,6 +28,8 @@ object Multimodal {
                        n_frames: Int, media_type: String)
   case class AudioMeta(id: Long, byte_len: Long, sample_rate: Int,
                        channels: Int, n_samples: Long)
+  case class MediaMetaLenient(id: Long, ok: Boolean, width: Int, height: Int,
+                              err: String)
   case class Frame(id: Long, frame_idx: Int, feature: Array[Float])
 
   /** STUB decoder for video/unknown media — deterministic fake
@@ -81,6 +83,30 @@ object Multimodal {
         } else {
           val (w, h, f) = fakeDecode(b.payload)
           MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
+        }
+      }
+    }
+  }
+
+  /** Quarantine-style lenient decode: corrupt blobs become
+    * `(ok=false, -1, -1, errClass)` rows instead of failing the job —
+    * the dead-letter pattern for ingest at scale, where a handful of
+    * bad objects must not kill a 100 TB pass. Strict [[decodeMeta]]
+    * stays the default (silent data loss is worse than a loud failure
+    * when corruption is NOT expected); route through this when it is,
+    * then split on `ok` into the clean path and the quarantine sink.
+    */
+  def decodeMetaLenient(blobs: Dataset[MediaBlob]): Dataset[MediaMetaLenient] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { b =>
+        try {
+          val (w, h) = imageDecode(b.payload)
+          MediaMetaLenient(b.id, ok = true, w, h, null)
+        } catch {
+          case e: Exception =>
+            MediaMetaLenient(b.id, ok = false, -1, -1, e.getClass.getSimpleName)
         }
       }
     }

@@ -52,6 +52,21 @@ object Events {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_cents"))
 
+  /** Sliding-window counts: each event lands in size/slide overlapping
+    * windows (1h/15m → 4). Same epoch-aligned window arithmetic batch
+    * and streaming; the SQL oracle replays it with integer microsecond
+    * floor division.
+    */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    withTsUs(events)
+      .groupBy(window(timestamp_micros(col("tus")), size, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+
   /** Batch sessionization: sessions split on gaps > `gapMinutes`.
     * Per user: number of sessions and events. Timestamps compare in
     * integer microseconds (exact).

@@ -353,6 +353,25 @@ class OpsSpec extends GraftSpec {
       "image payloads must not be truncated")
   }
 
+  test("lenient decode quarantines corrupt blobs, decodes the rest") {
+    import spark.implicits._
+    val mixed = Multimodal.syntheticImages(docs.limit(20), "doc_id")
+      .map(b => if (b.id % 4 == 0) b.copy(payload = b.payload.take(5)) else b)
+    val m = Multimodal.decodeMetaLenient(mixed).collect()
+    assert(m.length == 20)
+    assert(m.filter(_.id % 4 == 0).forall(x =>
+      !x.ok && x.width == -1 && x.err != null))
+    assert(m.filter(_.id % 4 != 0).forall(x =>
+      x.ok && x.width == 1 + (x.id % 16).toInt))
+  }
+
+  test("sliding windows: every event lands in exactly size/slide windows") {
+    val ev = Tables.events(spark, dir)
+    val s = graft.streaming.Events.slidingCounts(ev)
+      .agg(sum(col("n_events"))).head.getLong(0)
+    assert(s == 4 * ev.count(), "1h window / 15m slide => 4 windows per event")
+  }
+
   test("multimodal: real WAV decode round-trips the generation rule") {
     val wavs = Multimodal.syntheticWavs(docs.limit(40), "doc_id")
     val meta = Multimodal.decodeAudioMeta(wavs).collect()
