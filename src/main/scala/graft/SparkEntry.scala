@@ -729,11 +729,18 @@ object SparkEntry {
           .withColumn("ts", timestamp_micros(col("tus")))
       }
       val sink = "graft_q61_sink"
-      val sq = streaming.Events.purchaseClickJoin(feed("purchase"), feed("click"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      sq.processAllAvailable()
-      sq.stop()
+      // a stream-stream join keeps one state store per shuffle
+      // partition PER SIDE — at harness scale the store setup dominates,
+      // so run the stream narrow and restore the session conf after
+      val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
+      sp.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val sq = streaming.Events.purchaseClickJoin(feed("purchase"), feed("click"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        sq.processAllAvailable()
+        sq.stop()
+      } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
       sp.table(sink)
     }),
 
