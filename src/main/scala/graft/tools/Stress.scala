@@ -136,6 +136,32 @@ object Stress {
     }
     blobs10.unpersist()
 
+    // 2e. dictionary-encoding A/B: BGP joins key on ~40-byte term
+    // structs; a dictionary-encoded store would join on 8-byte longs.
+    // Isolate the key-width effect: both sides pre-materialized, same
+    // join strategy (broadcast off), only the key representation
+    // differs. Decides whether an encoded store is the next scale move.
+    {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sA = db.predIndex("l_orderkey").select(col("s"), col("o").as("o1"))
+      val sB = db.predIndex("l_quantity").select(col("s"), col("o").as("o2"))
+      val structA = sA.persist(); val structB = sB.persist()
+      structA.count(); structB.count()
+      time("600k-row self-join on term STRUCT keys") {
+        println(s"[stress]   -> ${structA.join(structB, "s").count()} rows")
+      }
+      val longA = sA.select(xxhash64(Term.encode(col("s"))).as("s"),
+        xxhash64(Term.encode(col("o1"))).as("o1")).persist()
+      val longB = sB.select(xxhash64(Term.encode(col("s"))).as("s"),
+        xxhash64(Term.encode(col("o2"))).as("o2")).persist()
+      longA.count(); longB.count()
+      time("same join on dictionary-encoded LONG keys") {
+        println(s"[stress]   -> ${longA.join(longB, "s").count()} rows")
+      }
+      Seq(structA, structB, longA, longB).foreach(_.unpersist())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+
     // 3. hot-predicate skew: 90% of a synthetic orders table points at
     // one customer (the rdf:type-skew analogue, SURVEY §4.2). With the
     // skew thresholds at cluster-realistic ratios, AQE must split the
