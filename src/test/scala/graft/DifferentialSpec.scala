@@ -95,7 +95,7 @@ object MiniInterp {
 
 object DifferentialProps extends Properties("differential") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(40)
+    p.withMinSuccessfulTests(60)
 
   lazy val spark = TestSpark.session
 
@@ -139,14 +139,19 @@ object DifferentialProps extends Properties("differential") {
       1 -> genPattern.map(p => Seq(Optional(Seq(p)))))
   } yield Optional(pats ++ extra)
 
-  val genQuery: Gen[Seq[PatternRow]] = for {
-    nPat <- Gen.choose(1, 3)
+  // nPat may be 0: values-only and optional-only queries are legal
+  // (alpha_test.clj:469-479, 792-807) and exercise the generator and
+  // marker-gate paths; nVal up to 2 covers two Values clauses on the
+  // SAME var (second must filter, not re-generate — membero
+  // conjunction intersects)
+  val genQuery: Gen[Seq[PatternRow]] = (for {
+    nPat <- Gen.choose(0, 3)
     pats <- Gen.listOfN(nPat, genPattern)
-    nVal <- Gen.choose(0, 1)
+    nVal <- Gen.choose(0, 2)
     vals <- Gen.listOfN(nVal, genValues)
     nOpt <- Gen.choose(0, 2)
     opts <- Gen.listOfN(nOpt, genOptional)
-  } yield pats ++ vals ++ opts
+  } yield pats ++ vals ++ opts).suchThat(_.nonEmpty)
 
   private def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {
     val cols = rel.cols.toSeq.sorted
