@@ -30,6 +30,10 @@ object SparkEntry {
   private def sel(db: TripleDb, rows: Seq[PatternRow], vars: String*): DataFrame =
     Projections.selectDf(db, rows, vars.map(V(_))).select(vars.map(enc): _*)
 
+  private def selD(db: graft.core.DictDb, rows: Seq[PatternRow],
+                   vars: String*): DataFrame =
+    Projections.selectDf(db, rows, vars.map(V(_))).select(vars.map(enc): _*)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_bgp_select")(spark, "/root/testdata/sf0.001")
@@ -757,10 +761,29 @@ object SparkEntry {
         .except(seg("AUTOMOBILE"))
         .intersect(segs.select("c"))
     }),
+
+    // ---- dictionary-encoded store: the flagship BGP with the join
+    // fold on 8-byte long ids (classic RDF-store layout), terms
+    // rehydrated from the dict at the plan edge. Timed figure includes
+    // the one-time encode (dict build + collision check); the
+    // per-query win shows in tools/Stress's repeated-query A/B.
+    "q67_dict_bgp" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir).index().dictEncode()
+      selD(db, Seq(
+        pat(V("c"), kw("c_nationkey"), V("n")),
+        pat(V("n"), kw("n_name"), V("nname")),
+        pat(V("c"), kw("c_name"), V("cname"))),
+        "cname", "nname")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q01_bgp_select" ->
+      """SELECT 's|' || c_name AS cname, 's|' || n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    // same semantics as q01 — the dict encoding must be invisible
+    "q67_dict_bgp" ->
       """SELECT 's|' || c_name AS cname, 's|' || n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
 

@@ -38,6 +38,14 @@ object Matcha {
   def selectDf(vars: Seq[V], bgps: Seq[PatternRow], db: TripleDb): DataFrame =
     Projections.selectDf(db, bgps, vars)
 
+  /** Distributed select over a dictionary-encoded store (long-keyed
+    * join fold, terms rehydrated at the edge) — same results, built for
+    * repeated queries / join-heavy BGPs. See [[graft.core.DictDb]].
+    */
+  def selectDf(vars: Seq[V], bgps: Seq[PatternRow],
+               db: graft.core.DictDb): DataFrame =
+    Projections.selectDf(db, bgps, vars)
+
   // ---- ask ----
   def ask(bgps: Seq[PatternRow], db: TripleDb): Boolean = Projections.ask(db, bgps)
   def ask(bgps: Seq[PatternRow]): TripleDb => Boolean = ask(bgps, _)

@@ -45,6 +45,13 @@ final case class TripleDb(df: DataFrame,
   }
   def unpersist(): TripleDb = { df.unpersist(); this }
 
+  /** Dictionary-encode this store: long-keyed triples + term dict — the
+    * repeated-query / join-heavy scale layout. See [[DictDb]] for the
+    * design and the struct-vs-dict tradeoff. Call on an indexed db for
+    * set semantics.
+    */
+  def dictEncode(): DictDb = DictDb.encode(this)
+
   /** The database back as a seq of term triples — the reference's db
     * representation (a seq of `[s p o]`, alpha.clj:54-58). Driver-side
     * collector: human-sized stores only; the scale path stays in `df`.

@@ -78,4 +78,15 @@ object Bgp {
   }
 
   def allVars(rows: Seq[PatternRow]): Seq[V] = rows.flatMap(_.vars).distinct
+
+  /** Every term appearing in a `values` collection, anywhere in the BGP
+    * (optionals included). The dict-encoded path needs them at decode
+    * time: a values generator binds collection elements that may not
+    * exist in the db's dictionary.
+    */
+  def valuesTerms(rows: Seq[PatternRow]): Seq[Term] = rows.flatMap {
+    case Values(_, coll) => coll.toSeq
+    case Optional(inner) => valuesTerms(inner)
+    case _               => Nil
+  }
 }

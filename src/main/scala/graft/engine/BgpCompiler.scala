@@ -1,9 +1,10 @@
 package graft.engine
 
-import graft.core.{Term, TripleDb}
+import graft.core.{DictDb, Term, TripleDb}
 import graft.dsl._
-import org.apache.spark.sql.{Column, DataFrame, Row, functions}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import scala.collection.mutable
 
@@ -38,10 +39,41 @@ import scala.collection.mutable
   */
 object BgpCompiler {
 
+  /** The physical term representation the join fold runs over. The
+    * compile logic (ordering, join fold, values routing, optional left
+    * joins) is representation-agnostic; only how a ground term becomes
+    * a literal column and how a values collection becomes a frame
+    * differ between the struct-keyed [[TripleDb]] and the long-keyed
+    * [[DictDb]] (whose triple columns are also named s/p/o).
+    */
+  private[graft] final case class BgpInput(
+      full: DataFrame,
+      predIndex: Map[String, DataFrame],
+      stats: Map[String, Long],
+      groundLit: Term => Column,
+      mkCollDf: (SparkSession, Values) => DataFrame)
+
+  private def structInput(db: TripleDb): BgpInput =
+    BgpInput(db.df, db.predIndex, db.stats, Term.lit, structCollDf)
+
+  private def dictInput(db: DictDb): BgpInput =
+    BgpInput(db.triples, db.predIndex, db.stats,
+      t => functions.lit(DictDb.termId(t)), dictCollDf)
+
   /** Compile a full BGP against a db. Result columns = variable names. */
-  def compile(db: TripleDb, rows: Seq[PatternRow]): DataFrame = {
+  def compile(db: TripleDb, rows: Seq[PatternRow]): DataFrame =
+    compile(structInput(db), rows)
+
+  /** Dict path: result columns are LONG ids — decode at the edge via
+    * [[DictDb.decode]]. Same solution multiset as the struct path
+    * (pinned by DictSpec and the differential fuzzer's dict leg).
+    */
+  def compileDict(db: DictDb, rows: Seq[PatternRow]): DataFrame =
+    compile(dictInput(db), rows)
+
+  private def compile(in: BgpInput, rows: Seq[PatternRow]): DataFrame = {
     if (rows.isEmpty) throw new InvalidBgp("empty BGP")
-    val spark = db.df.sparkSession
+    val spark = in.full.sparkSession
 
     val patterns = rows.collect { case p: TriplePattern => p }
     val values = rows.collect { case v: Values => v }
@@ -59,15 +91,15 @@ object BgpCompiler {
       while (i < pendingValues.length) {
         val v = pendingValues(i)
         if (bound.contains(v.v.name)) {
-          acc = acc.map(valuesFilter(_, v))
+          acc = acc.map(valuesFilter(in, _, v))
           pendingValues.remove(i)
         } else i += 1
       }
     }
 
     val (withVars, groundOnly) = patterns.partition(_.vars.nonEmpty)
-    for (pat <- orderPatterns(withVars, db.stats)) {
-      val scanned = scan(sourceFor(db, pat), pat)
+    for (pat <- orderPatterns(withVars, in.stats)) {
+      val scanned = scan(in, sourceFor(in, pat), pat)
       acc = acc match {
         case None => Some(scanned)
         case Some(a) =>
@@ -82,7 +114,7 @@ object BgpCompiler {
     // fully-ground patterns = existence gates (facts are deduped at
     // index time, so each contributes a 0-or-1-row cross join)
     for ((pat, i) <- groundOnly.zipWithIndex) {
-      val gate = scanGround(sourceFor(db, pat), pat).limit(1)
+      val gate = scanGround(in, sourceFor(in, pat), pat).limit(1)
         .select(functions.lit(1).as(s"__exists_$i"))
       acc = acc match {
         case None    => Some(gate)
@@ -97,9 +129,9 @@ object BgpCompiler {
     while (pendingValues.nonEmpty) {
       val v = pendingValues.remove(0)
       if (bound.contains(v.v.name)) {
-        acc = acc.map(valuesFilter(_, v))
+        acc = acc.map(valuesFilter(in, _, v))
       } else {
-        val gen = collDf(spark, v)
+        val gen = in.mkCollDf(spark, v)
         val hinted =
           if (v.coll.size <= valuesBroadcastLimit(spark)) broadcast(gen) else gen
         acc = acc match {
@@ -121,7 +153,7 @@ object BgpCompiler {
       // marker column: non-null iff this clause matched — needed because a
       // clause of only ground patterns compiles to zero var columns
       // (alpha_test.clj:477-501)
-      val clause = compile(db, opt.rows).withColumn(s"__m_$i", functions.lit(1))
+      val clause = compile(in, opt.rows).withColumn(s"__m_$i", functions.lit(1))
       val accCols = result.columns.toSet
       val keys = clause.columns.toSeq
         .filter(c => requiredVarNames.contains(c) && accCols.contains(c))
@@ -157,21 +189,21 @@ object BgpCompiler {
     * means the parquet scan reads two columns of one table instead of
     * the whole unpivoted union).
     */
-  private def sourceFor(db: TripleDb, pat: TriplePattern): DataFrame =
+  private def sourceFor(in: BgpInput, pat: TriplePattern): DataFrame =
     pat.p match {
-      case T(Term.TKeyword(name)) => db.predIndex.getOrElse(name, db.df)
-      case _ => db.df
+      case T(Term.TKeyword(name)) => in.predIndex.getOrElse(name, in.full)
+      case _ => in.full
     }
 
   /** One pattern scan: ground positions filter (→ pushdown), var positions
     * project under the var's name; a var repeated within the pattern adds
     * an intra-row equality filter.
     */
-  private def scan(db: DataFrame, pat: TriplePattern): DataFrame = {
+  private def scan(in: BgpInput, db: DataFrame, pat: TriplePattern): DataFrame = {
     val pos: Seq[(String, TermOrVar)] = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
     var cur = db
     for ((c, tv) <- pos) tv match {
-      case T(t) => cur = cur.where(col(c) === Term.lit(t))
+      case T(t) => cur = cur.where(col(c) === in.groundLit(t))
       case _    =>
     }
     val varPos = pos.collect { case (c, v: V) => (c, v) }
@@ -184,10 +216,10 @@ object BgpCompiler {
     cur.select(proj: _*)
   }
 
-  private def scanGround(db: DataFrame, pat: TriplePattern): DataFrame = {
+  private def scanGround(in: BgpInput, db: DataFrame, pat: TriplePattern): DataFrame = {
     var cur = db
     for ((c, tv) <- Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)) tv match {
-      case T(t) => cur = cur.where(col(c) === Term.lit(t))
+      case T(t) => cur = cur.where(col(c) === in.groundLit(t))
       case _    =>
     }
     cur
@@ -214,30 +246,39 @@ object BgpCompiler {
     * multiply). For exact bag parity with duplicate coll elements we use
     * an inner join against the (non-deduped) coll for colls with dups.
     */
-  private def valuesFilter(df: DataFrame, v: Values): DataFrame = {
+  private def valuesFilter(in: BgpInput, df: DataFrame, v: Values): DataFrame = {
     val terms = v.coll.toSeq
     val hasDups = terms.size != terms.distinct.size
     def hinted(c: DataFrame): DataFrame =
       if (terms.size <= valuesBroadcastLimit(df.sparkSession)) broadcast(c) else c
     if (terms.isEmpty) df.where(functions.lit(false))
     else if (hasDups)
-      df.join(hinted(collDf(df.sparkSession, v)), Seq(v.v.name), "inner")
+      df.join(hinted(in.mkCollDf(df.sparkSession, v)), Seq(v.v.name), "inner")
     else if (terms.size <= 64)
-      df.where(terms.map(t => col(v.v.name) === Term.lit(t)).reduce(_ || _))
+      df.where(terms.map(t => col(v.v.name) === in.groundLit(t)).reduce(_ || _))
     else
-      df.join(hinted(collDf(df.sparkSession, v).dropDuplicates()),
+      df.join(hinted(in.mkCollDf(df.sparkSession, v).dropDuplicates()),
         Seq(v.v.name), "left_semi")
   }
 
   /** The values collection as a 1-column DataFrame (bag — keeps dups).
     * Partition count scales with coll size so a huge coll doesn't ride
     * one task into the shuffle join. */
-  private def collDf(spark: org.apache.spark.sql.SparkSession, v: Values): DataFrame = {
+  private def structCollDf(spark: SparkSession, v: Values): DataFrame = {
     val rows = v.coll.toSeq.map(t => Row(Term.toRow(t)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(v.v.name, Term.schema, nullable = false))))
+      StructType(Seq(StructField(v.v.name, Term.schema, nullable = false))))
+  }
+
+  /** Dict-path values frame: the collection as ids (encoded driver-side
+    * — no job). Decode unions the coll terms back in, so a generator
+    * element absent from the db still rehydrates (DictDb.decode). */
+  private def dictCollDf(spark: SparkSession, v: Values): DataFrame = {
+    val rows = v.coll.toSeq.map(t => Row(DictDb.termId(t)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)),
+      StructType(Seq(StructField(v.v.name, LongType, nullable = false))))
   }
 
   /** Greedy selectivity ordering: start from the most-ground pattern, then

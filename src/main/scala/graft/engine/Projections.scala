@@ -1,9 +1,10 @@
 package graft.engine
 
-import graft.core.{Term, TripleDb}
+import graft.core.{DictDb, Term, TripleDb}
 import graft.dsl._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Projection shapes over compiled BGP solutions (SURVEY §2.1 rows 5-12).
   *
@@ -30,6 +31,21 @@ object Projections {
     val padded = missing.foldLeft(sol)((d, v) =>
       d.withColumn(v.name, lit(null).cast(Term.schema)))
     padded.select(proj.map(v => col(v.name)): _*)
+  }
+
+  /** Distributed select over a dictionary-encoded store: the join fold
+    * runs on 8-byte long ids; terms rehydrate via [[DictDb.decode]] at
+    * the plan edge. Result schema and multiset are identical to the
+    * struct path (DictSpec + the differential fuzzer's dict leg).
+    */
+  def selectDf(db: DictDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame = {
+    val proj = if (vars.nonEmpty) vars else Bgp.allVars(rows)
+    val sol = BgpCompiler.compileDict(db, rows)
+    val missing = proj.filterNot(v => sol.columns.contains(v.name))
+    val padded = missing.foldLeft(sol)((d, v) =>
+      d.withColumn(v.name, lit(null).cast(LongType)))
+    db.decode(padded.select(proj.map(v => col(v.name)): _*),
+      proj.map(_.name), Bgp.valuesTerms(rows))
   }
 
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of

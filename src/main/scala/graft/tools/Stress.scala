@@ -136,30 +136,48 @@ object Stress {
     }
     blobs10.unpersist()
 
-    // 2e. dictionary-encoding A/B: BGP joins key on ~40-byte term
-    // structs; a dictionary-encoded store would join on 8-byte longs.
-    // Isolate the key-width effect: both sides pre-materialized, same
-    // join strategy (broadcast off), only the key representation
-    // differs. Decides whether an encoded store is the next scale move.
+    // 2e. dictionary-encoded store A/B (the REAL operator, DictDb): the
+    // same BGPs over the 6.6M-triple fact store, struct-keyed vs
+    // dict-encoded, each repeated 5× — the dict's one-time encode (dict
+    // build + collision check) amortizes across the query stream, which
+    // is the workload the layout exists for. Dict timings include the
+    // decode joins at the plan edge (end-to-end parity with the struct
+    // path). Round 3's synthetic key-width isolation measured ~2× on
+    // the join stage; this measures the shipped operator.
     {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val sA = db.predIndex("l_orderkey").select(col("s"), col("o").as("o1"))
-      val sB = db.predIndex("l_quantity").select(col("s"), col("o").as("o2"))
-      val structA = sA.persist(); val structB = sB.persist()
-      structA.count(); structB.count()
-      time("600k-row self-join on term STRUCT keys") {
-        println(s"[stress]   -> ${structA.join(structB, "s").count()} rows")
+      val dbIdx = db.index()
+      dbIdx.df.count() // materialize the shared cache before timing
+      val wide = Seq( // 600k-solution join, 2 vars decoded
+        TriplePattern(V("l"), T(TKeyword("l_orderkey")), V("o")),
+        TriplePattern(V("l"), T(TKeyword("l_quantity")), V("q")))
+      val selective = Seq( // filter + 2 joins, ~150k solutions
+        TriplePattern(V("l"), T(TKeyword("l_returnflag")), T(TString("R"))),
+        TriplePattern(V("l"), T(TKeyword("l_orderkey")), V("o")),
+        TriplePattern(V("l"), T(TKeyword("l_extendedprice")), V("p")))
+      def runs(d: => org.apache.spark.sql.DataFrame): Unit =
+        for (_ <- 1 to 5) d.count()
+      time("5x 2-pattern BGP, struct keys (indexed)") {
+        runs(Projections.selectDf(dbIdx, wide, Seq(V("o"), V("q"))))
       }
-      val longA = sA.select(xxhash64(Term.encode(col("s"))).as("s"),
-        xxhash64(Term.encode(col("o1"))).as("o1")).persist()
-      val longB = sB.select(xxhash64(Term.encode(col("s"))).as("s"),
-        xxhash64(Term.encode(col("o2"))).as("o2")).persist()
-      longA.count(); longB.count()
-      time("same join on dictionary-encoded LONG keys") {
-        println(s"[stress]   -> ${longA.join(longB, "s").count()} rows")
+      time("5x selective BGP, struct keys (indexed)") {
+        runs(Projections.selectDf(dbIdx, selective, Seq(V("o"), V("p"))))
       }
-      Seq(structA, structB, longA, longB).foreach(_.unpersist())
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val dict = time("dict encode (one-time: dict + collision check)") {
+        val d = dbIdx.dictEncode(); d.triples.count(); d
+      }
+      time("5x 2-pattern BGP, dict LONG keys (decode incl.)") {
+        runs(Projections.selectDf(dict, wide, Seq(V("o"), V("q"))))
+      }
+      time("5x selective BGP, dict LONG keys (decode incl.)") {
+        runs(Projections.selectDf(dict, selective, Seq(V("o"), V("p"))))
+      }
+      // ids-only: the downstream-op form (aggregate/dedup/count on ids,
+      // decode only the tiny final output) — pure fold, no decode joins
+      time("5x selective BGP, dict keys, ids only") {
+        runs(graft.engine.BgpCompiler.compileDict(dict, selective)
+          .select("o", "p"))
+      }
+      dict.unpersist(); dbIdx.unpersist()
     }
 
     // 3. hot-predicate skew: 90% of a synthetic orders table points at

@@ -1,0 +1,121 @@
+package graft
+
+import graft.core.{DictDb, Term, TripleDb}
+import graft.core.Term._
+import graft.dsl._
+import graft.engine.{BgpCompiler, Projections}
+import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.types.LongType
+
+/** Dictionary-encoded store (DictDb): id parity, struct≡dict result
+  * equivalence on every compile path (join fold, values filter / bag /
+  * generator, optionals with NULL decode, ground gates), and the
+  * long-keyed physical plan the layout exists for.
+  */
+class DictSpec extends GraftSpec {
+
+  /** Every term kind, incl. the null-layout edge cases the id hash
+    * must keep apart (TNil vs empty string, lang vs datatype field). */
+  val zoo: Seq[Term] = Seq(
+    TNil, TKeyword("foo/bar"), TUri("http://data/example/x"),
+    TString(""), TString("x"), TString("x@en"),
+    TLong(9007199254740993L), // exact past 2^53
+    TLong(0L), TDouble(0.0), TDouble(1.5), TBool(true), TBool(false),
+    TLangString("x", "en"), TTyped("x", "en"), // same fields, different slot
+    TDate("2024-01-01T00:00:00"),
+    Term.opaque("tag", Array[Byte](1, 2, 3)))
+
+  test("driver-side termId matches the column xxhash64 for all kinds") {
+    val d = TripleDb.fromTerms(spark, zoo.map(t => (t, k("p"), t)))
+    val fromCol = d.df.select(DictDb.idOf(col("s")).as("id"), col("s"))
+      .collect().map(r => Term.fromRow(r.getStruct(1)) -> r.getLong(0)).toMap
+    for (t <- zoo)
+      assert(DictDb.termId(t) == fromCol(t), s"id mismatch for $t")
+    // and the ids are pairwise distinct across the zoo
+    assert(zoo.map(DictDb.termId).distinct.size == zoo.size)
+  }
+
+  /** Dict-path select decoded back to terms, as a bag. */
+  def dictBag(d: TripleDb, vars: Seq[V], rows: Seq[PatternRow]): Map[Seq[Term], Int] = {
+    val dd = d.index().dictEncode()
+    try {
+      val out = Projections.selectDf(dd, rows, vars).collect().toSeq
+        .map(r => r.toSeq.indices.map(i =>
+          if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i))))
+      out.groupBy(identity).map { case (k, v) => k -> v.size }
+    } finally { dd.unpersist(); d.unpersist() }
+  }
+
+  def structBag(d: TripleDb, vars: Seq[V], rows: Seq[PatternRow]): Map[Seq[Term], Int] =
+    bag(d.index(), vars, rows)
+
+  def both(d: => TripleDb, vars: Seq[V], rows: Seq[PatternRow]): Unit =
+    assert(dictBag(d, vars, rows) == structBag(d, vars, rows))
+
+  test("BGP join fold ≡ struct path") {
+    both(friends, Seq(?("a"), ?("n")), Seq(
+      pat(?("a"), T(knows), ?("b")),
+      pat(?("b"), T(label), ?("n"))))
+  }
+
+  test("values filter, dup bag, and generator ≡ struct path") {
+    both(friends, Seq(?("a"), ?("n")), Seq(
+      pat(?("a"), T(label), ?("n")),
+      Values(?("n"), Seq(s("Rick"), s("Katie")))))
+    both(friends, Seq(?("n")), Seq(
+      pat(?("a"), T(label), ?("n")),
+      Values(?("n"), Seq(s("Rick"), s("Rick"), s("Katie")))))
+    // generator: coll elements NOT in the db must decode (extras path)
+    both(friends, Seq(?("n"), ?("tag")), Seq(
+      pat(?("a"), T(label), ?("n")),
+      Values(?("tag"), Seq(s("fresh-1"), l(42)))))
+  }
+
+  test("optional NULLs and ground gates ≡ struct path") {
+    both(friends, Seq(?("a"), ?("w")), Seq(
+      pat(?("a"), T(label), ?("n")),
+      Optional(Seq(pat(?("a"), T(knows), ?("w"))))))
+    both(friends, Seq(?("n")), Seq(
+      pat(?("a"), T(label), ?("n")),
+      pat(T(rick), T(knows), T(katie)))) // fully-ground existence gate
+  }
+
+  test("projected var bound by no pattern pads to NULL, like struct path") {
+    both(friends, Seq(?("n"), ?("ghost")), Seq(pat(?("a"), T(label), ?("n"))))
+  }
+
+  test("dict join fold runs on LONG columns end to end") {
+    val d = friends.index()
+    val dd = d.dictEncode()
+    try {
+      val sol = BgpCompiler.compileDict(dd, Seq(
+        pat(?("a"), T(knows), ?("b")),
+        pat(?("b"), T(label), ?("n"))))
+      assert(sol.schema.fields.forall(_.dataType == LongType),
+        sol.schema.treeString)
+      // decode joins hash, never sort-merge (SMJ would re-sort the
+      // dict per projected var)
+      val q = Projections.selectDf(dd, Seq(
+        pat(?("a"), T(knows), ?("b")),
+        pat(?("b"), T(label), ?("n"))), Seq(?("a"), ?("n")))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+        plan)
+      // no decode join (recognizable by its __did_ key) sort-merges;
+      // embedded pre-AQE "Initial Plan" sections may mention SMJ elsewhere
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("__did_")), plan)
+    } finally { dd.unpersist(); d.unpersist() }
+  }
+
+  test("same id on rebuild — ids are pure functions of the term") {
+    val a = friends.index().dictEncode()
+    val b = friends.index().dictEncode()
+    try {
+      val ia = a.dict.orderBy("id").collect().map(_.getLong(0)).toSeq
+      val ib = b.dict.orderBy("id").collect().map(_.getLong(0)).toSeq
+      assert(ia == ib)
+    } finally { a.unpersist(); b.unpersist() }
+  }
+}

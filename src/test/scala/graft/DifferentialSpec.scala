@@ -153,7 +153,7 @@ object DifferentialProps extends Properties("differential") {
     opts <- Gen.listOfN(nOpt, genOptional)
   } yield pats ++ vals ++ opts).suchThat(_.nonEmpty)
 
-  private def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {
+  private[graft] def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {
     val cols = rel.cols.toSeq.sorted
     rel.rows.map(r => cols.map(c =>
         Option(r.getOrElse(c, null)).map(_.toString).getOrElse("∅")))
@@ -180,5 +180,48 @@ object DifferentialProps extends Properties("differential") {
         println(s"got      cols=$cols rows=${canon(got)}")
       }
       ok
+    }
+
+}
+
+/** Third leg: the dictionary-encoded path (long-keyed fold + decode at
+  * the edge) against the same interpreter — decoded results must be
+  * the same multiset. Separate Properties object: each case pays a
+  * dict build (persist + collision-check job), so fewer cases.
+  */
+object DictDifferentialProps extends Properties("dict-differential") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(25)
+
+  import DifferentialProps.{genDb, genQuery, canon, spark}
+
+  property("dict-encoded engine ≡ in-memory interpreter") =
+    forAll(genDb, genQuery) { (dbTriples, query) =>
+      val expected = MiniInterp.solve(dbTriples, query)
+      val db = TripleDb.fromTerms(spark, dbTriples).index()
+      val dd = db.dictEncode()
+      try {
+        val vars = graft.dsl.Bgp.allVars(query)
+        val decoded = graft.engine.Projections.selectDf(dd, query, vars)
+        val gotRows = decoded.collect().toSeq.map { r =>
+          vars.map(_.name).zipWithIndex.map { case (c, i) =>
+            c -> (if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))
+          }.toMap
+        }
+        val cols = vars.map(_.name).toSet
+        val got = MiniInterp.Rel(cols, gotRows)
+        // selectDf projects ALL vars (padding unbound ones with NULL);
+        // the interpreter relation carries only bound cols — pad it.
+        val padded = MiniInterp.Rel(cols,
+          expected.rows.map(r => cols.map(c => c -> r.getOrElse(c, null)).toMap))
+        val ok = canon(got) == canon(padded)
+        if (!ok) {
+          println(s"DICT DB: $dbTriples")
+          println(s"DICT QUERY: $query")
+          println(s"expected rows=${canon(padded)}")
+          println(s"got      rows=${canon(got)}")
+        }
+        ok
+      } finally { dd.unpersist(); db.unpersist() }
     }
 }
