@@ -762,6 +762,22 @@ object SparkEntry {
         .intersect(segs.select("c"))
     }),
 
+    // ---- dict store durability: save (pred-partitioned triples +
+    //      id-bucketed dict) → load → query; decode joins read the
+    //      bucketed dict with zero shuffle on the dict side ----
+    "q68_dict_save_load" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q68").toString
+      val built = Tables.nationDb(sp, dir).index().dictEncode()
+      graft.core.DictDb.save(built, tmp, s"graft_q68_dict_${math.abs(tmp.hashCode)}")
+      built.unpersist()
+      val loaded = graft.core.DictDb.load(sp, tmp,
+        s"graft_q68_dict_${math.abs(tmp.hashCode)}")
+      selD(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- dictionary-encoded store: the flagship BGP with the join
     // fold on 8-byte long ids (classic RDF-store layout), terms
     // rehydrated from the dict at the plan edge. Timed figure includes
@@ -786,6 +802,12 @@ object SparkEntry {
     "q67_dict_bgp" ->
       """SELECT 's|' || c_name AS cname, 's|' || n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    // same shape as q47 — durability through the dict layout
+    "q68_dict_save_load" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
 
     "q02_values_in" ->
       """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_mktsegment AS seg

@@ -155,4 +155,45 @@ object DictDb {
     }.toMap
     DictDb(enc, dict, slices, db.stats)
   }
+
+  /** Durable form of the encoded store. Triples land partitioned by
+    * predicate id (ground-predicate scans prune to one directory, the
+    * dict analog of [[TripleDb.save]]); the dict lands BUCKETED+SORTED
+    * on id, so decode joins off a loaded store read the dict with NO
+    * shuffle at all — only the (small) result side moves. At 100 TB
+    * the dict is the piece every query touches; paying its layout once
+    * at save time is the point.
+    */
+  def save(db: DictDb, path: String, dictTable: String,
+           buckets: Int = 32): Unit = {
+    db.triples.withColumn("pid", col("p"))
+      .write.mode("overwrite").partitionBy("pid").parquet(s"$path/triples")
+    db.dict.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .option("path", s"$path/dict").saveAsTable(dictTable)
+  }
+
+  /** Load a [[save]]d store: predicate slices rebuilt from the
+    * partition directories (their NAMES come from one tiny dict probe
+    * over the keyword ids — partition values are a metadata-only
+    * query), per-slice stats from parquet metadata, dict read bucketed.
+    */
+  def load(spark: SparkSession, path: String, dictTable: String): DictDb = {
+    val raw = spark.read.parquet(s"$path/triples")
+    val dict = spark.table(dictTable)
+    val pids = raw.select("pid").distinct().collect().map(_.getLong(0))
+    val names = dict
+      .where(col("id").isin(pids.toIndexedSeq: _*) &&
+        col("term.kind") === Term.KKeyword)
+      .select(col("id"), col("term.lex"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val slices = names.map { case (pid, name) =>
+      name -> raw.where(col("pid") === pid).drop("pid")
+    }
+    val stats = slices.map { case (name, slice) =>
+      name -> slice.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    }
+    DictDb(raw.drop("pid"), dict, slices, stats)
+  }
 }

@@ -109,6 +109,28 @@ class DictSpec extends GraftSpec {
     } finally { dd.unpersist(); d.unpersist() }
   }
 
+  test("save/load round-trip; bucketed dict decodes with no dict-side shuffle") {
+    val built = friends.index().dictEncode()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dict").toString
+    val tbl = s"dictspec_${math.abs(tmp.hashCode)}"
+    DictDb.save(built, tmp, tbl, buckets = 4)
+    built.unpersist()
+    val loaded = DictDb.load(spark, tmp, tbl)
+    val rows = Seq(pat(?("a"), T(label), ?("n")))
+    val q = Projections.selectDf(loaded, rows, Seq(?("a"), ?("n")))
+    val got = q.collect().toSeq.map(r =>
+      Seq(Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1))))
+    assert(bag1(got) == structBag(friends, Seq(?("a"), ?("n")), rows))
+    // the dict side of every decode join scans the bucketed table
+    // directly — no Exchange between the dict scan and the join
+    val plan = q.queryExecution.executedPlan.toString()
+    val dictScanShuffled = plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("__did_"))
+    assert(!dictScanShuffled, plan)
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      plan)
+  }
+
   test("same id on rebuild — ids are pure functions of the term") {
     val a = friends.index().dictEncode()
     val b = friends.index().dictEncode()
