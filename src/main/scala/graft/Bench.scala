@@ -15,9 +15,15 @@ object Bench {
     // alphabetically-first query doesn't absorb one-time session costs
     try SparkEntry.queries("q15_select_bag")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // optional comma-separated name filter for local iteration; the
+    // driver never sets it, so the contract run benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // stable order; failures report an err marker instead of skewing the total
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -767,7 +767,7 @@ object SparkEntry {
     //      bucketed dict with zero shuffle on the dict side ----
     "q68_dict_save_load" -> ((sp, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q68").toString
-      val built = Tables.nationDb(sp, dir).index().dictEncode()
+      val built = Tables.nationDb(sp, dir).dictEncode()
       graft.core.DictDb.save(built, tmp, s"graft_q68_dict_${math.abs(tmp.hashCode)}")
       built.unpersist()
       val loaded = graft.core.DictDb.load(sp, tmp,
@@ -784,7 +784,7 @@ object SparkEntry {
     // the one-time encode (dict build + collision check); the
     // per-query win shows in tools/Stress's repeated-query A/B.
     "q67_dict_bgp" -> ((sp, dir) => {
-      val db = Tables.graph(sp, dir).index().dictEncode()
+      val db = Tables.graph(sp, dir).dictEncode()
       selD(db, Seq(
         pat(V("c"), kw("c_nationkey"), V("n")),
         pat(V("n"), kw("n_name"), V("nname")),

@@ -118,26 +118,41 @@ object DictDb {
         StructField("term", Term.schema, nullable = false))))
   }
 
-  /** Build the encoded store from a (preferably indexed) [[TripleDb]].
-    * The dict analog of `index-triples` (alpha.clj:60-69): both the
-    * narrow long-triple relation and the dict are deduped + persisted,
-    * predicate slices are filtered views OVER the persisted relation
-    * (one cache, slices consistent with the full view), and the
-    * collision check runs eagerly so a bad build fails at ingest, not
-    * as silently-merged query results. Bag/set semantics follow the
-    * input df (encode an indexed db for set semantics).
+  /** Build the encoded store from a [[TripleDb]]. The dict analog of
+    * `index-triples` (alpha.clj:60-69): the store ALWAYS comes out with
+    * set semantics — triples dedup on the three 8-byte id keys (narrow
+    * shuffle with map-side combine; sound because the collision check
+    * proves id-distinctness ≡ term-distinctness), so no struct-keyed
+    * `.index()` pass is needed first. Both relations persist;
+    * predicate slices are filtered views OVER the persisted relation.
+    *
+    * Plan-shape note (measured, sf0.1): the dict dedup MUST be
+    * `dropDuplicates("term")` — a struct grouping KEY hashes as an
+    * UnsafeRow inside codegen'd HashAggregate. The tempting fused form
+    * (`groupBy(id).agg(first(term), min/max(checkKey))`) puts a struct
+    * and strings in the aggregation BUFFER, which is not
+    * UnsafeRow-mutable, so Spark demotes the whole aggregate to
+    * ObjectHashAggregate with sort-based fallback — measurably slower
+    * end to end. The deduped dict then re-clusters on id (one small
+    * shuffle of distinct terms only) so every decode join's dict side
+    * satisfies its clustering from cache, and the collision check
+    * (`groupBy(id).count > 1` — fixed-width buffer, codegen'd, zero
+    * Exchange over the id-clustered cache) runs eagerly so a bad
+    * build fails LOUDLY at ingest, not as silently-merged query
+    * results.
     */
   def encode(db: TripleDb): DictDb = {
+    // NOT staged: an A/B showed caching the exploded struct triples for
+    // the build's three passes costs more than the three source
+    // scans+explodes it saves (columnar parquet + codegen'd explode is
+    // cheaper to re-run than struct rows are to cache).
     val df = db.df
     val enc = df.select(idOf(col("s")).as("s"), idOf(col("p")).as("p"),
-      idOf(col("o")).as("o")).persist()
-    // the dict persists PRE-PARTITIONED on id: every decode join's dict
-    // side then satisfies its clustering from cache (zero Exchange —
-    // the dict never re-shuffles, only the small result side moves),
-    // amortizing one shuffle across every query on the store
-    val dict = df.select(col("s").as("term"))
-      .unionByName(df.select(col("p").as("term")))
-      .unionByName(df.select(col("o").as("term")))
+      idOf(col("o")).as("o")).dropDuplicates("s", "p", "o").persist()
+    // one scan, not a 3-branch union: each union branch would re-run
+    // the source scan (for unpivoted stores, scan + explode) in full
+    val dict = df
+      .select(explode(array(col("s"), col("p"), col("o"))).as("term"))
       .dropDuplicates("term")
       .select(idOf(col("term")).as("id"), col("term"))
       .repartition(col("id"))
@@ -155,6 +170,7 @@ object DictDb {
     }.toMap
     DictDb(enc, dict, slices, db.stats)
   }
+
 
   /** Durable form of the encoded store. Triples land partitioned by
     * predicate id (ground-predicate scans prune to one directory, the

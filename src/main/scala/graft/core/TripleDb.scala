@@ -47,8 +47,8 @@ final case class TripleDb(df: DataFrame,
 
   /** Dictionary-encode this store: long-keyed triples + term dict — the
     * repeated-query / join-heavy scale layout. See [[DictDb]] for the
-    * design and the struct-vs-dict tradeoff. Call on an indexed db for
-    * set semantics.
+    * design and the struct-vs-dict tradeoff. Set semantics built in
+    * (dedup runs on the narrow long keys — no `.index()` needed first).
     */
   def dictEncode(): DictDb = DictDb.encode(this)
 
