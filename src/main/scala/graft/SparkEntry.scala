@@ -616,6 +616,32 @@ object SparkEntry {
       ops.Text.redactPii(injected, "doc_id", "text")
     }),
 
+    // ---- vocabulary build + token-id encoding: top-30 vocab by corpus
+    //      frequency (deterministic tie-break), docs as id sequences,
+    //      OOV = 0; exploded to (doc, pos, tid) rows for the oracle ----
+    "q72_vocab_encode" -> ((sp, dir) =>
+      ops.Text.vocabEncode(Tables.t(sp, dir, "documents"),
+          "doc_id", "text", vocabSize = 30)
+        .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "tid")))),
+
+    // ---- corpus boilerplate strip (C4-style): every third doc gets a
+    //      10-word license header injected; the op finds chunks
+    //      repeated across >= 5 docs and strips them; the near-dup /
+    //      exact-dup planted pairs contribute their own repeated
+    //      chunks, all replayed by the oracle ----
+    "q71_boilerplate" -> ((sp, dir) => {
+      // exactly 10 words = one aligned chunk; original chunks keep
+      // their positions modulo the one-chunk shift
+      val header =
+        "standard license header all rights reserved do not remove it "
+      val injected = Tables.t(sp, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(functions.lit(header), col("text")))
+          .otherwise(col("text")).as("text"))
+      ops.Text.stripBoilerplate(injected, "doc_id", "text",
+        window = 10, maxDf = 5)
+    }),
+
     // ---- benchmark decontamination: docs sharing any 3-gram with the
     //      "benchmark" (docs 0-4); broadcast semi-join, no corpus
     //      shuffle ----
@@ -647,6 +673,17 @@ object SparkEntry {
           ops.Sample.hashSplit(Tables.t(sp, dir, "documents"), "doc_id"),
           "split", "doc_id", 20)
         .select(col("doc_id"), col("split"))),
+
+    // ---- token-budget sequence packing: every doc gets deterministic
+    //      (shard, pack, off) coordinates — 8 shard streams, 512-token
+    //      packs, contiguous fill in md5 order ----
+    "q70_pack_assign" -> ((sp, dir) =>
+      ops.Sample.packAssignments(
+          Tables.t(sp, dir, "documents")
+            .select(col("doc_id"),
+              size(split(lower(col("text")), " ")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pack"), col("off"))),
 
     // ---- durable predicate-partitioned store round-trip: save the
     //      triple db as parquet partitioned by predicate, reload (the
@@ -778,6 +815,20 @@ object SparkEntry {
         "n", "name", "r")
     }),
 
+    // ---- dict-store merge-dbs: two independently encoded stores,
+    //      set-union + cross-store collision recheck, BGP hops across
+    //      facts that came from different stores ----
+    "q69_dict_merge" -> ((sp, dir) => {
+      val a = Tables.nationDb(sp, dir).dictEncode()
+      val b = Tables.regionDb(sp, dir).dictEncode()
+      val m = graft.core.DictDb.merge(a, b)
+      selD(m, Seq(
+        pat(V("n"), kw("n_name"), V("nname")),
+        pat(V("n"), kw("n_regionkey"), V("r")),
+        pat(V("r"), kw("r_name"), V("rname"))),
+        "nname", "rname")
+    }),
+
     // ---- dictionary-encoded store: the flagship BGP with the join
     // fold on 8-byte long ids (classic RDF-store layout), terms
     // rehydrated from the dict at the plan edge. Timed figure includes
@@ -802,6 +853,11 @@ object SparkEntry {
     "q67_dict_bgp" ->
       """SELECT 's|' || c_name AS cname, 's|' || n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    // merge-dbs across two encoded stores ≙ the relational join
+    "q69_dict_merge" ->
+      """SELECT 's|' || n_name AS nname, 's|' || r_name AS rname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     // same shape as q47 — durability through the dict layout
     "q68_dict_save_load" ->
@@ -1386,6 +1442,51 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
         |FROM inj""".stripMargin,
 
+    "q72_vocab_encode" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents),
+        |toks AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, len(ws) - 1)) AS pos
+        |  FROM w),
+        |tk AS (SELECT doc_id, pos, ws[pos + 1] AS tok FROM toks),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS INTEGER) AS tid
+        |  FROM (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+        |        ORDER BY c DESC, tok LIMIT 30))
+        |SELECT tk.doc_id, CAST(tk.pos AS INTEGER) AS pos,
+        |  COALESCE(v.tid, 0) AS tid
+        |FROM tk LEFT JOIN vocab v ON tk.tok = v.tok""".stripMargin,
+
+    "q71_boilerplate" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'standard license header all rights reserved do not remove it '
+        |        || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj),
+        |chunked AS (
+        |  SELECT doc_id, cpos,
+        |    array_to_string(ws[(cpos * 10 + 1):(cpos * 10 + 10)], ' ') AS chunk
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS cpos
+        |        FROM w)),
+        |block AS (
+        |  SELECT chunk FROM chunked
+        |  GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 5),
+        |kept AS (
+        |  SELECT doc_id,
+        |    string_agg(chunk, ' ' ORDER BY cpos) AS clean
+        |  FROM chunked
+        |  WHERE chunk NOT IN (SELECT chunk FROM block)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(k.clean, '') AS clean
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
+
     "q58_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
         |              FROM documents),
@@ -1440,6 +1541,25 @@ object SparkEntry {
         |                  % 100 AS b
         |              FROM documents)))
         |WHERE rn <= 20""".stripMargin,
+
+    "q70_pack_assign" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, h,
+        |    CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS shard
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, shard,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS excl
+        |  FROM s)
+        |SELECT doc_id, shard, CAST(excl // 512 AS BIGINT) AS pack,
+        |  CAST(excl % 512 AS BIGINT) AS off
+        |FROM c""".stripMargin,
 
     "q45_stream_ingest" ->
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|n_name' AS p,

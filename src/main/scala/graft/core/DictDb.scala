@@ -83,6 +83,41 @@ final case class DictDb(triples: DataFrame,
 
 object DictDb {
 
+  /** ≙ `merge-dbs` (alpha.clj:728-746) for encoded stores: set union of
+    * the triple relations (dedup on the three 8-byte ids — ids are pure
+    * functions of the terms, so equal facts from different stores carry
+    * equal ids) and union of the dicts. A CROSS-store id collision (two
+    * stores assigning one id to different terms) is re-checked the same
+    * LOUD way encode checks a single store: dedup on (id, term) first —
+    * an id still duplicated after that maps two distinct terms.
+    * Slices/stats merge like [[TripleDb.merge]].
+    */
+  def merge(dbs: DictDb*): DictDb = {
+    val enc = dbs.map(_.triples).reduce(_.unionByName(_))
+      .dropDuplicates("s", "p", "o").persist()
+    val dict = dbs.map(_.dict).reduce(_.unionByName(_))
+      .dropDuplicates("id", "term")
+      .repartition(col("id"))
+      .persist()
+    val collided = dict.groupBy("id").count().where(col("count") > 1).count()
+    if (collided != 0) {
+      enc.unpersist(); dict.unpersist()
+      throw new IllegalStateException(
+        s"cross-store term-id collision on $collided id(s) — merged " +
+          "dictionaries would map one id to two distinct terms")
+    }
+    val slices =
+      if (dbs.exists(_.predIndex.isEmpty)) Map.empty[String, DataFrame]
+      else dbs.flatMap(_.predIndex.keys).distinct.map { name =>
+        name -> enc.where(col("p") === termId(Term.TKeyword(name)))
+      }.toMap
+    val stats =
+      if (dbs.exists(_.stats.isEmpty)) Map.empty[String, Long]
+      else dbs.flatMap(_.stats.toSeq).groupBy(_._1)
+        .map { case (p, xs) => p -> xs.map(_._2).sum }
+    DictDb(enc, dict, slices, stats)
+  }
+
   /** Term-struct column → 64-bit id. See the collision discussion in
     * the class doc: kind-first hashing + fixed per-kind null layout
     * make null skipping harmless, and encode() verifies uniqueness.

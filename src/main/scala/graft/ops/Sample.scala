@@ -37,6 +37,47 @@ object Sample {
                 pctTrain: Int = 80, pctVal: Int = 10): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), pctTrain, pctVal))
 
+  /** Token-budget pack assignment — the training-data step that turns a
+    * corpus of variable-length documents into fixed-token-budget packs
+    * (sequence-packing shards): every doc gets `(shard, pack, off)`
+    * coordinates, where each pack holds `budget` tokens of contiguous
+    * docs.
+    *
+    * Deterministic and partitioning-independent: docs are assigned to
+    * one of `shards` streams by md5(id), ordered WITHIN the shard by
+    * the same hash (a content-hash shuffle — stable across cluster
+    * layouts, unlike `monotonically_increasing_id`), then packed by
+    * exclusive running token count: `pack = excl DIV budget`,
+    * `off = excl % budget` (integer arithmetic throughout, so the rule
+    * replays bit-exactly in SQL). Contiguous-fill semantics: a doc may
+    * straddle a pack boundary (the downstream packer splits it), which
+    * is what keeps the rule a pure window function.
+    *
+    * Scale shape: ONE shuffle by shard, then a sort + streaming
+    * running sum inside each shard — no global sort, no driver state.
+    * Each shard serializes through one task, so pick shards ~ a few ×
+    * cluster parallelism (e.g. 10k shards for a 100 TB corpus): the
+    * per-task sort is corpus/shards rows, and pack ids are
+    * per-shard, exactly like a shard-writer's output files.
+    */
+  def packAssignments(df: DataFrame, idCol: String, tokensCol: String,
+                      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(shards > 0, "shard count must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("__excl", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("pack", expr(s"__excl DIV $budget"))
+      .withColumn("off", col("__excl") % budget)
+      .drop("__h", "__excl")
+  }
+
   /** Deterministic stratified sample: the k rows per group that sort
     * first by md5(id) — a content-hash shuffle, so the sample is stable
     * across runs/partitionings AND uniformly random-like within each

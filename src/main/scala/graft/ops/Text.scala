@@ -201,6 +201,82 @@ object Text {
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("max_tok_freq"))
 
+  /** Corpus-level boilerplate removal (the C4 recipe, applied to
+    * fixed-width chunks): split every document into `window`-word
+    * chunks at fixed positions, count in how many DISTINCT documents
+    * each exact chunk text occurs, strip every chunk occurring in
+    * `maxDf`-or-more documents (license headers, navigation chrome,
+    * duplicated passages), and reassemble the survivors in order.
+    * Returns (id, clean) — a document that was pure boilerplate comes
+    * back as the empty string, not a dropped row.
+    *
+    * Scale shape: chunking is a narrow per-row explode (≈ words/window
+    * rows); the chunk-frequency table is one map-side-combined groupBy
+    * whose OUTPUT (chunks with df ≥ maxDf) is small — boilerplate is
+    * by definition repeated, so the blocklist broadcasts and the
+    * corpus side anti-joins without shuffling; reassembly is one
+    * groupBy per doc over surviving chunks (sort_array over ≤
+    * words/window elements per doc, never across docs). No UDFs —
+    * everything is codegen'd except the array lambdas.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int = 10, maxDf: Int = 2): DataFrame = {
+    require(window > 0 && maxDf >= 2, "window >= 1, maxDf >= 2")
+    val words = split(col(textCol), " ")
+    val nChunks = ceil(size(words).cast("double") / window).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * window + 1, lit(window)), " "))
+    val chunked = docs
+      .select(col(idCol), posexplode(chunks).as(Seq("cpos", "chunk")))
+    val blocklist = chunked.groupBy("chunk")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= maxDf)
+      .select("chunk")
+    val kept = chunked.join(broadcast(blocklist), Seq("chunk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("cpos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("clean"), lit("")).as("clean"))
+  }
+
+  /** Frequency-ranked vocabulary + token-id encoding — the tokenizer
+    * back half of a training pipeline: build the top-`vocabSize` word
+    * vocabulary (rank by corpus count, ties broken by the word itself,
+    * so ids are fully deterministic; id 1 = most frequent, id 0 =
+    * out-of-vocabulary), then map every document to its id sequence.
+    * Returns (id, ids: array of int).
+    *
+    * Scale shape: one explode + map-side-combined groupBy builds the
+    * counts; the vocabulary itself is LIMIT vocabSize — small by
+    * construction, so the rank window and the token→id join both run
+    * over broadcast data; re-assembly is one groupBy per doc
+    * (sort_array over that doc's tokens only). The corpus never
+    * shuffles except by doc id for reassembly.
+    */
+  def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    // single-partition window is fine: input is already LIMITed to
+    // vocabSize rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("c"), asc("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(vocabSize)
+      .withColumn("tid", row_number().over(w))
+      .select("tok", "tid")
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"),
+          coalesce(col("tid"), lit(0)).as("tid")))),
+        x => x.getField("tid")).as("ids"))
+  }
+
   /** Exact discrete per-group quantiles of an integer column WITHOUT
     * collecting groups: build the per-group value histogram (one
     * map-side-combined groupBy — the only pass over the data), then

@@ -131,6 +131,28 @@ class DictSpec extends GraftSpec {
       plan)
   }
 
+  test("merge ≡ struct-path merge (set union, cross-store terms decode)") {
+    val other = db( // overlaps friends on one fact, adds new terms
+      (rick, knows, katie),
+      (julie, knows, rick),
+      (julie, label, s("Julie")),
+      (martin, knows, julie))
+    val a = friends.dictEncode()
+    val b = other.dictEncode()
+    val merged = DictDb.merge(a, b)
+    try {
+      val rows = Seq(pat(?("x"), T(knows), ?("y")))
+      val got = Projections.selectDf(merged, rows, Seq(?("x"), ?("y")))
+        .collect().toSeq.map(r =>
+          Seq(Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1))))
+      val structMerge = TripleDb.merge(friends, other)
+      assert(bag1(got) == bag(structMerge, Seq(?("x"), ?("y")), rows))
+      // dict stays one-row-per-id after the union
+      assert(merged.dict.groupBy("id").count()
+        .where(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
+    } finally { merged.unpersist(); a.unpersist(); b.unpersist() }
+  }
+
   test("same id on rebuild — ids are pure functions of the term") {
     val a = friends.index().dictEncode()
     val b = friends.index().dictEncode()

@@ -452,4 +452,54 @@ class OpsSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("pack assignments: partitioning-independent, budget invariants hold") {
+    import graft.ops.Sample
+    val toks = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+    val a = Sample.packAssignments(toks, "doc_id", "n_tokens", 256L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val b = Sample.packAssignments(toks.repartition(13), "doc_id", "n_tokens",
+        256L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(a == b, "assignments must not depend on input partitioning")
+    assert(a.forall { case (_, _, pack, off) => off >= 0 && off < 256 && pack >= 0 })
+    // every (shard, pack) except a shard's last pack starts at offset < 256,
+    // i.e. pack ids are dense from 0 per shard
+    val perShard = a.groupBy(_._2).view.mapValues(_.map(_._3))
+    perShard.foreach { case (_, packs) =>
+      val mx = packs.max
+      assert((0L to mx).forall(packs.contains), "pack ids dense per shard")
+    }
+  }
+
+  test("boilerplate strip removes cross-doc repeated chunks, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aa bb unique one text here"),     // aa bb = shared chunk
+      (2L, "aa bb other words entirely now"),
+      (3L, "aa bb"),                          // pure boilerplate
+      (4L, "no shared chunks in this doc")
+    ).toDF("id", "text")
+    val out = Text.stripBoilerplate(corpus, "id", "text",
+        window = 2, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one text here")
+    assert(out(2L) == "other words entirely now")
+    assert(out(3L) == "", "fully-boilerplate doc comes back empty, not dropped")
+    assert(out(4L) == "no shared chunks in this doc")
+  }
+
+  test("vocab encode: frequency-ranked ids, deterministic ties, OOV = 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b rare")
+    ).toDF("id", "text")
+    // counts: b=4, a=3, c=1, rare=1 → vocab(3): b=1, a=2, c=3 (tie c<rare)
+    val out = Text.vocabEncode(corpus, "id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) == Seq(1, 1, 1, 2, 2, 3))
+    assert(out(2L) == Seq(2, 1, 0), "rare is out-of-vocabulary → 0")
+  }
 }
