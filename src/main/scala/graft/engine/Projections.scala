@@ -68,6 +68,11 @@ object Projections {
   def ask(db: TripleDb, rows: Seq[PatternRow]): Boolean =
     !BgpCompiler.compile(db, rows).isEmpty
 
+  /** Dict-store ask: existence needs no decode at all — the long-keyed
+    * fold answers directly. */
+  def ask(db: DictDb, rows: Seq[PatternRow]): Boolean =
+    !BgpCompiler.compileDict(db, rows).isEmpty
+
   // ---------------------------------------------------------------- construct
 
   /** Magic subject-grouping key (alpha.clj:497-512). */
@@ -114,9 +119,19 @@ object Projections {
     * occurrence stays a distinct reified fresh var.
     */
   def constructDf(db: TripleDb, subj: V, entries: Seq[(String, V)],
-                  rows: Seq[PatternRow]): DataFrame = {
-    val vars = (subj +: entries.map(_._2)).distinct
-    val sol = selectDf(db, rows, vars)
+                  rows: Seq[PatternRow]): DataFrame =
+    constructAgg(selectDf(db, rows, (subj +: entries.map(_._2)).distinct),
+      subj, entries)
+
+  /** [[constructDf]] over a dictionary-encoded store — same grouping
+    * over the decoded solution frame (semantics pinned in DictSpec). */
+  def constructDf(db: DictDb, subj: V, entries: Seq[(String, V)],
+                  rows: Seq[PatternRow]): DataFrame =
+    constructAgg(selectDf(db, rows, (subj +: entries.map(_._2)).distinct),
+      subj, entries)
+
+  private def constructAgg(sol: DataFrame, subj: V,
+                           entries: Seq[(String, V)]): DataFrame = {
     val aggs = count(lit(1)).as("__n_sols") +: entries.map { case (name, v) =>
       struct(count(col(v.name)).as("n"), collect_set(col(v.name)).as("vals"))
         .as(name)
@@ -232,9 +247,19 @@ object Projections {
     * [[build]]. Arrays are NOT sorted; callers needing determinism sort.
     */
   def buildDf(db: TripleDb, subj: V, template: Seq[(String, V)],
-              rows: Seq[PatternRow]): DataFrame = {
-    val vars = (subj +: template.map(_._2)).distinct
-    val sol = selectDf(db, rows, vars)
+              rows: Seq[PatternRow]): DataFrame =
+    buildAgg(selectDf(db, rows, (subj +: template.map(_._2)).distinct),
+      subj, template)
+
+  /** [[buildDf]] over a dictionary-encoded store — same aggregation
+    * over the decoded solution frame (semantics pinned in DictSpec). */
+  def buildDf(db: DictDb, subj: V, template: Seq[(String, V)],
+              rows: Seq[PatternRow]): DataFrame =
+    buildAgg(selectDf(db, rows, (subj +: template.map(_._2)).distinct),
+      subj, template)
+
+  private def buildAgg(sol: DataFrame, subj: V,
+                       template: Seq[(String, V)]): DataFrame = {
     val aggs = template.map { case (name, v) => collect_set(col(v.name)).as(name) }
     sol.where(col(subj.name).isNotNull)
       .groupBy(col(subj.name))

@@ -153,6 +153,35 @@ class DictSpec extends GraftSpec {
     } finally { merged.unpersist(); a.unpersist(); b.unpersist() }
   }
 
+  test("ask / constructDf / buildDf ≡ struct path on the dict store") {
+    val d = friends.index()
+    val dd = d.dictEncode()
+    try {
+      // ask: positive + negative, no decode involved
+      assert(Projections.ask(dd, Seq(pat(T(rick), T(knows), ?("x")))))
+      assert(!Projections.ask(dd, Seq(pat(T(julie), T(knows), T(rick)))))
+      assert(Projections.ask(dd, Seq(pat(T(rick), T(knows), ?("x"))))
+        == Projections.ask(d, Seq(pat(T(rick), T(knows), ?("x")))))
+      // constructDf / buildDf: per-subject grouped rows decode equal
+      val rows = Seq(pat(?("a"), T(knows), ?("b")))
+      def canonC(df: org.apache.spark.sql.DataFrame): Set[(Term, Long, Set[Term])] =
+        df.collect().toSet.map { (r: org.apache.spark.sql.Row) =>
+          val st = r.getStruct(r.fieldIndex("friend"))
+          (Term.fromRow(r.getStruct(0)), st.getLong(0),
+            st.getSeq[org.apache.spark.sql.Row](1).map(Term.fromRow).toSet)
+        }
+      assert(canonC(Projections.constructDf(dd, ?("a"), Seq("friend" -> ?("b")), rows))
+        == canonC(Projections.constructDf(d, ?("a"), Seq("friend" -> ?("b")), rows)))
+      def canonB(df: org.apache.spark.sql.DataFrame): Set[(Term, Set[Term])] =
+        df.collect().toSet.map { (r: org.apache.spark.sql.Row) =>
+          (Term.fromRow(r.getStruct(0)),
+            r.getSeq[org.apache.spark.sql.Row](1).map(Term.fromRow).toSet)
+        }
+      assert(canonB(Projections.buildDf(dd, ?("a"), Seq("friend" -> ?("b")), rows))
+        == canonB(Projections.buildDf(d, ?("a"), Seq("friend" -> ?("b")), rows)))
+    } finally { dd.unpersist(); d.unpersist() }
+  }
+
   test("same id on rebuild — ids are pure functions of the term") {
     val a = friends.index().dictEncode()
     val b = friends.index().dictEncode()
