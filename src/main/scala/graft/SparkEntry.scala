@@ -255,6 +255,18 @@ object SparkEntry {
       ops.Dedup.minhashNearDupPairs(Tables.t(sp, dir, "documents"),
         "doc_id", "text")),
 
+    // ---- incremental near-dup: tonight's batch (doc_id >= 400)
+    //      against the EXISTING corpus MinHash index (doc_id < 400) —
+    //      only the new batch pays shingle+MinHash; candidates from
+    //      band collisions only, exact-Jaccard verified ----
+    "q73_neardup_incremental" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      val idx = ops.Dedup.minhashIndex(
+        docs.where(col("doc_id") < 400), "doc_id", "text")
+      ops.Dedup.minhashNearDupAgainst(
+        docs.where(col("doc_id") >= 400), "doc_id", "text", idx)
+    }),
+
     // ---- SimHash near-dup pairs (hamming ≤ 3 → 4×16-bit bands;
     //      md5-derived token hashes so the oracle can replay the
     //      fingerprints; banding at ≤ maxHamming has perfect recall,
@@ -998,6 +1010,26 @@ object SparkEntry {
         |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
         |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ia, ib FROM inter
+        |JOIN sizes sa ON sa.doc_id = ia
+        |JOIN sizes sb ON sb.doc_id = ib
+        |WHERE 3 * i >= sa.n + sb.n""".stripMargin,
+
+    // exact two-sided Jaccard replay — banding recall at J >= 1/2 is
+    // effectively perfect (16x4 s-curve; OpsSpec pins lsh == exact)
+    "q73_neardup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s
+        |            AND a.doc_id >= 400 AND b.doc_id < 400
         |          GROUP BY 1, 2)
         |SELECT ia, ib FROM inter
         |JOIN sizes sa ON sa.doc_id = ia

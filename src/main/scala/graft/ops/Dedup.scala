@@ -78,6 +78,60 @@ object Dedup {
     result
   }
 
+  /** Persistent MinHash band index of a corpus: one row per doc with
+    * its shingle set and the banded MinHash hashes, computed ONCE per
+    * corpus. Save as parquet (or keep cached) and incremental batches
+    * dedup against it via [[minhashNearDupAgainst]] without ever
+    * touching the corpus text again — the shape that matters when the
+    * corpus is 100 TB and tonight's batch is 100 GB.
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, perms: Int = 64,
+                   bands: Int = 16): DataFrame =
+    docs.select(col(idCol).as("id"),
+        Text.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("bhs", graft.functions.TextExpressions.minhashBandHashes(
+        col("sh"), perms, bands))
+
+  /** Incremental near-dup: a NEW batch of docs against an EXISTING
+    * corpus index (the [[minhashIndex]] layout). Returns verified
+    * (newId, corpusId) pairs with shingle-Jaccard ≥ jNum/jDen.
+    *
+    * Scale shape: only the new batch pays tokenize+shingle+MinHash;
+    * the corpus side explodes ids+hashes straight off the index.
+    * Candidates come ONLY from band-bucket collisions — an asymmetric
+    * equi-join shuffled by (band, hash), never new×corpus — and exact
+    * verification joins shingle sets for the candidate pairs alone.
+    * Banding params must match the ones the index was built with.
+    */
+  def minhashNearDupAgainst(newDocs: DataFrame, idCol: String,
+                            textCol: String, index: DataFrame,
+                            shingleN: Int = 3, perms: Int = 64,
+                            bands: Int = 16, jNum: Int = 1,
+                            jDen: Int = 2): DataFrame = {
+    val newBase = minhashIndex(newDocs, idCol, textCol, shingleN, perms,
+      bands).persist()
+    val nb = newBase
+      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val cb = index
+      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val cand = nb.as("a").join(cb.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .dropDuplicates("ia", "ib")
+    val verified = cand
+      .join(newBase.select(col("id").as("ia"), col("sh").as("sha")), "ia")
+      .join(index.select(col("id").as("ib"), col("sh").as("shb")), "ib")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .where(lit(jDen + jNum) * col("inter") >=
+        lit(jNum) * (size(col("sha")) + size(col("shb"))))
+      .select("ia", "ib")
+    val result = verified.persist()
+    result.count()
+    newBase.unpersist()
+    result
+  }
+
   /** Exact all-pairs shingle-Jaccard within small blocks (the honest
     * quadratic baseline — callers must bound the block). */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -453,6 +453,22 @@ class OpsSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("incremental near-dup against index == exact cross-split Jaccard") {
+    val corpus = docs.where(col("doc_id") < 250)
+    val batch = docs.where(col("doc_id") >= 250)
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val got = Dedup.minhashNearDupAgainst(batch, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: the all-pairs exact result restricted to cross pairs,
+    // re-oriented (new, corpus)
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 250) != (b < 250) }
+      .map { case (a, b) => if (a >= 250) (a, b) else (b, a) }.toSet
+    assert(exact.nonEmpty, "split should cut at least one planted pair")
+    assert(got == exact)
+  }
+
   test("pack assignments: partitioning-independent, budget invariants hold") {
     import graft.ops.Sample
     val toks = docs.select(col("doc_id"),

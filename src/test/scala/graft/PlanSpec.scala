@@ -3,7 +3,7 @@ package graft
 import graft.dsl._
 import graft.engine.Projections
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length}
 
 /** Plan-shape assertions: the physical properties the engine's scale
   * story depends on, locked as tests so regressions show up as
@@ -188,5 +188,33 @@ class PlanSpec extends GraftSpec {
       val p = q.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"), s"expected AQE skew split in:\n$p")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("pack assignments plan: one shuffle, one sort, streaming window") {
+    val toks = Tables.t(spark, dir, "documents").select(col("doc_id"),
+      length(col("text")).cast("long").as("n_tokens"))
+    val p = plan(ops.Sample.packAssignments(toks, "doc_id", "n_tokens",
+      256L, 4))
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    val sorts = "\\bSort\\b".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in:\n$p")
+    assert(sorts == 1, s"expected 1 sort (per-shard), got $sorts in:\n$p")
+    assert(!p.contains("SinglePartition"), s"must never globally sort:\n$p")
+  }
+
+  test("boilerplate blocklist broadcasts; corpus side anti-joins unshuffled") {
+    val p = plan(ops.Text.stripBoilerplate(
+      Tables.t(spark, dir, "documents"), "doc_id", "text"))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"blocklist must broadcast into an anti-join:\n$p")
+  }
+
+  test("vocab encode: vocabulary ranks via TakeOrdered, joins broadcast") {
+    val p = plan(ops.Text.vocabEncode(
+      Tables.t(spark, dir, "documents"), "doc_id", "text", 30))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab LIMIT must be per-partition top-N + merge, not global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"token->id join must broadcast the vocab:\n$p")
   }
 }
