@@ -59,6 +59,6 @@ object Tables {
 
   /** The whole star schema as one triple DB. */
   def graph(spark: SparkSession, dir: String): TripleDb =
-    TripleDb.union(customerDb(spark, dir), nationDb(spark, dir),
+    TripleDb.unionDisjoint(customerDb(spark, dir), nationDb(spark, dir),
       regionDb(spark, dir), supplierDb(spark, dir), ordersDb(spark, dir))
 }

@@ -182,8 +182,16 @@ object DictDb {
     // scans+explodes it saves (columnar parquet + codegen'd explode is
     // cheaper to re-run than struct rows are to cache).
     val df = db.df
-    val enc = df.select(idOf(col("s")).as("s"), idOf(col("p")).as("p"),
-      idOf(col("o")).as("o")).dropDuplicates("s", "p", "o").persist()
+    // A `distinct` source skips the set-semantics dedup: struct-distinct
+    // triples map to id-distinct triples because the collision check
+    // below proves term↔id is a bijection over every term in the store.
+    // That dedup is a full shuffle of the fact table — the largest
+    // single cost of ingest at scale (measured ~2× the hash+persist
+    // itself at sf0.1).
+    val encRaw = df.select(idOf(col("s")).as("s"), idOf(col("p")).as("p"),
+      idOf(col("o")).as("o"))
+    val enc = (if (db.distinct) encRaw
+               else encRaw.dropDuplicates("s", "p", "o")).persist()
     // one scan, not a 3-branch union: each union branch would re-run
     // the source scan (for unpivoted stores, scan + explode) in full
     val dict = df

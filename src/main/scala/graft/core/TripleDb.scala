@@ -29,7 +29,20 @@ final case class TripleDb(df: DataFrame,
                             * slice should scan before one over a 100 TB
                             * fact slice when the boundness heuristic
                             * ties. Advisory: empty map = no stats. */
-                          stats: Map[String, Long] = Map.empty) {
+                          stats: Map[String, Long] = Map.empty,
+                          /** Triples known pairwise-distinct (set
+                            * semantics already hold) — lets consumers
+                            * ([[index]], [[DictDb.encode]]) skip the
+                            * dedup shuffle, a full pass over the fact
+                            * table that at 100 TB is the single largest
+                            * avoidable cost of an ingest. True for
+                            * [[TripleDb.fromWideTable]] (one triple per
+                            * (row, column) under the unique-key
+                            * contract) and preserved by [[TripleDb.union]]
+                            * (whose contract is caller-asserted
+                            * disjointness — that is what distinguishes
+                            * it from [[TripleDb.merge]]). */
+                          distinct: Boolean = false) {
   /** ≙ `index-triples` (alpha.clj:60-69): dedup + cache for reuse.
     * Predicate slices are rebuilt as filtered views OVER the single
     * persisted relation — one cache, set semantics guaranteed
@@ -37,11 +50,12 @@ final case class TripleDb(df: DataFrame,
     * ground-predicate scans read from memory.
     */
   def index(): TripleDb = {
-    val deduped = df.dropDuplicates("s", "p", "o").persist()
+    val deduped =
+      (if (distinct) df else df.dropDuplicates("s", "p", "o")).persist()
     val slices = predIndex.keys.map { name =>
       name -> deduped.where(col("p") === Term.lit(Term.TKeyword(name)))
     }.toMap
-    TripleDb(deduped, slices, stats)
+    TripleDb(deduped, slices, stats, distinct = true)
   }
   def unpersist(): TripleDb = { df.unpersist(); this }
 
@@ -154,16 +168,28 @@ object TripleDb {
     */
   def merge(dbs: TripleDb*): TripleDb =
     TripleDb(dbs.map(_.df).reduce(_.unionByName(_)).dropDuplicates("s", "p", "o"),
-      mergeIndexes(dbs, dedup = true), mergeStats(dbs))
+      mergeIndexes(dbs, dedup = true), mergeStats(dbs), distinct = true)
 
   /** Union without the dedup shuffle — for callers that `.index()` after,
     * or that know inputs are disjoint (e.g. unpivoted tables with
     * distinct subject prefixes, where dedup would be a pure waste of a
-    * shuffle at 100 TB).
+    * shuffle at 100 TB). Makes NO distinctness claim (inputs may
+    * overlap — e.g. re-adding facts before an idempotent `.index()`);
+    * use [[unionDisjoint]] to assert disjointness.
     */
   def union(dbs: TripleDb*): TripleDb =
     TripleDb(dbs.map(_.df).reduce(_.unionByName(_)),
       mergeIndexes(dbs, dedup = false), mergeStats(dbs))
+
+  /** [[union]] plus a caller assertion that the inputs are pairwise
+    * fact-disjoint (e.g. unpivoted tables with distinct subject
+    * prefixes). Then the union of all-`distinct` inputs is itself
+    * `distinct`, and downstream ingest ([[index]], [[DictDb.encode]])
+    * skips its dedup shuffle — a full pass over the fact table at
+    * 100 TB.
+    */
+  def unionDisjoint(dbs: TripleDb*): TripleDb =
+    union(dbs: _*).copy(distinct = dbs.forall(_.distinct))
 
   /** Union stats survive a merge: slices with the same predicate sum. */
   private def mergeStats(dbs: Seq[TripleDb]): Map[String, Long] =
@@ -191,6 +217,11 @@ object TripleDb {
     * object    = column value as a typed term; FK columns (in `fks`)
     *             become URI terms `<targetTable>/<value>` so BGP joins
     *             hop across tables.
+    *
+    * `keyCol` must be a unique row key (it names the subject). Under
+    * that contract every (row, column) pair emits exactly one distinct
+    * triple, so the result is marked `distinct` and downstream ingest
+    * ([[TripleDb.index]], [[DictDb.encode]]) skips its dedup shuffle.
     *
     * This is a narrow map (no shuffle): each input row emits one output
     * row per column via an inline explode, so it scales linearly and
@@ -239,6 +270,6 @@ object TripleDb {
           .min(BigInt(Long.MaxValue)).toLong
         useCols.map(_ -> tableBytes).toMap
       }
-    TripleDb(exploded, perPred, stats)
+    TripleDb(exploded, perPred, stats, distinct = true)
   }
 }

@@ -182,6 +182,30 @@ class DictSpec extends GraftSpec {
     } finally { dd.unpersist(); d.unpersist() }
   }
 
+  test("distinctness tracking: union makes no claim, unionDisjoint does, " +
+    "index dedups overlapping unions") {
+    import spark.implicits._
+    val one = db((u("a"), k("friend"), u("b")), (u("b"), k("friend"), u("c")))
+    assert(!one.distinct) // fromTerms: caller seq may repeat
+    // union of a db with ITSELF must stay non-distinct so that
+    // index()/dictEncode() keep set semantics (q12 idempotency)
+    val overlapped = TripleDb.union(one, one)
+    assert(!overlapped.distinct)
+    val idx = overlapped.index()
+    try assert(idx.df.count() == 2 && idx.distinct)
+    finally idx.unpersist()
+    // dict path over the overlapping union also dedups
+    val dd = overlapped.dictEncode()
+    try assert(dd.triples.count() == 2)
+    finally dd.unpersist()
+    // unionDisjoint propagates distinct only when every input claims it
+    assert(!TripleDb.unionDisjoint(one, one).distinct)
+    val wide = TripleDb.fromWideTable(
+      Seq((1, "x"), (2, "y")).toDF("id", "v"), "t", "id")
+    assert(wide.distinct)
+    assert(TripleDb.unionDisjoint(wide, one.index()).distinct)
+  }
+
   test("same id on rebuild — ids are pure functions of the term") {
     val a = friends.index().dictEncode()
     val b = friends.index().dictEncode()
