@@ -854,7 +854,87 @@ object SparkEntry {
         pat(V("c"), kw("c_name"), V("cname"))),
         "cname", "nname")
     }),
+
+    // ---- temperature-resampled source mixture: shares ∝ sqrt(n_src),
+    //      deterministic 32-bit-hash thresholds from exact integer
+    //      arithmetic; target = half the corpus ----
+    "q74_mixture_sample" -> ((sp, dir) => {
+      val d = Tables.t(sp, dir, "documents")
+      val target = d.count() / 2
+      ops.Sample.temperatureMixture(d, "source", "doc_id", target)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // ---- inverted index (token → sorted postings), stopwords (df >
+    //      78% of corpus) dropped by broadcast anti-join BEFORE lists
+    //      are collected ----
+    "q75_inverted_index" -> ((sp, dir) => {
+      val d = Tables.t(sp, dir, "documents")
+      ops.Text.invertedIndex(d, "doc_id", "text", maxDf = d.count() * 78 / 100)
+        .select(col("token"), col("df"),
+          concat_ws(",", col("postings")).as("postings"))
+    }),
+
+    // ---- log compaction: event changelog → latest-state snapshot,
+    //      one shuffle + streaming row_number per user ----
+    "q76_compact_latest" -> ((sp, dir) =>
+      ops.AsOf.compactLatest(Tables.events(sp, dir),
+          Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))),
+
+    // ---- durable IVF index: assign+save (cells partitioned on disk),
+    //      load, probe/score — same semantics as q33, paid-once build ----
+    "q77_ivf_index" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q77").toString
+      ops.Similarity.ivfSaveIndex(emb, centroids, tmp)
+      val (idx, cents) = ops.Similarity.ivfLoadIndex(sp, tmp)
+      ops.Similarity.ivfKnnIndexed(idx, cents,
+        emb.where(col("vec_id") < 10), 5, nProbe = 4)
+    }),
   )
+
+  /** Fixed-centroid IVF replay (cells = vectors 0..15, probe 4, top-5):
+    * shared by q33 (in-memory) and q77 (durable index) — both must
+    * produce bit-identical rankings. */
+  private val IvfOracleSql: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |             FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS c,
+      |           list_sum(list_transform(v, x -> x * x)) AS c2
+      |         FROM emb WHERE vec_id < 16),
+      |nsc AS (
+      |  SELECT e.vec_id AS nid, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+      |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+      |      c.cell) AS rk
+      |  FROM emb e, cent c
+      |), asg AS (SELECT nid, cell FROM nsc WHERE rk = 1),
+      |qsc AS (
+      |  SELECT q.vec_id AS qid, c.cell,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+      |        q.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+      |      c.cell) AS rk
+      |  FROM emb q, cent c WHERE q.vec_id < 10
+      |), cand AS (
+      |  SELECT p.qid, a.nid FROM qsc p JOIN asg a ON a.cell = p.cell
+      |  WHERE p.rk <= 4 AND p.qid <> a.nid
+      |), s AS (
+      |  SELECT c.qid, c.nid, list_cosine_similarity(eq.v, en.v) AS sim
+      |  FROM cand c JOIN emb eq ON eq.vec_id = c.qid
+      |              JOIN emb en ON en.vec_id = c.nid
+      |), r AS (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      |  FROM s)
+      |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_bgp_select" ->
@@ -1094,39 +1174,12 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
 
-    "q33_ann_ivf" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |             FROM embeddings),
-        |cent AS (SELECT vec_id AS cell, v AS c,
-        |           list_sum(list_transform(v, x -> x * x)) AS c2
-        |         FROM emb WHERE vec_id < 16),
-        |nsc AS (
-        |  SELECT e.vec_id AS nid, c.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
-        |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
-        |      c.cell) AS rk
-        |  FROM emb e, cent c
-        |), asg AS (SELECT nid, cell FROM nsc WHERE rk = 1),
-        |qsc AS (
-        |  SELECT q.vec_id AS qid, c.cell,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
-        |        q.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
-        |      c.cell) AS rk
-        |  FROM emb q, cent c WHERE q.vec_id < 10
-        |), cand AS (
-        |  SELECT p.qid, a.nid FROM qsc p JOIN asg a ON a.cell = p.cell
-        |  WHERE p.rk <= 4 AND p.qid <> a.nid
-        |), s AS (
-        |  SELECT c.qid, c.nid, list_cosine_similarity(eq.v, en.v) AS sim
-        |  FROM cand c JOIN emb eq ON eq.vec_id = c.qid
-        |              JOIN emb en ON en.vec_id = c.nid
-        |), r AS (
-        |  SELECT qid, nid,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-        |  FROM s)
-        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
+    "q33_ann_ivf" -> IvfOracleSql,
+
+    // q77 runs the SAME fixed-centroid IVF semantics through the
+    // durable index (save → load → probe/score), so the oracle is
+    // identical to q33's
+    "q77_ivf_index" -> IvfOracleSql,
 
     "q41_embed_neardup_lsh" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1617,5 +1670,39 @@ object SparkEntry {
         |   UNION SELECT c FROM seg WHERE s = 'MACHINERY')
         |  EXCEPT SELECT c FROM seg WHERE s = 'AUTOMOBILE')
         |INTERSECT SELECT c FROM seg""".stripMargin,
+
+    // replays the exact integer threshold rule: w = floor(sqrt(n)),
+    // thr = floor(2^32·target·w / (Σw·n)) in 128-bit ints, keep iff
+    // 32-bit md5 prefix < thr
+    "q74_mixture_sample" ->
+      """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS HUGEINT) AS w FROM cnt),
+        |tot AS (SELECT SUM(w) AS sumw FROM w),
+        |tgt AS (SELECT CAST(COUNT(*) // 2 AS HUGEINT) AS t FROM documents),
+        |thr AS (SELECT source,
+        |    LEAST(CAST(4294967296 AS HUGEINT),
+        |          (CAST(4294967296 AS HUGEINT) * t * w) // (sumw * n)) AS thr
+        |  FROM w, tot, tgt)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) AS HUGEINT) < thr.thr""".stripMargin,
+
+    "q75_inverted_index" ->
+      """WITH dt AS (SELECT DISTINCT doc_id,
+        |              unnest(string_split(lower(text), ' ')) AS token
+        |            FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM dt GROUP BY token
+        |HAVING COUNT(*) <= (SELECT COUNT(*) * 78 // 100 FROM documents)""".stripMargin,
+
+    "q76_compact_latest" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
   )
 }

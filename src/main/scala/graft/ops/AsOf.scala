@@ -65,4 +65,23 @@ object AsOf {
       .where(col("__side") === 1)
       .drop("__side", "__payload")
   }
+
+  /** Log compaction: collapse a changelog to its latest-state snapshot
+    * — one row per key, the row with the greatest (ts, tie). The
+    * CDC/upsert-materialization step: replaying a 100 TB event log
+    * into a current-state table is exactly this.
+    *
+    * Scale shape: ONE shuffle by key + a streaming row_number per key
+    * partition (no global sort, no driver state). The tie-break column
+    * makes the winner deterministic under equal timestamps, so the
+    * snapshot is bit-stable across runs and engines.
+    */
+  def compactLatest(log: DataFrame, keyCols: Seq[String],
+                    tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -78,6 +78,64 @@ object Sample {
       .drop("__h", "__excl")
   }
 
+  /** Temperature-resampled source mixture — the data-mixing step that
+    * turns raw per-source corpus sizes into training shares: group g's
+    * share of the output is ∝ n_g^(1/2) (square-root temperature, the
+    * common flattening choice — large sources are downweighted, small
+    * sources upweighted relative to natural proportions), realized as
+    * deterministic per-row hash-threshold sampling. Downsampling only:
+    * a group whose target exceeds its size keeps every row (no
+    * duplication), like rejection-free mixture construction.
+    *
+    * Exactly reproducible anywhere: weights are integer sqrt
+    * (floor(sqrt(n)), exact in IEEE double for n ≤ ~10^12 — far past
+    * any per-source document count), thresholds are computed in
+    * arbitrary-precision integers as floor(2^32·target·w_g / (Σw·n_g))
+    * and compared against the 32-bit md5 prefix of the id, so the same
+    * rule replays bit-for-bit in SQL (128-bit integer arithmetic) and
+    * across engines — no floating-point share ever touches a keep
+    * decision.
+    *
+    * Scale shape: ONE map-side-combined count per group (group =
+    * source/domain class — a dimension-sized set; pre-bucket
+    * open-ended keys first), a driver threshold table of |groups|
+    * rows, then a broadcast join + narrow codegen'd filter over the
+    * corpus. No corpus shuffle at all.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+                         targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, "target size must be positive")
+    val spark = df.sparkSession
+    def isqrt(n: Long): Long = {
+      var x = math.sqrt(n.toDouble).toLong
+      while ((x + 1) * (x + 1) <= n) x += 1
+      while (x * x > n) x -= 1
+      x
+    }
+    // one row per group — dimension-sized by contract (see scaladoc)
+    val counts = df.groupBy(col(groupCol)).count().collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val cap = BigInt(1) << 32
+    val sumW = counts.map { case (_, n) => BigInt(isqrt(n)) }.sum
+    val rows = counts.map { case (g, n) =>
+      val thr = (cap * BigInt(targetTotal) * BigInt(isqrt(n))) /
+        (sumW * BigInt(n))
+      org.apache.spark.sql.Row(g, thr.min(cap).toLong)
+    }
+    val thrDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__g",
+          df.schema(groupCol).dataType),
+        org.apache.spark.sql.types.StructField("__thr",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(thrDf), col(groupCol) === col("__g"))
+      .where(h32 < col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Deterministic stratified sample: the k rows per group that sort
     * first by md5(id) — a content-hash shuffle, so the sample is stable
     * across runs/partitionings AND uniformly random-like within each

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,19 +201,36 @@ object Similarity {
     */
   def ivfKnnFixed(corpus: DataFrame, queries: DataFrame, k: Int,
                   centroids: Seq[Array[Float]], nProbe: Int = 4,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def cellScores(vec: Column): Seq[Column] = centroids.zipWithIndex.map {
-      case (c, i) =>
-        val c2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
-        struct((lit(c2) - lit(2.0) * dot(vec, typedlit(c.toSeq))).as("d2"),
-          lit(i).as("cell"))
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbeScore(ivfAssign(corpus, centroids, idCol, vecCol),
+      queries, k, centroids, nProbe, idCol, vecCol)
+
+  private def ivfCellScores(vec: Column,
+                            centroids: Seq[Array[Float]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      struct((lit(c2) - lit(2.0) * dot(vec, typedlit(c.toSeq))).as("d2"),
+        lit(i).as("cell"))
     }
-    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+
+  /** One narrow pass: each corpus vector to its nearest cell (columns
+    * `nid`, `nv`, `cell`). */
+  private def ivfAssign(corpus: DataFrame, centroids: Seq[Array[Float]],
+                        idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("cell",
-        element_at(array_sort(array(cellScores(col("nv")): _*)), 1).getField("cell"))
+        element_at(array_sort(array(ivfCellScores(col("nv"), centroids): _*)), 1)
+          .getField("cell"))
+
+  /** The probe/score phase over an already-assigned corpus: rank cells
+    * per query, score only the probed cells' vectors, exact top-k. */
+  private def ivfProbeScore(assigned: DataFrame, queries: DataFrame, k: Int,
+                            centroids: Seq[Array[Float]], nProbe: Int,
+                            idCol: String, vecCol: String): DataFrame = {
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
-        explode(slice(array_sort(array(cellScores(col("qv")): _*)), 1, nProbe)).as("pc"))
+        explode(slice(array_sort(array(ivfCellScores(col("qv"), centroids): _*)),
+          1, nProbe)).as("pc"))
       .select(col("qid"), col("qv"), col("pc.cell").as("cell"))
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .where(col("qid") =!= col("nid"))
@@ -223,6 +240,52 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Durable IVF index: the assigned corpus lands PARTITIONED BY cell —
+    * on disk, a probe of `nProbe` cells is a partition-pruned scan of
+    * nProbe directories (dynamic partition pruning from the broadcast
+    * probe side), the on-disk analog of the in-memory cell hash — and
+    * the centroid table (tiny) lands beside it. Pays assignment once at
+    * build time; every later query batch is probe + score only. The
+    * embedding-side sibling of [[Dedup.minhashIndex]]'s
+    * index-once/query-incrementally contract.
+    */
+  def ivfSaveIndex(corpus: DataFrame, centroids: Seq[Array[Float]],
+                   path: String, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.zipWithIndex.map { case (c, i) => SRow(i, c.toSeq) }, 1),
+      StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("c", ArrayType(FloatType, containsNull = false)))))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load an [[ivfSaveIndex]]-built index: (assigned corpus, centroids).
+    * The centroid collect is bounded (nClusters rows). */
+  def ivfLoadIndex(spark: SparkSession,
+                   path: String): (DataFrame, Seq[Array[Float]]) = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    (cells, cents)
+  }
+
+  /** KNN against a loaded [[ivfSaveIndex]] index — probe/score only,
+    * no assignment pass. Output matches [[ivfKnnFixed]] bit-for-bit
+    * when the index was built from the same centroids.
+    */
+  def ivfKnnIndexed(index: DataFrame, centroids: Seq[Array[Float]],
+                    queries: DataFrame, k: Int, nProbe: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    ivfProbeScore(index, queries, k, centroids, nProbe, idCol, vecCol)
 
   /** Embedding near-dup pairs at scale: multi-table hyperplane LSH
     * candidates, then exact cosine ≥ threshold on candidates only —

@@ -125,6 +125,30 @@ object Text {
     docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
 
+  /** Inverted index build: token → sorted posting list of the documents
+    * containing it, plus document frequency — the retrieval-index
+    * construction step of a search/RAG pipeline.
+    *
+    * Skew is bounded up front: tokens with df > `maxDf` (stopwords —
+    * a SMALL set by construction, though each covers a huge share of
+    * rows) are dropped via a broadcast anti-join BEFORE postings are
+    * collected, so no reducer ever materializes a corpus-length list.
+    * The remaining shape is one shuffle by token with a bounded
+    * per-group list. Postings sort numerically inside each group —
+    * deterministic output, no global sort.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long): DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val block = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("token")
+    pairs.join(broadcast(block), Seq("token"), "left_anti")
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc"))).as("postings"))
+  }
+
   /** Top-k characteristic tokens per document, ranked by term
     * frequency (desc), then corpus rarity (document frequency asc),
     * then token — the tf-idf ordering expressed in pure integers, so

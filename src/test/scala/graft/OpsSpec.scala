@@ -506,6 +506,72 @@ class OpsSpec extends GraftSpec {
     assert(out(4L) == "no shared chunks in this doc")
   }
 
+  test("ivf index save/load: indexed query ≡ in-memory fixed-centroid query") {
+    val centroids = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    val queries = emb.where(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = canon(Similarity.ivfKnnFixed(emb, queries, 3, centroids,
+      nProbe = 2))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.ivfSaveIndex(emb, centroids, tmp)
+    val (idx, cents) = Similarity.ivfLoadIndex(spark, tmp)
+    assert(cents.map(_.toSeq) == centroids.map(_.toSeq),
+      "centroids round-trip exactly")
+    assert(canon(Similarity.ivfKnnIndexed(idx, cents, queries, 3,
+      nProbe = 2)) == direct)
+  }
+
+  test("inverted index: sorted postings, df cap drops stopwords pre-collect") {
+    import spark.implicits._
+    val corpus = Seq(
+      (3L, "the cat sat"), (1L, "the cat ran"), (2L, "the dog ran")
+    ).toDF("id", "text")
+    val out = Text.invertedIndex(corpus, "id", "text", maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2).toList)).toList.sortBy(_._1)
+    // "the" (df 3) dropped; postings numerically sorted
+    assert(out == List(("cat", 2L, List(1L, 3L)), ("dog", 1L, List(2L)),
+      ("ran", 2L, List(1L, 2L)), ("sat", 1L, List(3L))))
+  }
+
+  test("compactLatest: latest row per key, deterministic under ts ties") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), // later ts wins
+      (2L, 30L, 200L, "c"), (2L, 30L, 201L, "d"), // tie: larger id wins
+      (3L, 5L, 300L, "e")
+    ).toDF("key", "ts", "id", "state")
+    val snap = graft.ops.AsOf.compactLatest(log, Seq("key"), "ts", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(snap == Map(1L -> "b", 2L -> "d", 3L -> "e"))
+  }
+
+  test("temperature mixture: deterministic, downsampling-only, flattens shares") {
+    import spark.implicits._
+    // big source 400 rows, small source 16: sqrt weights 20 vs 4
+    val corpus = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 416L).map(i => (i, "small"))).toDF("id", "src")
+    val target = 100L
+    val keep = graft.ops.Sample.temperatureMixture(corpus, "src", "id", target)
+    val again = graft.ops.Sample.temperatureMixture(
+      corpus.repartition(7), "src", "id", target)
+    val a = keep.select("id").collect().map(_.getLong(0)).toSet
+    assert(a == again.select("id").collect().map(_.getLong(0)).toSet,
+      "sample must be stable across partitionings")
+    val bySrc = keep.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // thresholds: big = 2^32·100·20/(24·400) ≈ 0.208, small = 2^32·100·4/(24·16)
+    // ≈ 1.04 → capped at 1: the small source is kept ENTIRELY
+    assert(bySrc("small") == 16L, "small source keep-rate caps at 1")
+    // big source keeps ~83 of 400 (hash-approximate); natural share would
+    // be ~96/100 — the flattened mixture keeps it well below that
+    assert(bySrc("big") > 40L && bySrc("big") < 130L)
+    assert(keep.columns.toSeq == Seq("id", "src"), "helper columns dropped")
+  }
+
   test("vocab encode: frequency-ranked ids, deterministic ties, OOV = 0") {
     import spark.implicits._
     val corpus = Seq(
