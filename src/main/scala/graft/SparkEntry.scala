@@ -884,6 +884,27 @@ object SparkEntry {
           expr("ts DIV 1000").as("ts_us"),
           round(col("value") * 100).cast("long").as("cents"))),
 
+    // ---- context-window chunking: 40-token windows, stride 30
+    //      (overlapping), tail window kept ----
+    "q78_chunk_windows" -> ((sp, dir) =>
+      ops.Text.chunkTokens(Tables.t(sp, dir, "documents"),
+        "doc_id", "text", size = 40, stride = 30)),
+
+    // ---- integer fixed-point PageRank (3 rounds, d=0.85, scale 1e6)
+    //      over the FK graph orders→customer→nation→region ----
+    "q79_pagerank" -> ((sp, dir) => {
+      val edges = Tables.t(sp, dir, "orders")
+        .select(concat(functions.lit("o/"), col("o_orderkey")).as("src"),
+          concat(functions.lit("c/"), col("o_custkey")).as("dst"))
+        .union(Tables.t(sp, dir, "customer")
+          .select(concat(functions.lit("c/"), col("c_custkey")).as("src"),
+            concat(functions.lit("n/"), col("c_nationkey")).as("dst")))
+        .union(Tables.t(sp, dir, "nation")
+          .select(concat(functions.lit("n/"), col("n_nationkey")).as("src"),
+            concat(functions.lit("r/"), col("n_regionkey")).as("dst")))
+      ops.Rank.pageRank(edges, 3)
+    }),
+
     // ---- durable IVF index: assign+save (cells partitioned on disk),
     //      load, probe/score — same semantics as q33, paid-once build ----
     "q77_ivf_index" -> ((sp, dir) => {
@@ -1704,5 +1725,48 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    // three unrolled integer-arithmetic rounds — long sums are
+    // order-independent, so the replay is bit-exact
+    "q79_pagerank" ->
+      """WITH edges AS (
+        |  SELECT 'o/' || o_orderkey AS src, 'c/' || o_custkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 'c/' || c_custkey, 'n/' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'n/' || n_nationkey, 'r/' || n_regionkey FROM nation),
+        |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s
+        |       FROM edges e JOIN outd o ON e.src = o.src
+        |                    JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s
+        |       FROM edges e JOIN outd o ON e.src = o.src
+        |                    JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s
+        |       FROM edges e JOIN outd o ON e.src = o.src
+        |                    JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
+
+    "q78_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, greatest(len(toks) - 1, 0), 30))
+        |          AS start
+        |      FROM t)
+        |SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, start + 1, start + 40), ' ')
+        |    AS chunk,
+        |  CAST(least(40, len(toks) - start) AS BIGINT) AS n_tok
+        |FROM s""".stripMargin,
   )
 }

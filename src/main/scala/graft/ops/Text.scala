@@ -125,6 +125,38 @@ object Text {
     docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
 
+  /** Context-window chunking: split each document into token windows of
+    * `size` tokens every `stride` tokens (stride < size ⇒ overlapping
+    * windows, the RAG-index choice; stride = size ⇒ disjoint packing,
+    * the pretraining choice). The final partial window is kept —
+    * dropping tail tokens silently is the classic chunking bug.
+    *
+    * Pure narrow explode over codegen'd array expressions — no
+    * shuffle, no UDF; output scales as ~n_tokens/stride rows per doc
+    * and partitions inherit from the scan, so the stage is safe at any
+    * corpus size. Integer window arithmetic replays exactly in SQL.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0, "window size must be positive")
+    require(stride > 0 && stride <= size,
+      "stride must be in [1, size] — a stride past size drops tokens")
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__t")) - 1, lit(0)),
+          lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__t"), col("__start") + 1, lit(size)), " ")
+          .as("chunk"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("__t")) - col("__start"))
+          .cast("long").as("n_tok"))
+  }
+
   /** Inverted index build: token → sorted posting list of the documents
     * containing it, plus document frequency — the retrieval-index
     * construction step of a search/RAG pipeline.

@@ -506,6 +506,20 @@ class OpsSpec extends GraftSpec {
     assert(out(4L) == "no shared chunks in this doc")
   }
 
+  test("pageRank: integer fixed-point matches hand computation") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r = graft.ops.Rank.pageRank(edges, 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // r1: a=150000, b=150000+85·(1e6/2)/100=575000, c=150000+85·1.5e6/100
+    // r2 contribs: b←75000, c←75000+575000 → b=213750, c=702500
+    assert(r == Map("a" -> 150000L, "b" -> 213750L, "c" -> 702500L))
+    // zero iterations = uniform initial ranks
+    val r0 = graft.ops.Rank.pageRank(edges, 0)
+      .collect().map(x => x.getLong(1)).toSet
+    assert(r0 == Set(1000000L))
+  }
+
   test("ivf index save/load: indexed query ≡ in-memory fixed-centroid query") {
     val centroids = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
@@ -535,6 +549,17 @@ class OpsSpec extends GraftSpec {
     // "the" (df 3) dropped; postings numerically sorted
     assert(out == List(("cat", 2L, List(1L, 3L)), ("dog", 1L, List(2L)),
       ("ran", 2L, List(1L, 2L)), ("sat", 1L, List(3L))))
+  }
+
+  test("chunkTokens: overlapping windows cover all tokens, tail kept") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "x")).toDF("id", "text")
+    val out = Text.chunkTokens(corpus, "id", "text", size = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L), (1L, 2L, "e", 1L),
+      (2L, 0L, "x", 1L)))
   }
 
   test("compactLatest: latest row per key, deterministic under ts ties") {
