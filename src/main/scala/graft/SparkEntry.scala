@@ -890,6 +890,51 @@ object SparkEntry {
       ops.Text.chunkTokens(Tables.t(sp, dir, "documents"),
         "doc_id", "text", size = 40, stride = 30)),
 
+    // ---- streaming near-dup gate: new docs stream in, flagged against
+    //      the STATIC MinHash index via stream-static band joins; only
+    //      stateful op is pair dedup (the flag set itself) ----
+    "q81_stream_neardup" -> ((sp, dir) => {
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val docs = Tables.t(sp, dir, "documents")
+      val idx = ops.Dedup.minhashIndex(
+        docs.where(col("doc_id") < 400), "doc_id", "text").persist()
+      val rows = docs.where(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      stream.addData(rows)
+      val in = stream.toDF().toDF("doc_id", "text")
+      val sink = "graft_q81_sink"
+      val sq = streaming.NearDupGate.flaggedPairs(in, "doc_id", "text", idx)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      sq.processAllAvailable()
+      sq.stop()
+      idx.unpersist()
+      sp.table(sink)
+    }),
+
+    // ---- end-to-end curation pipeline: quality gate → exact-dup drop
+    //      (min doc_id per normalized fingerprint) → near-dup keep-list
+    //      (minhash pairs → components → anti-join) → deterministic
+    //      split; every stage is an operator proven above ----
+    "q80_curation_pipeline" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      val quality = docs.where(col("n_chars") >= 100)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val exact = quality
+        .withColumn("fp", ops.Text.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("fp", "__rn")
+      val pairs = ops.Dedup.minhashNearDupPairs(exact, "doc_id", "text")
+      val kept = exact.join(ops.Components.dropSet(pairs, "ia", "ib"),
+        col("doc_id") === col("drop_id"), "left_anti")
+      ops.Sample.hashSplit(kept, "doc_id")
+        .select(col("doc_id"), col("split"))
+    }),
+
     // ---- integer fixed-point PageRank (3 rounds, d=0.85, scale 1e6)
     //      over the FK graph orders→customer→nation→region ----
     "q79_pagerank" -> ((sp, dir) => {
@@ -956,6 +1001,27 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
       |  FROM s)
       |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin
+
+  /** Exact replay of the incremental near-dup contract (new batch =
+    * doc_id ≥ 400 vs corpus = doc_id < 400, 3-shingles, J ≥ 1/2):
+    * shared by q73 (batch) and q81 (streaming gate) — same flag set. */
+  private val IncNearDupOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(greatest(1, len(t) - 2)),
+      |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+      |       FROM toks),
+      |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+      |          FROM ex a JOIN ex b ON a.s = b.s
+      |            AND a.doc_id >= 400 AND b.doc_id < 400
+      |          GROUP BY 1, 2)
+      |SELECT ia, ib FROM inter
+      |JOIN sizes sa ON sa.doc_id = ia
+      |JOIN sizes sb ON sb.doc_id = ib
+      |WHERE 3 * i >= sa.n + sb.n""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_bgp_select" ->
@@ -1119,23 +1185,11 @@ object SparkEntry {
 
     // exact two-sided Jaccard replay — banding recall at J >= 1/2 is
     // effectively perfect (16x4 s-curve; OpsSpec pins lsh == exact)
-    "q73_neardup_incremental" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
-        |              FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |         range(greatest(1, len(t) - 2)),
-        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
-        |       FROM toks),
-        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
-        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-        |          FROM ex a JOIN ex b ON a.s = b.s
-        |            AND a.doc_id >= 400 AND b.doc_id < 400
-        |          GROUP BY 1, 2)
-        |SELECT ia, ib FROM inter
-        |JOIN sizes sa ON sa.doc_id = ia
-        |JOIN sizes sb ON sb.doc_id = ib
-        |WHERE 3 * i >= sa.n + sb.n""".stripMargin,
+    "q73_neardup_incremental" -> IncNearDupOracleSql,
+
+    // q81 streams the same new batch through the stream-static gate —
+    // identical flagged-pair semantics, so the oracle is q73's
+    "q81_stream_neardup" -> IncNearDupOracleSql,
 
     "q22_simhash" ->
       """WITH th AS (
@@ -1725,6 +1779,50 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    // the full q53 near-dup replay over the quality+exact-dedup
+    // survivors, then the q49 split rule
+    "q80_curation_pipeline" ->
+      """WITH RECURSIVE
+        |q AS (SELECT doc_id, text FROM documents WHERE n_chars >= 100),
+        |f AS (SELECT doc_id, text,
+        |        md5(trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |      FROM q),
+        |ex0 AS (SELECT doc_id, text,
+        |          row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |        FROM f),
+        |exd AS (SELECT doc_id, text FROM ex0 WHERE rn = 1),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM exd),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter
+        |          JOIN sizes sa ON sa.doc_id = ia
+        |          JOIN sizes sb ON sb.doc_id = ib
+        |          WHERE 3 * i >= sa.n + sb.n),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION SELECT ib, ia FROM pairs),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM r GROUP BY a),
+        |keep AS (SELECT doc_id FROM exd
+        |         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp))
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |          % 100 AS b
+        |      FROM keep)""".stripMargin,
 
     // three unrolled integer-arithmetic rounds — long sums are
     // order-independent, so the replay is bit-exact

@@ -83,4 +83,32 @@ class StreamingIngestSpec extends GraftSpec {
     // 2 subjects × 1 non-key column = 2 distinct facts (duplicate dropped)
     assert(rows.length == 2)
   }
+
+  test("streaming near-dup gate flags the same pairs as the batch path") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val idx = graft.ops.Dedup.minhashIndex(
+      docs.where(col("doc_id") < 400), "doc_id", "text").persist()
+    val newRows = docs.where(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val batch = graft.ops.Dedup.minhashNearDupAgainst(
+        docs.where(col("doc_id") >= 400), "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = MemoryStream[(Long, String)]
+    // two micro-batches: the gate's flag set must accumulate across them
+    stream.addData(newRows.take(newRows.size / 2))
+    stream.addData(newRows.drop(newRows.size / 2))
+    val sq = graft.streaming.NearDupGate.flaggedPairs(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", idx)
+      .writeStream.format("memory").queryName("neardup_gate_test")
+      .outputMode("append").start()
+    sq.processAllAvailable()
+    sq.stop()
+    idx.unpersist()
+    val streamed = spark.table("neardup_gate_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "corpus should contain planted near-dups")
+    assert(streamed == batch)
+  }
 }
