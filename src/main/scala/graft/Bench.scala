@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE swap a sort-merge join for a shuffled-hash join when the
+      // runtime build side's partitions fit in memory — skips two sorts
+      // on wide struct keys; decision is per-query from measured sizes,
+      // so it stays safe when a side is actually huge (default 0 = off)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one cheap query first: JVM/codegen/parquet-footer warmup so the

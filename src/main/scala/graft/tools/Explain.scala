@@ -16,13 +16,19 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench/Verify so inspected plans are the shipped plans
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"== $name%s: $n%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val rows = df.collect()
+    println(f"== $name%s: ${rows.length}%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // the count() above would plan a SEPARATE execution; print the AQE
+    // final plan of the run we actually executed
+    println(df.queryExecution.executedPlan.toString.linesIterator
+      .take(30).mkString("\n"))
     spark.stop()
   }
 }

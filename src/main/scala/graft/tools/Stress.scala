@@ -136,6 +136,42 @@ object Stress {
     }
     blobs10.unpersist()
 
+    // 2f. round-4 additions at 10×: iterative integer PageRank over 10×
+    // the FK edge graph (1.65M edges at sf0.1 — per-round cost must
+    // track |edges| once and |nodes| per iteration, not hops×|edges|);
+    // inverted index over the 10× corpus (posting-list collect with the
+    // pre-collect stopword cap — the cap is what keeps reducers
+    // bounded when every replica shares the same vocabulary); mixture +
+    // chunking as narrow sanity rows.
+    time("pageRank 3 rounds at 10x edges") {
+      val edges = repKeys(spark.read.parquet(s"$sfDir/orders.parquet"),
+          Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+        .select(concat(functions.lit("o/"), col("o_orderkey")).as("src"),
+          concat(functions.lit("c/"), col("o_custkey")).as("dst"))
+        .union(repKeys(spark.read.parquet(s"$sfDir/customer.parquet"),
+            Map("c_custkey" -> 1000000L, "c_nationkey" -> 1000L))
+          .select(concat(functions.lit("c/"), col("c_custkey")).as("src"),
+            concat(functions.lit("n/"), col("c_nationkey")).as("dst")))
+      val r = graft.ops.Rank.pageRank(edges, 3)
+      println(s"[stress]   -> ${r.count()} ranked nodes")
+    }
+    time("inverted index at 10x corpus (df cap 78%)") {
+      val n = graft.ops.Text.invertedIndex(reps, "doc_id", "text",
+        maxDf = reps.count() * 78 / 100).count()
+      println(s"[stress]   -> $n indexed tokens")
+    }
+    time("temperature mixture + chunking at 10x corpus") {
+      val reps2 = (0 until 10).map { r =>
+        docs.select((col("doc_id") + functions.lit(r * 10000000L)).as("doc_id"),
+          col("source"))
+      }.reduce(_.unionByName(_))
+      val kept = graft.ops.Sample.temperatureMixture(
+        reps2, "source", "doc_id", reps2.count() / 2).count()
+      val chunks = graft.ops.Text.chunkTokens(reps, "doc_id", "text",
+        size = 40, stride = 30).count()
+      println(s"[stress]   -> $kept kept, $chunks chunks")
+    }
+
     // 2e. dictionary-encoded store A/B (the REAL operator, DictDb): the
     // same BGPs over the 6.6M-triple fact store, struct-keyed vs
     // dict-encoded, each repeated 5× — the dict's one-time encode (dict
