@@ -217,4 +217,44 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"token->id join must broadcast the vocab:\n$p")
   }
+
+  test("temperature mixture: thresholds broadcast, corpus never shuffles") {
+    val docs = Tables.t(spark, dir, "documents")
+    val p = plan(ops.Sample.temperatureMixture(docs, "source", "doc_id", 100L))
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 0,
+      s"the keep filter must not shuffle the corpus, got $exchanges:\n$p")
+  }
+
+  test("inverted index: stopword blocklist broadcasts into an anti-join " +
+    "below the postings aggregation") {
+    val p = plan(ops.Text.invertedIndex(
+      Tables.t(spark, dir, "documents"), "doc_id", "text", maxDf = 390))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"high-df tokens must be dropped via broadcast anti-join:\n$p")
+  }
+
+  test("compactLatest: one shuffle + streaming row_number, no global sort") {
+    val ev = Tables.events(spark, dir)
+    val p = plan(ops.AsOf.compactLatest(ev, Seq("user_id"), "ts", "event_id"))
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle by key, got $exchanges:\n$p")
+    assert(!p.contains("SinglePartition"), s"must never globally sort:\n$p")
+  }
+
+  test("pageRank round: rank-side joins shuffle only ranks — the " +
+    "persisted edges relation is reused, and contribution sums combine " +
+    "map-side") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r = ops.Rank.pageRank(edges, 1)
+    val p = plan(r)
+    // partial_sum before the final exchange = map-side combine of contribs
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"contribution sum must combine map-side:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).nonEmpty,
+      s"edges+outdeg must come from the persisted relation:\n$p")
+  }
 }
