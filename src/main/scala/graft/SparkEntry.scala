@@ -663,6 +663,15 @@ object SparkEntry {
         docs.where(col("doc_id") < 5), "text", 3)
     }),
 
+    // ---- bloom-prefiltered decontamination: Catalyst
+    //      BloomFilterAggregate/MightContain (no false negatives) +
+    //      exact verify on survivors ⇒ bit-identical to q58 ----
+    "q82_bloom_decontaminate" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      ops.Text.contaminatedBloom(docs.where(col("doc_id") >= 5), "doc_id",
+        "text", docs.where(col("doc_id") < 5), "text", 3)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1022,6 +1031,20 @@ object SparkEntry {
       |JOIN sizes sa ON sa.doc_id = ia
       |JOIN sizes sb ON sb.doc_id = ib
       |WHERE 3 * i >= sa.n + sb.n""".stripMargin
+
+  /** Exact eval-overlap replay (benchmark = doc_id < 5, 3-shingles):
+    * shared by q58 (broadcast semi-join) and q82 (bloom pre-filter +
+    * the same exact verify) — identical contaminated-id sets. */
+  private val DecontaminateOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(greatest(1, len(t) - 2)),
+      |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+      |       FROM toks),
+      |b AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id < 5),
+      |d AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id >= 5)
+      |SELECT DISTINCT d.doc_id FROM d JOIN b ON d.s = b.s""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_bgp_select" ->
@@ -1647,16 +1670,11 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(k.clean, '') AS clean
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
 
-    "q58_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
-        |              FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |         range(greatest(1, len(t) - 2)),
-        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
-        |       FROM toks),
-        |b AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id < 5),
-        |d AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id >= 5)
-        |SELECT DISTINCT d.doc_id FROM d JOIN b ON d.s = b.s""".stripMargin,
+    "q58_decontaminate" -> DecontaminateOracleSql,
+
+    // the bloom pre-filter has no false negatives and survivors are
+    // exactly verified, so q82 ≡ q58
+    "q82_bloom_decontaminate" -> DecontaminateOracleSql,
 
     "q59_repetition" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

@@ -243,6 +243,50 @@ object Text {
       .select(col(idCol)).distinct()
   }
 
+  /** [[contaminated]] with a Bloom pre-filter — the cluster-scale
+    * variant for when the benchmark shingle set is too large to ship
+    * raw to every task. The bloom is built DISTRIBUTED with Catalyst's
+    * own `BloomFilterAggregate` (the expression behind Spark's runtime
+    * row-group filters), materialized as one bounded row — exactly how
+    * `InjectRuntimeFilter` materializes its scalar subquery — and
+    * applied with codegen'd `BloomFilterMightContain` inside the
+    * corpus scan, so the 99%+ of shingles that miss never reach the
+    * semi-join. Bloom filters have NO false negatives, and survivors
+    * are still exactly verified against the true shingle set, so the
+    * result is bit-identical to [[contaminated]] (q82 shares q58's
+    * oracle); the bloom only changes how much data the join touches.
+    *
+    * `expectedShingles`/`fpp` size the filter (n·ln(1/fpp)/ln²2 bits);
+    * at fpp = 1% the bloom is ~1.2 bytes per benchmark shingle —
+    * 100 M shingles ride in ~120 MB, vs multi-GB for the raw set.
+    */
+  def contaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        n: Int = 3, expectedShingles: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    require(expectedShingles > 0 && fpp > 0 && fpp < 1,
+      "bloom sizing must be positive with fpp in (0,1)")
+    val numBits = math.ceil(
+      -expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("sh")).distinct()
+    val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
+      GraftSqlBridge.expression(xxhash64(col("sh"))),
+      Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
+    val bin = benchSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bin, BinaryType),
+      GraftSqlBridge.expression(xxhash64(col("sh")))))
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .where(mightContain)
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Repetition profile (the Gopher-style repetitiousness signal):
     * total tokens, distinct tokens, and the top token's frequency per
     * document — all integers, oracle-exact. Two map-side-combined

@@ -506,6 +506,20 @@ class OpsSpec extends GraftSpec {
     assert(out(4L) == "no shared chunks in this doc")
   }
 
+  test("bloom decontamination ≡ exact decontamination, bloom gates the scan") {
+    val corpus = docs.where(col("doc_id") >= 5)
+    val bench = docs.where(col("doc_id") < 5)
+    val exact = Text.contaminated(corpus, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = Text.contaminatedBloom(corpus, "doc_id", "text", bench, "text")
+    assert(exact.nonEmpty, "fixture should contain overlapping shingles")
+    assert(bloomed.collect().map(_.getLong(0)).toSet == exact,
+      "no false negatives + exact verify ⇒ identical result")
+    val p = bloomed.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"the bloom predicate must gate the corpus scan:\n$p")
+  }
+
   test("pageRank: integer fixed-point matches hand computation") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
