@@ -672,6 +672,30 @@ object SparkEntry {
         "text", docs.where(col("doc_id") < 5), "text", 3)
     }),
 
+    // ---- REAL video decode: synthetic animated GIFs (real ImageIO
+    //      multi-frame container) → real width/height/frame-count ----
+    "q84_video_decode" -> ((sp, dir) =>
+      ops.Multimodal.decodeMeta(ops.Multimodal.syntheticGifs(
+          Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id"))
+        .toDF().select(col("id"), col("width"), col("height"),
+          col("n_frames"))),
+
+    // ---- REAL per-frame decode: every 2nd frame's pixels read back;
+    //      solid fixed-palette frames make the features closed-form ----
+    "q85_video_frames" -> ((sp, dir) =>
+      ops.Multimodal.sampleVideoFrames(ops.Multimodal.syntheticGifs(
+          Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id"), 2)
+        .toDF().select(col("id"), col("frame_idx"),
+          element_at(col("feature"), 1).cast("int").as("r"),
+          element_at(col("feature"), 2).cast("int").as("g"),
+          element_at(col("feature"), 3).cast("int").as("b"))),
+
+    // ---- ranked keyword search: integer tf-idf top-10 (the retrieval
+    //      use of the index tier; TakeOrdered, never a global sort) ----
+    "q83_search_topk" -> ((sp, dir) =>
+      ops.Text.searchTopK(Tables.t(sp, dir, "documents"),
+        "doc_id", "text", "vector join hash", 10)),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1669,6 +1693,42 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(k.clean, '') AS clean
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
+
+    // the generation rule is the oracle: dims/frames/colors are
+    // closed-form in the id, and GIF is lossless for fixed-palette
+    // solid frames, so REAL decode must reproduce them exactly
+    "q84_video_decode" ->
+      """SELECT doc_id AS id, CAST(1 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(1 + (doc_id * 3) % 16 AS INTEGER) AS height,
+        |  CAST(2 + doc_id % 6 AS INTEGER) AS n_frames
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "q85_video_frames" ->
+      """WITH v AS (SELECT doc_id AS id, 2 + doc_id % 6 AS n
+        |           FROM documents WHERE doc_id < 200),
+        |f AS (SELECT id, unnest(range(0, n, 2)) AS frame_idx FROM v),
+        |c AS (SELECT id, frame_idx, (id + frame_idx) % 8 AS p FROM f)
+        |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(CASE WHEN p IN (1,4,6,7) THEN 255 ELSE 0 END AS INTEGER) AS r,
+        |  CAST(CASE WHEN p IN (2,4,5,7) THEN 255 ELSE 0 END AS INTEGER) AS g,
+        |  CAST(CASE WHEN p IN (3,5,6,7) THEN 255 ELSE 0 END AS INTEGER) AS b
+        |FROM c""".stripMargin,
+
+    "q83_search_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |               AS token
+        |             FROM documents),
+        |hits AS (SELECT doc_id, token FROM tok
+        |         WHERE token IN ('vector', 'join', 'hash')),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+        |       FROM hits GROUP BY 1, 2),
+        |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+        |        FROM hits GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, SUM(tf * (n.n // dfq.df)) AS score
+        |       FROM tf JOIN dfq USING (token), n GROUP BY doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q58_decontaminate" -> DecontaminateOracleSql,
 

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * pixel dimensions; [[resizeImages]] scales with `Graphics2D` and
   * re-encodes. Audio decode is REAL: `javax.sound.sampled` (also in the
   * JDK) parses WAV/AIFF/AU containers — header parsing only, no audio
-  * device needed, headless-safe. Only VIDEO decode remains a clearly
-  * marked deterministic STUB (`fakeDecode`): the container has no video
-  * codecs. Swapping `fakeDecode` for a real decoder (JavaCV, ffmpeg-cli
-  * per partition) keeps every other line unchanged.
+  * device needed, headless-safe. Video decode is REAL for multi-frame
+  * containers ImageIO can read (animated GIF in this environment):
+  * [[videoDecode]] walks the container for true width/height/frame
+  * count and [[sampleVideoFrames]] decodes actual frame pixels. Only
+  * codec-backed formats (H.264/VP9/…) stay behind the clearly marked
+  * deterministic STUB (`fakeDecode`) — the JDK ships no video codecs;
+  * swapping `fakeDecode` for JavaCV or ffmpeg-cli per partition keeps
+  * every other line unchanged.
   *
   * Scale notes: decode runs as a narrow map (no shuffle) and inherits
   * scan partitioning; binary payloads never pass through a wide
@@ -80,6 +84,9 @@ object Multimodal {
         if (b.mediaType.startsWith("image/")) {
           val (w, h) = imageDecode(b.payload)
           MediaMeta(b.id, b.payload.length.toLong, w, h, 1, b.mediaType)
+        } else if (b.mediaType == "video/gif") {
+          val (w, h, f) = videoDecode(b.payload) // REAL frame-container decode
+          MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
         } else {
           val (w, h, f) = fakeDecode(b.payload)
           MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
@@ -197,6 +204,113 @@ object Multimodal {
           i += 1
         }
         MediaBlob(id, wavBytes(pcm, 8000, 1, 16), "audio/wav")
+      }
+    }
+  }
+
+  /** The 8-color palette synthetic video frames draw from. Every color
+    * appears verbatim in each frame's GIF palette, so encode→decode is
+    * bit-exact (GIF is lossless for images already ≤256 colors). */
+  val VideoPalette: Array[Int] = Array(
+    0x000000, 0xFF0000, 0x00FF00, 0x0000FF,
+    0xFFFF00, 0x00FFFF, 0xFF00FF, 0xFFFFFF)
+
+  /** Deterministic synthetic videos as REAL animated GIFs (ImageIO's
+    * multi-frame GIF writer — container and codec both in the JDK):
+    * 2 + id % 6 frames of w = 1 + id % 16, h = 1 + (id·3) % 16, frame f
+    * solid color `VideoPalette[(id + f) % 8]`. Solid fixed-palette
+    * frames survive GIF quantization exactly, so the decode side reads
+    * REAL pixels whose values an external oracle derives from the
+    * generation rule alone. Same repartition-then-encode shape as
+    * [[syntheticImages]] (codec work is CPU-bound).
+    */
+  def syntheticGifs(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(par).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val icm = {
+        val r = VideoPalette.map(c => ((c >> 16) & 0xff).toByte)
+        val g = VideoPalette.map(c => ((c >> 8) & 0xff).toByte)
+        val b = VideoPalette.map(c => (c & 0xff).toByte)
+        new java.awt.image.IndexColorModel(8, VideoPalette.length, r, g, b)
+      }
+      it.map { id =>
+        val w = 1 + (id % 16).toInt
+        val h = 1 + ((id * 3) % 16).toInt
+        val n = 2 + (id % 6).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val rgb = VideoPalette(((id + f) % 8).toInt)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        MediaBlob(id, bos.toByteArray, "video/gif")
+      }
+    }
+  }
+
+  /** REAL video-container decode (ImageIO frame reader — GIF in this
+    * environment): (width, height, frameCount). `getNumImages(true)`
+    * walks the whole container, the honest frame count. Throws on
+    * undecodable bytes, same loud contract as [[imageDecode]].
+    */
+  def videoDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"undecodable video payload (${payload.length} bytes)")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      (reader.getWidth(0), reader.getHeight(0), reader.getNumImages(true))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** REAL frame sampling over a decodable video container: every Nth
+    * frame is actually decoded and its feature is read from the pixels
+    * — [r, g, b] of the top-left pixel plus [w, h]. Narrow flatMap; a
+    * production extractor swaps the feature body for a vision model,
+    * the decode loop stays.
+    */
+  def sampleVideoFrames(blobs: Dataset[MediaBlob], everyN: Int): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { b =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b.payload))
+        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by math.max(1, everyN)).map { i =>
+            val img = reader.read(i)
+            val p = img.getRGB(0, 0)
+            Frame(b.id, i, Array(
+              ((p >> 16) & 0xff).toFloat, ((p >> 8) & 0xff).toFloat,
+              (p & 0xff).toFloat, img.getWidth.toFloat, img.getHeight.toFloat))
+          }.toList
+        } finally { reader.dispose(); iis.close() }
       }
     }
   }

@@ -181,6 +181,37 @@ object Text {
         sort_array(collect_list(col("doc"))).as("postings"))
   }
 
+  /** Ranked keyword search: top-k documents for a bag-of-words query,
+    * scored by integer tf-idf — Σ over query tokens of
+    * tf(doc, token) · (N DIV df(token)). The integer idf keeps scores
+    * (and therefore ranks and the top-k SET) bit-reproducible across
+    * engines; a float log-idf would tie-break on rounding. Ties break
+    * on doc id.
+    *
+    * Scale shape: the corpus explode filters to the query's tokens
+    * BEFORE any shuffle (a query is a handful of tokens, so the
+    * surviving rows are a sliver of the corpus), then two map-side-
+    * combined groupBys, a broadcast join of the tiny per-token df
+    * table, and a TakeOrdered top-k (per-partition top-k + single
+    * merge — never a global sort).
+    */
+  def searchTopK(docs: DataFrame, idCol: String, textCol: String,
+                 query: String, k: Int): DataFrame = {
+    val qTokens = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(qTokens.nonEmpty, "query must contain at least one token")
+    val n = docs.count()
+    val hits = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token").isin(qTokens: _*))
+    val tf = hits.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfq = hits.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * expr(s"$n DIV df")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k characteristic tokens per document, ranked by term
     * frequency (desc), then corpus rarity (document frequency asc),
     * then token — the tf-idf ordering expressed in pure integers, so

@@ -506,6 +506,43 @@ class OpsSpec extends GraftSpec {
     assert(out(4L) == "no shared chunks in this doc")
   }
 
+  test("video: animated-GIF round-trip — real dims, frame count, pixels") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L, 15L, 100L).toDF("id")
+    val blobs = Multimodal.syntheticGifs(ids, "id")
+    val meta = Multimodal.decodeMeta(blobs).collect()
+      .map(m => m.id -> ((m.width, m.height, m.n_frames))).toMap
+    for (id <- Seq(0L, 3L, 7L, 15L, 100L))
+      assert(meta(id) == ((1 + (id % 16).toInt, 1 + ((id * 3) % 16).toInt,
+        2 + (id % 6).toInt)), s"metadata mismatch for id $id")
+    // frame pixels survive the codec exactly (fixed-palette solid frames)
+    val frames = Multimodal.sampleVideoFrames(blobs, 1).collect()
+    assert(frames.nonEmpty)
+    for (f <- frames) {
+      val expected = Multimodal.VideoPalette(((f.id + f.frame_idx) % 8).toInt)
+      val got = (f.feature(0).toInt << 16) | (f.feature(1).toInt << 8) |
+        f.feature(2).toInt
+      assert(got == expected,
+        s"pixel mismatch id=${f.id} frame=${f.frame_idx}")
+    }
+  }
+
+  test("searchTopK: integer tf-idf ranks by relevance, deterministic ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "cat cat cat"),   // tf(cat)=3
+      (2L, "cat dog"),       // tf(cat)=1, tf(dog)=1
+      (3L, "dog dog"),       // tf(dog)=2
+      (4L, "bird")           // no query tokens
+    ).toDF("id", "text")
+    // N=4; df(cat)=2 → w=2; df(dog)=2 → w=2
+    // scores: 1→6, 2→4, 3→4 (doc 2 beats 3 on id tie? no — equal score,
+    // id asc → doc 2 first), 4 absent
+    val out = Text.searchTopK(corpus, "id", "text", "cat dog", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(out == List((1L, 6L), (2L, 4L), (3L, 4L)))
+  }
+
   test("bloom decontamination ≡ exact decontamination, bloom gates the scan") {
     val corpus = docs.where(col("doc_id") >= 5)
     val bench = docs.where(col("doc_id") < 5)

@@ -218,6 +218,16 @@ class PlanSpec extends GraftSpec {
       s"token->id join must broadcast the vocab:\n$p")
   }
 
+  test("searchTopK: token filter precedes shuffles; top-k via TakeOrdered") {
+    val p = plan(ops.Text.searchTopK(
+      Tables.t(spark, dir, "documents"), "doc_id", "text", "vector join", 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition + merge, not a global sort:\n$p")
+    assert("Filter.*token".r.findFirstIn(p).isDefined ||
+      p.contains("isin") || p.contains("IN ("),
+      s"query-token filter must prune before aggregation:\n$p")
+  }
+
   test("temperature mixture: thresholds broadcast, corpus never shuffles") {
     val docs = Tables.t(spark, dir, "documents")
     val p = plan(ops.Sample.temperatureMixture(docs, "source", "doc_id", 100L))
