@@ -58,6 +58,22 @@ object SparkEntry {
       .repartition(sp.sparkContext.defaultParallelism)
   }
 
+  /** Animated-GIF blobs, same materialize-once rig as [[syntheticBlobs]]
+    * — q84/q85 time the real video DECODE, not the encode rig. */
+  private val gifCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def syntheticGifBlobs(sp: SparkSession, dir: String) = {
+    import sp.implicits._
+    val path = gifCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gifs").toString
+      ops.Multimodal.syntheticGifs(
+          Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    sp.read.parquet(path).as[ops.Multimodal.MediaBlob]
+      .repartition(sp.sparkContext.defaultParallelism)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- 1-2: triple-pattern scan + BGP conjunction (join fold) ----
     "q01_bgp_select" -> ((sp, dir) => {
@@ -675,16 +691,14 @@ object SparkEntry {
     // ---- REAL video decode: synthetic animated GIFs (real ImageIO
     //      multi-frame container) → real width/height/frame-count ----
     "q84_video_decode" -> ((sp, dir) =>
-      ops.Multimodal.decodeMeta(ops.Multimodal.syntheticGifs(
-          Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id"))
+      ops.Multimodal.decodeMeta(syntheticGifBlobs(sp, dir))
         .toDF().select(col("id"), col("width"), col("height"),
           col("n_frames"))),
 
     // ---- REAL per-frame decode: every 2nd frame's pixels read back;
     //      solid fixed-palette frames make the features closed-form ----
     "q85_video_frames" -> ((sp, dir) =>
-      ops.Multimodal.sampleVideoFrames(ops.Multimodal.syntheticGifs(
-          Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id"), 2)
+      ops.Multimodal.sampleVideoFrames(syntheticGifBlobs(sp, dir), 2)
         .toDF().select(col("id"), col("frame_idx"),
           element_at(col("feature"), 1).cast("int").as("r"),
           element_at(col("feature"), 2).cast("int").as("g"),
