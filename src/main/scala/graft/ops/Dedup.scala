@@ -122,9 +122,7 @@ object Dedup {
     val verified = cand
       .join(newBase.select(col("id").as("ia"), col("sh").as("sha")), "ia")
       .join(index.select(col("id").as("ib"), col("sh").as("shb")), "ib")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .where(lit(jDen + jNum) * col("inter") >=
-        lit(jNum) * (size(col("sha")) + size(col("shb"))))
+      .where(jaccardAtLeast(col("sha"), col("shb"), jNum, jDen))
       .select("ia", "ib")
     val result = verified.persist()
     result.count()
@@ -144,15 +142,21 @@ object Dedup {
   }
 
   /** J(a,b) ≥ num/den via integer cross-multiplication:
-    * (den+num)·|∩| ≥ num·(|a|+|b|)  ⟺  |∩|/|∪| ≥ num/den. */
+    * (den+num)·|∩| ≥ num·(|a|+|b|)  ⟺  |∩|/|∪| ≥ num/den.
+    * THE shared threshold rule — batch pairs, incremental batches, and
+    * the streaming gate all go through this one predicate, so the
+    * stream ≡ batch oracle-sharing can't silently drift. */
+  private[graft] def jaccardAtLeast(sha: Column, shb: Column,
+                                    jNum: Int, jDen: Int): Column =
+    lit(jDen + jNum) * size(array_intersect(sha, shb)) >=
+      lit(jNum) * (size(sha) + size(shb))
+
   private def verifyJaccard(cand: DataFrame, base: DataFrame,
                             jNum: Int, jDen: Int): DataFrame =
     cand
       .join(base.select(col("id").as("ia"), col("sh").as("sha")), "ia")
       .join(base.select(col("id").as("ib"), col("sh").as("shb")), "ib")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .where(lit(jDen + jNum) * col("inter") >=
-        lit(jNum) * (size(col("sha")) + size(col("shb"))))
+      .where(jaccardAtLeast(col("sha"), col("shb"), jNum, jDen))
       .select("ia", "ib")
 
   /** 64-bit SimHash fingerprints in one narrow pass — per-document

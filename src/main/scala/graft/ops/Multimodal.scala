@@ -278,7 +278,11 @@ object Multimodal {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"undecodable video payload (${payload.length} bytes)")
+    if (!readers.hasNext) {
+      iis.close()
+      throw new IllegalArgumentException(
+        s"undecodable video payload (${payload.length} bytes)")
+    }
     val reader = readers.next()
     try {
       reader.setInput(iis)
@@ -299,7 +303,13 @@ object Multimodal {
       it.flatMap { b =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(b.payload))
-        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { // same loud contract as videoDecode
+          iis.close()
+          throw new IllegalArgumentException(
+            s"undecodable video payload (${b.payload.length} bytes)")
+        }
+        val reader = readers.next()
         try {
           reader.setInput(iis)
           val n = reader.getNumImages(true)

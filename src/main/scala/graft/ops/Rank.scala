@@ -58,6 +58,13 @@ object Rank {
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize the final ranks eagerly so the iteration caches can
+    // be released before returning — no cached-RDD leak per call (the
+    // minhashNearDupPairs discipline)
+    val result = ranks.persist()
+    result.count()
+    eo.unpersist()
+    nodes.unpersist()
+    result
   }
 }

@@ -303,8 +303,22 @@ object Text {
       "bloom sizing must be positive with fpp in (0,1)")
     val numBits = math.ceil(
       -expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate SILENTLY clamps numBits to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 64M
+    // bits = 8 MB) — a clamped filter degrades fpp toward 1 and the
+    // prefilter quietly stops filtering. Raise the ceiling to what the
+    // caller asked for rather than let the sizing silently lie.
+    val spark = docs.sparkSession
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(maxBitsKey, "67108864").toLong < numBits)
+      spark.conf.set(maxBitsKey, numBits.toString)
+    // benchSh feeds BOTH the bloom build (an eager head() action) and
+    // the exact verify join — persist so the benchmark scan+shingle+
+    // distinct pass runs once, and release after the (small) result
+    // set is materialized (the minhashNearDupPairs cache discipline)
     val benchSh = bench
       .select(explode(shingles(col(benchTextCol), n)).as("sh")).distinct()
+      .persist()
     val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
       GraftSqlBridge.expression(xxhash64(col("sh"))),
       Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
@@ -312,10 +326,15 @@ object Text {
     val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
       Literal(bin, BinaryType),
       GraftSqlBridge.expression(xxhash64(col("sh")))))
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+    val result = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
       .where(mightContain)
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .select(col(idCol)).distinct()
+      .persist()
+    result.count()
+    benchSh.unpersist()
+    result
   }
 
   /** Repetition profile (the Gopher-style repetitiousness signal):

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.ops.Text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,10 +33,13 @@ object NearDupGate {
                    index: DataFrame,
                    shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
                    jNum: Int = 1, jDen: Int = 2): DataFrame = {
-    val nb = newDocs.select(col(idCol).as("ia"),
-        Text.shingles(col(textCol), shingleN).as("sha"))
-      .withColumn("bhs", graft.functions.TextExpressions.minhashBandHashes(
-        col("sha"), perms, bands))
+    // the new side IS a minhashIndex of the arriving batch — same
+    // shingle + banding code as the corpus index build, and the
+    // verify threshold is Dedup's shared predicate, so the stream
+    // path can't drift from the batch path it shares an oracle with
+    val nb = graft.ops.Dedup
+      .minhashIndex(newDocs, idCol, textCol, shingleN, perms, bands)
+      .select(col("id").as("ia"), col("sh").as("sha"), col("bhs"))
     val cbe = index.select(col("id").as("ib"),
       posexplode(col("bhs")).as(Seq("band", "bh")))
     nb.select(col("ia"), col("sha"),
@@ -45,9 +47,7 @@ object NearDupGate {
       .join(cbe, Seq("band", "bh"))
       .select(col("ia"), col("sha"), col("ib"))
       .join(index.select(col("id").as("ib"), col("sh").as("shb")), "ib")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .where(lit(jDen + jNum) * col("inter") >=
-        lit(jNum) * (size(col("sha")) + size(col("shb"))))
+      .where(graft.ops.Dedup.jaccardAtLeast(col("sha"), col("shb"), jNum, jDen))
       .select("ia", "ib")
       .dropDuplicates("ia", "ib")
   }

@@ -23,10 +23,12 @@ object Explain {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     val t0 = System.nanoTime()
-    val rows = df.collect()
-    println(f"== $name%s: ${rows.length}%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    // the count() above would plan a SEPARATE execution; print the AQE
-    // final plan of the run we actually executed
+    // foreach + accumulator: an action on THIS DataFrame (so its
+    // queryExecution carries the AQE final plan — count() would plan a
+    // separate execution) without collecting the result to the driver
+    val acc = spark.sparkContext.longAccumulator("rows")
+    df.foreach(_ => acc.add(1))
+    println(f"== $name%s: ${acc.value}%d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     println(df.queryExecution.executedPlan.toString.linesIterator
       .take(30).mkString("\n"))
     spark.stop()
