@@ -735,6 +735,45 @@ object SparkEntry {
       ops.Text.searchTopK(Tables.t(sp, dir, "documents"),
         "doc_id", "text", "vector join hash", 10)),
 
+    // ---- Count-Min sketch heavy hitters: d=4 × w=256 md5-addressed
+    //      counters built in ONE map-side-combined pass (the shuffle
+    //      carries the 1024-row sketch, never the token stream); the 20
+    //      heaviest tokens probe it — the oracle hash-compares both the
+    //      exact counts and the estimates, pinning the sketch itself ----
+    "q86_cms_heavyhitters" -> ((sp, dir) => {
+      val toks = Tables.t(sp, dir, "documents")
+        .select(explode(ops.Text.tokens(col("text"))).as("token"))
+      val sketch = ops.Sketch.countMin(toks, "token")
+      val heavy = toks.groupBy("token")
+        .agg(count(functions.lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("token")).limit(20)
+      ops.Sketch.cmsEstimate(sketch, heavy.select("token"), "token")
+        .join(broadcast(heavy), Seq("token"))
+        .select(col("token"), col("exact"), col("est"))
+    }),
+
+    // ---- HyperLogLog distinct-token sketch: 256 registers from md5
+    //      hex arithmetic, mergeable by max-per-register; the oracle
+    //      replays every register exactly (the estimator itself is
+    //      pinned by SketchSpec against the true distinct count) ----
+    "q87_hll_sketch" -> ((sp, dir) =>
+      ops.Sketch.hllRegisters(
+        Tables.t(sp, dir, "documents")
+          .select(explode(ops.Text.tokens(col("text"))).as("token")),
+        "token")),
+
+    // ---- SemDeDup (Abbas et al. 2023): cluster embeddings (fixed
+    //      first-16-vector centroids, the q33 oracle idiom), drop any
+    //      vector with a lower-id clustermate at cosine ≥ 0.50 — the
+    //      within-cell quadratic is the published scale bound ----
+    "q88_semdedup" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      ops.Similarity.semDeDup(emb, centroids, 0.50)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1780,6 +1819,74 @@ object SparkEntry {
     // the bloom pre-filter has no false negatives and survivors are
     // exactly verified, so q82 ≡ q58
     "q82_bloom_decontaminate" -> DecontaminateOracleSql,
+
+    // replays the full CM sketch (4×256 md5-addressed counters), the
+    // exact top-20, and the min-over-rows estimates
+    "q86_cms_heavyhitters" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |sk AS (SELECT r.i AS row,
+        |         CAST('0x' || substr(md5('cms' || r.i || '_' || token), 1, 8)
+        |           AS BIGINT) % 256 AS bucket,
+        |         count(*) AS cnt
+        |       FROM tok, range(4) r(i) GROUP BY 1, 2),
+        |exact AS (SELECT token, count(*) AS exact FROM tok GROUP BY token),
+        |hh AS (SELECT token, exact FROM exact
+        |       ORDER BY exact DESC, token LIMIT 20),
+        |pr AS (SELECT token, r.i AS row,
+        |         CAST('0x' || substr(md5('cms' || r.i || '_' || token), 1, 8)
+        |           AS BIGINT) % 256 AS bucket
+        |       FROM hh, range(4) r(i)),
+        |est AS (SELECT pr.token, min(coalesce(sk.cnt, 0)) AS est
+        |        FROM pr LEFT JOIN sk ON sk.row = pr.row AND sk.bucket = pr.bucket
+        |        GROUP BY pr.token)
+        |SELECT hh.token, CAST(hh.exact AS BIGINT) AS exact,
+        |  CAST(est.est AS BIGINT) AS est
+        |FROM hh JOIN est USING (token)""".stripMargin,
+
+    // replays every HLL register: reg = first 2 md5 nibbles, rho = 1 +
+    // leading-zero bits of the next 56, via the same hex-string CASE
+    "q87_hll_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |h AS (SELECT md5(token) AS h FROM tok),
+        |r AS (SELECT CAST('0x' || substr(h, 1, 2) AS INTEGER) AS register,
+        |             regexp_replace(substr(h, 3, 14), '^0+', '') AS st
+        |      FROM h)
+        |SELECT register,
+        |  CAST(max(CASE WHEN length(st) = 0 THEN 57
+        |    ELSE (14 - length(st)) * 4
+        |      + CASE WHEN substr(st, 1, 1) = '1' THEN 3
+        |             WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+        |             WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |             ELSE 0 END + 1 END) AS INTEGER) AS max_rho
+        |FROM r GROUP BY register""".stripMargin,
+
+    // SemDeDup: q33's fixed-centroid assignment, then within-cell
+    // lower-id-mate check at cosine >= 0.50
+    "q88_semdedup" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS c,
+        |           list_sum(list_transform(v, x -> x * x)) AS c2
+        |         FROM emb WHERE vec_id < 16),
+        |nsc AS (
+        |  SELECT e.vec_id AS nid, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb e, cent c
+        |), asg AS (SELECT nid, cell FROM nsc WHERE rk = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.nid
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid < b.nid
+        |  JOIN emb ea ON ea.vec_id = a.nid
+        |  JOIN emb eb ON eb.vec_id = b.nid
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.50)
+        |SELECT a.nid AS vec_id, CAST(a.cell AS INTEGER) AS cell,
+        |  (d.nid IS NULL) AS kept
+        |FROM asg a LEFT JOIN dup d ON d.nid = a.nid""".stripMargin,
 
     "q59_repetition" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

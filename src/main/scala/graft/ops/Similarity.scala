@@ -326,6 +326,44 @@ object Similarity {
     result
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with a coarse quantizer, then mark as duplicate
+    * any vector with a LOWER-id clustermate at cosine ≥ threshold —
+    * pairwise comparison happens only WITHIN a cell, which is the
+    * published algorithm's scale lever (cells bound the quadratic:
+    * pairs ≈ N²/cells instead of N², and each cell's block joins on its
+    * own shuffle key). Centroids are caller-supplied — pass a KMeans
+    * model's centers, or any deterministic pick (e.g. the first k
+    * corpus vectors) to make the whole computation SQL-replayable.
+    *
+    * Output: one row per input — (`vec_id`, `cell`, `kept`); a
+    * training pipeline filters `kept` and joins back to documents.
+    * Norms are computed once per side (N, not N²); only the codegen'd
+    * dot runs per candidate pair.
+    */
+  def semDeDup(corpus: DataFrame, centroids: Seq[Array[Float]],
+               threshold: Double, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    // persist: the assignment pass (|centroids| dot products per row)
+    // feeds both self-join sides and the final keep-list join
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol).persist()
+    val a = assigned.select(col("cell"), col("nid").as("ia"),
+      col("nv").as("va"), norm(col("nv")).as("na"))
+    val b = assigned.select(col("cell"), col("nid").as("ib"),
+      col("nv").as("vb"), norm(col("nv")).as("nb"))
+    val dropped = a.join(b, Seq("cell")).where(col("ia") < col("ib"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("ib").as("nid")).distinct()
+    val result = assigned
+      .join(dropped.withColumn("__dup", lit(1)), Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cell"),
+        col("__dup").isNull.as("kept"))
+      .persist()
+    result.count() // materialize, then release the assignment cache
+    assigned.unpersist()
+    result
+  }
+
   /** All pairs (ia < ib) with cosine ≥ threshold — bounded quadratic;
     * callers restrict the input to a block/subset. Norms are computed
     * once per vector (N, not N²); only the codegen'd dot runs per pair.

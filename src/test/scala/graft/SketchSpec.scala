@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.{Similarity, Sketch}
+import org.apache.spark.sql.functions._
+
+/** Sketch tier: Count-Min / HyperLogLog properties, and the SemDeDup
+  * drop rule against an independent driver-side recomputation.
+  */
+class SketchSpec extends GraftSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  def docs = Tables.t(spark, dir, "documents")
+  def emb = Tables.t(spark, dir, "embeddings")
+  def toks = docs.select(explode(split(lower(col("text")), " ")).as("token"))
+
+  test("count-min: estimates are one-sided (est >= exact, every token)") {
+    val sketch = Sketch.countMin(toks, "token")
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    val bad = Sketch.cmsEstimate(sketch, exact.select("token"), "token")
+      .join(exact, "token")
+      .where(col("est") < col("exact"))
+    assert(bad.count() == 0, "CMS must never underestimate")
+  }
+
+  test("count-min: sketch mass per row equals the item count") {
+    val n = toks.count()
+    val rows = Sketch.countMin(toks, "token", depth = 4)
+      .groupBy("row").agg(sum("cnt").as("mass")).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getLong(1) == n))
+  }
+
+  test("hll: estimate within 3 standard errors on 5000 distinct items") {
+    import spark.implicits._
+    val items = spark.range(5000).select(
+      concat(lit("item_"), col("id")).as("token"))
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(items, "token"))
+    // m=256 -> se ~ 6.5%; 3*se ~ 20%
+    assert(math.abs(est - 5000) / 5000.0 < 0.20, s"estimate $est")
+  }
+
+  test("hll: merge of shard sketches == sketch of the union") {
+    val a = spark.range(0, 3000).select(
+      concat(lit("x"), col("id")).as("token"))
+    val b = spark.range(2000, 6000).select(
+      concat(lit("x"), col("id")).as("token"))
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(a, "token"), Sketch.hllRegisters(b, "token"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val whole = Sketch.hllRegisters(a.union(b), "token")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(merged == whole)
+  }
+
+  test("cms estimate plan broadcasts the sketch side") {
+    val sketch = Sketch.countMin(toks, "token")
+    val p = Sketch.cmsEstimate(sketch, toks.limit(10), "token")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast in:\n$p")
+  }
+
+  test("semdedup matches a driver-side recomputation of the drop rule") {
+    val vecs = emb.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val centroids = vecs.take(16).map(_._2).toSeq
+    val tau = 0.50
+
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cell(v: Array[Float]): Int =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble) - 2.0 * dot(v, c), i)
+      }.min._2
+    val assigned = vecs.map { case (id, v) => (id, v, cell(v)) }
+    val expectedDropped = (for {
+      (ib, vb, cb) <- assigned
+      if assigned.exists { case (ia, va, ca) =>
+        ca == cb && ia < ib &&
+          dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))) >= tau
+      }
+    } yield ib).toSet
+
+    val df = Similarity.semDeDup(emb, centroids, tau)
+    val res = df.collect()
+    assert(res.length == vecs.length, "one row per input vector")
+    val gotDropped = res.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(gotDropped == expectedDropped)
+    val cellOf = assigned.map { case (id, _, c) => id -> c }.toMap
+    res.foreach(r => assert(cellOf(r.getLong(0)) == r.getInt(1)))
+    df.unpersist()
+  }
+
+  test("semdedup pairwise join shuffles on cell — never a cross product") {
+    val centroids = emb.where(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    val df = Similarity.semDeDup(emb, centroids, 0.50)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell join must be an equi-join on cell:\n$p")
+    df.unpersist()
+  }
+}
