@@ -774,6 +774,29 @@ object SparkEntry {
       ops.Similarity.semDeDup(emb, centroids, 0.50)
     }),
 
+    // ---- streaming HLL: the SAME hllRegisters op on a stream — the
+    //      groupBy/max aggregation accumulates registers across
+    //      microbatches (fed in two halves to prove it); the driver-side
+    //      token collect is the MemoryStream harness, not the op ----
+    "q89_hll_stream" -> ((sp, dir) => {
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val toks = Tables.t(sp, dir, "documents")
+        .select(explode(ops.Text.tokens(col("text"))).as("token"))
+        .as[String].collect().toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val (h1, h2) = toks.splitAt(toks.length / 2)
+      val sink = "graft_q89_sink"
+      val sq = ops.Sketch.hllRegisters(stream.toDF().toDF("token"), "token")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      stream.addData(h1); sq.processAllAvailable()
+      stream.addData(h2); sq.processAllAvailable()
+      sq.stop()
+      sp.table(sink)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1085,6 +1108,26 @@ object SparkEntry {
   /** Fixed-centroid IVF replay (cells = vectors 0..15, probe 4, top-5):
     * shared by q33 (in-memory) and q77 (durable index) — both must
     * produce bit-identical rankings. */
+  /** Exact replay of every HLL register (reg = first 2 md5 nibbles,
+    * rho = 1 + leading-zero bits of the next 56 via hex-string CASE):
+    * shared by q87 (batch) and q89 (streaming) — max-per-register
+    * accumulation makes stream ≡ batch. */
+  private val HllOracleSql: String =
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+      |             FROM documents),
+      |h AS (SELECT md5(token) AS h FROM tok),
+      |r AS (SELECT CAST('0x' || substr(h, 1, 2) AS INTEGER) AS register,
+      |             regexp_replace(substr(h, 3, 14), '^0+', '') AS st
+      |      FROM h)
+      |SELECT register,
+      |  CAST(max(CASE WHEN length(st) = 0 THEN 57
+      |    ELSE (14 - length(st)) * 4
+      |      + CASE WHEN substr(st, 1, 1) = '1' THEN 3
+      |             WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+      |             WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |             ELSE 0 END + 1 END) AS INTEGER) AS max_rho
+      |FROM r GROUP BY register""".stripMargin
+
   private val IvfOracleSql: String =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |             FROM embeddings),
@@ -1846,21 +1889,11 @@ object SparkEntry {
 
     // replays every HLL register: reg = first 2 md5 nibbles, rho = 1 +
     // leading-zero bits of the next 56, via the same hex-string CASE
-    "q87_hll_sketch" ->
-      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
-        |             FROM documents),
-        |h AS (SELECT md5(token) AS h FROM tok),
-        |r AS (SELECT CAST('0x' || substr(h, 1, 2) AS INTEGER) AS register,
-        |             regexp_replace(substr(h, 3, 14), '^0+', '') AS st
-        |      FROM h)
-        |SELECT register,
-        |  CAST(max(CASE WHEN length(st) = 0 THEN 57
-        |    ELSE (14 - length(st)) * 4
-        |      + CASE WHEN substr(st, 1, 1) = '1' THEN 3
-        |             WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
-        |             WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
-        |             ELSE 0 END + 1 END) AS INTEGER) AS max_rho
-        |FROM r GROUP BY register""".stripMargin,
+    "q87_hll_sketch" -> HllOracleSql,
+
+    // the streaming sketch accumulates max-per-register across
+    // microbatches — stream ≡ batch, so q89 shares q87's oracle
+    "q89_hll_stream" -> HllOracleSql,
 
     // SemDeDup: q33's fixed-centroid assignment, then within-cell
     // lower-id-mate check at cosine >= 0.50

@@ -52,6 +52,25 @@ class SketchSpec extends GraftSpec {
     assert(merged == whole)
   }
 
+  test("hll: streaming registers across two microbatches == batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val items = (0 until 2000).map(i => s"s$i")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val sq = Sketch.hllRegisters(stream.toDF().toDF("token"), "token")
+      .writeStream.format("memory").queryName("sketch_spec_hll")
+      .outputMode("complete").start()
+    stream.addData(items.take(1000)); sq.processAllAvailable()
+    stream.addData(items.drop(1000)); sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table("sketch_spec_hll")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val batch = Sketch.hllRegisters(items.toDF("token"), "token")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("cms estimate plan broadcasts the sketch side") {
     val sketch = Sketch.countMin(toks, "token")
     val p = Sketch.cmsEstimate(sketch, toks.limit(10), "token")
