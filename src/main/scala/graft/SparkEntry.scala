@@ -774,21 +774,23 @@ object SparkEntry {
       ops.Similarity.semDeDup(emb, centroids, 0.50)
     }),
 
-    // ---- streaming HLL: the SAME hllRegisters op on a stream — the
+    // ---- streaming HLL: the SAME hllRegisters op on a stream of
+    //      DOCUMENTS (tokenized in-stream — explode is stateless); the
     //      groupBy/max aggregation accumulates registers across
     //      microbatches (fed in two halves to prove it); the driver-side
-    //      token collect is the MemoryStream harness, not the op ----
+    //      document collect is the MemoryStream harness, not the op ----
     "q89_hll_stream" -> ((sp, dir) => {
       import sp.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
-      val toks = Tables.t(sp, dir, "documents")
-        .select(explode(ops.Text.tokens(col("text"))).as("token"))
-        .as[String].collect().toSeq
+      val texts = Tables.t(sp, dir, "documents")
+        .select(col("text")).as[String].collect().toSeq
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[String]
-      val (h1, h2) = toks.splitAt(toks.length / 2)
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      val toks = stream.toDF().toDF("text")
+        .select(explode(ops.Text.tokens(col("text"))).as("token"))
       val sink = "graft_q89_sink"
-      val sq = ops.Sketch.hllRegisters(stream.toDF().toDF("token"), "token")
+      val sq = ops.Sketch.hllRegisters(toks, "token")
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       stream.addData(h1); sq.processAllAvailable()

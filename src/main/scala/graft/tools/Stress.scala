@@ -172,6 +172,32 @@ object Stress {
       println(s"[stress]   -> $kept kept, $chunks chunks")
     }
 
+    // 2g. sketch tier at 10×: CMS and HLL must stay one-pass with a
+    // bounded shuffle (d×w / 2^p rows) no matter the corpus size;
+    // SemDeDup's within-cell quadratic gets the same dup-dense stress
+    // as 2c (exact replicas pack cells 10× denser — the bound to watch).
+    {
+      val toks10 = reps.select(explode(split(lower(col("text")), " "))
+        .as("token"))
+      time("count-min sketch at 10x token stream") {
+        val n = graft.ops.Sketch.countMin(toks10, "token").count()
+        println(s"[stress]   -> $n sketch counters")
+      }
+      time("hll registers at 10x token stream") {
+        val n = graft.ops.Sketch.hllRegisters(toks10, "token").count()
+        println(s"[stress]   -> $n registers")
+      }
+      time("semdedup at 10x vectors (16 cells, exact-dup heavy)") {
+        val centroids = emb10.where(col("vec_id") < 16)
+          .orderBy(col("vec_id")).select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray).toSeq
+        val r = graft.ops.Similarity.semDeDup(emb10, centroids, 0.50)
+        val dropped = r.where(!col("kept")).count()
+        println(s"[stress]   -> ${r.count()} rows, $dropped dropped")
+        r.unpersist()
+      }
+    }
+
     // 2e. dictionary-encoded store A/B (the REAL operator, DictDb): the
     // same BGPs over the 6.6M-triple fact store, struct-keyed vs
     // dict-encoded, each repeated 5× — the dict's one-time encode (dict

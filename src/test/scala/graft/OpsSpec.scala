@@ -571,6 +571,19 @@ class OpsSpec extends GraftSpec {
     assert(r0 == Set(1000000L))
   }
 
+  test("pageRank: cyclic graph (empty static-source set) stays exact") {
+    import spark.implicits._
+    // a⇄b cycle plus a sink c: every source is also a receiver, so the
+    // static-contribution split contributes nothing and the plain
+    // iteration must carry the whole sum
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val r = graft.ops.Rank.pageRank(edges, 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // outdeg a=2, b=1; r1: a=1000000, b=575000, c=575000
+    // r2: a=150000+85·575000/100=638750, b=c=150000+85·500000/100=575000
+    assert(r == Map("a" -> 638750L, "b" -> 575000L, "c" -> 575000L))
+  }
+
   test("ivf index save/load: indexed query ≡ in-memory fixed-centroid query") {
     val centroids = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
