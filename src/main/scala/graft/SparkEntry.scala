@@ -799,6 +799,25 @@ object SparkEntry {
       sp.table(sink)
     }),
 
+    // ---- integer bigram surprisal: CCNet-style LM quality signal with
+    //      floor-log2 as bit-length arithmetic — no float log anywhere,
+    //      so the corpus-LM scoring replays exactly in SQL ----
+    "q90_bigram_surprisal" -> ((sp, dir) =>
+      ops.Text.bigramSurprisal(Tables.t(sp, dir, "documents"),
+        "doc_id", "text")),
+
+    // ---- product-quantization codes (IVF-PQ building block): 8
+    //      subspaces × 8 dims, sub-codebooks sliced from the first 16
+    //      vectors — one narrow codegen'd pass, (vec_id,subspace,code)
+    //      rows ----
+    "q91_pq_codes" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      ops.Similarity.pqCodes(emb, centroids)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1896,6 +1915,50 @@ object SparkEntry {
     // the streaming sketch accumulates max-per-register across
     // microbatches — stream ≡ batch, so q89 shares q87's oracle
     "q89_hll_stream" -> HllOracleSql,
+
+    // corpus bigram LM + per-doc quantized surprisal: bit-length
+    // difference of (prefix count, bigram count) — all-integer
+    "q90_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |           FROM documents),
+        |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+        |       FROM (SELECT doc_id, t,
+        |               unnest(generate_series(0, len(t) - 2)) AS i
+        |             FROM w)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |s AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |        sum(length(format('{:b}', CAST(c1.c1 AS BIGINT)))
+        |          - length(format('{:b}', CAST(c2.c2 AS BIGINT)))) AS surprisal
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |      GROUP BY bg.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(s.surprisal, 0) AS BIGINT) AS surprisal
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // PQ: per (vector, subspace) the nearest sub-centroid by
+    // |c|^2 - 2 v.c over the sliced codebooks, ties on code index
+    "q91_pq_codes" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS j, v AS c FROM emb WHERE vec_id < 16),
+        |sub AS (SELECT s.s AS subspace, j,
+        |          list_slice(c, s.s * 8 + 1, s.s * 8 + 8) AS cs
+        |        FROM cent, range(8) s(s)),
+        |subn AS (SELECT subspace, j, cs,
+        |           list_sum(list_transform(cs, x -> x * x)) AS c2
+        |         FROM sub),
+        |scored AS (
+        |  SELECT e.vec_id, n.subspace, n.j,
+        |    row_number() OVER (PARTITION BY e.vec_id, n.subspace ORDER BY
+        |      n.c2 - 2 * list_sum(list_transform(range(8), k ->
+        |        e.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
+        |          * n.cs[CAST(k + 1 AS INTEGER)])),
+        |      n.j) AS rk
+        |  FROM emb e, subn n)
+        |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace,
+        |  CAST(j AS INTEGER) AS code
+        |FROM scored WHERE rk = 1""".stripMargin,
 
     // SemDeDup: q33's fixed-centroid assignment, then within-cell
     // lower-id-mate check at cosine >= 0.50

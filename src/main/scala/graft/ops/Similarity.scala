@@ -326,6 +326,44 @@ object Similarity {
     result
   }
 
+  /** Product-quantization codes (Jégou et al. 2011, the IVF-PQ
+    * building block): split each vector into `subspaces` contiguous
+    * sub-vectors of `subDim` dims and assign each to its nearest
+    * sub-centroid — a vector compresses to `subspaces` small codes
+    * (here one byte each at ≤256 centroids), the representation that
+    * lets a 100 TB embedding corpus keep its ANN index in memory.
+    * Centroids are caller-supplied full-dim vectors whose slices give
+    * the per-subspace codebooks (pass the first-k corpus vectors for a
+    * SQL-replayable build, or KMeans centers for quality). Assignment
+    * is the same |c|²−2·v·c ordering as [[ivfKnnFixed]], ties on code
+    * index; all `subspaces`×k distances compile into codegen'd
+    * expressions — ONE narrow pass, no shuffle, no UDF.
+    *
+    * Output: (`vec_id`, `subspace`, `code`) — one row per sub-code,
+    * the relational form a downstream asymmetric-distance scorer
+    * joins against.
+    */
+  def pqCodes(corpus: DataFrame, centroids: Seq[Array[Float]],
+              subspaces: Int = 8, subDim: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty &&
+      centroids.forall(_.length >= subspaces * subDim),
+      s"centroids must cover ${subspaces}×$subDim dims")
+    val codeCols = (0 until subspaces).map { s =>
+      val scores = centroids.zipWithIndex.map { case (c, j) =>
+        val sub = c.slice(s * subDim, (s + 1) * subDim)
+        val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        struct((lit(c2) - lit(2.0) *
+          dot(slice(col(vecCol), s * subDim + 1, subDim), typedlit(sub.toSeq)))
+          .as("d2"), lit(j).as("code"))
+      }
+      element_at(array_sort(array(scores: _*)), 1).getField("code")
+    }
+    corpus.select(col(idCol).as("vec_id"),
+      posexplode(array(codeCols: _*)).as(Seq("subspace", "code")))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus with a coarse quantizer, then mark as duplicate
     * any vector with a LOWER-id clustermate at cosine ≥ threshold —

@@ -452,6 +452,42 @@ object Text {
     }.reduce(_.unionByName(_))
   }
 
+  /** Integer bigram-surprisal quality signal (the CCNet/KenLM idea —
+    * score documents by how surprising their token transitions are
+    * under a corpus LM — made bit-reproducible): per bigram the
+    * quantized surprisal is floor(log₂ c(w1)) − floor(log₂ c(w1,w2))
+    * = the bit-length difference of the two counts, all integers — no
+    * float log ever touches the result, so Spark and a SQL oracle
+    * agree exactly. Low sum/n_bigrams ⇒ repetitive/templated text;
+    * high ⇒ diverse transitions. Counts are trained on the input
+    * corpus itself (self-surprisal, the usual curation setup).
+    *
+    * Scale shape: bigram expansion is a narrow zip+explode; the count
+    * tables shuffle by (w1,w2) / (w1) with map-side combine; the
+    * re-join of doc bigrams against both count tables shuffles by the
+    * same keys (AQE broadcasts them when the vocabulary is small);
+    * the final per-doc sum combines map-side.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = greatest(size(t) - 1, lit(0))
+    val pairs = arrays_zip(slice(t, lit(1), n).as("w1"),
+      slice(t, lit(2), n).as("w2"))
+    val bg = docs.select(col(idCol).as("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+        sum(flog2(col("c1")) - flog2(col("c2"))).as("surprisal"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal"), lit(0L)).as("surprisal"))
+  }
+
   /** Per-document text statistics + quality flag, as a ready projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

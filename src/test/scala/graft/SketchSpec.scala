@@ -112,6 +112,48 @@ class SketchSpec extends GraftSpec {
     df.unpersist()
   }
 
+  test("bigram surprisal: hand-computed fixture, all-integer") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x y y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // c2: (x,y)=2,(y,z)=1,(y,y)=1; c1: x=2,y=2; flog2 diffs:
+    // d1 = (1-1)+(1-0) = 1 over 2 bigrams; d2 = (1-1)+(1-0) = 1; d3 = 0
+    val r = graft.ops.Text.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (0L, 0L)))
+  }
+
+  test("bigram surprisal: non-negative, n_bigrams = max(tokens-1, 0)") {
+    val r = graft.ops.Text.bigramSurprisal(docs, "doc_id", "text")
+    assert(r.where(col("surprisal") < 0).count() == 0)
+    val nb = docs.select(col("doc_id"),
+        greatest(size(split(lower(col("text")), " ")) - 1, lit(0))
+          .cast("long").as("expect"))
+      .join(r, "doc_id").where(col("n_bigrams") =!= col("expect"))
+    assert(nb.count() == 0)
+  }
+
+  test("pq codes match a driver-side recomputation; one narrow pass") {
+    val vecs = emb.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val centroids = vecs.take(16).map(_._2).toSeq
+    def code(v: Array[Float], s: Int): Int =
+      centroids.zipWithIndex.map { case (c, j) =>
+        val cs = c.slice(s * 8, (s + 1) * 8)
+        val c2 = cs.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        var d = 0.0; var i = 0
+        while (i < 8) { d += v(s * 8 + i).toDouble * cs(i).toDouble; i += 1 }
+        (c2 - 2.0 * d, j)
+      }.min._2
+    val expected = (for ((id, v) <- vecs; s <- 0 until 8)
+      yield (id, s, code(v, s))).toSet
+    val df = Similarity.pqCodes(emb, centroids)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"pq encode must be narrow:\n$p")
+  }
+
   test("semdedup pairwise join shuffles on cell — never a cross product") {
     val centroids = emb.where(col("vec_id") < 16).orderBy("vec_id")
       .collect().map(_.getSeq[Float](1).toArray).toSeq
