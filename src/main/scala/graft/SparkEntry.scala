@@ -818,6 +818,19 @@ object SparkEntry {
       ops.Similarity.pqCodes(emb, centroids)
     }),
 
+    // ---- ADC top-5 over the PQ codes (the query side of IVF-PQ):
+    //      per-query distance LUT quantized to fixed-point longs, so
+    //      the 8-entry sums are order-independent and replayable ----
+    "q92_pq_search" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      ops.Similarity.pqSearchTopK(
+        ops.Similarity.pqCodes(emb, centroids), centroids,
+        emb.where(col("vec_id") < 10), 5)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1959,6 +1972,43 @@ object SparkEntry {
         |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace,
         |  CAST(j AS INTEGER) AS code
         |FROM scored WHERE rk = 1""".stripMargin,
+
+    // ADC search replay: q91's code assignment + the per-query
+    // fixed-point LUT + 8-entry integer sums + top-5
+    "q92_pq_search" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS j, v AS c FROM emb WHERE vec_id < 16),
+        |sub AS (SELECT s.s AS subspace, j,
+        |          list_slice(c, s.s * 8 + 1, s.s * 8 + 8) AS cs
+        |        FROM cent, range(8) s(s)),
+        |subn AS (SELECT subspace, j, cs,
+        |           list_sum(list_transform(cs, x -> x * x)) AS c2
+        |         FROM sub),
+        |asg AS (
+        |  SELECT e.vec_id, n.subspace, n.j,
+        |    row_number() OVER (PARTITION BY e.vec_id, n.subspace ORDER BY
+        |      n.c2 - 2 * list_sum(list_transform(range(8), k ->
+        |        e.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
+        |          * n.cs[CAST(k + 1 AS INTEGER)])),
+        |      n.j) AS rk
+        |  FROM emb e, subn n),
+        |codes AS (SELECT vec_id, subspace, j AS code FROM asg WHERE rk = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS qid, n.subspace, n.j AS code,
+        |    CAST(floor((n.c2 - 2 * list_sum(list_transform(range(8), k ->
+        |      q.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
+        |        * n.cs[CAST(k + 1 AS INTEGER)]))) * 1048576) AS BIGINT) AS d
+        |  FROM emb q, subn n WHERE q.vec_id < 10),
+        |sc AS (SELECT l.qid, c.vec_id AS nid, sum(d) AS score
+        |       FROM codes c JOIN lut l
+        |         ON l.subspace = c.subspace AND l.code = c.code
+        |       WHERE l.qid <> c.vec_id GROUP BY 1, 2),
+        |r AS (SELECT qid, nid,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score, nid) AS rk
+        |      FROM sc)
+        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
 
     // SemDeDup: q33's fixed-centroid assignment, then within-cell
     // lower-id-mate check at cosine >= 0.50

@@ -364,6 +364,52 @@ object Similarity {
       posexplode(array(codeCols: _*)).as(Seq("subspace", "code")))
   }
 
+  /** ADC (asymmetric-distance) top-k search over [[pqCodes]] — the
+    * query side of IVF-PQ: each query builds a small distance
+    * lookup table (subspaces × |codebook| entries, one |c|²−2·q_s·c
+    * per sub-centroid), the corpus joins it BY CODE (never touching
+    * raw vectors), and a vector's estimated distance is the sum of its
+    * 8 table entries. The LUT is quantized to fixed-point longs
+    * (`lutScale`) before summing: the doubles themselves are
+    * oracle-identical, and long sums are order-independent, so the
+    * ranking never depends on float summation order — a groupBy-sum
+    * of raw doubles would not be deterministic even within one engine.
+    *
+    * Scale shape: the LUT is |queries|×subspaces×k rows — broadcast;
+    * the codes relation streams through one join + one
+    * map-side-combined sum; raw embeddings are touched only at LUT
+    * build, which is why PQ search runs on a corpus whose vectors no
+    * longer fit anywhere.
+    */
+  def pqSearchTopK(codes: DataFrame, centroids: Seq[Array[Float]],
+                   queries: DataFrame, k: Int,
+                   subspaces: Int = 8, subDim: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   lutScale: Long = 1L << 20): DataFrame = {
+    val lutRows = for {
+      s <- 0 until subspaces
+      (c, j) <- centroids.zipWithIndex
+    } yield {
+      val sub = c.slice(s * subDim, (s + 1) * subDim)
+      val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct(lit(s).as("subspace"), lit(j).as("code"),
+        floor((lit(c2) - lit(2.0) *
+          dot(slice(col(vecCol), s * subDim + 1, subDim), typedlit(sub.toSeq)))
+          * lutScale).cast("long").as("d"))
+    }
+    val lut = queries.select(col(idCol).as("qid"),
+        explode(array(lutRows: _*)).as("e"))
+      .select(col("qid"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.d").as("d"))
+    val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum(col("d")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus with a coarse quantizer, then mark as duplicate
     * any vector with a LOWER-id clustermate at cosine ≥ threshold —

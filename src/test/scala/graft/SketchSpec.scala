@@ -154,6 +154,35 @@ class SketchSpec extends GraftSpec {
     assert(!p.contains("Exchange"), s"pq encode must be narrow:\n$p")
   }
 
+  test("pq ADC search matches a driver-side recomputation") {
+    val vecs = emb.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val centroids = vecs.take(16).map(_._2).toSeq
+    def subDist(v: Array[Float], c: Array[Float], s: Int): Double = {
+      val cs = c.slice(s * 8, (s + 1) * 8)
+      val c2 = cs.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      var d = 0.0; var i = 0
+      while (i < 8) { d += v(s * 8 + i).toDouble * cs(i).toDouble; i += 1 }
+      c2 - 2.0 * d
+    }
+    def code(v: Array[Float], s: Int): Int =
+      centroids.zipWithIndex.map { case (c, j) => (subDist(v, c, s), j) }.min._2
+    val queries = vecs.filter(_._1 < 10)
+    val expected = (for ((qid, qv) <- queries) yield {
+      val scored = vecs.filter(_._1 != qid).map { case (nid, nv) =>
+        val score = (0 until 8).map(s =>
+          math.floor(subDist(qv, centroids(code(nv, s)), s) * (1L << 20)).toLong).sum
+        (score, nid)
+      }.sorted.take(5)
+      scored.zipWithIndex.map { case ((_, nid), i) => (qid, nid, i + 1) }
+    }).flatten.toSet
+    val got = graft.ops.Similarity.pqSearchTopK(
+      graft.ops.Similarity.pqCodes(emb, centroids), centroids,
+      emb.where(col("vec_id") < 10), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("semdedup pairwise join shuffles on cell — never a cross product") {
     val centroids = emb.where(col("vec_id") < 16).orderBy("vec_id")
       .collect().map(_.getSeq[Float](1).toArray).toSeq
