@@ -831,6 +831,24 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), 5)
     }),
 
+    // ---- rendezvous (HRW) sharding: argmax of per-(id,shard) hash
+    //      weights — removing a shard moves only its own ids (the
+    //      minimal-movement property, spec-pinned) ----
+    "q93_rendezvous_shard" -> ((sp, dir) =>
+      ops.Sample.rendezvousShard(Tables.t(sp, dir, "documents"),
+        "doc_id", 8).select(col("doc_id"), col("shard"))),
+
+    // ---- optional over the DICT store: compileDict's left-join /
+    //      match-marker path under the driver gate (same query and
+    //      oracle shape as q05, run on the warm encoded graph) ----
+    "q94_dict_optional" -> ((sp, dir) =>
+      selD(dictGraph(sp, dir), Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        Optional(Seq(
+          pat(V("o"), kw("o_custkey"), V("c")),
+          pat(V("o"), kw("o_totalprice"), V("price"))))),
+        "c", "name", "price")),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1928,6 +1946,26 @@ object SparkEntry {
     // the streaming sketch accumulates max-per-register across
     // microbatches — stream ≡ batch, so q89 shares q87's oracle
     "q89_hll_stream" -> HllOracleSql,
+
+    // HRW replay: argmax weight via row_number (w DESC, shard DESC)
+    "q93_rendezvous_shard" ->
+      """WITH w AS (SELECT doc_id, s.s AS shard,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |               || '#' || s.s), 1, 8) AS BIGINT) AS w
+        |           FROM documents, range(8) s(s)),
+        |r AS (SELECT doc_id, shard,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY w DESC, shard DESC) AS rk
+        |      FROM w)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // optional over the dict store decodes to the same rows as q05
+    "q94_dict_optional" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  CASE WHEN o_orderkey IS NULL THEN NULL
+        |       ELSE 'd|' || printf('%.2f', o_totalprice) END AS price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
 
     // corpus bigram LM + per-doc quantized surprisal: bit-length
     // difference of (prefix count, bigram count) — all-integer

@@ -21,6 +21,29 @@ object Sample {
     pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Rendezvous (highest-random-weight) sharding: each id goes to the
+    * shard whose per-(id, shard) hash weight is LARGEST. Unlike mod-N
+    * (where changing N moves ~(N−1)/N of all ids), removing a shard
+    * moves ONLY that shard's ids — every other id's argmax is
+    * untouched — which is what keeps a 100 TB re-shard from rewriting
+    * the whole corpus. Weight = 32-bit md5 prefix of `id#shard`; the
+    * argmax (ties on higher shard index, astronomically rare but the
+    * determinism contract requires a rule) is a narrow codegen'd
+    * expression — no shuffle, no UDF, SQL-replayable.
+    */
+  def rendezvousShard(df: DataFrame, idCol: String,
+                      shards: Int): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    val weights = (0 until shards).map { s =>
+      struct(conv(substring(
+          md5(concat(col(idCol).cast("string"), lit(s"#$s"))), 1, 8), 16, 10)
+          .cast("long").as("w"),
+        lit(s).as("shard"))
+    }
+    df.withColumn("shard",
+      element_at(array_sort(array(weights: _*)), shards).getField("shard"))
+  }
+
   /** Assign each row a split label by hash bucket: `train` below
     * `pctTrain`, then `val` below `pctTrain + pctVal`, else `test`.
     */

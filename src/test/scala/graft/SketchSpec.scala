@@ -183,6 +183,24 @@ class SketchSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("rendezvous sharding: removing a shard moves only its own ids") {
+    val with8 = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
+      .select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val with7 = graft.ops.Sample.rendezvousShard(docs, "doc_id", 7)
+      .select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(with8.values.toSet.size > 1, "ids spread across shards")
+    val moved = with8.keySet.filter(id => with8(id) != with7(id))
+    val onRemoved = with8.keySet.filter(id => with8(id) == 7)
+    assert(moved == onRemoved,
+      "exactly the removed shard's ids reassign — everyone else's argmax is untouched")
+    // no shuffle: the argmax is a pure projection
+    val p = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"HRW must be narrow:\n$p")
+  }
+
   test("semdedup pairwise join shuffles on cell — never a cross product") {
     val centroids = emb.where(col("vec_id") < 16).orderBy("vec_id")
       .collect().map(_.getSeq[Float](1).toArray).toSeq
