@@ -196,6 +196,24 @@ object Stress {
         println(s"[stress]   -> ${r.count()} rows, $dropped dropped")
         r.unpersist()
       }
+      time("pq encode + ADC top-5 at 10x vectors") {
+        val centroids = emb10.where(col("vec_id") < 16)
+          .orderBy(col("vec_id")).select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray).toSeq
+        val n = graft.ops.Similarity.pqSearchTopK(
+          graft.ops.Similarity.pqCodes(emb10, centroids), centroids,
+          emb10.where(col("vec_id") < 10), 5).count()
+        println(s"[stress]   -> $n result rows")
+      }
+      time("bigram surprisal at 10x corpus") {
+        val n = graft.ops.Text.bigramSurprisal(reps, "doc_id", "text").count()
+        println(s"[stress]   -> $n scored docs")
+      }
+      time("rendezvous shard at 10x corpus") {
+        val n = graft.ops.Sample.rendezvousShard(reps, "doc_id", 8)
+          .groupBy("shard").count().count()
+        println(s"[stress]   -> $n shards")
+      }
     }
 
     // 2e. dictionary-encoded store A/B (the REAL operator, DictDb): the
