@@ -71,17 +71,26 @@ object SparkEntry {
   /** The full graph, dict-encoded ONCE per (session, sf-dir) — the
     * documented usage of the dict layout is build-once-query-many, so
     * q67 times the long-keyed BGP, not the ingest (ingest cost itself
-    * stays measured: q68/q69 encode in-path, Stress at 10×). Weak-keyed
-    * by session so a stopped session's persisted frames are collectable;
-    * also fixes a leak where every q67 call persisted fresh enc+dict
-    * frames that nothing ever unpersisted. */
+    * stays measured: q68/q69 encode in-path, Stress at 10×). A
+    * WeakHashMap alone would never collect these entries (the DictDb
+    * frames reference the session, and a value that reaches its key
+    * pins the entry), so eviction is explicit: a listener clears the
+    * session's slot when its context ends. Also fixes a leak where
+    * every q67 call persisted fresh enc+dict frames that nothing ever
+    * unpersisted. */
   private val dictGraphCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, core.DictDb]]
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, core.DictDb]]
   private def dictGraph(sp: SparkSession, dir: String): core.DictDb =
     dictGraphCache.synchronized {
       val perSession = Option(dictGraphCache.get(sp)).getOrElse {
         val m = scala.collection.mutable.Map.empty[String, core.DictDb]
         dictGraphCache.put(sp, m)
+        sp.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              dictGraphCache.synchronized { dictGraphCache.remove(sp) }
+          })
         m
       }
       perSession.getOrElseUpdate(dir, Tables.graph(sp, dir).dictEncode())
@@ -741,14 +750,20 @@ object SparkEntry {
     //      heaviest tokens probe it — the oracle hash-compares both the
     //      exact counts and the estimates, pinning the sketch itself ----
     "q86_cms_heavyhitters" -> ((sp, dir) => {
+      import sp.implicits._
       val toks = Tables.t(sp, dir, "documents")
         .select(explode(ops.Text.tokens(col("text"))).as("token"))
-      val sketch = ops.Sketch.countMin(toks, "token")
+      val cm = ops.Sketch.countMin(toks, "token", useMd5 = true)
+      // exact top-20 collected ONCE (bounded, 20 rows) — probing and
+      // joining the same TakeOrdered frame lazily would re-run the
+      // corpus-wide token aggregation twice
       val heavy = toks.groupBy("token")
         .agg(count(functions.lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("token")).limit(20)
-      ops.Sketch.cmsEstimate(sketch, heavy.select("token"), "token")
-        .join(broadcast(heavy), Seq("token"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val heavyDf = heavy.toDF("token", "exact")
+      ops.Sketch.cmsEstimate(cm, heavyDf.select("token"), "token")
+        .join(broadcast(heavyDf), Seq("token"))
         .select(col("token"), col("exact"), col("est"))
     }),
 
@@ -760,7 +775,7 @@ object SparkEntry {
       ops.Sketch.hllRegisters(
         Tables.t(sp, dir, "documents")
           .select(explode(ops.Text.tokens(col("text"))).as("token")),
-        "token")),
+        "token", useMd5 = true)),
 
     // ---- SemDeDup (Abbas et al. 2023): cluster embeddings (fixed
     //      first-16-vector centroids, the q33 oracle idiom), drop any
@@ -790,7 +805,7 @@ object SparkEntry {
       val toks = stream.toDF().toDF("text")
         .select(explode(ops.Text.tokens(col("text"))).as("token"))
       val sink = "graft_q89_sink"
-      val sq = ops.Sketch.hllRegisters(toks, "token")
+      val sq = ops.Sketch.hllRegisters(toks, "token", useMd5 = true)
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       stream.addData(h1); sq.processAllAvailable()

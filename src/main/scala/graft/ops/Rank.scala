@@ -49,7 +49,10 @@ object Rank {
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must be a fraction in [0, 1] and scale positive")
     val base = (dampDen - dampNum) * scale / dampDen
+    // persisted: feeds eo AND the final static-node enumeration — an
+    // unpersisted shared parent would replay the |edges| aggregation
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist()
     // persist: the edges⋈outdeg join feeds the static/dynamic split AND
     // both static-contribution sums — without it each derivation replays
     // the full |edges| aggregation+join
@@ -95,8 +98,8 @@ object Rank {
       .union(srcOnly.select(col("node"), lit(staticRank).as("rank")))
       .persist()
     result.count()
-    eo.unpersist(); receivers.unpersist(); eoDyn.unpersist()
-    csBoth.unpersist()
+    outdeg.unpersist(); eo.unpersist(); receivers.unpersist()
+    eoDyn.unpersist(); csBoth.unpersist()
     result
   }
 }

@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Sample {
 
+  /** 32-bit value from the first 8 md5 hex chars of `c` — THE shared
+    * oracle-replayable hash prefix (`CAST('0x' || substr(md5(x),1,8)
+    * AS BIGINT)` on the SQL side); every md5-addressed op routes
+    * through here. */
+  def md5Prefix32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Stable bucket in [0, buckets) from the md5 of the id's string
     * form (first 8 hex chars = 32 bits, uniform for md5). */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(md5Prefix32(id.cast("string")), lit(buckets.toLong))
 
   /** Rendezvous (highest-random-weight) sharding: each id goes to the
     * shard whose per-(id, shard) hash weight is LARGEST. Unlike mod-N
@@ -35,9 +41,8 @@ object Sample {
                       shards: Int): DataFrame = {
     require(shards > 0, "need at least one shard")
     val weights = (0 until shards).map { s =>
-      struct(conv(substring(
-          md5(concat(col(idCol).cast("string"), lit(s"#$s"))), 1, 8), 16, 10)
-          .cast("long").as("w"),
+      struct(md5Prefix32(concat(col(idCol).cast("string"), lit(s"#$s")))
+          .as("w"),
         lit(s).as("shard"))
     }
     df.withColumn("shard",
@@ -152,8 +157,7 @@ object Sample {
           df.schema(groupCol).dataType),
         org.apache.spark.sql.types.StructField("__thr",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h32 = md5Prefix32(col(idCol).cast("string"))
     df.join(broadcast(thrDf), col(groupCol) === col("__g"))
       .where(h32 < col("__thr"))
       .drop("__g", "__thr")

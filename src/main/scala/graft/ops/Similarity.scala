@@ -62,6 +62,15 @@ object Similarity {
         s"vector column '$vecCol' has ${r.getInt(0)} dims, expected $dim")
     }
 
+  /** Like [[requireDim]] but a lower bound — sliced-subspace ops only
+    * need coverage, and a short vector would silently degenerate
+    * (empty slices dot to 0) instead of erroring. */
+  private def requireMinDim(df: DataFrame, vecCol: String, need: Int): Unit =
+    df.select(size(col(vecCol))).head(1).headOption.foreach { r =>
+      require(r.getInt(0) >= need,
+        s"vector column '$vecCol' has ${r.getInt(0)} dims, need >= $need")
+    }
+
   /** Deterministic random hyperplanes: `planes` × `dim`, seeded. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -346,10 +355,12 @@ object Similarity {
   def pqCodes(corpus: DataFrame, centroids: Seq[Array[Float]],
               subspaces: Int = 8, subDim: Int = 8,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              checkDim: Boolean = true): DataFrame = {
     require(centroids.nonEmpty &&
       centroids.forall(_.length >= subspaces * subDim),
       s"centroids must cover ${subspaces}×$subDim dims")
+    if (checkDim) requireMinDim(corpus, vecCol, subspaces * subDim)
     val codeCols = (0 until subspaces).map { s =>
       val scores = centroids.zipWithIndex.map { case (c, j) =>
         val sub = c.slice(s * subDim, (s + 1) * subDim)
@@ -385,7 +396,9 @@ object Similarity {
                    queries: DataFrame, k: Int,
                    subspaces: Int = 8, subDim: Int = 8,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   lutScale: Long = 1L << 20): DataFrame = {
+                   lutScale: Long = 1L << 20,
+                   checkDim: Boolean = true): DataFrame = {
+    if (checkDim) requireMinDim(queries, vecCol, subspaces * subDim)
     val lutRows = for {
       s <- 0 until subspaces
       (c, j) <- centroids.zipWithIndex

@@ -12,17 +12,18 @@ import org.apache.spark.sql.functions._
   * the full key space is itself the bottleneck (e.g. vocabulary
   * statistics over trillions of tokens).
   *
-  * Hashes are md5-derived (`md5` + hex arithmetic), the same discipline
-  * as [[Dedup]]'s oracle-mode token hashes and [[Similarity]]'s ±1
-  * hyperplanes: ~2× slower per item than xxhash64 but every counter and
-  * register is exactly reproducible by an ANSI-SQL oracle, which is
-  * what lets the driver hash-compare the *sketch itself*, not just
-  * derived answers.
+  * Hashing follows the [[Dedup]] precedent: XXH64 is the fast default;
+  * `useMd5 = true` switches to md5-derived addressing (~2× slower per
+  * item) whose every counter and register is exactly reproducible by
+  * an ANSI-SQL oracle — that is what lets the driver hash-compare the
+  * *sketch itself*, not just derived answers.
   *
   * Scale shapes:
   *  - [[countMin]] is one narrow pass + a map-side-combined groupBy to
   *    at most depth×width rows — the shuffle carries the sketch, never
-  *    the items. Estimates join the (tiny, broadcast) sketch.
+  *    the items. Estimates join the (tiny, broadcast) sketch, whose
+  *    (depth, width) travel WITH it in [[CountMin]] so probe
+  *    addressing can never silently diverge from build addressing.
   *  - [[hllRegisters]] reduces to ≤ 2^p rows the same way; union of
   *    sketches is max-per-register ([[hllMerge]]), so shard-local
   *    sketches combine without re-scanning — the property that makes
@@ -30,62 +31,84 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** 32-bit value from the first 8 md5 hex chars of `prefix ++ item` —
-    * positive, so `%` and `pmod` agree with the SQL oracle's `%`. */
-  private def h32(item: Column, prefix: String): Column =
-    conv(substring(md5(concat(lit(prefix), item)), 1, 8), 16, 10).cast("long")
+  /** A built Count-Min sketch: the counter frame plus the addressing
+    * parameters it was built with. Estimates derive (depth, width)
+    * from here — a mismatched probe addressing cannot be expressed. */
+  final case class CountMin(sketch: DataFrame, depth: Int, width: Int,
+                            useMd5: Boolean)
 
   /** Counter address of `item` in CM row `row`: independent hash per
-    * row via a distinct md5 prefix. */
-  def cmsBucket(item: Column, row: Int, width: Int): Column =
-    pmod(h32(item, s"cms${row}_"), lit(width.toLong))
+    * row via a distinct seed/prefix. */
+  private def cmsBucket(item: Column, row: Int, width: Int,
+                        useMd5: Boolean): Column =
+    if (useMd5)
+      pmod(Sample.md5Prefix32(concat(lit(s"cms${row}_"), item)),
+        lit(width.toLong))
+    else
+      pmod(xxhash64(lit(s"cms${row}_"), item), lit(width.toLong))
 
   /** Build a Count-Min sketch over an item column (callers tokenize /
-    * project upstream). Output: (`row`, `bucket`, `cnt`) — at most
-    * depth×width rows; absent rows are implicit zero counters.
+    * project upstream). The frame holds (`row`, `bucket`, `cnt`) — at
+    * most depth×width rows; absent rows are implicit zero counters.
     * Standard error: est ≤ true + 2N/width with prob 1−(1/2)^depth.
     */
   def countMin(items: DataFrame, itemCol: String, depth: Int = 4,
-               width: Int = 256): DataFrame =
-    items.select(posexplode(array((0 until depth).map(i =>
-        cmsBucket(col(itemCol), i, width)): _*)).as(Seq("row", "bucket")))
-      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+               width: Int = 256, useMd5: Boolean = false): CountMin =
+    CountMin(
+      items.select(posexplode(array((0 until depth).map(i =>
+          cmsBucket(col(itemCol), i, width, useMd5)): _*))
+          .as(Seq("row", "bucket")))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("cnt")),
+      depth, width, useMd5)
 
   /** Point-frequency estimates for a probe set: est(item) = min over
     * rows of the addressed counter (never under the true count). The
     * sketch side broadcasts — probes can be arbitrarily large and
     * never shuffle. */
-  def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
-                  depth: Int = 4, width: Int = 256): DataFrame =
+  def cmsEstimate(cm: CountMin, probes: DataFrame,
+                  itemCol: String): DataFrame =
     probes.select(col(itemCol),
-        posexplode(array((0 until depth).map(i =>
-          cmsBucket(col(itemCol), i, width)): _*)).as(Seq("row", "bucket")))
-      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+        posexplode(array((0 until cm.depth).map(i =>
+          cmsBucket(col(itemCol), i, cm.width, cm.useMd5)): _*))
+          .as(Seq("row", "bucket")))
+      .join(broadcast(cm.sketch), Seq("row", "bucket"), "left")
       .groupBy(itemCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
-  /** HyperLogLog register frame over an item column: register = first
-    * 2 md5 nibbles (p = 8, m = 256 registers, standard error
-    * 1.04/√m ≈ 6.5%), rho = 1 + leading-zero bits of the next 56 bits.
-    * The leading-zero count is hex-string arithmetic (zero-nibble
-    * prefix length × 4 + a CASE on the first non-zero nibble) — the
-    * identical expression runs in Spark and the SQL oracle, no
-    * float/bit-intrinsic divergence possible. Output:
-    * (`register`, `max_rho`), ≤ 256 rows.
+  /** HyperLogLog register frame over an item column: p = 8 → m = 256
+    * registers, standard error 1.04/√m ≈ 6.5%; rho = 1 + leading-zero
+    * bits of a 56-bit hash tail. Fast path: register/tail from
+    * xxhash64 bits, leading zeros via the binary-string length (both
+    * codegen'd). Oracle path (`useMd5`): register = first 2 md5
+    * nibbles and the leading-zero count is hex-string arithmetic
+    * (zero-nibble prefix length × 4 + a CASE on the first non-zero
+    * nibble) — the identical expression runs in Spark and the SQL
+    * oracle, no float/bit-intrinsic divergence possible. Output:
+    * (`register`, `max_rho`), ≤ 256 rows, same schema either mode.
     */
-  def hllRegisters(items: DataFrame, itemCol: String): DataFrame = {
-    val h = md5(col(itemCol))
-    val tail = substring(h, 3, 14)
-    val stripped = regexp_replace(tail, "^0+", "")
-    val firstNib = substring(stripped, 1, 1)
-    val nibLz = when(firstNib === "1", 3)
-      .when(firstNib.isin("2", "3"), 2)
-      .when(firstNib.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    val rho = when(length(stripped) === 0, lit(57))
-      .otherwise((lit(14) - length(stripped)) * 4 + nibLz + lit(1))
-    items.select(conv(substring(h, 1, 2), 16, 10).cast("int").as("register"),
-        rho.cast("int").as("rho"))
+  def hllRegisters(items: DataFrame, itemCol: String,
+                   useMd5: Boolean = false): DataFrame = {
+    val (reg, rho) =
+      if (useMd5) {
+        val h = md5(col(itemCol))
+        val stripped = regexp_replace(substring(h, 3, 14), "^0+", "")
+        val firstNib = substring(stripped, 1, 1)
+        val nibLz = when(firstNib === "1", 3)
+          .when(firstNib.isin("2", "3"), 2)
+          .when(firstNib.isin("4", "5", "6", "7"), 1)
+          .otherwise(0)
+        (conv(substring(h, 1, 2), 16, 10).cast("int"),
+          when(length(stripped) === 0, lit(57))
+            .otherwise((lit(14) - length(stripped)) * 4 + nibLz + lit(1)))
+      } else {
+        val h = xxhash64(col(itemCol))
+        // top 8 bits → register; low 56 bits → tail. bin() drops
+        // leading zeros, so rho = 57 − bits(tail), 57 when tail = 0.
+        val tail = h.bitwiseAND(lit((1L << 56) - 1))
+        (shiftrightunsigned(h, 56).cast("int"),
+          when(tail === 0, lit(57)).otherwise(lit(57) - length(bin(tail))))
+      }
+    items.select(reg.as("register"), rho.cast("int").as("rho"))
       .groupBy("register").agg(max(col("rho")).as("max_rho"))
   }
 

@@ -180,7 +180,7 @@ object Stress {
       val toks10 = reps.select(explode(split(lower(col("text")), " "))
         .as("token"))
       time("count-min sketch at 10x token stream") {
-        val n = graft.ops.Sketch.countMin(toks10, "token").count()
+        val n = graft.ops.Sketch.countMin(toks10, "token").sketch.count()
         println(s"[stress]   -> $n sketch counters")
       }
       time("hll registers at 10x token stream") {

@@ -14,17 +14,19 @@ class SketchSpec extends GraftSpec {
   def toks = docs.select(explode(split(lower(col("text")), " ")).as("token"))
 
   test("count-min: estimates are one-sided (est >= exact, every token)") {
-    val sketch = Sketch.countMin(toks, "token")
-    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
-    val bad = Sketch.cmsEstimate(sketch, exact.select("token"), "token")
-      .join(exact, "token")
-      .where(col("est") < col("exact"))
-    assert(bad.count() == 0, "CMS must never underestimate")
+    for (md5Mode <- Seq(false, true)) {
+      val cm = Sketch.countMin(toks, "token", useMd5 = md5Mode)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      val bad = Sketch.cmsEstimate(cm, exact.select("token"), "token")
+        .join(exact, "token")
+        .where(col("est") < col("exact"))
+      assert(bad.count() == 0, s"CMS must never underestimate (md5=$md5Mode)")
+    }
   }
 
   test("count-min: sketch mass per row equals the item count") {
     val n = toks.count()
-    val rows = Sketch.countMin(toks, "token", depth = 4)
+    val rows = Sketch.countMin(toks, "token", depth = 4).sketch
       .groupBy("row").agg(sum("cnt").as("mass")).collect()
     assert(rows.length == 4)
     rows.foreach(r => assert(r.getLong(1) == n))
@@ -72,10 +74,21 @@ class SketchSpec extends GraftSpec {
   }
 
   test("cms estimate plan broadcasts the sketch side") {
-    val sketch = Sketch.countMin(toks, "token")
-    val p = Sketch.cmsEstimate(sketch, toks.limit(10), "token")
+    val cm = Sketch.countMin(toks, "token")
+    val p = Sketch.cmsEstimate(cm, toks.limit(10), "token")
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast in:\n$p")
+  }
+
+  test("hll: md5 and xxh64 modes both estimate within tolerance") {
+    val items = spark.range(5000).select(
+      concat(lit("m_"), col("id")).as("token"))
+    for (md5Mode <- Seq(false, true)) {
+      val est = Sketch.hllEstimate(
+        Sketch.hllRegisters(items, "token", useMd5 = md5Mode))
+      assert(math.abs(est - 5000) / 5000.0 < 0.20,
+        s"estimate $est (md5=$md5Mode)")
+    }
   }
 
   test("semdedup matches a driver-side recomputation of the drop rule") {
