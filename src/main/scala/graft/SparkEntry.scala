@@ -864,6 +864,19 @@ object SparkEntry {
           pat(V("o"), kw("o_totalprice"), V("price"))))),
         "c", "name", "price")),
 
+    // ---- IVF-PQ search (the FAISS composition): coarse cells prune
+    //      candidates, ADC over PQ codes scores them — raw corpus
+    //      vectors appear nowhere in the query path ----
+    "q95_ivfpq_search" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      ops.Similarity.ivfPqSearchTopK(
+        ops.Similarity.ivfPqIndex(emb, centroids, centroids),
+        centroids, centroids, emb.where(col("vec_id") < 10), 5)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -2057,6 +2070,60 @@ object SparkEntry {
         |       FROM codes c JOIN lut l
         |         ON l.subspace = c.subspace AND l.code = c.code
         |       WHERE l.qid <> c.vec_id GROUP BY 1, 2),
+        |r AS (SELECT qid, nid,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score, nid) AS rk
+        |      FROM sc)
+        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
+
+    // IVF-PQ replay: q33's coarse assignment/probe + q91's codes +
+    // q92's quantized LUT, joined only within probed cells
+    "q95_ivfpq_search" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |ccent AS (SELECT vec_id AS cell, v AS c,
+        |            list_sum(list_transform(v, x -> x * x)) AS c2
+        |          FROM emb WHERE vec_id < 16),
+        |casg AS (SELECT nid, cell FROM (
+        |  SELECT e.vec_id AS nid, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb e, ccent c) WHERE rk = 1),
+        |qpr AS (SELECT qid, cell FROM (
+        |  SELECT q.vec_id AS qid, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        q.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb q, ccent c WHERE q.vec_id < 10) WHERE rk <= 4),
+        |sub AS (SELECT s.s AS subspace, vec_id AS j,
+        |          list_slice(v, s.s * 8 + 1, s.s * 8 + 8) AS cs
+        |        FROM emb, range(8) s(s) WHERE vec_id < 16),
+        |subn AS (SELECT subspace, j, cs,
+        |           list_sum(list_transform(cs, x -> x * x)) AS c2
+        |         FROM sub),
+        |codes AS (SELECT vec_id, subspace, j AS code FROM (
+        |  SELECT e.vec_id, n.subspace, n.j,
+        |    row_number() OVER (PARTITION BY e.vec_id, n.subspace ORDER BY
+        |      n.c2 - 2 * list_sum(list_transform(range(8), k ->
+        |        e.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
+        |          * n.cs[CAST(k + 1 AS INTEGER)])),
+        |      n.j) AS rk
+        |  FROM emb e, subn n) WHERE rk = 1),
+        |lut AS (
+        |  SELECT p.qid, p.cell, n.subspace, n.j AS code,
+        |    CAST(floor((n.c2 - 2 * list_sum(list_transform(range(8), k ->
+        |      q.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
+        |        * n.cs[CAST(k + 1 AS INTEGER)]))) * 1048576) AS BIGINT) AS d
+        |  FROM qpr p JOIN emb q ON q.vec_id = p.qid, subn n),
+        |cc AS (SELECT c.vec_id, a.cell, c.subspace, c.code
+        |       FROM codes c JOIN casg a ON a.nid = c.vec_id),
+        |sc AS (SELECT l.qid, cc.vec_id AS nid, sum(l.d) AS score
+        |       FROM cc JOIN lut l ON l.cell = cc.cell
+        |         AND l.subspace = cc.subspace AND l.code = cc.code
+        |       WHERE l.qid <> cc.vec_id GROUP BY 1, 2),
         |r AS (SELECT qid, nid,
         |        row_number() OVER (PARTITION BY qid
         |          ORDER BY score, nid) AS rk

@@ -361,19 +361,24 @@ object Similarity {
       centroids.forall(_.length >= subspaces * subDim),
       s"centroids must cover ${subspaces}×$subDim dims")
     if (checkDim) requireMinDim(corpus, vecCol, subspaces * subDim)
-    val codeCols = (0 until subspaces).map { s =>
+    corpus.select(col(idCol).as("vec_id"),
+      posexplode(array(pqCodeCols(col(vecCol), centroids,
+        subspaces, subDim): _*)).as(Seq("subspace", "code")))
+  }
+
+  /** One nearest-sub-centroid code expression per subspace. */
+  private def pqCodeCols(vec: Column, centroids: Seq[Array[Float]],
+                         subspaces: Int, subDim: Int): Seq[Column] =
+    (0 until subspaces).map { s =>
       val scores = centroids.zipWithIndex.map { case (c, j) =>
         val sub = c.slice(s * subDim, (s + 1) * subDim)
         val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
         struct((lit(c2) - lit(2.0) *
-          dot(slice(col(vecCol), s * subDim + 1, subDim), typedlit(sub.toSeq)))
+          dot(slice(vec, s * subDim + 1, subDim), typedlit(sub.toSeq)))
           .as("d2"), lit(j).as("code"))
       }
       element_at(array_sort(array(scores: _*)), 1).getField("code")
     }
-    corpus.select(col(idCol).as("vec_id"),
-      posexplode(array(codeCols: _*)).as(Seq("subspace", "code")))
-  }
 
   /** ADC (asymmetric-distance) top-k search over [[pqCodes]] — the
     * query side of IVF-PQ: each query builds a small distance
@@ -421,6 +426,76 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+  }
+
+  /** IVF-PQ search — the full FAISS-style composition: a coarse
+    * quantizer prunes the corpus to each query's `nProbe` nearest
+    * cells ([[ivfKnnFixed]]'s probe), and candidates are scored by ADC
+    * over their PQ codes ([[pqSearchTopK]]'s LUT) — raw corpus vectors
+    * appear NOWHERE in the query path. This is the architecture that
+    * serves ANN over a corpus whose vectors live only on disk: the
+    * resident state is cell ids + `subspaces` bytes per vector, and a
+    * query touches ~nProbe/nCells of even that.
+    *
+    * `cells` must be [[pqCodes]]-shaped codes joined with a coarse
+    * `cell` column — build both once per corpus via [[ivfPqIndex]].
+    * Ranking is the quantized-LUT integer sum (deterministic), ties on
+    * neighbor id.
+    */
+  def ivfPqSearchTopK(cells: DataFrame, coarse: Seq[Array[Float]],
+                      pqCents: Seq[Array[Float]], queries: DataFrame,
+                      k: Int, nProbe: Int = 4,
+                      subspaces: Int = 8, subDim: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      lutScale: Long = 1L << 20): DataFrame = {
+    requireMinDim(queries, vecCol, subspaces * subDim)
+    // per query: the nProbe nearest coarse cells (same d2 ordering as
+    // ivfKnnFixed) + the quantized ADC lookup table
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(slice(array_sort(array(ivfCellScores(col("qv"), coarse): _*)),
+          1, nProbe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cell").as("cell"))
+    val lutRows = for {
+      s <- 0 until subspaces
+      (c, j) <- pqCents.zipWithIndex
+    } yield {
+      val sub = c.slice(s * subDim, (s + 1) * subDim)
+      val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct(lit(s).as("subspace"), lit(j).as("code"),
+        floor((lit(c2) - lit(2.0) *
+          dot(slice(col("qv"), s * subDim + 1, subDim), typedlit(sub.toSeq)))
+          * lutScale).cast("long").as("d"))
+    }
+    val lut = probed.select(col("qid"), col("cell"),
+        explode(array(lutRows: _*)).as("e"))
+      .select(col("qid"), col("cell"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.d").as("d"))
+    // candidates stream out of ONLY the probed cells; the join carries
+    // codes, never vectors
+    val scored = cells.join(broadcast(lut), Seq("cell", "subspace", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum(col("d")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+  }
+
+  /** One NARROW corpus pass building the IVF-PQ resident state: coarse
+    * cell + PQ codes per vector — (vec_id, cell, subspace, code) rows,
+    * i.e. `subspaces` rows × ~10 bytes per corpus vector; no shuffle,
+    * no self-join. */
+  def ivfPqIndex(corpus: DataFrame, coarse: Seq[Array[Float]],
+                 pqCents: Seq[Array[Float]],
+                 subspaces: Int = 8, subDim: Int = 8,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    requireMinDim(corpus, vecCol, subspaces * subDim)
+    ivfAssign(corpus, coarse, idCol, vecCol)
+      .select(col("nid").as("vec_id"), col("cell"),
+        posexplode(array(pqCodeCols(col("nv"), pqCents,
+          subspaces, subDim): _*)).as(Seq("subspace", "code")))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

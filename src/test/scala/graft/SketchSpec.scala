@@ -196,6 +196,42 @@ class SketchSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("ivf-pq search matches a driver-side recomputation") {
+    val vecs = emb.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cents = vecs.take(16).map(_._2).toSeq
+    def d2(v: Array[Float], c: Array[Float], off: Int, n: Int): Double = {
+      val cs = c.slice(off, off + n)
+      val c2 = cs.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      var d = 0.0; var i = 0
+      while (i < n) { d += v(off + i).toDouble * cs(i).toDouble; i += 1 }
+      c2 - 2.0 * d
+    }
+    def coarseCell(v: Array[Float]): Int =
+      cents.zipWithIndex.map { case (c, j) => (d2(v, c, 0, 64), j) }.min._2
+    def code(v: Array[Float], s: Int): Int =
+      cents.zipWithIndex.map { case (c, j) => (d2(v, c, s * 8, 8), j) }.min._2
+    val cellOf = vecs.map { case (id, v) => id -> coarseCell(v) }.toMap
+    val expected = (for ((qid, qv) <- vecs.filter(_._1 < 10)) yield {
+      val probed = cents.zipWithIndex
+        .map { case (c, j) => (d2(qv, c, 0, 64), j) }.sorted.take(4)
+        .map(_._2).toSet
+      val scored = vecs
+        .filter { case (nid, _) => nid != qid && probed(cellOf(nid)) }
+        .map { case (nid, nv) =>
+          val score = (0 until 8).map(s =>
+            math.floor(d2(qv, cents(code(nv, s)), s * 8, 8) * (1L << 20)).toLong).sum
+          (score, nid)
+        }.sorted.take(5)
+      scored.zipWithIndex.map { case ((_, nid), i) => (qid, nid, i + 1) }
+    }).flatten.toSet
+    val got = Similarity.ivfPqSearchTopK(
+      Similarity.ivfPqIndex(emb, cents, cents), cents, cents,
+      emb.where(col("vec_id") < 10), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("rendezvous sharding: removing a shard moves only its own ids") {
     val with8 = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
       .select(col("doc_id"), col("shard"))
