@@ -205,6 +205,15 @@ object Stress {
           emb10.where(col("vec_id") < 10), 5).count()
         println(s"[stress]   -> $n result rows")
       }
+      time("ivf-pq (coarse probe + ADC) at 10x vectors") {
+        val centroids = emb10.where(col("vec_id") < 16)
+          .orderBy(col("vec_id")).select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray).toSeq
+        val n = graft.ops.Similarity.ivfPqSearchTopK(
+          graft.ops.Similarity.ivfPqIndex(emb10, centroids, centroids),
+          centroids, centroids, emb10.where(col("vec_id") < 10), 5).count()
+        println(s"[stress]   -> $n result rows")
+      }
       time("bigram surprisal at 10x corpus") {
         val n = graft.ops.Text.bigramSurprisal(reps, "doc_id", "text").count()
         println(s"[stress]   -> $n scored docs")
