@@ -877,6 +877,23 @@ object SparkEntry {
         centroids, centroids, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // ---- triangle participation over the near-dup similarity graph
+    //      (cluster-density signal; localCheckpoint so the bounded
+    //      quadratic pair mining runs once, not once per join arm) ----
+    "q96_triangles" -> ((sp, dir) => {
+      val e = ops.Similarity.cosinePairs(
+        Tables.t(sp, dir, "embeddings").where(col("vec_id") < 500), 0.30)
+        .localCheckpoint()
+      ops.Components.triangleCounts(e, "ia", "ib")
+    }),
+
+    // ---- hard-negative mining: top-5 most-similar DIFFERENT-label
+    //      vectors per anchor (contrastive training pairs) ----
+    "q97_hard_negatives" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      ops.Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -2128,6 +2145,39 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid
         |          ORDER BY score, nid) AS rk
         |      FROM sc)
+        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
+
+    // triangles over q23's pair graph: wedge through the middle node,
+    // closed by the (a,c) edge; credited to all three corners
+    "q96_triangles" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 500 AND b.vec_id < 500
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.30),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+        |  WHERE EXISTS (SELECT 1 FROM pairs e3
+        |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+        |n AS (SELECT unnest([a, b, c]) AS id FROM tri)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY id""".stripMargin,
+
+    // hard negatives: top-5 by cosine among DIFFERENT-label vectors
+    "q97_hard_negatives" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |             FROM embeddings),
+        |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |        list_cosine_similarity(q.v, n.v) AS sim
+        |      FROM emb q JOIN emb n
+        |        ON q.vec_id <> n.vec_id AND q.label <> n.label
+        |      WHERE q.vec_id < 10),
+        |r AS (SELECT qid, nid,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY sim DESC, nid) AS rk
+        |      FROM s)
         |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
 
     // SemDeDup: q33's fixed-centroid assignment, then within-cell

@@ -63,4 +63,29 @@ object Components {
     val comp = connected(pairs, srcCol, dstCol)
     comp.where(col("id") =!= col("comp")).select(col("id").as("drop_id"))
   }
+
+  /** Per-node triangle participation over an undirected edge set — on
+    * a near-dup similarity graph, triangle density separates tight
+    * duplicate clusters from chance pairings (a cluster-quality signal
+    * before committing to a keep-list). Input edges are canonical
+    * (src < dst, as [[Similarity.cosinePairs]] emits); each triangle
+    * a<b<c is found exactly once by the standard two-join wedge close
+    * (e(a,b) ⋈ e(b,c) ⋈ e(a,c)) and credited to all three corners.
+    *
+    * Scale shape: two equi-joins on node keys — the classic
+    * distributed triangle enumeration. The canonical orientation IS
+    * the degree trick's cheap form: every wedge is enumerated from its
+    * middle-ordered node only, so no triangle is joined three times.
+    * Output: (id, n_triangles), nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // wedges a<b<c through middle b, closed by the (a,c) edge
+    val tri = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -536,6 +536,33 @@ object Similarity {
     result
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * (anchor), the top-k most-similar corpus vectors whose LABEL
+    * differs — the negatives that actually teach a contrastive model
+    * something (random negatives are trivially separable; the hard
+    * ones sit just across the decision boundary). Same broadcast
+    * shape as [[bruteKnn]] (small anchor set × huge corpus, one pass,
+    * no corpus shuffle); swap the corpus for an LSH/IVF candidate set
+    * when even one pass is too much.
+    *
+    * Output: (qid, nid, rank) — ties on neighbor id.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(labelCol).as("ql"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(labelCol).as("nl"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("nid") && col("ql") =!= col("nl"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** All pairs (ia < ib) with cosine ≥ threshold — bounded quadratic;
     * callers restrict the input to a block/subset. Norms are computed
     * once per vector (N, not N²); only the codegen'd dot runs per pair.

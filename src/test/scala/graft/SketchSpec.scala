@@ -232,6 +232,43 @@ class SketchSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("triangle counts: K4 plus a pendant edge, hand-computed") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, each corner in 3) + pendant edge (4,5)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("ia", "ib")
+    val r = graft.ops.Components.triangleCounts(edges, "ia", "ib")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("hard negatives: never the anchor's label, ranked by cosine") {
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+        s
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val got = graft.ops.Similarity.hardNegatives(
+      emb, emb.where(col("vec_id") < 5), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (qid, nid, _) =>
+      assert(labelOf(qid) != labelOf(nid), "negative shares anchor label")
+    }
+    val expected = (for ((qid, qv, ql) <- rows.filter(_._1 < 5)) yield {
+      rows.filter(r => r._1 != qid && r._3 != ql)
+        .map(r => (-cos(qv, r._2), r._1)).sorted.take(3)
+        .zipWithIndex.map { case ((_, nid), i) => (qid, nid, i + 1) }
+    }).flatten.toSet
+    assert(got.toSet == expected)
+  }
+
   test("rendezvous sharding: removing a shard moves only its own ids") {
     val with8 = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
       .select(col("doc_id"), col("shard"))
