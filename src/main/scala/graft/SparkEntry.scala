@@ -80,21 +80,33 @@ object SparkEntry {
     * unpersisted. */
   private val dictGraphCache =
     new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, core.DictDb]]
-  private def dictGraph(sp: SparkSession, dir: String): core.DictDb =
-    dictGraphCache.synchronized {
-      val perSession = Option(dictGraphCache.get(sp)).getOrElse {
+  private def dictGraph(sp: SparkSession, dir: String): core.DictDb = {
+    // global lock covers only map bookkeeping; the multi-job encode
+    // runs under the per-session lock so other sessions (and the
+    // listener bus at shutdown) never block on it
+    val perSession = dictGraphCache.synchronized {
+      Option(dictGraphCache.get(sp)).getOrElse {
         val m = scala.collection.mutable.Map.empty[String, core.DictDb]
         dictGraphCache.put(sp, m)
         sp.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              dictGraphCache.synchronized { dictGraphCache.remove(sp) }
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              val evicted = dictGraphCache.synchronized {
+                Option(dictGraphCache.remove(sp))
+                  .map(_.values.toSeq).getOrElse(Nil)
+              }
+              evicted.foreach(d =>
+                try d.unpersist() catch { case _: Throwable => () })
+            }
           })
         m
       }
+    }
+    perSession.synchronized {
       perSession.getOrElseUpdate(dir, Tables.graph(sp, dir).dictEncode())
     }
+  }
 
   /** Warm every materialize-once rig for an sf-dir so no timed query
     * pays a rig build — Bench calls this from its warmup probe. */

@@ -40,10 +40,23 @@ object Similarity {
     * Ties break on neighbor id for determinism.
     */
   def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    knnCore(corpus, queries, k, idCol, vecCol, extraCols = Nil,
+      pred = col("qid") =!= col("nid"))
+
+  /** The shared broadcast-KNN body (bruteKnn, hardNegatives): small
+    * query set broadcast against the corpus, cosine-scored, ranked
+    * per query with ties on neighbor id. `extraCols` ride along on
+    * both sides (e.g. labels) for use in `pred`. */
+  private def knnCore(corpus: DataFrame, queries: DataFrame, k: Int,
+                      idCol: String, vecCol: String,
+                      extraCols: Seq[(String, String, String)],
+                      pred: Column): DataFrame = {
+    val q = queries.select(col(idCol).as("qid") +: col(vecCol).as("qv") +:
+      extraCols.map { case (c, qa, _) => col(c).as(qa) }: _*)
+    val c = corpus.select(col(idCol).as("nid") +: col(vecCol).as("nv") +:
+      extraCols.map { case (c2, _, na) => col(c2).as(na) }: _*)
+    val scored = c.join(broadcast(q), pred)
       .withColumn("sim", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -404,23 +417,37 @@ object Similarity {
                    lutScale: Long = 1L << 20,
                    checkDim: Boolean = true): DataFrame = {
     if (checkDim) requireMinDim(queries, vecCol, subspaces * subDim)
-    val lutRows = for {
+    val lut = queries.select(col(idCol).as("qid"),
+        explode(array(pqLutRows(col(vecCol), centroids,
+          subspaces, subDim, lutScale): _*)).as("e"))
+      .select(col("qid"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.d").as("d"))
+    adcTopK(codes.join(broadcast(lut), Seq("subspace", "code")), k)
+  }
+
+  /** The ADC lookup-table entries for one query vector: a struct
+    * (subspace, code, d) per sub-centroid, d = the fixed-point
+    * quantized |c|²−2·q_s·c. ONE definition — q92's and q95's oracle
+    * replays both depend on this exact expression. */
+  private def pqLutRows(vec: Column, centroids: Seq[Array[Float]],
+                        subspaces: Int, subDim: Int,
+                        lutScale: Long): Seq[Column] =
+    for {
       s <- 0 until subspaces
-      (c, j) <- centroids.zipWithIndex
+      (c, j) <- centroids.zipWithIndex.toSeq
     } yield {
       val sub = c.slice(s * subDim, (s + 1) * subDim)
       val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
       struct(lit(s).as("subspace"), lit(j).as("code"),
         floor((lit(c2) - lit(2.0) *
-          dot(slice(col(vecCol), s * subDim + 1, subDim), typedlit(sub.toSeq)))
+          dot(slice(vec, s * subDim + 1, subDim), typedlit(sub.toSeq)))
           * lutScale).cast("long").as("d"))
     }
-    val lut = queries.select(col(idCol).as("qid"),
-        explode(array(lutRows: _*)).as("e"))
-      .select(col("qid"), col("e.subspace").as("subspace"),
-        col("e.code").as("code"), col("e.d").as("d"))
-    val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
-      .where(col("qid") =!= col("vec_id"))
+
+  /** Sum the joined LUT entries per (query, vector) and rank: the
+    * shared ADC tail (integer sums — order-independent; ties on id). */
+  private def adcTopK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined.where(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id").agg(sum(col("d")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -447,39 +474,26 @@ object Similarity {
                       k: Int, nProbe: Int = 4,
                       subspaces: Int = 8, subDim: Int = 8,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      lutScale: Long = 1L << 20): DataFrame = {
-    requireMinDim(queries, vecCol, subspaces * subDim)
+                      lutScale: Long = 1L << 20,
+                      checkDim: Boolean = true): DataFrame = {
+    if (checkDim) requireMinDim(queries, vecCol, subspaces * subDim)
     // per query: the nProbe nearest coarse cells (same d2 ordering as
-    // ivfKnnFixed) + the quantized ADC lookup table
+    // ivfKnnFixed) + the quantized ADC lookup table (same entries as
+    // pqSearchTopK — pqLutRows is the single definition both oracles
+    // replay)
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
         explode(slice(array_sort(array(ivfCellScores(col("qv"), coarse): _*)),
           1, nProbe)).as("pc"))
       .select(col("qid"), col("qv"), col("pc.cell").as("cell"))
-    val lutRows = for {
-      s <- 0 until subspaces
-      (c, j) <- pqCents.zipWithIndex
-    } yield {
-      val sub = c.slice(s * subDim, (s + 1) * subDim)
-      val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-      struct(lit(s).as("subspace"), lit(j).as("code"),
-        floor((lit(c2) - lit(2.0) *
-          dot(slice(col("qv"), s * subDim + 1, subDim), typedlit(sub.toSeq)))
-          * lutScale).cast("long").as("d"))
-    }
     val lut = probed.select(col("qid"), col("cell"),
-        explode(array(lutRows: _*)).as("e"))
+        explode(array(pqLutRows(col("qv"), pqCents,
+          subspaces, subDim, lutScale): _*)).as("e"))
       .select(col("qid"), col("cell"), col("e.subspace").as("subspace"),
         col("e.code").as("code"), col("e.d").as("d"))
     // candidates stream out of ONLY the probed cells; the join carries
     // codes, never vectors
-    val scored = cells.join(broadcast(lut), Seq("cell", "subspace", "code"))
-      .where(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id").agg(sum(col("d")).as("score"))
-    val w = Window.partitionBy("qid").orderBy(col("score"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+    adcTopK(cells.join(broadcast(lut), Seq("cell", "subspace", "code")), k)
   }
 
   /** One NARROW corpus pass building the IVF-PQ resident state: coarse
@@ -490,8 +504,9 @@ object Similarity {
                  pqCents: Seq[Array[Float]],
                  subspaces: Int = 8, subDim: Int = 8,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    requireMinDim(corpus, vecCol, subspaces * subDim)
+                 vecCol: String = "embedding",
+                 checkDim: Boolean = true): DataFrame = {
+    if (checkDim) requireMinDim(corpus, vecCol, subspaces * subDim)
     ivfAssign(corpus, coarse, idCol, vecCol)
       .select(col("nid").as("vec_id"), col("cell"),
         posexplode(array(pqCodeCols(col("nv"), pqCents,
@@ -549,19 +564,10 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      col(labelCol).as("ql"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      col(labelCol).as("nl"))
-    val scored = c.join(broadcast(q),
-        col("qid") =!= col("nid") && col("ql") =!= col("nl"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
-  }
+                    labelCol: String = "label"): DataFrame =
+    knnCore(corpus, queries, k, idCol, vecCol,
+      extraCols = Seq((labelCol, "ql", "nl")),
+      pred = col("qid") =!= col("nid") && col("ql") =!= col("nl"))
 
   /** All pairs (ia < ib) with cosine ≥ threshold — bounded quadratic;
     * callers restrict the input to a block/subset. Norms are computed

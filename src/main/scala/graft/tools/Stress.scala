@@ -187,28 +187,24 @@ object Stress {
         val n = graft.ops.Sketch.hllRegisters(toks10, "token").count()
         println(s"[stress]   -> $n registers")
       }
+      // one bounded collect shared by the three centroid-based blocks —
+      // the timed sections measure the operators, not a repeated probe
+      val centroids = emb10.where(col("vec_id") < 16)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
       time("semdedup at 10x vectors (16 cells, exact-dup heavy)") {
-        val centroids = emb10.where(col("vec_id") < 16)
-          .orderBy(col("vec_id")).select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).toArray).toSeq
         val r = graft.ops.Similarity.semDeDup(emb10, centroids, 0.50)
         val dropped = r.where(!col("kept")).count()
         println(s"[stress]   -> ${r.count()} rows, $dropped dropped")
         r.unpersist()
       }
       time("pq encode + ADC top-5 at 10x vectors") {
-        val centroids = emb10.where(col("vec_id") < 16)
-          .orderBy(col("vec_id")).select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).toArray).toSeq
         val n = graft.ops.Similarity.pqSearchTopK(
           graft.ops.Similarity.pqCodes(emb10, centroids), centroids,
           emb10.where(col("vec_id") < 10), 5).count()
         println(s"[stress]   -> $n result rows")
       }
       time("ivf-pq (coarse probe + ADC) at 10x vectors") {
-        val centroids = emb10.where(col("vec_id") < 16)
-          .orderBy(col("vec_id")).select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).toArray).toSeq
         val n = graft.ops.Similarity.ivfPqSearchTopK(
           graft.ops.Similarity.ivfPqIndex(emb10, centroids, centroids),
           centroids, centroids, emb10.where(col("vec_id") < 10), 5).count()
