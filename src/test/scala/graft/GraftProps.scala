@@ -85,4 +85,46 @@ object GraftProps extends Properties("graft") {
     got.groupBy(identity).view.mapValues(_.size).toMap ==
       expected.groupBy(identity).view.mapValues(_.size).toMap
   }
+
+  // ---- sketch/sharding laws (round 4) ----
+
+  import org.apache.spark.sql.functions.{col, concat, lit}
+
+  property("rendezvous: dropping the top shard moves only its ids") =
+    forAll(Gen.choose(2, 10)) { n =>
+      import spark.implicits._
+      val ids = spark.range(200).select(
+        concat(lit("id"), col("id")).as("k"))
+      val withN = ops.Sample.rendezvousShard(ids, "k", n)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val withN1 = ops.Sample.rendezvousShard(ids, "k", n - 1)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      withN.keySet.filter(k => withN(k) != withN1(k)) ==
+        withN.keySet.filter(k => withN(k) == n - 1)
+    }
+
+  property("count-min: one-sided for arbitrary widths/depths") =
+    forAll(Gen.choose(1, 4), Gen.oneOf(4, 16, 64)) { (d, w) =>
+      import spark.implicits._
+      val items = spark.range(300)
+        .select(concat(lit("t"), (col("id") % 40)).as("token"))
+      val cm = ops.Sketch.countMin(items, "token", depth = d, width = w)
+      val exact = items.groupBy("token")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("exact"))
+      ops.Sketch.cmsEstimate(cm, exact.select("token"), "token")
+        .join(exact, "token")
+        .where(col("est") < col("exact")).count() == 0
+    }
+
+  property("hll merge is associative-commutative (max per register)") =
+    forAll(Gen.choose(0, 1000), Gen.choose(0, 1000)) { (a, b) =>
+      import spark.implicits._
+      def shard(off: Int) = spark.range(off, off + 500)
+        .select(concat(lit("x"), col("id")).as("token"))
+      val (sa, sb) = (ops.Sketch.hllRegisters(shard(a), "token"),
+        ops.Sketch.hllRegisters(shard(b), "token"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      canon(ops.Sketch.hllMerge(sa, sb)) == canon(ops.Sketch.hllMerge(sb, sa))
+    }
 }
