@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // replication factor: 10x by default; pass a second arg for bigger
+    // scale points (id offsets hold up to ~100x)
+    val nReps = if (args.length > 1) args(1).toInt else 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -51,13 +54,13 @@ object Stress {
     // 2. dedup at 10×: replicate docs with id offsets; copies 0-4 keep
     // the text (exact near-dups across replicas), 5-9 drop the last word
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val reps = (0 until 10).map { r =>
+    val reps = (0 until nReps).map { r =>
       val txt = if (r < 5) col("text")
         else expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
       docs.select((col("doc_id") + functions.lit(r * 10000000L)).as("doc_id"), txt.as("text"))
     }.reduce(_.unionByName(_))
-    println(s"[stress] stress corpus: ${reps.count()} docs")
-    time("minhash-LSH near-dup at 10x corpus") {
+    println(s"[stress] ${nReps}x stress corpus: ${reps.count()} docs")
+    time(s"minhash-LSH near-dup at ${nReps}x corpus") {
       val n = Dedup.minhashNearDupPairs(reps, "doc_id", "text").count()
       println(s"[stress]   -> $n verified near-dup pairs")
     }
@@ -69,7 +72,7 @@ object Stress {
     // barriers) scale linearly in |pairs|, not in hops × |pairs|.
     def repKeys(df: org.apache.spark.sql.DataFrame,
                 offs: Map[String, Long]): org.apache.spark.sql.DataFrame =
-      (0 until 10).map { r =>
+      (0 until nReps).map { r =>
         offs.foldLeft(df) { case (d, (c, o)) =>
           d.withColumn(c, col(c) + functions.lit(r * o))
         }
@@ -91,11 +94,11 @@ object Stress {
         Map("r_regionkey" -> 1000L)), "region", "r_regionkey"))
     val fkPreds = Seq(TKeyword("o_custkey"), TKeyword("c_nationkey"),
       TKeyword("s_nationkey"), TKeyword("n_regionkey"))
-    time("transitive closure to fixpoint at 10x edges") {
+    time(s"transitive closure to fixpoint at ${nReps}x edges") {
       val n = graft.ops.Paths.closure(g10, fkPreds).count()
       println(s"[stress]   -> $n closure pairs")
     }
-    time("3-hop reachability at 10x edges") {
+    time(s"3-hop reachability at ${nReps}x edges") {
       val n = graft.ops.Paths.reachable(g10, fkPreds, 3).count()
       println(s"[stress]   -> $n reachable pairs")
     }
@@ -105,19 +108,29 @@ object Stress {
     // grows quadratically per bucket, which is precisely the behavior
     // to watch (banding must keep it bounded).
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val emb10 = (0 until 10).map { r =>
+    val emb10 = (0 until nReps).map { r =>
       emb.select((col("vec_id") + functions.lit(r * 10000000L)).as("vec_id"),
         col("embedding"))
     }.reduce(_.unionByName(_))
-    println(s"[stress] 10x embedding corpus: ${emb10.count()} vectors")
-    time("LSH ANN top-5 at 10x corpus") {
+    println(s"[stress] ${nReps}x embedding corpus: ${emb10.count()} vectors")
+    time(s"LSH ANN top-5 at ${nReps}x corpus") {
       val n = graft.ops.Similarity.lshKnn(emb10,
         emb10.where(col("vec_id") < 10), 5,
         planes = graft.ops.Similarity.md5SignPlanes(8, 4, 64)).count()
       println(s"[stress]   -> $n result rows")
     }
-    time("embedding near-dup (LSH + exact verify) at 10x") {
-      val n = graft.ops.Similarity.cosinePairsLsh(emb10, 0.45,
+    time(s"embedding near-dup (LSH + exact verify) at ${nReps}x") {
+      // raw dup-dense input is quadratic per bucket (documented): at
+      // 20x the ~400M-candidate sort-dedup's transient spill exceeds
+      // this box's disk (measured — [SPILL_OUT_OF_MEMORY]: No space
+      // left on device), so past 10x the stress follows the pipeline
+      // the docs prescribe anyway: exact-dedup first (q17's operator),
+      // then near-dup over distinct vectors only
+      val input = if (nReps <= 10) emb10
+        else emb10.groupBy(col("embedding"))
+          .agg(functions.min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+      val n = graft.ops.Similarity.cosinePairsLsh(input, 0.45,
         planes = graft.ops.Similarity.md5SignPlanes(8, 4, 64)).count()
       println(s"[stress]   -> $n verified pairs")
     }
@@ -125,12 +138,12 @@ object Stress {
     // 2d. multimodal decode at 10×: 10 id-shifted copies of documents →
     // real PNG encode once (test rig), then timed real decode of the
     // full 10× blob set (narrow map, CPU-bound).
-    val docs10 = (0 until 10).map { r =>
+    val docs10 = (0 until nReps).map { r =>
       docs.select((col("doc_id") + functions.lit(r * 10000000L)).as("doc_id"))
     }.reduce(_.unionByName(_))
     val blobs10 = graft.ops.Multimodal.syntheticImages(docs10, "doc_id").persist()
-    println(s"[stress] 10x blob corpus: ${blobs10.count()} PNGs")
-    time("real image decode at 10x blobs") {
+    println(s"[stress] ${nReps}x blob corpus: ${blobs10.count()} PNGs")
+    time(s"real image decode at ${nReps}x blobs") {
       val n = graft.ops.Multimodal.decodeMeta(blobs10).count()
       println(s"[stress]   -> $n decoded")
     }
@@ -143,7 +156,7 @@ object Stress {
     // pre-collect stopword cap — the cap is what keeps reducers
     // bounded when every replica shares the same vocabulary); mixture +
     // chunking as narrow sanity rows.
-    time("pageRank 3 rounds at 10x edges") {
+    time(s"pageRank 3 rounds at ${nReps}x edges") {
       val edges = repKeys(spark.read.parquet(s"$sfDir/orders.parquet"),
           Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
         .select(concat(functions.lit("o/"), col("o_orderkey")).as("src"),
@@ -155,13 +168,13 @@ object Stress {
       val r = graft.ops.Rank.pageRank(edges, 3)
       println(s"[stress]   -> ${r.count()} ranked nodes")
     }
-    time("inverted index at 10x corpus (df cap 78%)") {
+    time(s"inverted index at ${nReps}x corpus (df cap 78%)") {
       val n = graft.ops.Text.invertedIndex(reps, "doc_id", "text",
         maxDf = reps.count() * 78 / 100).count()
       println(s"[stress]   -> $n indexed tokens")
     }
-    time("temperature mixture + chunking at 10x corpus") {
-      val reps2 = (0 until 10).map { r =>
+    time(s"temperature mixture + chunking at ${nReps}x corpus") {
+      val reps2 = (0 until nReps).map { r =>
         docs.select((col("doc_id") + functions.lit(r * 10000000L)).as("doc_id"),
           col("source"))
       }.reduce(_.unionByName(_))
@@ -179,11 +192,11 @@ object Stress {
     {
       val toks10 = reps.select(explode(split(lower(col("text")), " "))
         .as("token"))
-      time("count-min sketch at 10x token stream") {
+      time(s"count-min sketch at ${nReps}x token stream") {
         val n = graft.ops.Sketch.countMin(toks10, "token").sketch.count()
         println(s"[stress]   -> $n sketch counters")
       }
-      time("hll registers at 10x token stream") {
+      time(s"hll registers at ${nReps}x token stream") {
         val n = graft.ops.Sketch.hllRegisters(toks10, "token").count()
         println(s"[stress]   -> $n registers")
       }
@@ -192,29 +205,29 @@ object Stress {
       val centroids = emb10.where(col("vec_id") < 16)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray).toSeq
-      time("semdedup at 10x vectors (16 cells, exact-dup heavy)") {
+      time(s"semdedup at ${nReps}x vectors (16 cells, exact-dup heavy)") {
         val r = graft.ops.Similarity.semDeDup(emb10, centroids, 0.50)
         val dropped = r.where(!col("kept")).count()
         println(s"[stress]   -> ${r.count()} rows, $dropped dropped")
         r.unpersist()
       }
-      time("pq encode + ADC top-5 at 10x vectors") {
+      time(s"pq encode + ADC top-5 at ${nReps}x vectors") {
         val n = graft.ops.Similarity.pqSearchTopK(
           graft.ops.Similarity.pqCodes(emb10, centroids), centroids,
           emb10.where(col("vec_id") < 10), 5).count()
         println(s"[stress]   -> $n result rows")
       }
-      time("ivf-pq (coarse probe + ADC) at 10x vectors") {
+      time(s"ivf-pq (coarse probe + ADC) at ${nReps}x vectors") {
         val n = graft.ops.Similarity.ivfPqSearchTopK(
           graft.ops.Similarity.ivfPqIndex(emb10, centroids, centroids),
           centroids, centroids, emb10.where(col("vec_id") < 10), 5).count()
         println(s"[stress]   -> $n result rows")
       }
-      time("bigram surprisal at 10x corpus") {
+      time(s"bigram surprisal at ${nReps}x corpus") {
         val n = graft.ops.Text.bigramSurprisal(reps, "doc_id", "text").count()
         println(s"[stress]   -> $n scored docs")
       }
-      time("rendezvous shard at 10x corpus") {
+      time(s"rendezvous shard at ${nReps}x corpus") {
         val n = graft.ops.Sample.rendezvousShard(reps, "doc_id", 8)
           .groupBy("shard").count().count()
         println(s"[stress]   -> $n shards")
