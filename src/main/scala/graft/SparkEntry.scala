@@ -120,6 +120,10 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q98's saved IVF-PQ index path, once per (session, sf-dir). */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- 1-2: triple-pattern scan + BGP conjunction (join fold) ----
     "q01_bgp_select" -> ((sp, dir) => {
@@ -906,6 +910,24 @@ object SparkEntry {
       ops.Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // ---- IVF-PQ over a LOADED durable index: codes partitioned by
+    //      cell on disk, probes prune to nProbe directories; bit-equal
+    //      to q95's in-memory build (shared oracle) ----
+    "q98_ivfpq_indexed" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val tmp = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+        val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray).toSeq
+        val t = java.nio.file.Files.createTempDirectory("graft_q98").toString
+        ops.Similarity.ivfPqSaveIndex(emb, centroids, centroids, t)
+        t
+      })
+      val (codes, coarse, pq) = ops.Similarity.ivfPqLoadIndex(sp, tmp)
+      ops.Similarity.ivfPqSearchTopK(codes, coarse, pq,
+        emb.where(col("vec_id") < 10), 5)
+    }),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1236,6 +1258,61 @@ object SparkEntry {
       |             WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
       |             ELSE 0 END + 1 END) AS INTEGER) AS max_rho
       |FROM r GROUP BY register""".stripMargin
+
+  /** IVF-PQ replay (coarse probe + PQ codes + quantized ADC LUT):
+    * shared by q95 (in-memory build) and q98 (loaded durable
+    * index) — both must produce bit-identical rankings. */
+  private val IvfPqOracleSql: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |ccent AS (SELECT vec_id AS cell, v AS c,
+        |            list_sum(list_transform(v, x -> x * x)) AS c2
+        |          FROM emb WHERE vec_id < 16),
+        |casg AS (SELECT nid, cell FROM (
+        |  SELECT e.vec_id AS nid, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb e, ccent c) WHERE rk = 1),
+        |qpr AS (SELECT qid, cell FROM (
+        |  SELECT q.vec_id AS qid, c.cell,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        q.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb q, ccent c WHERE q.vec_id < 10) WHERE rk <= 4),
+        |sub AS (SELECT s.s AS subspace, vec_id AS j,
+        |          list_slice(v, s.s * 8 + 1, s.s * 8 + 8) AS cs
+        |        FROM emb, range(8) s(s) WHERE vec_id < 16),
+        |subn AS (SELECT subspace, j, cs,
+        |           list_sum(list_transform(cs, x -> x * x)) AS c2
+        |         FROM sub),
+        |codes AS (SELECT vec_id, subspace, j AS code FROM (
+        |  SELECT e.vec_id, n.subspace, n.j,
+        |    row_number() OVER (PARTITION BY e.vec_id, n.subspace ORDER BY
+        |      n.c2 - 2 * list_sum(list_transform(range(8), k ->
+        |        e.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
+        |          * n.cs[CAST(k + 1 AS INTEGER)])),
+        |      n.j) AS rk
+        |  FROM emb e, subn n) WHERE rk = 1),
+        |lut AS (
+        |  SELECT p.qid, p.cell, n.subspace, n.j AS code,
+        |    CAST(floor((n.c2 - 2 * list_sum(list_transform(range(8), k ->
+        |      q.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
+        |        * n.cs[CAST(k + 1 AS INTEGER)]))) * 1048576) AS BIGINT) AS d
+        |  FROM qpr p JOIN emb q ON q.vec_id = p.qid, subn n),
+        |cc AS (SELECT c.vec_id, a.cell, c.subspace, c.code
+        |       FROM codes c JOIN casg a ON a.nid = c.vec_id),
+        |sc AS (SELECT l.qid, cc.vec_id AS nid, sum(l.d) AS score
+        |       FROM cc JOIN lut l ON l.cell = cc.cell
+        |         AND l.subspace = cc.subspace AND l.code = cc.code
+        |       WHERE l.qid <> cc.vec_id GROUP BY 1, 2),
+        |r AS (SELECT qid, nid,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score, nid) AS rk
+        |      FROM sc)
+        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin
 
   private val IvfOracleSql: String =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2107,57 +2184,11 @@ object SparkEntry {
 
     // IVF-PQ replay: q33's coarse assignment/probe + q91's codes +
     // q92's quantized LUT, joined only within probed cells
-    "q95_ivfpq_search" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |             FROM embeddings),
-        |ccent AS (SELECT vec_id AS cell, v AS c,
-        |            list_sum(list_transform(v, x -> x * x)) AS c2
-        |          FROM emb WHERE vec_id < 16),
-        |casg AS (SELECT nid, cell FROM (
-        |  SELECT e.vec_id AS nid, c.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
-        |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
-        |      c.cell) AS rk
-        |  FROM emb e, ccent c) WHERE rk = 1),
-        |qpr AS (SELECT qid, cell FROM (
-        |  SELECT q.vec_id AS qid, c.cell,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
-        |        q.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
-        |      c.cell) AS rk
-        |  FROM emb q, ccent c WHERE q.vec_id < 10) WHERE rk <= 4),
-        |sub AS (SELECT s.s AS subspace, vec_id AS j,
-        |          list_slice(v, s.s * 8 + 1, s.s * 8 + 8) AS cs
-        |        FROM emb, range(8) s(s) WHERE vec_id < 16),
-        |subn AS (SELECT subspace, j, cs,
-        |           list_sum(list_transform(cs, x -> x * x)) AS c2
-        |         FROM sub),
-        |codes AS (SELECT vec_id, subspace, j AS code FROM (
-        |  SELECT e.vec_id, n.subspace, n.j,
-        |    row_number() OVER (PARTITION BY e.vec_id, n.subspace ORDER BY
-        |      n.c2 - 2 * list_sum(list_transform(range(8), k ->
-        |        e.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
-        |          * n.cs[CAST(k + 1 AS INTEGER)])),
-        |      n.j) AS rk
-        |  FROM emb e, subn n) WHERE rk = 1),
-        |lut AS (
-        |  SELECT p.qid, p.cell, n.subspace, n.j AS code,
-        |    CAST(floor((n.c2 - 2 * list_sum(list_transform(range(8), k ->
-        |      q.v[CAST(n.subspace * 8 + k + 1 AS INTEGER)]
-        |        * n.cs[CAST(k + 1 AS INTEGER)]))) * 1048576) AS BIGINT) AS d
-        |  FROM qpr p JOIN emb q ON q.vec_id = p.qid, subn n),
-        |cc AS (SELECT c.vec_id, a.cell, c.subspace, c.code
-        |       FROM codes c JOIN casg a ON a.nid = c.vec_id),
-        |sc AS (SELECT l.qid, cc.vec_id AS nid, sum(l.d) AS score
-        |       FROM cc JOIN lut l ON l.cell = cc.cell
-        |         AND l.subspace = cc.subspace AND l.code = cc.code
-        |       WHERE l.qid <> cc.vec_id GROUP BY 1, 2),
-        |r AS (SELECT qid, nid,
-        |        row_number() OVER (PARTITION BY qid
-        |          ORDER BY score, nid) AS rk
-        |      FROM sc)
-        |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
+    "q95_ivfpq_search" -> IvfPqOracleSql,
+
+    // searching the loaded durable index is bit-equal to the
+    // in-memory build from the same centroids
+    "q98_ivfpq_indexed" -> IvfPqOracleSql,
 
     // triangles over q23's pair graph: wedge through the middle node,
     // closed by the (a,c) edge; credited to all three corners

@@ -513,6 +513,46 @@ object Similarity {
           subspaces, subDim): _*)).as(Seq("subspace", "code")))
   }
 
+  /** Durable IVF-PQ index: the (vec_id, cell, subspace, code) relation
+    * lands PARTITIONED BY cell — a probe of nProbe cells is a
+    * partition-pruned scan, and what's scanned is ~10 bytes/vector of
+    * codes, not vectors — with both codebooks (tiny) beside it. The
+    * IVF-PQ sibling of [[ivfSaveIndex]]: pay assignment + encoding
+    * once, query forever off the compressed layout. */
+  def ivfPqSaveIndex(corpus: DataFrame, coarse: Seq[Array[Float]],
+                     pqCents: Seq[Array[Float]], path: String,
+                     subspaces: Int = 8, subDim: Int = 8,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    ivfPqIndex(corpus, coarse, pqCents, subspaces, subDim, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    def writeCents(cents: Seq[Array[Float]], sub: String): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.zipWithIndex.map { case (c, i) => SRow(i, c.toSeq) }, 1),
+        StructType(Seq(StructField("j", IntegerType, nullable = false),
+          StructField("c", ArrayType(FloatType, containsNull = false)))))
+        .write.mode("overwrite").parquet(s"$path/$sub")
+    writeCents(coarse, "coarse")
+    writeCents(pqCents, "pq")
+  }
+
+  /** Load an [[ivfPqSaveIndex]] index: (codes, coarse, pqCents).
+    * Centroid collects are bounded (|codebook| rows each). Searching
+    * the result via [[ivfPqSearchTopK]] is bit-equal to searching the
+    * in-memory build from the same centroids. */
+  def ivfPqLoadIndex(spark: SparkSession, path: String)
+      : (DataFrame, Seq[Array[Float]], Seq[Array[Float]]) = {
+    def readCents(sub: String): Seq[Array[Float]] =
+      spark.read.parquet(s"$path/$sub").orderBy("j").collect()
+        .map(_.getSeq[Float](1).toArray).toSeq
+    (spark.read.parquet(s"$path/codes"),
+      readCents("coarse"), readCents("pq"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus with a coarse quantizer, then mark as duplicate
     * any vector with a LOWER-id clustermate at cosine ≥ threshold —

@@ -269,6 +269,23 @@ class SketchSpec extends GraftSpec {
     assert(got.toSet == expected)
   }
 
+  test("ivf-pq index save/load: indexed search ≡ in-memory search") {
+    val cents = emb.where(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    val queries = emb.where(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = canon(Similarity.ivfPqSearchTopK(
+      Similarity.ivfPqIndex(emb, cents, cents), cents, cents, queries, 3))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    Similarity.ivfPqSaveIndex(emb, cents, cents, tmp)
+    val (codes, coarse, pq) = Similarity.ivfPqLoadIndex(spark, tmp)
+    assert(coarse.map(_.toSeq) == cents.map(_.toSeq) &&
+      pq.map(_.toSeq) == cents.map(_.toSeq), "codebooks round-trip exactly")
+    assert(canon(Similarity.ivfPqSearchTopK(codes, coarse, pq, queries, 3))
+      == direct)
+  }
+
   test("rendezvous sharding: removing a shard moves only its own ids") {
     val with8 = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
       .select(col("doc_id"), col("shard"))
