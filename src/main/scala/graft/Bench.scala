@@ -15,6 +15,10 @@ object Bench {
       // so it stays safe when a side is actually huge (default 0 = off)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .getOrCreate()
+    // extra confs for A/B experiments: "k=v,k=v" (unset = contract run)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
     // one cheap query first: JVM/codegen/parquet-footer warmup so the
     // alphabetically-first query doesn't absorb one-time session costs;
@@ -42,14 +46,24 @@ object Bench {
             name -> Left(e.getClass.getSimpleName)
         }
       }
+    // 3-decimal times keep the stdout line as small as the contract
+    // allows (the driver harness tail-captures ~2000 chars; r4 lost
+    // q01–q38 to full-precision doubles), and the SAME json is written
+    // to a repo file so the full per-query record survives truncation
     val qs = results.map {
-      case (k, Right(t)) => s""""$k":$t"""
+      case (k, Right(t)) => s""""$k":${"%.3f".format(t)}"""
       case (k, Left(e))  => s""""$k":"err:$e""""
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right(t)) => t }
     val nerr = results.count(_._2.isLeft)
-    val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}""")
+    val total = "%.3f".format(ok.sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench file write failed: $e") }
     spark.stop()
   }
 }

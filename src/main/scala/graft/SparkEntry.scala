@@ -67,6 +67,11 @@ object SparkEntry {
       ops.Multimodal.syntheticGifs(
         Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id")
         .toDF()))
+  private def syntheticY4mBlobs(sp: SparkSession, dir: String) =
+    readBlobs(sp, materializeOnce(sp, s"y4m:$dir")(
+      ops.Multimodal.syntheticY4ms(
+        Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id")
+        .toDF()))
 
   /** The full graph, dict-encoded ONCE per (session, sf-dir) — the
     * documented usage of the dict layout is build-once-query-many, so
@@ -74,32 +79,44 @@ object SparkEntry {
     * stays measured: q68/q69 encode in-path, Stress at 10×). A
     * WeakHashMap alone would never collect these entries (the DictDb
     * frames reference the session, and a value that reaches its key
-    * pins the entry), so eviction is explicit: a listener clears the
-    * session's slot when its context ends. Also fixes a leak where
-    * every q67 call persisted fresh enc+dict frames that nothing ever
-    * unpersisted. */
+    * pins the entry), so eviction is explicit: ONE listener per
+    * SparkContext (not per session — sessions sharing a context would
+    * otherwise stack one listener each for the context lifetime)
+    * clears every session of that context when it ends, and
+    * [[releaseDictGraph]] is the explicit per-session hook for
+    * long-lived contexts that churn through `newSession()`. Also fixes
+    * a leak where every q67 call persisted fresh enc+dict frames that
+    * nothing ever unpersisted. */
+  private val q89Seq = new java.util.concurrent.atomic.AtomicLong(0)
   private val dictGraphCache =
     new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, core.DictDb]]
+  private val dictListenedContexts =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean])
   private def dictGraph(sp: SparkSession, dir: String): core.DictDb = {
     // global lock covers only map bookkeeping; the multi-job encode
     // runs under the per-session lock so other sessions (and the
     // listener bus at shutdown) never block on it
     val perSession = dictGraphCache.synchronized {
-      Option(dictGraphCache.get(sp)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, core.DictDb]
-        dictGraphCache.put(sp, m)
-        sp.sparkContext.addSparkListener(
+      val sc = sp.sparkContext
+      if (dictListenedContexts.add(sc))
+        sc.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
                 e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
               val evicted = dictGraphCache.synchronized {
-                Option(dictGraphCache.remove(sp))
-                  .map(_.values.toSeq).getOrElse(Nil)
+                val sessions = dictGraphCache.keySet.toArray(Array.empty[SparkSession])
+                  .filter(_.sparkContext eq sc)
+                sessions.flatMap(s =>
+                  Option(dictGraphCache.remove(s)).map(_.values.toSeq).getOrElse(Nil))
               }
               evicted.foreach(d =>
                 try d.unpersist() catch { case _: Throwable => () })
             }
           })
+      Option(dictGraphCache.get(sp)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, core.DictDb]
+        dictGraphCache.put(sp, m)
         m
       }
     }
@@ -108,11 +125,23 @@ object SparkEntry {
     }
   }
 
+  /** Release a session's cached dict-encoded graphs (unpersist + drop
+    * the slot). For long-lived contexts that create many short-lived
+    * sessions via `newSession()` — call when done with a session so its
+    * persisted DictDb frames don't outlive it. */
+  def releaseDictGraph(sp: SparkSession): Unit = {
+    val evicted = dictGraphCache.synchronized {
+      Option(dictGraphCache.remove(sp)).map(_.values.toSeq).getOrElse(Nil)
+    }
+    evicted.foreach(d => try d.unpersist() catch { case _: Throwable => () })
+  }
+
   /** Warm every materialize-once rig for an sf-dir so no timed query
     * pays a rig build — Bench calls this from its warmup probe. */
   def warmRigs(sp: SparkSession, dir: String): Unit = {
     syntheticBlobs(sp, dir).count()
     syntheticGifBlobs(sp, dir).count()
+    syntheticY4mBlobs(sp, dir).count()
     dictGraph(sp, dir).triples.count()
   }
 
@@ -820,7 +849,9 @@ object SparkEntry {
       val (h1, h2) = texts.splitAt(texts.length / 2)
       val toks = stream.toDF().toDF("text")
         .select(explode(ops.Text.tokens(col("text"))).as("token"))
-      val sink = "graft_q89_sink"
+      // unique per invocation: a fixed name would collide if two q89
+      // runs overlap in one session (memory-sink query name + temp view)
+      val sink = s"graft_q89_sink_${q89Seq.incrementAndGet()}"
       val sq = ops.Sketch.hllRegisters(toks, "token", useMd5 = true)
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
@@ -927,6 +958,23 @@ object SparkEntry {
       ops.Similarity.ivfPqSearchTopK(codes, coarse, pq,
         emb.where(col("vec_id") < 10), 5)
     }),
+
+    // ---- REAL Y4M decode: a second codec-free video container —
+    //      uncompressed planar YCbCr, parsed by header arithmetic +
+    //      FRAME-marker walk (no ImageIO, no codec) ----
+    "q99_y4m_decode" -> ((sp, dir) =>
+      ops.Multimodal.decodeMeta(syntheticY4mBlobs(sp, dir))
+        .toDF().select(col("id"), col("width"), col("height"),
+          col("n_frames"))),
+
+    // ---- REAL Y4M frame sampling: every 2nd frame's top-left
+    //      Y/Cb/Cr bytes read straight out of the raw planes ----
+    "q100_y4m_frames" -> ((sp, dir) =>
+      ops.Multimodal.sampleY4mFrames(syntheticY4mBlobs(sp, dir), 2)
+        .toDF().select(col("id"), col("frame_idx"),
+          element_at(col("feature"), 1).cast("int").as("luma"),
+          element_at(col("feature"), 2).cast("int").as("cb"),
+          element_at(col("feature"), 3).cast("int").as("cr"))),
 
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
@@ -2189,6 +2237,27 @@ object SparkEntry {
     // searching the loaded durable index is bit-equal to the
     // in-memory build from the same centroids
     "q98_ivfpq_indexed" -> IvfPqOracleSql,
+
+    // the generation rule is the oracle: Y4M dims/frame-count are
+    // closed-form in the id, and the planes are stored RAW (no codec),
+    // so real container decode must reproduce them exactly
+    "q99_y4m_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(2 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(2 * (1 + (doc_id * 3) % 8) AS INTEGER) AS height,
+        |  CAST(2 + doc_id % 6 AS INTEGER) AS n_frames
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    // per-sampled-frame plane bytes, straight from the fill rule
+    "q100_y4m_frames" ->
+      """WITH v AS (SELECT doc_id AS id, 2 + doc_id % 6 AS n
+        |           FROM documents WHERE doc_id < 200),
+        |f AS (SELECT id, unnest(range(0, n, 2)) AS frame_idx FROM v)
+        |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST((7 * id + 13 * frame_idx) % 211 + 20 AS INTEGER) AS luma,
+        |  CAST((5 * id + 11 * frame_idx) % 199 + 30 AS INTEGER) AS cb,
+        |  CAST((3 * id + 17 * frame_idx) % 223 + 16 AS INTEGER) AS cr
+        |FROM f""".stripMargin,
 
     // triangles over q23's pair graph: wedge through the middle node,
     // closed by the (a,c) edge; credited to all three corners

@@ -77,10 +77,19 @@ object Components {
     * the degree trick's cheap form: every wedge is enumerated from its
     * middle-ordered node only, so no triangle is joined three times.
     * Output: (id, n_triangles), nodes in ≥1 triangle.
+    *
+    * Input need not be canonical: edges are re-oriented (least, greatest),
+    * self-loops dropped, and duplicates removed here — one bounded pass
+    * on an already-small pair relation, so a caller passing duplicated
+    * or reversed pairs can't silently over/undercount.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
     // wedges a<b<c through middle b, closed by the (a,c) edge
     val tri = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")

@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   * pixel dimensions; [[resizeImages]] scales with `Graphics2D` and
   * re-encodes. Audio decode is REAL: `javax.sound.sampled` (also in the
   * JDK) parses WAV/AIFF/AU containers — header parsing only, no audio
-  * device needed, headless-safe. Video decode is REAL for multi-frame
-  * containers ImageIO can read (animated GIF in this environment):
-  * [[videoDecode]] walks the container for true width/height/frame
-  * count and [[sampleVideoFrames]] decodes actual frame pixels. Only
-  * codec-backed formats (H.264/VP9/…) stay behind the clearly marked
-  * deterministic STUB (`fakeDecode`) — the JDK ships no video codecs;
-  * swapping `fakeDecode` for JavaCV or ffmpeg-cli per partition keeps
-  * every other line unchanged.
+  * device needed, headless-safe. Video decode is REAL for two
+  * codec-free container families: multi-frame containers ImageIO can
+  * read (animated GIF in this environment — [[videoDecode]] walks the
+  * container for true width/height/frame count and
+  * [[sampleVideoFrames]] decodes actual frame pixels), and Y4M
+  * (YUV4MPEG2: uncompressed planar YCbCr behind a pure-ASCII header —
+  * [[y4mDecode]] parses the header and walks FRAME markers by plane
+  * arithmetic alone, [[sampleY4mFrames]] reads actual plane bytes).
+  * Only codec-backed formats (H.264/VP9/…) stay behind the clearly
+  * marked deterministic STUB (`fakeDecode`) — the JDK ships no video
+  * codecs; swapping `fakeDecode` for JavaCV or ffmpeg-cli per
+  * partition keeps every other line unchanged.
   *
   * Scale notes: decode runs as a narrow map (no shuffle) and inherits
   * scan partitioning; binary payloads never pass through a wide
@@ -86,6 +90,9 @@ object Multimodal {
           MediaMeta(b.id, b.payload.length.toLong, w, h, 1, b.mediaType)
         } else if (b.mediaType == "video/gif") {
           val (w, h, f) = videoDecode(b.payload) // REAL frame-container decode
+          MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
+        } else if (b.mediaType == "video/y4m") {
+          val (w, h, f) = y4mDecode(b.payload) // REAL plane-arithmetic decode
           MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
         } else {
           val (w, h, f) = fakeDecode(b.payload)
@@ -265,6 +272,146 @@ object Multimodal {
         writer.dispose()
         ios.close()
         MediaBlob(id, bos.toByteArray, "video/gif")
+      }
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Y4M (YUV4MPEG2): uncompressed planar YCbCr video. The container is
+  // an ASCII stream header ("YUV4MPEG2 W.. H.. F.. ..\n") followed by
+  // frames, each a "FRAME...\n" marker line plus raw plane bytes whose
+  // size is pure header arithmetic (C420: w·h + 2·(w/2)·(h/2)). No
+  // codec anywhere — decode is header parsing + plane offsets, all JDK.
+  // Reference format: mjpegtools yuv4mpeg(5), public spec.
+  // --------------------------------------------------------------------
+
+  /** Bytes per frame for a Y4M colorspace tag at (w, h). */
+  private def y4mFrameBytes(w: Int, h: Int, c: String): Int =
+    if (c.startsWith("C444")) 3 * w * h
+    else if (c.startsWith("C422")) 2 * w * h
+    else if (c.startsWith("Cmono")) w * h
+    else w * h + 2 * ((w / 2) * (h / 2)) // C420 and variants (default)
+
+  /** Parse the Y4M stream header: (width, height, colorspace tag,
+    * offset of the first FRAME marker). Throws on malformed bytes —
+    * same loud contract as [[imageDecode]]. */
+  private def y4mHeader(payload: Array[Byte]): (Int, Int, String, Int) = {
+    val nl = payload.indexOf('\n'.toByte)
+    require(nl > 0, s"no Y4M stream header (${payload.length} bytes)")
+    val header = new String(payload, 0, nl, "US-ASCII")
+    val toks = header.split(" ")
+    require(toks.head == "YUV4MPEG2", s"not a YUV4MPEG2 stream: $header")
+    def tok(p: Char): Option[String] =
+      toks.tail.find(t => t.nonEmpty && t.head == p).map(_.tail)
+    val w = tok('W').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(s"Y4M header missing W: $header"))
+    val h = tok('H').map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(s"Y4M header missing H: $header"))
+    require(w > 0 && h > 0, s"bad Y4M dimensions ${w}x$h")
+    val c = toks.tail.find(_.startsWith("C")).getOrElse("C420")
+    (w, h, c, nl + 1)
+  }
+
+  /** REAL Y4M decode: (width, height, frameCount) by walking FRAME
+    * markers — each frame's payload size is plane arithmetic from the
+    * header, so the walk is exact with no codec. Throws on truncated
+    * or malformed streams. */
+  def y4mDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val (w, h, c, start) = y4mHeader(payload)
+    val fb = y4mFrameBytes(w, h, c)
+    var pos = start
+    var frames = 0
+    while (pos < payload.length) {
+      // FRAME marker line (may carry parameters up to the newline)
+      require(payload.length >= pos + 5 &&
+        new String(payload, pos, 5, "US-ASCII") == "FRAME",
+        s"expected FRAME marker at byte $pos")
+      var nl = pos + 5
+      while (nl < payload.length && payload(nl) != '\n'.toByte) nl += 1
+      require(nl < payload.length, "unterminated FRAME marker line")
+      pos = nl + 1 + fb
+      require(pos <= payload.length,
+        s"truncated Y4M frame $frames (need ${nl + 1 + fb}, have ${payload.length})")
+      frames += 1
+    }
+    (w, h, frames)
+  }
+
+  /** REAL per-frame sampling over a Y4M stream: every Nth frame's
+    * top-left plane bytes are read straight out of the payload —
+    * feature = [Y(0,0), Cb(0,0), Cr(0,0), w, h] (Cb/Cr = -1 for mono).
+    * Narrow flatMap, same shape as [[sampleVideoFrames]]. */
+  def sampleY4mFrames(blobs: Dataset[MediaBlob], everyN: Int): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val (w, h, c, start) = y4mHeader(b.payload)
+        val fb = y4mFrameBytes(w, h, c)
+        val mono = c.startsWith("Cmono")
+        val uOff = w * h // Cb plane follows Y; Cr follows Cb
+        val vOff = uOff + (if (c.startsWith("C444")) w * h
+          else if (c.startsWith("C422")) w * h / 2 else (w / 2) * (h / 2))
+        var pos = start
+        var idx = 0
+        val out = scala.collection.mutable.ListBuffer.empty[Frame]
+        while (pos < b.payload.length) {
+          require(b.payload.length >= pos + 5 &&
+            new String(b.payload, pos, 5, "US-ASCII") == "FRAME",
+            s"expected FRAME marker at byte $pos")
+          var nl = pos + 5
+          while (nl < b.payload.length && b.payload(nl) != '\n'.toByte) nl += 1
+          require(nl < b.payload.length, "unterminated FRAME marker line")
+          val data = nl + 1
+          require(data + fb <= b.payload.length, s"truncated Y4M frame $idx")
+          if (idx % math.max(1, everyN) == 0) {
+            val y = b.payload(data) & 0xff
+            val u = if (mono) -1 else b.payload(data + uOff) & 0xff
+            val v = if (mono) -1 else b.payload(data + vOff) & 0xff
+            out += Frame(b.id, idx, Array(y.toFloat, u.toFloat, v.toFloat,
+              w.toFloat, h.toFloat))
+          }
+          pos = data + fb
+          idx += 1
+        }
+        out.toList
+      }
+    }
+  }
+
+  /** Deterministic synthetic Y4M streams (one per input row):
+    * w = 2·(1 + id mod 8), h = 2·(1 + 3·id mod 8) (even — C420 chroma
+    * halves them), 2 + id mod 6 frames; frame f's planes are constant
+    * bytes Y = (7·id + 13·f) mod 211 + 20, Cb = (5·id + 11·f) mod 199
+    * + 30, Cr = (3·id + 17·f) mod 223 + 16. Raw planes are stored
+    * verbatim (no codec), so decode must reproduce the rule exactly —
+    * an external oracle derives every value from the id alone. Same
+    * repartition-then-encode shape as [[syntheticImages]]. */
+  def syntheticY4ms(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(par).mapPartitions { it =>
+      it.map { id =>
+        val w = 2 * (1 + (id % 8).toInt)
+        val h = 2 * (1 + ((id * 3) % 8).toInt)
+        val n = 2 + (id % 6).toInt
+        val fb = w * h + 2 * ((w / 2) * (h / 2))
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+        var f = 0
+        while (f < n) {
+          bos.write("FRAME\n".getBytes("US-ASCII"))
+          val frame = new Array[Byte](fb)
+          val yv = ((7 * id + 13 * f) % 211 + 20).toByte
+          val uv = ((5 * id + 11 * f) % 199 + 30).toByte
+          val vv = ((3 * id + 17 * f) % 223 + 16).toByte
+          java.util.Arrays.fill(frame, 0, w * h, yv)
+          java.util.Arrays.fill(frame, w * h, w * h + (w / 2) * (h / 2), uv)
+          java.util.Arrays.fill(frame, w * h + (w / 2) * (h / 2), fb, vv)
+          bos.write(frame)
+          f += 1
+        }
+        MediaBlob(id, bos.toByteArray, "video/y4m")
       }
     }
   }

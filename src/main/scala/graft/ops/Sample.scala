@@ -38,14 +38,16 @@ object Sample {
     * expression — no shuffle, no UDF, SQL-replayable.
     */
   def rendezvousShard(df: DataFrame, idCol: String,
-                      shards: Int): DataFrame = {
+                      shards: Int, outCol: String = "shard"): DataFrame = {
     require(shards > 0, "need at least one shard")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol")
     val weights = (0 until shards).map { s =>
       struct(md5Prefix32(concat(col(idCol).cast("string"), lit(s"#$s")))
           .as("w"),
         lit(s).as("shard"))
     }
-    df.withColumn("shard",
+    df.withColumn(outCol,
       element_at(array_sort(array(weights: _*)), shards).getField("shard"))
   }
 

@@ -75,6 +75,11 @@ object Sketch {
       .groupBy(itemCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Register count shared by [[hllRegisters]] (which hard-codes p = 8:
+    * top 8 hash bits address the register) and [[hllEstimate]]'s default
+    * `m` — one constant so builder and estimator cannot disagree. */
+  val HllM = 256
+
   /** HyperLogLog register frame over an item column: p = 8 → m = 256
     * registers, standard error 1.04/√m ≈ 6.5%; rho = 1 + leading-zero
     * bits of a 56-bit hash tail. Fast path: register/tail from
@@ -119,10 +124,16 @@ object Sketch {
 
   /** The standard HLL estimator (Flajolet et al. 2007: harmonic mean +
     * small-range linear counting) over a register frame. Driver-side
-    * scalar — the frame is ≤ m rows by construction. */
-  def hllEstimate(registers: DataFrame, m: Int = 256): Double = {
+    * scalar — the frame is ≤ m rows by construction. `m` defaults to
+    * [[HllM]], the register count [[hllRegisters]] builds (p = 8);
+    * register ids outside [0, m) mean the two disagreed, so fail loud
+    * instead of silently skewing the estimate. */
+  def hllEstimate(registers: DataFrame, m: Int = HllM): Double = {
     val regs = registers.collect()
       .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    require(regs.keys.forall(j => j >= 0 && j < m),
+      s"register id outside [0, $m) — registers were built with a " +
+        s"different precision than this estimator's m")
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val zSum = (0 until m)
       .map(j => math.pow(2.0, -regs.getOrElse(j, 0).toDouble)).sum

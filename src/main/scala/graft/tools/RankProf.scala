@@ -1,0 +1,111 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{functions, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Phase-by-phase timing of the pageRank pipeline (scratch diagnostics). */
+object RankProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    args.drop(1).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          val ms = e.stageInfo.taskMetrics.executorRunTime
+          taskMs.addAndGet(ms)
+          if (ms > 1000)
+            println(f"[stage] ${e.stageInfo.stageId}%3d ${ms / 1000.0}%6.1fs " +
+              s"tasks=${e.stageInfo.numTasks} ${e.stageInfo.name.take(90)}")
+        }
+      })
+    // cold end-to-end FIRST (mirrors the bench), after one tiny warm query
+    spark.range(10).groupBy((col("id") % 2).as("k")).count().count()
+    jobs.set(0); stages.set(0); taskMs.set(0)
+    def edgesCold = Tables.t(spark, sfDir, "orders")
+      .select(concat(functions.lit("o/"), col("o_orderkey")).as("src"),
+        concat(functions.lit("c/"), col("o_custkey")).as("dst"))
+      .union(Tables.t(spark, sfDir, "customer")
+        .select(concat(functions.lit("c/"), col("c_custkey")).as("src"),
+          concat(functions.lit("n/"), col("c_nationkey")).as("dst")))
+      .union(Tables.t(spark, sfDir, "nation")
+        .select(concat(functions.lit("n/"), col("n_nationkey")).as("src"),
+          concat(functions.lit("r/"), col("n_regionkey")).as("dst")))
+    val cold = time("COLD pageRank()")(graft.ops.Rank.pageRank(edgesCold, 3))
+    println(s"[profile] cold jobs=${jobs.get} stages=${stages.get} " +
+      s"taskTime=${taskMs.get / 1000.0}s")
+    cold.unpersist()
+    // warm
+    Tables.t(spark, sfDir, "orders").count()
+    def edges = Tables.t(spark, sfDir, "orders")
+      .select(concat(functions.lit("o/"), col("o_orderkey")).as("src"),
+        concat(functions.lit("c/"), col("o_custkey")).as("dst"))
+      .union(Tables.t(spark, sfDir, "customer")
+        .select(concat(functions.lit("c/"), col("c_custkey")).as("src"),
+          concat(functions.lit("n/"), col("c_nationkey")).as("dst")))
+      .union(Tables.t(spark, sfDir, "nation")
+        .select(concat(functions.lit("n/"), col("n_nationkey")).as("src"),
+          concat(functions.lit("r/"), col("n_regionkey")).as("dst")))
+    time("edges scan")(edges.count())
+    val deg = edges.select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionByName(edges.select(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy("node")
+      .agg(sum(col("o")).as("outdeg"), sum(col("i")).as("indeg"))
+      .persist()
+    time("deg")(deg.count())
+    val receivers = deg.where(col("indeg") > 0).select(col("node")).persist()
+    time("receivers")(receivers.count())
+    val eoTag = edges.join(
+        deg.select(col("node").as("src"), col("outdeg"),
+          (col("indeg") === 0).as("static")), "src")
+      .select(col("src"), col("dst"), col("outdeg"), col("static"))
+      .persist()
+    time("eoTag")(eoTag.count())
+    val scale = 1000000L; val base = 150000L
+    val csBoth = eoTag.where(col("static"))
+      .select(col("dst").as("node"),
+        expr(s"CAST($scale AS BIGINT) DIV outdeg").as("c1"),
+        expr(s"CAST($base AS BIGINT) DIV outdeg").as("cN"))
+      .groupBy("node").agg(sum(col("c1")).as("c1"), sum(col("cN")).as("cN"))
+      .persist()
+    time("csBoth")(csBoth.count())
+    val eoDyn = eoTag.where(!col("static"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")).persist()
+    time("eoDyn")(eoDyn.count())
+    var ranks = receivers.select(col("node"), lit(scale).as("rank"))
+    for (i <- 1 to 3) {
+      val perEdge = eoDyn.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"))
+      val contribs = perEdge.union(
+          csBoth.select(col("node"), (if (i == 1) col("c1") else col("cN")).as("c")))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = receivers.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr(s"85 * coalesce(s, 0L) DIV 100")).as("rank"))
+      time(s"round $i")(ranks.count())
+      ranks = ranks.localCheckpoint()
+    }
+    val full = time("pageRank() end-to-end")(
+      graft.ops.Rank.pageRank(edges, 3))
+    full.unpersist()
+    spark.stop()
+  }
+}

@@ -527,6 +527,43 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("video: Y4M round-trip — header arithmetic dims, frame walk, " +
+    "raw plane bytes") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L, 15L, 100L).toDF("id")
+    val blobs = Multimodal.syntheticY4ms(ids, "id")
+    val meta = Multimodal.decodeMeta(blobs).collect()
+      .map(m => m.id -> ((m.width, m.height, m.n_frames))).toMap
+    for (id <- Seq(0L, 3L, 7L, 15L, 100L))
+      assert(meta(id) == ((2 * (1 + (id % 8).toInt),
+        2 * (1 + ((id * 3) % 8).toInt), 2 + (id % 6).toInt)),
+        s"metadata mismatch for id $id")
+    // every frame's plane bytes are the fill rule, read back raw
+    val frames = Multimodal.sampleY4mFrames(blobs, 1).collect()
+    assert(frames.map(_.id).distinct.length == 5)
+    for (f <- frames) {
+      val exp = ((7 * f.id + 13 * f.frame_idx) % 211 + 20,
+        (5 * f.id + 11 * f.frame_idx) % 199 + 30,
+        (3 * f.id + 17 * f.frame_idx) % 223 + 16)
+      assert((f.feature(0).toLong, f.feature(1).toLong, f.feature(2).toLong)
+        == exp, s"plane bytes mismatch id=${f.id} frame=${f.frame_idx}")
+    }
+    // sampling stride honored; dims travel with the feature
+    val every2 = Multimodal.sampleY4mFrames(blobs, 2).collect()
+    assert(every2.forall(f => f.frame_idx % 2 == 0))
+    assert(every2.forall(f =>
+      f.feature(3).toInt == 2 * (1 + (f.id % 8).toInt) &&
+        f.feature(4).toInt == 2 * (1 + ((f.id * 3) % 8).toInt)))
+    // malformed stream fails loud, same contract as imageDecode
+    intercept[Exception] {
+      Multimodal.y4mDecode("not a y4m stream\n".getBytes("US-ASCII"))
+    }
+    intercept[Exception] { // truncated mid-frame
+      val good = blobs.collect().head.payload
+      Multimodal.y4mDecode(java.util.Arrays.copyOf(good, good.length - 1))
+    }
+  }
+
   test("searchTopK: integer tf-idf ranks by relevance, deterministic ties") {
     import spark.implicits._
     val corpus = Seq(

@@ -39,6 +39,11 @@ class SketchSpec extends GraftSpec {
     val est = Sketch.hllEstimate(Sketch.hllRegisters(items, "token"))
     // m=256 -> se ~ 6.5%; 3*se ~ 20%
     assert(math.abs(est - 5000) / 5000.0 < 0.20, s"estimate $est")
+    // estimator m must agree with the register build (p=8 ⇒ m=256):
+    // a smaller m sees out-of-range register ids and fails loud
+    intercept[IllegalArgumentException] {
+      Sketch.hllEstimate(Sketch.hllRegisters(items, "token"), m = 64)
+    }
   }
 
   test("hll: merge of shard sketches == sketch of the union") {
@@ -240,6 +245,13 @@ class SketchSpec extends GraftSpec {
     val r = graft.ops.Components.triangleCounts(edges, "ia", "ib")
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // non-canonical input — duplicates, reversed pairs, a self-loop —
+    // must yield the same counts (canonicalized inside the op)
+    val messy = Seq((2L, 1L), (1L, 2L), (1L, 3L), (4L, 1L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (5L, 4L), (3L, 3L)).toDF("ia", "ib")
+    val rm = graft.ops.Components.triangleCounts(messy, "ia", "ib")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rm == r)
   }
 
   test("hard negatives: never the anchor's label, ranked by cosine") {
@@ -302,6 +314,15 @@ class SketchSpec extends GraftSpec {
     val p = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"HRW must be narrow:\n$p")
+    // never silently overwrite an existing column; custom names work
+    val pre = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sample.rendezvousShard(pre, "doc_id", 4)
+    }
+    val renamed = graft.ops.Sample.rendezvousShard(pre, "doc_id", 8, "shard2")
+    assert(renamed.select(col("shard")).except(
+      renamed.select(col("shard2"))).isEmpty,
+      "same id + same shard count ⇒ same assignment under any column name")
   }
 
   test("semdedup pairwise join shuffles on cell — never a cross product") {
