@@ -153,6 +153,10 @@ object SparkEntry {
   private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q102's build-then-append IVF-PQ index path, once per sf-dir. */
+  private val ivfPqAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- 1-2: triple-pattern scan + BGP conjunction (join fold) ----
     "q01_bgp_select" -> ((sp, dir) => {
@@ -952,6 +956,44 @@ object SparkEntry {
           .map(_.getSeq[Float](0).toArray).toSeq
         val t = java.nio.file.Files.createTempDirectory("graft_q98").toString
         ops.Similarity.ivfPqSaveIndex(emb, centroids, centroids, t)
+        t
+      })
+      val (codes, coarse, pq) = ops.Similarity.ivfPqLoadIndex(sp, tmp)
+      ops.Similarity.ivfPqSearchTopK(codes, coarse, pq,
+        emb.where(col("vec_id") < 10), 5)
+    }),
+
+    // ---- incremental index maintenance: build a saved MinHash index
+    //      over part of the corpus, APPEND a later batch (only the
+    //      batch pays shingle+MinHash; existing files untouched), then
+    //      probe new docs against the loaded union — result ≡ q73's
+    //      one-shot index over the same combined corpus ----
+    "q101_minhash_append" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q101").toString
+      ops.Dedup.minhashIndexSave(ops.Dedup.minhashIndex(
+        docs.where(col("doc_id") < 200), "doc_id", "text"), tmp)
+      ops.Dedup.minhashIndexAppend(
+        docs.where(col("doc_id") >= 200 && col("doc_id") < 400),
+        "doc_id", "text", tmp)
+      ops.Dedup.minhashNearDupAgainst(
+        docs.where(col("doc_id") >= 400), "doc_id", "text",
+        ops.Dedup.minhashIndexLoad(sp, tmp))
+    }),
+
+    // ---- IVF-PQ append: encode a new batch with the SAVED codebooks
+    //      and add it partition-wise to the durable index — searching
+    //      the appended index is bit-equal to q98's full build ----
+    "q102_ivfpq_append" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val tmp = ivfPqAppendCache.computeIfAbsent(dir, _ => {
+        val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray).toSeq
+        val t = java.nio.file.Files.createTempDirectory("graft_q102").toString
+        ops.Similarity.ivfPqSaveIndex(
+          emb.where(col("vec_id") >= 50), centroids, centroids, t)
+        ops.Similarity.ivfPqAppendIndex(emb.where(col("vec_id") < 50), t)
         t
       })
       val (codes, coarse, pq) = ops.Similarity.ivfPqLoadIndex(sp, tmp)
@@ -2237,6 +2279,15 @@ object SparkEntry {
     // searching the loaded durable index is bit-equal to the
     // in-memory build from the same centroids
     "q98_ivfpq_indexed" -> IvfPqOracleSql,
+
+    // append ≡ rebuild: probing docs ≥ 400 against the appended index
+    // (built over < 200, appended 200–399) is the same computation as
+    // q73's one-shot index over docs < 400 — one shared oracle
+    "q101_minhash_append" -> IncNearDupOracleSql,
+
+    // append ≡ rebuild: the appended IVF-PQ index covers the full
+    // corpus with the same codebooks, so the search replay is q98's
+    "q102_ivfpq_append" -> IvfPqOracleSql,
 
     // the generation rule is the oracle: Y4M dims/frame-count are
     // closed-form in the id, and the planes are stored RAW (no codec),

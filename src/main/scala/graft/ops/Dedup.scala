@@ -93,6 +93,31 @@ object Dedup {
       .withColumn("bhs", graft.functions.TextExpressions.minhashBandHashes(
         col("sh"), perms, bands))
 
+  /** Durable [[minhashIndex]]: save the (id, sh, bhs) relation as
+    * parquet. Pairs with [[minhashIndexAppend]] for build-once,
+    * append-forever maintenance. */
+  def minhashIndexSave(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  /** Append a new batch to a saved index WITHOUT rebuilding: only the
+    * batch pays tokenize+shingle+MinHash, and the write ADDS files to
+    * the index directory — existing index files are never read or
+    * rewritten, so appending tonight's 100 GB to a 100 TB index costs
+    * the batch, not the corpus. Banding params must match the build's
+    * (same contract as [[minhashNearDupAgainst]]). */
+  def minhashIndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
+                         path: String, shingleN: Int = 3, perms: Int = 64,
+                         bands: Int = 16): Unit =
+    minhashIndex(newDocs, idCol, textCol, shingleN, perms, bands)
+      .write.mode("append").parquet(path)
+
+  /** Load a saved [[minhashIndex]] (build + any appends): querying it
+    * via [[minhashNearDupAgainst]] is equivalent to querying a fresh
+    * index built over the union of every batch written so far. */
+  def minhashIndexLoad(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Incremental near-dup: a NEW batch of docs against an EXISTING
     * corpus index (the [[minhashIndex]] layout). Returns verified
     * (newId, corpusId) pairs with shingle-Jaccard ≥ jNum/jDen.

@@ -540,6 +540,29 @@ object Similarity {
     writeCents(pqCents, "pq")
   }
 
+  /** Append a batch of vectors to a durable [[ivfPqSaveIndex]] layout
+    * WITHOUT rebuilding: the batch is encoded with the index's SAVED
+    * codebooks (append never retrains — centroid drift would silently
+    * invalidate every existing code) and written `mode(append)` into
+    * the partitioned-by-cell layout, so only the cell directories the
+    * batch actually lands in gain files; nothing existing is read or
+    * rewritten. Searching the result is bit-equal to searching a full
+    * rebuild of (corpus ∪ batch) with the same codebooks, because
+    * per-vector cell assignment and codes are deterministic functions
+    * of (vector, codebooks) alone. */
+  def ivfPqAppendIndex(newVecs: DataFrame, path: String,
+                       subspaces: Int = 8, subDim: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    def readCents(sub: String): Seq[Array[Float]] =
+      spark.read.parquet(s"$path/$sub").orderBy("j").collect()
+        .map(_.getSeq[Float](1).toArray).toSeq
+    ivfPqIndex(newVecs, readCents("coarse"), readCents("pq"),
+        subspaces, subDim, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Load an [[ivfPqSaveIndex]] index: (codes, coarse, pqCents).
     * Centroid collects are bounded (|codebook| rows each). Searching
     * the result via [[ivfPqSearchTopK]] is bit-equal to searching the

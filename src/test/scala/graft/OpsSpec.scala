@@ -469,6 +469,25 @@ class OpsSpec extends GraftSpec {
     assert(got == exact)
   }
 
+  test("minhash index append: save + append + load ≡ one-shot index " +
+    "over the union") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_app").toString
+    Dedup.minhashIndexSave(
+      Dedup.minhashIndex(docs.where(col("doc_id") < 100), "doc_id", "text"), tmp)
+    Dedup.minhashIndexAppend(
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 250),
+      "doc_id", "text", tmp)
+    val batch = docs.where(col("doc_id") >= 250)
+    val appended = Dedup.minhashNearDupAgainst(batch, "doc_id", "text",
+        Dedup.minhashIndexLoad(spark, tmp))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = Dedup.minhashNearDupAgainst(batch, "doc_id", "text",
+        Dedup.minhashIndex(docs.where(col("doc_id") < 250), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot.nonEmpty, "split should cut at least one planted pair")
+    assert(appended == oneShot)
+  }
+
   test("pack assignments: partitioning-independent, budget invariants hold") {
     import graft.ops.Sample
     val toks = docs.select(col("doc_id"),

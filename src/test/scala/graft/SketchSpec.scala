@@ -298,6 +298,26 @@ class SketchSpec extends GraftSpec {
       == direct)
   }
 
+  test("ivf-pq append: search(saved ∪ appended batch) ≡ full rebuild") {
+    val cents = emb.where(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    val queries = emb.where(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rebuilt = canon(Similarity.ivfPqSearchTopK(
+      Similarity.ivfPqIndex(emb, cents, cents), cents, cents, queries, 3))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.ivfPqSaveIndex(emb.where(col("vec_id") >= 40), cents, cents, tmp)
+    Similarity.ivfPqAppendIndex(emb.where(col("vec_id") < 40), tmp)
+    val (codes, coarse, pq) = Similarity.ivfPqLoadIndex(spark, tmp)
+    assert(canon(Similarity.ivfPqSearchTopK(codes, coarse, pq, queries, 3))
+      == rebuilt, "append with saved codebooks must be bit-equal to rebuild")
+    // appended rows really land inside the partitioned layout (file
+    // adds, not a rewrite): every cell dir present, codes row count =
+    // 8 subspaces × corpus size
+    assert(codes.count() == 8L * emb.count())
+  }
+
   test("rendezvous sharding: removing a shard moves only its own ids") {
     val with8 = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
       .select(col("doc_id"), col("shard"))
