@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** The sketch/fingerprint entries default to md5-derived hashes so
+    * the DuckDB oracle can replay them bit-for-bit (the driver's
+    * contract run). `SPARK_GRAFT_HASH=fast` flips those entries to the
+    * ops' XXH64 production default so Bench can time the fast path
+    * per entry — never set it for a Verify/oracle run. */
+  private def oracleHash: Boolean =
+    !sys.env.get("SPARK_GRAFT_HASH").contains("fast")
+
   // --- tiny DSL shorthands ---
   private def kw(s: String) = T(TKeyword(s))
   private def u(s: String) = T(TUri(s))
@@ -372,7 +380,7 @@ object SparkEntry {
     //      so the banded result equals the oracle's all-pairs scan) ----
     "q22_simhash" -> ((sp, dir) =>
       ops.Dedup.simhashNearDupPairs(Tables.t(sp, dir, "documents"),
-        "doc_id", "text", maxHamming = 3, useMd5 = true)),
+        "doc_id", "text", maxHamming = 3, useMd5 = oracleHash)),
 
     // ---- embedding-cosine near-dup pairs (exact quadratic primitive —
     //      input bounded to a block, per its contract; the scale path
@@ -802,7 +810,7 @@ object SparkEntry {
       import sp.implicits._
       val toks = Tables.t(sp, dir, "documents")
         .select(explode(ops.Text.tokens(col("text"))).as("token"))
-      val cm = ops.Sketch.countMin(toks, "token", useMd5 = true)
+      val cm = ops.Sketch.countMin(toks, "token", useMd5 = oracleHash)
       // exact top-20 collected ONCE (bounded, 20 rows) — probing and
       // joining the same TakeOrdered frame lazily would re-run the
       // corpus-wide token aggregation twice
@@ -824,7 +832,7 @@ object SparkEntry {
       ops.Sketch.hllRegisters(
         Tables.t(sp, dir, "documents")
           .select(explode(ops.Text.tokens(col("text"))).as("token")),
-        "token", useMd5 = true)),
+        "token", useMd5 = oracleHash)),
 
     // ---- SemDeDup (Abbas et al. 2023): cluster embeddings (fixed
     //      first-16-vector centroids, the q33 oracle idiom), drop any
@@ -856,7 +864,7 @@ object SparkEntry {
       // unique per invocation: a fixed name would collide if two q89
       // runs overlap in one session (memory-sink query name + temp view)
       val sink = s"graft_q89_sink_${q89Seq.incrementAndGet()}"
-      val sq = ops.Sketch.hllRegisters(toks, "token", useMd5 = true)
+      val sq = ops.Sketch.hllRegisters(toks, "token", useMd5 = oracleHash)
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       stream.addData(h1); sq.processAllAvailable()

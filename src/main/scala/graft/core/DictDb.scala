@@ -34,7 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * a store is built once and queried repeatedly, or when the join fold
   * itself dominates (many patterns / large intermediate solutions):
   * the per-query saving on shuffle width and key comparison repays the
-  * one-time encode. The semantic source of truth stays the term struct.
+  * one-time encode. [[StoreAdvisor]] codifies this rule (break-even:
+  * expected queries × join stages ≥ 2 × encode cost) so callers can
+  * ask instead of re-deriving it. The semantic source of truth stays
+  * the term struct.
   *
   * Reference: the pldb index (alpha.clj:52) keys facts by the term
   * values themselves; dictionary ids are our scale substitute with

@@ -215,4 +215,26 @@ class DictSpec extends GraftSpec {
       assert(ia == ib)
     } finally { a.unpersist(); b.unpersist() }
   }
+
+  test("store advisor: one-shot and single-pattern stay on TripleDb, " +
+    "build-once-query-many lands on the dict path") {
+    import graft.core.StoreAdvisor._
+    // single-pattern queries never join — dict never pays, at ANY volume
+    assert(choose(1, 1000000).choice == UseTripleDb)
+    // one-shot multi-pattern query: encode costs more than one query saves
+    assert(choose(3, 1).choice == UseTripleDb)
+    // the documented dict sweet spot: repeated multi-pattern queries
+    assert(choose(3, 10).choice == UseDictDb)
+    assert(choose(5, 2).choice == UseDictDb)
+    // break-even boundary: queries × (p−1) ≥ 2 × EncodeCostUnits
+    assert(choose(2, 5).choice == UseTripleDb)  // 2.5 units < 3
+    assert(choose(2, 6).choice == UseDictDb)    // 3.0 units ≥ 3
+    assert(choose(2, 6).reason.nonEmpty)
+    intercept[IllegalArgumentException](choose(0, 1))
+    // applied form: encodes exactly when the rule says dict
+    assert(encodeIfWorthIt(friends.index(), 3, 1).isEmpty)
+    val dd = encodeIfWorthIt(friends.index(), 3, 10)
+    try assert(dd.nonEmpty && dd.get.triples.count() > 0)
+    finally dd.foreach(_.unpersist())
+  }
 }
