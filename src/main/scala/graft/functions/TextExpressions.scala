@@ -144,8 +144,76 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Winnowing fingerprint (Schleimer et al. 2003) in ONE pass: md5 of
+    * every k-char gram, sliding-window minimum over w grams, then
+    * distinct+sort+join. Semantics bit-identical to the
+    * transform/sequence/array_min column formulation (and the SQL
+    * oracle) — but that formulation names the gram-hash array inside
+    * the window lambda, and interpreted higher-order functions
+    * re-evaluate shared subtrees PER ELEMENT, turning O(L) md5s into
+    * O(L²): the sf1 gate measured a single document batch pinning one
+    * core for minutes. Here each gram hashes exactly once.
+    */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0 && w > 0, "gram size and window must be positive")
+    override def dataType: DataType = StringType
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private val hexDigits = "0123456789abcdef".toCharArray
+    override protected def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String]
+      val md = mdTL.get()
+      val nGrams = math.max(1, s.numChars() - k + 1)
+      val hashes = new Array[String](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        // substringSQL = the substr() column semantics (1-based, clamped)
+        val d = md.digest(s.substringSQL(i + 1, k).getBytes)
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+          hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+          b += 1
+        }
+        hashes(i) = new String(hex)
+        i += 1
+      }
+      // md5 hex is fixed-length ASCII: String order == UTF8String order
+      val nWins = math.max(1, nGrams - w + 1)
+      val seen = new java.util.TreeSet[String]()
+      var j = 0
+      while (j < nWins) {
+        var min = hashes(j)
+        var t = j + 1
+        val upper = math.min(j + w, nGrams)
+        while (t < upper) {
+          if (hashes(t).compareTo(min) < 0) min = hashes(t)
+          t += 1
+        }
+        seen.add(min)
+        j += 1
+      }
+      val sb = new java.lang.StringBuilder(seen.size * 33)
+      val it = seen.iterator()
+      while (it.hasNext) {
+        if (sb.length > 0) sb.append('~')
+        sb.append(it.next())
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def wordShingles(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
+
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(
+      WinnowFingerprint(GraftSqlBridge.expression(text), k, w))
 
   def minhashBandHashes(shingles: Column, perms: Int, bands: Int): Column =
     GraftSqlBridge.column(

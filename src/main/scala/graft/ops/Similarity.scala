@@ -288,6 +288,23 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a batch to a durable [[ivfSaveIndex]] layout WITHOUT
+    * rebuilding: the batch is assigned with the index's SAVED centroids
+    * (append never re-clusters) and written `mode(append)` into the
+    * partitioned-by-cell layout — only touched cell directories gain
+    * files. Same append ≡ rebuild guarantee as [[ivfPqAppendIndex]]:
+    * cell assignment is a deterministic function of (vector,
+    * centroids). */
+  def ivfAppendIndex(newVecs: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val cents = newVecs.sparkSession.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    ivfAssign(newVecs, cents, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Load an [[ivfSaveIndex]]-built index: (assigned corpus, centroids).
     * The centroid collect is bounded (nClusters rows). */
   def ivfLoadIndex(spark: SparkSession,

@@ -47,17 +47,13 @@ object Text {
     * Hashes are md5 hex strings: fixed-length hex compares
     * lexicographically exactly like the number it encodes, so the
     * whole computation is reproducible in ANSI SQL for the oracle.
-    * Narrow projection — no shuffle.
+    * Narrow projection — no shuffle. Single-pass custom expression
+    * (graft.functions.TextExpressions.WinnowFingerprint): the HOF
+    * formulation re-evaluated the gram-hash array per window element
+    * (O(L²) md5s per doc — caught by the sf1 gate).
     */
-  def winnowFingerprint(text: Column, k: Int = 16, w: Int = 8): Column = {
-    val hashes = transform(
-      sequence(lit(0), greatest(lit(1), length(text) - (k - 1)) - 1),
-      i => md5(text.substr(i + 1, lit(k))))
-    val mins = transform(
-      sequence(lit(0), greatest(lit(1), size(hashes) - (w - 1)) - 1),
-      j => array_min(slice(hashes, j + 1, lit(w))))
-    array_join(array_sort(array_distinct(mins)), "~")
-  }
+  def winnowFingerprint(text: Column, k: Int = 16, w: Int = 8): Column =
+    graft.functions.TextExpressions.winnowFingerprint(text, k, w)
 
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace. */

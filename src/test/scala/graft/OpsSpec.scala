@@ -170,6 +170,41 @@ class OpsSpec extends GraftSpec {
     assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
   }
 
+  test("winnowing: single-pass expression ≡ the HOF column formulation") {
+    import spark.implicits._
+    // the exact transform/sequence/array_min formulation the op used
+    // before round 5 (O(L²) interpreted md5s — replaced, kept here as
+    // the semantic reference the oracle also replays)
+    def hofWinnow(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
+      val hashes = transform(
+        sequence(lit(0), greatest(lit(1), length(text) - (k - 1)) - 1),
+        i => md5(text.substr(i + 1, lit(k))))
+      val mins = transform(
+        sequence(lit(0), greatest(lit(1), size(hashes) - (w - 1)) - 1),
+        j => array_min(slice(hashes, j + 1, lit(w))))
+      array_join(array_sort(array_distinct(mins)), "~")
+    }
+    val edge = Seq((0L, ""), (1L, "a"), (2L, "exactly16chars!!"),
+      (3L, "seventeen chars!!"), (4L, "short"),
+      (5L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    for ((kk, ww) <- Seq((16, 8), (4, 3), (1, 1))) {
+      val both = edge.select(col("id"),
+          Text.winnowFingerprint(col("text"), kk, ww).as("fast"),
+          hofWinnow(col("text"), kk, ww).as("ref"))
+        .collect()
+      both.foreach(r => assert(r.getString(1) == r.getString(2),
+        s"mismatch id=${r.getLong(0)} k=$kk w=$ww"))
+    }
+    // fixture corpus, default params: byte-identical across all docs
+    val cmp = docs.select(Text.winnowFingerprint(col("text")).as("fast"),
+      hofWinnow(col("text"), 16, 8).as("ref"))
+    assert(cmp.where(col("fast") =!= col("ref")).isEmpty)
+    // null text stays null
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .select(Text.winnowFingerprint(col("text"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("fingerprint is invariant to case/punct/whitespace noise") {
     import spark.implicits._
     val d = Seq((1L, "Hello,   World!"), (2L, "hello world")).toDF("doc_id", "text")
@@ -655,6 +690,13 @@ class OpsSpec extends GraftSpec {
     assert(cents.map(_.toSeq) == centroids.map(_.toSeq),
       "centroids round-trip exactly")
     assert(canon(Similarity.ivfKnnIndexed(idx, cents, queries, 3,
+      nProbe = 2)) == direct)
+    // append with the SAVED centroids ≡ rebuild over the union
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.ivfSaveIndex(emb.where(col("vec_id") >= 40), centroids, tmp2)
+    Similarity.ivfAppendIndex(emb.where(col("vec_id") < 40), tmp2)
+    val (idx2, cents2) = Similarity.ivfLoadIndex(spark, tmp2)
+    assert(canon(Similarity.ivfKnnIndexed(idx2, cents2, queries, 3,
       nProbe = 2)) == direct)
   }
 
