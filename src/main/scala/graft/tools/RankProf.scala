@@ -50,8 +50,32 @@ object RankProf {
           concat(functions.lit("r/"), col("n_regionkey")).as("dst")))
     val cold = time("COLD pageRank()")(graft.ops.Rank.pageRank(edgesCold, 3))
     println(s"[profile] cold jobs=${jobs.get} stages=${stages.get} " +
-      s"taskTime=${taskMs.get / 1000.0}s")
+      s"taskTime=${taskMs.get / 1000.0}s ranked=${cold.count()}")
     cold.unpersist()
+    // optional replication check (SPARK_GRAFT_REPS): the 10x/20x Stress
+    // figure for pageRank alone — per-round cost must track the dynamic
+    // subgraph, flat from 10x to 20x
+    sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).filter(_ > 1).foreach { reps =>
+      def repKeys(df: org.apache.spark.sql.DataFrame,
+                  offs: Map[String, Long]) =
+        (0 until reps).map { r =>
+          offs.foldLeft(df) { case (d, (c, o)) =>
+            d.withColumn(c, col(c) + functions.lit(r * o))
+          }
+        }.reduce(_.unionByName(_))
+      val eN = repKeys(Tables.t(spark, sfDir, "orders"),
+          Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+        .select(concat(functions.lit("o/"), col("o_orderkey")).as("src"),
+          concat(functions.lit("c/"), col("o_custkey")).as("dst"))
+        .union(repKeys(Tables.t(spark, sfDir, "customer"),
+            Map("c_custkey" -> 1000000L, "c_nationkey" -> 1000L))
+          .select(concat(functions.lit("c/"), col("c_custkey")).as("src"),
+            concat(functions.lit("n/"), col("c_nationkey")).as("dst")))
+      val rN = time(s"pageRank 3 rounds at ${reps}x edges")(
+        graft.ops.Rank.pageRank(eN, 3))
+      println(s"[profile] ${reps}x ranked nodes: ${rN.count()}")
+      rN.unpersist()
+    }
     // warm
     Tables.t(spark, sfDir, "orders").count()
     def edges = Tables.t(spark, sfDir, "orders")

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: oracle_check.py <sfdir> <verify_out_dir>
+Usage: oracle_check.py <sfdir> <verify_out_dir> [names]
 
 Loads each <verify_out_dir>/<name> parquet (Spark result), runs the
 matching SQL from oracle_sql.json in DuckDB with views over the sfdir
 parquet tables, and compares as column-name-sorted multisets.
+Optional 3rd arg: comma-separated query names — check only those
+(chunked runs on big fixtures; per-query lines are flushed).
 """
 import json, sys, glob
 import duckdb
@@ -23,7 +25,7 @@ def canon(df: pd.DataFrame) -> list:
     return sorted(rows)
 
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -31,6 +33,8 @@ def main(sfdir: str, outdir: str) -> int:
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = 0
     names = sorted(oracle)
+    if only:
+        names = [n for n in names if n in only]
     for name in names:
         try:
             files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -41,10 +45,10 @@ def main(sfdir: str, outdir: str) -> int:
             duck_df = con.execute(oracle[name]).fetchdf()
             a, b = canon(spark_df), canon(duck_df)
             if a == b:
-                print(f"OK   {name}: {len(a)} rows")
+                print(f"OK   {name}: {len(a)} rows", flush=True)
                 n_ok += 1
             else:
-                print(f"FAIL {name}: spark {len(a)} rows vs duck {len(b)} rows")
+                print(f"FAIL {name}: spark {len(a)} rows vs duck {len(b)} rows", flush=True)
                 sa, sb = set(a), set(b)
                 for r in list(sa - sb)[:3]:
                     print(f"  spark-only: {r}")
@@ -53,10 +57,11 @@ def main(sfdir: str, outdir: str) -> int:
                 if len(a) == len(b) and sa == sb:
                     print("  (same sets, different multiplicities)")
         except Exception as e:
-            print(f"ERR  {name}: {e}")
+            print(f"ERR  {name}: {e}", flush=True)
     print(f"== {n_ok}/{len(names)} green ==")
     return 0 if n_ok == len(names) else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], subset))
