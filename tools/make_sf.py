@@ -12,9 +12,16 @@ Replication rules (nReps copies, replica r):
     so cross-replica shingle sets are DISJOINT (near-dup structure
     scales linearly instead of exploding quadratically with exact
     copies); n_chars recomputed from the new text.
-  - embeddings: vec_id +1e7; replicas r>0 jitter (scale + alternating
-    shift) so no cross-replica exact duplicates pack LSH buckets or
-    SemDeDup cells.
+  - embeddings: vec_id +1e7; replicas r>0 ROTATE the vector elements by
+    r positions — preserves the element distribution, norms, and cell
+    occupancy exactly while making replicas of the same base vector
+    mutually near-orthogonal, so cross-replica near-dup structure stays
+    EMPTY (like the disjoint token prefixes) and pair counts scale
+    linearly. (A first attempt used scale+shift jitter; the +0.05r·1
+    shift pulled every high-r replica toward the all-ones direction and
+    made ~80% of the corpus mutually cosine-similar — 120M verified
+    near-dup pairs. Perturbations of similarity fixtures must preserve
+    SPREAD, not just break exact equality.)
   - events: event_id +1e7, user_id +1e6; ts kept (timestamp[ns] — the
     engine's nanosAsLong read path needs the NANOS annotation, so this
     table is copied via pyarrow, not DuckDB).
@@ -79,13 +86,13 @@ def rep_embeddings(con, src, out, n_reps):
         if r == 0:
             parts.append(f"SELECT * FROM read_parquet('{src}/embeddings.parquet')")
         else:
-            # deterministic direction-changing jitter: scale + shift keeps
-            # magnitudes sane, the shift rotates away from the original
+            # rotate elements by r positions: same values in a different
+            # order — distribution/norm/cell-occupancy preserved, replica
+            # directions mutually near-orthogonal (see module docstring)
             parts.append(f"""
               SELECT vec_id + {r * 10_000_000} AS vec_id,
-                CAST(list_transform(embedding,
-                  x -> x * (1.0 + 0.01 * {r}) + 0.05 * {r}) AS FLOAT[])
-                  AS embedding,
+                CAST(list_concat(embedding[{r + 1}:],
+                  embedding[1:{r}]) AS FLOAT[]) AS embedding,
                 label
               FROM read_parquet('{src}/embeddings.parquet')""")
     con.execute(
