@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -117,6 +117,158 @@ object VectorExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  // --------------------------------------------------------------------
+  // Quantizer expressions. The column formulation of PQ encode / ADC
+  // LUT / coarse probe inlines |codebook| × subspaces slice+dot structs
+  // into ONE projection — at 16 × 8 the generated doConsume grows past
+  // the JVM's 64 KB method limit, whole-stage codegen FAILS, and the
+  // entire encode stage silently runs interpreted (observed: janino
+  // "Code grows beyond 64 KB" on every PQ-tier query). These replace
+  // the struct forest with one loop per row; CodegenFallback keeps the
+  // surrounding stage codegen'd (the generated code calls eval, it
+  // doesn't inline the forest). Math is bit-identical to the column
+  // form: sequential double accumulation over floats (DotProductF's
+  // order), d2 = |c|² − 2·v·c with |c|² prefolded at plan build, ties
+  // on the lower index (= array_sort on struct(d2, idx)), slices
+  // clamped like slice()/dot's min-length rule.
+  // --------------------------------------------------------------------
+
+  private def dotRange(v: ArrayData, start: Int, sub: Array[Float]): Double = {
+    val n = math.min(sub.length, math.max(0, v.numElements() - start))
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += v.getFloat(start + i).toDouble * sub(i).toDouble; i += 1 }
+    s
+  }
+
+  /** The `nProbe` nearest coarse cells of a vector, ascending (d2,
+    * cell) — replaces slice(array_sort(array(struct(d2, cell)…)), 1,
+    * nProbe). nProbe = 1 is the assignment case. */
+  case class NearestCells(child: Expression, centroids: Seq[Array[Float]],
+                          nProbe: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      "nProbe must be in [1, nCells]")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val cents = centroids.toArray
+    @transient private lazy val c2s =
+      cents.map(_.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val d2 = new Array[Double](cents.length)
+      var j = 0
+      while (j < cents.length) {
+        d2(j) = c2s(j) - 2.0 * dotRange(v, 0, cents(j))
+        j += 1
+      }
+      // selection of the nProbe smallest, ascending, ties on index:
+      // |codebook| is small (16ish), O(nProbe·|codebook|) is fine
+      val out = new Array[Int](nProbe)
+      val taken = new Array[Boolean](cents.length)
+      var p = 0
+      while (p < nProbe) {
+        var best = -1
+        var bestD = 0.0
+        var k = 0
+        while (k < cents.length) {
+          if (!taken(k) && (best < 0 || d2(k) < bestD)) { best = k; bestD = d2(k) }
+          k += 1
+        }
+        taken(best) = true
+        out(p) = best
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** PQ codes for all subspaces in one pass — out(s) = argmin_j of
+    * |c_sj|² − 2·v_s·c_sj, ties on lower j. posexplode gives the
+    * (subspace, code) relation the column form produced. */
+  case class PqEncodeCodes(child: Expression, centroids: Seq[Array[Float]],
+                           subspaces: Int, subDim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val subs: Array[Array[Array[Float]]] =
+      Array.tabulate(subspaces)(s =>
+        centroids.map(_.slice(s * subDim, (s + 1) * subDim)).toArray)
+    @transient private lazy val c2s: Array[Array[Double]] =
+      subs.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val out = new Array[Int](subspaces)
+      var s = 0
+      while (s < subspaces) {
+        var best = 0
+        var bestD = Double.NaN
+        var j = 0
+        while (j < subs(s).length) {
+          val d = c2s(s)(j) - 2.0 * dotRange(v, s * subDim, subs(s)(j))
+          if (j == 0 || d < bestD) { best = j; bestD = d }
+          j += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ADC lookup-table entries for one query vector: (subspace, code,
+    * d) per sub-centroid, s-major then code order, d = floor((|c|² −
+    * 2·q_s·c) · lutScale) as long — exactly the column form's rows. */
+  case class PqLutEntries(child: Expression, centroids: Seq[Array[Float]],
+                          subspaces: Int, subDim: Int, lutScale: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("d", LongType, nullable = false))), containsNull = false)
+    @transient private lazy val subs: Array[Array[Array[Float]]] =
+      Array.tabulate(subspaces)(s =>
+        centroids.map(_.slice(s * subDim, (s + 1) * subDim)).toArray)
+    @transient private lazy val c2s: Array[Array[Double]] =
+      subs.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val out = new Array[AnyRef](subspaces * centroids.length)
+      var s = 0
+      var k = 0
+      while (s < subspaces) {
+        var j = 0
+        while (j < subs(s).length) {
+          val d2 = c2s(s)(j) - 2.0 * dotRange(v, s * subDim, subs(s)(j))
+          out(k) = InternalRow(s, j, math.floor(d2 * lutScale).toLong)
+          j += 1; k += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nearestCells(vec: Column, centroids: Seq[Array[Float]],
+                   nProbe: Int): Column =
+    GraftSqlBridge.column(
+      NearestCells(GraftSqlBridge.expression(vec), centroids, nProbe))
+
+  def pqEncodeCodes(vec: Column, centroids: Seq[Array[Float]],
+                    subspaces: Int, subDim: Int): Column =
+    GraftSqlBridge.column(
+      PqEncodeCodes(GraftSqlBridge.expression(vec), centroids, subspaces, subDim))
+
+  def pqLutEntries(vec: Column, centroids: Seq[Array[Float]],
+                   subspaces: Int, subDim: Int, lutScale: Long): Column =
+    GraftSqlBridge.column(
+      PqLutEntries(GraftSqlBridge.expression(vec), centroids,
+        subspaces, subDim, lutScale))
 
   def dotF(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductF(GraftSqlBridge.expression(a),

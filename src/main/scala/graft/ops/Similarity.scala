@@ -227,22 +227,14 @@ object Similarity {
     ivfProbeScore(ivfAssign(corpus, centroids, idCol, vecCol),
       queries, k, centroids, nProbe, idCol, vecCol)
 
-  private def ivfCellScores(vec: Column,
-                            centroids: Seq[Array[Float]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
-      struct((lit(c2) - lit(2.0) * dot(vec, typedlit(c.toSeq))).as("d2"),
-        lit(i).as("cell"))
-    }
-
   /** One narrow pass: each corpus vector to its nearest cell (columns
     * `nid`, `nv`, `cell`). */
   private def ivfAssign(corpus: DataFrame, centroids: Seq[Array[Float]],
                         idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("cell",
-        element_at(array_sort(array(ivfCellScores(col("nv"), centroids): _*)), 1)
-          .getField("cell"))
+        element_at(graft.functions.VectorExpressions.nearestCells(
+          col("nv"), centroids, 1), 1))
 
   /** The probe/score phase over an already-assigned corpus: rank cells
     * per query, score only the probed cells' vectors, exact top-k. */
@@ -251,9 +243,8 @@ object Similarity {
                             idCol: String, vecCol: String): DataFrame = {
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
-        explode(slice(array_sort(array(ivfCellScores(col("qv"), centroids): _*)),
-          1, nProbe)).as("pc"))
-      .select(col("qid"), col("qv"), col("pc.cell").as("cell"))
+        explode(graft.functions.VectorExpressions.nearestCells(
+          col("qv"), centroids, nProbe)).as("cell"))
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
@@ -375,8 +366,10 @@ object Similarity {
     * the per-subspace codebooks (pass the first-k corpus vectors for a
     * SQL-replayable build, or KMeans centers for quality). Assignment
     * is the same |c|²−2·v·c ordering as [[ivfKnnFixed]], ties on code
-    * index; all `subspaces`×k distances compile into codegen'd
-    * expressions — ONE narrow pass, no shuffle, no UDF.
+    * index; all `subspaces`×k distances run in ONE tight loop per row
+    * (VectorExpressions.PqEncodeCodes — the inlined column forest blew
+    * the 64 KB codegen method limit and silently fell back to
+    * interpreted eval) — one narrow pass, no shuffle, no UDF.
     *
     * Output: (`vec_id`, `subspace`, `code`) — one row per sub-code,
     * the relational form a downstream asymmetric-distance scorer
@@ -392,23 +385,10 @@ object Similarity {
       s"centroids must cover ${subspaces}×$subDim dims")
     if (checkDim) requireMinDim(corpus, vecCol, subspaces * subDim)
     corpus.select(col(idCol).as("vec_id"),
-      posexplode(array(pqCodeCols(col(vecCol), centroids,
-        subspaces, subDim): _*)).as(Seq("subspace", "code")))
+      posexplode(graft.functions.VectorExpressions.pqEncodeCodes(
+        col(vecCol), centroids, subspaces, subDim))
+        .as(Seq("subspace", "code")))
   }
-
-  /** One nearest-sub-centroid code expression per subspace. */
-  private def pqCodeCols(vec: Column, centroids: Seq[Array[Float]],
-                         subspaces: Int, subDim: Int): Seq[Column] =
-    (0 until subspaces).map { s =>
-      val scores = centroids.zipWithIndex.map { case (c, j) =>
-        val sub = c.slice(s * subDim, (s + 1) * subDim)
-        val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-        struct((lit(c2) - lit(2.0) *
-          dot(slice(vec, s * subDim + 1, subDim), typedlit(sub.toSeq)))
-          .as("d2"), lit(j).as("code"))
-      }
-      element_at(array_sort(array(scores: _*)), 1).getField("code")
-    }
 
   /** ADC (asymmetric-distance) top-k search over [[pqCodes]] — the
     * query side of IVF-PQ: each query builds a small distance
@@ -435,31 +415,12 @@ object Similarity {
                    checkDim: Boolean = true): DataFrame = {
     if (checkDim) requireMinDim(queries, vecCol, subspaces * subDim)
     val lut = queries.select(col(idCol).as("qid"),
-        explode(array(pqLutRows(col(vecCol), centroids,
-          subspaces, subDim, lutScale): _*)).as("e"))
+        explode(graft.functions.VectorExpressions.pqLutEntries(
+          col(vecCol), centroids, subspaces, subDim, lutScale)).as("e"))
       .select(col("qid"), col("e.subspace").as("subspace"),
         col("e.code").as("code"), col("e.d").as("d"))
     adcTopK(codes.join(broadcast(lut), Seq("subspace", "code")), k)
   }
-
-  /** The ADC lookup-table entries for one query vector: a struct
-    * (subspace, code, d) per sub-centroid, d = the fixed-point
-    * quantized |c|²−2·q_s·c. ONE definition — q92's and q95's oracle
-    * replays both depend on this exact expression. */
-  private def pqLutRows(vec: Column, centroids: Seq[Array[Float]],
-                        subspaces: Int, subDim: Int,
-                        lutScale: Long): Seq[Column] =
-    for {
-      s <- 0 until subspaces
-      (c, j) <- centroids.zipWithIndex.toSeq
-    } yield {
-      val sub = c.slice(s * subDim, (s + 1) * subDim)
-      val c2 = sub.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-      struct(lit(s).as("subspace"), lit(j).as("code"),
-        floor((lit(c2) - lit(2.0) *
-          dot(slice(vec, s * subDim + 1, subDim), typedlit(sub.toSeq)))
-          * lutScale).cast("long").as("d"))
-    }
 
   /** Sum the joined LUT entries per (query, vector) and rank: the
     * shared ADC tail (integer sums — order-independent; ties on id). */
@@ -495,17 +456,17 @@ object Similarity {
                       checkDim: Boolean = true): DataFrame = {
     if (checkDim) requireMinDim(queries, vecCol, subspaces * subDim)
     // per query: the nProbe nearest coarse cells (same d2 ordering as
-    // ivfKnnFixed) + the quantized ADC lookup table (same entries as
-    // pqSearchTopK — pqLutRows is the single definition both oracles
-    // replay)
+    // ivfKnnFixed — VectorExpressions.NearestCells is the single probe
+    // definition) + the quantized ADC lookup table (same entries as
+    // pqSearchTopK — VectorExpressions.PqLutEntries is the single
+    // definition both oracle replays depend on)
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
-        explode(slice(array_sort(array(ivfCellScores(col("qv"), coarse): _*)),
-          1, nProbe)).as("pc"))
-      .select(col("qid"), col("qv"), col("pc.cell").as("cell"))
+        explode(graft.functions.VectorExpressions.nearestCells(
+          col("qv"), coarse, nProbe)).as("cell"))
     val lut = probed.select(col("qid"), col("cell"),
-        explode(array(pqLutRows(col("qv"), pqCents,
-          subspaces, subDim, lutScale): _*)).as("e"))
+        explode(graft.functions.VectorExpressions.pqLutEntries(
+          col("qv"), pqCents, subspaces, subDim, lutScale)).as("e"))
       .select(col("qid"), col("cell"), col("e.subspace").as("subspace"),
         col("e.code").as("code"), col("e.d").as("d"))
     // candidates stream out of ONLY the probed cells; the join carries
@@ -526,8 +487,9 @@ object Similarity {
     if (checkDim) requireMinDim(corpus, vecCol, subspaces * subDim)
     ivfAssign(corpus, coarse, idCol, vecCol)
       .select(col("nid").as("vec_id"), col("cell"),
-        posexplode(array(pqCodeCols(col("nv"), pqCents,
-          subspaces, subDim): _*)).as(Seq("subspace", "code")))
+        posexplode(graft.functions.VectorExpressions.pqEncodeCodes(
+          col("nv"), pqCents, subspaces, subDim))
+          .as(Seq("subspace", "code")))
   }
 
   /** Durable IVF-PQ index: the (vec_id, cell, subspace, code) relation
