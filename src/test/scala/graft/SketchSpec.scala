@@ -298,6 +298,24 @@ class SketchSpec extends GraftSpec {
       == direct)
   }
 
+  test("pq tier stays inside whole-stage codegen — no silent 64KB fallback") {
+    // with fallback disabled, a generated-code compile failure THROWS
+    // instead of quietly interpreting the stage. The pre-round-5 column
+    // forests (8×16 inlined slice+dot structs) failed here: janino
+    // "Code grows beyond 64 KB" on every PQ-tier query.
+    val cents = emb.where(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Similarity.ivfPqSearchTopK(
+        Similarity.ivfPqIndex(emb, cents, cents), cents, cents,
+        emb.where(col("vec_id") < 3), 2).collect()
+      assert(r.nonEmpty)
+      assert(Similarity.pqSearchTopK(Similarity.pqCodes(emb, cents), cents,
+        emb.where(col("vec_id") < 3), 2).collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("ivf-pq append: search(saved ∪ appended batch) ≡ full rebuild") {
     val cents = emb.where(col("vec_id") < 16).orderBy("vec_id")
       .collect().map(_.getSeq[Float](1).toArray).toSeq
