@@ -208,6 +208,46 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Rendezvous (HRW) shard argmax in ONE loop: weight(s) = the first
+    * 32 md5 bits of "id#s" (unsigned), winner = max weight, ties to
+    * the HIGHER shard index — exactly the column formulation
+    * element_at(array_sort(array(struct(md5Prefix32, s)…)), shards)
+    * and the SQL oracle's argmax. The column form paid an O(shards·
+    * log shards) per-row struct sort on top of the md5s (87 s for
+    * 100k rows at 1024 shards); the loop is the md5s alone. */
+  case class HrwShard(child: Expression, shards: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(shards > 0, "need at least one shard")
+    override def dataType: DataType = IntegerType
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    @transient private lazy val suffixes: Array[Array[Byte]] =
+      Array.tabulate(shards)(s => s"#$s".getBytes("UTF-8"))
+    override protected def nullSafeEval(a: Any): Any = {
+      val id = a.asInstanceOf[UTF8String].getBytes
+      val md = mdTL.get()
+      var best = 0
+      var bestW = -1L
+      var s = 0
+      while (s < shards) {
+        md.update(id)
+        md.update(suffixes(s))
+        val d = md.digest()
+        val w = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        if (w >= bestW) { best = s; bestW = w } // ties → higher shard
+        s += 1
+      }
+      best
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def hrwShard(id: Column, shards: Int): Column =
+    GraftSqlBridge.column(HrwShard(GraftSqlBridge.expression(id), shards))
+
   def wordShingles(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
 

@@ -34,21 +34,21 @@ object Sample {
     * untouched — which is what keeps a 100 TB re-shard from rewriting
     * the whole corpus. Weight = 32-bit md5 prefix of `id#shard`; the
     * argmax (ties on higher shard index, astronomically rare but the
-    * determinism contract requires a rule) is a narrow codegen'd
-    * expression — no shuffle, no UDF, SQL-replayable.
+    * determinism contract requires a rule) runs as one loop per row
+    * (TextExpressions.HrwShard) — no shuffle, no UDF, no per-row
+    * struct sort, SQL-replayable.
     */
   def rendezvousShard(df: DataFrame, idCol: String,
                       shards: Int, outCol: String = "shard"): DataFrame = {
     require(shards > 0, "need at least one shard")
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column — pass a different outCol")
-    val weights = (0 until shards).map { s =>
-      struct(md5Prefix32(concat(col(idCol).cast("string"), lit(s"#$s")))
-          .as("w"),
-        lit(s).as("shard"))
-    }
+    // single-loop argmax expression (TextExpressions.HrwShard): the
+    // struct-array sort formulation paid O(shards·log shards) per row
+    // on top of the md5s and became the bottleneck past ~256 shards
     df.withColumn(outCol,
-      element_at(array_sort(array(weights: _*)), shards).getField("shard"))
+      graft.functions.TextExpressions.hrwShard(
+        col(idCol).cast("string"), shards))
   }
 
   /** Assign each row a split label by hash bucket: `train` below
