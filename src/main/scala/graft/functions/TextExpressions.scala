@@ -144,6 +144,45 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Positional fixed-window token chunks: chunk i = tokens
+    * [i·stride, i·stride+size) joined by spaces, ceil(m/stride) chunks
+    * (≥ 1 — a 0/1-token doc yields one chunk), in order and
+    * non-distinct (posexplode downstream needs the positions).
+    * Replaces the transform(sequence, array_join(slice(words…)))
+    * formulation whose lambda re-evaluated the captured `split(text)`
+    * per chunk (interpreted HOFs have no CSE — the winnowing O(L²)
+    * class): here the tokenization child evaluates ONCE per row.
+    */
+  case class WordChunks(child: Expression, size: Int, stride: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val space = UTF8String.fromString(" ")
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val nChunks = math.max(1, ((m + stride - 1) / stride))
+      val out = new Array[AnyRef](nChunks)
+      var i = 0
+      while (i < nChunks) {
+        val start = i * stride
+        val upper = math.min(start + size, m)
+        val parts = new Array[UTF8String](math.max(0, upper - start))
+        var j = start
+        while (j < upper) { parts(j - start) = arr.getUTF8String(j); j += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def wordChunks(tokens: Column, size: Int, stride: Int): Column =
+    GraftSqlBridge.column(
+      WordChunks(GraftSqlBridge.expression(tokens), size, stride))
+
   /** Winnowing fingerprint (Schleimer et al. 2003) in ONE pass: md5 of
     * every k-char gram, sliding-window minimum over w grams, then
     * distinct+sort+join. Semantics bit-identical to the

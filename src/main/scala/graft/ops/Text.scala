@@ -368,11 +368,12 @@ object Text {
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        window: Int = 10, maxDf: Int = 2): DataFrame = {
     require(window > 0 && maxDf >= 2, "window >= 1, maxDf >= 2")
-    val words = split(col(textCol), " ")
-    val nChunks = ceil(size(words).cast("double") / window).cast("int")
-    val chunks = transform(
-      sequence(lit(0), nChunks - 1),
-      i => array_join(slice(words, i * window + 1, lit(window)), " "))
+    // single-pass chunking expression: the transform/sequence/slice
+    // formulation re-evaluated the captured split(text) once PER CHUNK
+    // (interpreted HOF lambdas have no CSE — the winnowing O(L²)
+    // class); WordChunks tokenizes once per row
+    val chunks = graft.functions.TextExpressions.wordChunks(
+      split(col(textCol), " "), window, window)
     val chunked = docs
       .select(col(idCol), posexplode(chunks).as(Seq("cpos", "chunk")))
     val blocklist = chunked.groupBy("chunk")

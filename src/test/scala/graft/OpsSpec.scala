@@ -170,6 +170,35 @@ class OpsSpec extends GraftSpec {
     assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
   }
 
+  test("word chunks: single-pass expression ≡ the HOF column formulation") {
+    import spark.implicits._
+    // the exact pre-round-5 stripBoilerplate chunking (kept as the
+    // semantic reference — the q71 oracle replays the same rule)
+    def hofChunks(text: org.apache.spark.sql.Column, w: Int) = {
+      val words = split(text, " ")
+      val nChunks = ceil(size(words).cast("double") / w).cast("int")
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(words, i * w + 1, lit(w)), " "))
+    }
+    val edge = Seq((0L, ""), (1L, "one"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "w x y z q r s t u v")).toDF("id", "text")
+    for (w <- Seq(1, 2, 3, 10)) {
+      val both = edge.select(col("id"),
+          graft.functions.TextExpressions.wordChunks(
+            split(col("text"), " "), w, w).as("fast"),
+          hofChunks(col("text"), w).as("ref"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch id=${r.getLong(0)} w=$w"))
+    }
+    // fixture corpus at the q71 default window
+    val cmp = docs.select(
+      graft.functions.TextExpressions.wordChunks(
+        split(col("text"), " "), 10, 10).as("fast"),
+      hofChunks(col("text"), 10).as("ref"))
+    assert(cmp.where(to_json(col("fast")) =!= to_json(col("ref"))).isEmpty)
+  }
+
   test("winnowing: single-pass expression ≡ the HOF column formulation") {
     import spark.implicits._
     // the exact transform/sequence/array_min formulation the op used
