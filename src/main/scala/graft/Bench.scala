@@ -15,9 +15,17 @@ object Bench {
       // so it stays safe when a side is actually huge (default 0 = off)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .getOrCreate()
-    // extra confs for A/B experiments: "k=v,k=v" (unset = contract run)
+    // extra confs for A/B experiments: "k=v,k=v" (unset = contract run).
+    // Diagnostic knob: entries without '=' fail loud, and values may not
+    // contain commas (the separator) — spark.conf.set also rejects
+    // static confs at runtime with its own clear error.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v (note: comma " +
+            "separates entries, so values cannot contain commas)")
+      }
     })
     spark.sparkContext.setLogLevel("WARN")
     // one cheap query first: JVM/codegen/parquet-footer warmup so the
@@ -57,7 +65,12 @@ object Bench {
     val ok = results.collect { case (_, Right(t)) => t }
     val nerr = results.count(_._2.isLeft)
     val total = "%.3f".format(ok.sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nerr,"sf":"$sfDir"}"""
+    // queries FIRST, headline LAST: the driver harness tail-captures
+    // the final ~2000 chars of stdout, so when 102 per-query entries
+    // overflow the capture, the metric/value/errors summary at the END
+    // of the line is always what the tail shows (r5's record lost the
+    // headline by leading with it)
+    val line = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir"}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

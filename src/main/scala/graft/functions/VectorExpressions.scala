@@ -172,7 +172,12 @@ object VectorExpressions {
         var bestD = 0.0
         var k = 0
         while (k < cents.length) {
-          if (!taken(k) && (best < 0 || d2(k) < bestD)) { best = k; bestD = d2(k) }
+          // Double.compare orders NaN last, matching the replaced
+          // array_sort(struct(d2, idx)) formulation on NaN distances.
+          if (!taken(k) && (best < 0 ||
+              java.lang.Double.compare(d2(k), bestD) < 0)) {
+            best = k; bestD = d2(k)
+          }
           k += 1
         }
         taken(best) = true
@@ -207,7 +212,11 @@ object VectorExpressions {
         var j = 0
         while (j < subs(s).length) {
           val d = c2s(s)(j) - 2.0 * dotRange(v, s * subDim, subs(s)(j))
-          if (j == 0 || d < bestD) { best = j; bestD = d }
+          // Double.compare: NaN never beats a real distance (array_sort
+          // ordered NaN last in the replaced column form).
+          if (j == 0 || java.lang.Double.compare(d, bestD) < 0) {
+            best = j; bestD = d
+          }
           j += 1
         }
         out(s) = best

@@ -95,21 +95,70 @@ object Dedup {
 
   /** Durable [[minhashIndex]]: save the (id, sh, bhs) relation as
     * parquet. Pairs with [[minhashIndexAppend]] for build-once,
-    * append-forever maintenance. */
-  def minhashIndexSave(index: DataFrame, path: String): Unit =
+    * append-forever maintenance. The banding params are persisted in an
+    * underscore-prefixed sidecar inside the index dir (invisible to
+    * parquet readers) so appends can validate compatibility instead of
+    * silently corrupting the bucket space. */
+  def minhashIndexSave(index: DataFrame, path: String, shingleN: Int = 3,
+                       perms: Int = 64, bands: Int = 16): Unit = {
     index.write.mode("overwrite").parquet(path)
+    writeParams(index.sparkSession, path, shingleN, perms, bands)
+  }
 
   /** Append a new batch to a saved index WITHOUT rebuilding: only the
     * batch pays tokenize+shingle+MinHash, and the write ADDS files to
     * the index directory — existing index files are never read or
     * rewritten, so appending tonight's 100 GB to a 100 TB index costs
-    * the batch, not the corpus. Banding params must match the build's
-    * (same contract as [[minhashNearDupAgainst]]). */
+    * the batch, not the corpus. Banding params are validated against
+    * the sidecar written at save time — a mismatched append would put
+    * incompatible band hashes in the same layout and silently corrupt
+    * every later probe, so it fails loud here instead. */
   def minhashIndexAppend(newDocs: DataFrame, idCol: String, textCol: String,
                          path: String, shingleN: Int = 3, perms: Int = 64,
-                         bands: Int = 16): Unit =
+                         bands: Int = 16): Unit = {
+    readParams(newDocs.sparkSession, path).foreach { case (s, p, b) =>
+      require(s == shingleN && p == perms && b == bands,
+        s"minhash index at $path was built with shingleN=$s perms=$p " +
+          s"bands=$b; append called with shingleN=$shingleN perms=$perms " +
+          s"bands=$bands — incompatible band hashes would corrupt probes")
+    }
     minhashIndex(newDocs, idCol, textCol, shingleN, perms, bands)
       .write.mode("append").parquet(path)
+  }
+
+  private val ParamsFile = "_graft_minhash_params.json"
+
+  private def writeParams(spark: org.apache.spark.sql.SparkSession,
+                          path: String, shingleN: Int, perms: Int,
+                          bands: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, ParamsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"shingleN":$shingleN,"perms":$perms,"bands":$bands}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Params recorded at save time, if the sidecar exists (indexes saved
+    * before the sidecar was introduced have none — append proceeds on
+    * the caller's word, the pre-sidecar contract). */
+  private def readParams(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path, ParamsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val re = """"(\w+)"\s*:\s*(\d+)""".r
+      val kv = re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toMap
+      for (s <- kv.get("shingleN"); pe <- kv.get("perms"); b <- kv.get("bands"))
+        yield (s, pe, b)
+    }
+  }
 
   /** Load a saved [[minhashIndex]] (build + any appends): querying it
     * via [[minhashNearDupAgainst]] is equivalent to querying a fresh

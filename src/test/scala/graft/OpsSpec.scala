@@ -552,6 +552,17 @@ class OpsSpec extends GraftSpec {
     assert(appended == oneShot)
   }
 
+  test("minhash index append: mismatched banding params fail loud") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_bad").toString
+    Dedup.minhashIndexSave(
+      Dedup.minhashIndex(docs.where(col("doc_id") < 50), "doc_id", "text"), tmp)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexAppend(docs.where(col("doc_id") >= 50), "doc_id",
+        "text", tmp, shingleN = 2, perms = 32, bands = 8)
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
   test("pack assignments: partitioning-independent, budget invariants hold") {
     import graft.ops.Sample
     val toks = docs.select(col("doc_id"),
