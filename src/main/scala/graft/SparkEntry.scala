@@ -1071,7 +1071,7 @@ object SparkEntry {
       ops.Sample.packAssignments(
           Tables.t(sp, dir, "documents")
             .select(col("doc_id"),
-              size(split(lower(col("text")), " ")).cast("long").as("n_tokens")),
+              ops.Text.tokenCount(col("text")).as("n_tokens")),
           "doc_id", "n_tokens", budget = 512L, shards = 8)
         .select(col("doc_id"), col("shard"), col("pack"), col("off"))),
 
@@ -1357,7 +1357,7 @@ object SparkEntry {
     * shared by q87 (batch) and q89 (streaming) — max-per-register
     * accumulation makes stream ≡ batch. */
   private val HllOracleSql: String =
-    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
       |             FROM documents),
       |h AS (SELECT md5(token) AS h FROM tok),
       |r AS (SELECT CAST('0x' || substr(h, 1, 2) AS INTEGER) AS register,
@@ -1465,7 +1465,7 @@ object SparkEntry {
     * doc_id ≥ 400 vs corpus = doc_id < 400, 3-shingles, J ≥ 1/2):
     * shared by q73 (batch) and q81 (streaming gate) — same flag set. */
   private val IncNearDupOracleSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
       |              FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
       |         range(greatest(1, len(t) - 2)),
@@ -1486,7 +1486,7 @@ object SparkEntry {
     * shared by q58 (broadcast semi-join) and q82 (bloom pre-filter +
     * the same exact verify) — identical contaminated-id sets. */
   private val DecontaminateOracleSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
       |              FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
       |         range(greatest(1, len(t) - 2)),
@@ -1602,7 +1602,7 @@ object SparkEntry {
 
     "q19_text_profile" ->
       """WITH base AS (
-        |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+        |  SELECT doc_id, text, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
         |  FROM documents
         |), m AS (
         |  SELECT doc_id, text, toks,
@@ -1640,7 +1640,7 @@ object SparkEntry {
         |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin,
 
     "q21_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
         |              FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         range(greatest(1, len(t) - 2)),
@@ -1667,7 +1667,7 @@ object SparkEntry {
     "q22_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, substr(md5(t.tok), 1, 16) AS h
-        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
         |        FROM documents) t
         |), bits AS (
         |  SELECT doc_id, r.b AS bit,
@@ -1767,7 +1767,7 @@ object SparkEntry {
 
     "q65_global_topn" ->
       """SELECT doc_id,
-        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  CAST(len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents
         |ORDER BY n_tokens DESC, doc_id LIMIT 100""".stripMargin,
 
@@ -1856,7 +1856,7 @@ object SparkEntry {
         |SELECT lid AS event_id, a AS asof_event_id FROM c WHERE side = 1""".stripMargin,
 
     "q38_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
         |              FROM documents WHERE doc_id < 200),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         range(greatest(1, len(t) - 2)),
@@ -1989,7 +1989,7 @@ object SparkEntry {
         |SELECT a AS id, CAST(min(b) AS BIGINT) AS comp FROM r GROUP BY a""".stripMargin,
 
     "q53_dedup_keep" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
         |              FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         range(greatest(1, len(t) - 2)),
@@ -2046,12 +2046,12 @@ object SparkEntry {
 
     "q50_doc_frequency" ->
       """WITH dt AS (SELECT DISTINCT doc_id,
-        |              unnest(string_split(lower(text), ' ')) AS token
+        |              unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
         |            FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY token""".stripMargin,
 
     "q51_keywords" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
         |             FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
@@ -2076,7 +2076,7 @@ object SparkEntry {
         |FROM inj""".stripMargin,
 
     "q72_vocab_encode" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws
         |           FROM documents),
         |toks AS (
         |  SELECT doc_id, ws,
@@ -2100,7 +2100,7 @@ object SparkEntry {
         |        || text
         |    ELSE text END AS text
         |  FROM documents),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj),
+        |w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws FROM inj),
         |chunked AS (
         |  SELECT doc_id, cpos,
         |    array_to_string(ws[(cpos * 10 + 1):(cpos * 10 + 10)], ' ') AS chunk
@@ -2141,7 +2141,7 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     "q83_search_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))
         |               AS token
         |             FROM documents),
         |hits AS (SELECT doc_id, token FROM tok
@@ -2165,7 +2165,7 @@ object SparkEntry {
     // replays the full CM sketch (4×256 md5-addressed counters), the
     // exact top-20, and the min-over-rows estimates
     "q86_cms_heavyhitters" ->
-      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
         |             FROM documents),
         |sk AS (SELECT r.i AS row,
         |         CAST('0x' || substr(md5('cms' || r.i || '_' || token), 1, 8)
@@ -2217,7 +2217,7 @@ object SparkEntry {
     // corpus bigram LM + per-doc quantized surprisal: bit-length
     // difference of (prefix count, bigram count) — all-integer
     "q90_bigram_surprisal" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
         |           FROM documents),
         |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
         |       FROM (SELECT doc_id, t,
@@ -2393,7 +2393,7 @@ object SparkEntry {
         |FROM asg a LEFT JOIN dup d ON d.nid = a.nid""".stripMargin,
 
     "q59_repetition" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
         |             FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -2411,7 +2411,7 @@ object SparkEntry {
         |            % 100 AS b
         |        FROM documents)),
         |t AS (SELECT split,
-        |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |        CAST(len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
         |      FROM s),
         |h AS (SELECT split, n_tokens, count(*) AS c FROM t GROUP BY 1, 2),
         |cum AS (SELECT split, n_tokens, c,
@@ -2439,7 +2439,7 @@ object SparkEntry {
     "q70_pack_assign" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens,
         |    md5(CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents),
         |s AS (
@@ -2499,7 +2499,7 @@ object SparkEntry {
 
     "q75_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT doc_id,
-        |              unnest(string_split(lower(text), ' ')) AS token
+        |              unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
         |            FROM documents)
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
@@ -2527,7 +2527,7 @@ object SparkEntry {
         |          row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |        FROM f),
         |exd AS (SELECT doc_id, text FROM ex0 WHERE rn = 1),
-        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM exd),
+        |toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t FROM exd),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         range(greatest(1, len(t) - 2)),
         |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
@@ -2589,7 +2589,7 @@ object SparkEntry {
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
 
     "q78_chunk_windows" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
         |           FROM documents),
         |s AS (SELECT doc_id, toks,
         |        unnest(generate_series(0, greatest(len(toks) - 1, 0), 30))

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokens of lowercased text (single-space split — the
-    * synthetic corpus is single-spaced; see `bpeTokens` for the
-    * regex-based tokenizer).
+  /** Whitespace tokens of lowercased text: leading/trailing whitespace
+    * stripped, then split on runs of any whitespace — real text has
+    * tabs/newlines/multi-space runs, and a single-space split would
+    * produce phantom empty tokens for every one of them. Oracle rule:
+    * regexp_split_to_array(regexp_replace(lower(text),
+    * '^whitespace+|whitespace+$', '', 'g'), 'whitespace+').
+    * (See `bpeTokens` for the regex-based pre-tokenizer.)
     */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
 
   /** BPE-ish pre-tokenization: letter runs, digit runs, single
     * punctuation — the classic GPT-2 pre-split shape, minus unicode
@@ -373,7 +378,8 @@ object Text {
     // (interpreted HOF lambdas have no CSE — the winnowing O(L²)
     // class); WordChunks tokenizes once per row
     val chunks = graft.functions.TextExpressions.wordChunks(
-      split(col(textCol), " "), window, window)
+      split(regexp_replace(col(textCol), "^\\s+|\\s+$", ""), "\\s+"),
+      window, window)
     val chunked = docs
       .select(col(idCol), posexplode(chunks).as(Seq("cpos", "chunk")))
     val blocklist = chunked.groupBy("chunk")

@@ -12,6 +12,30 @@ class OpsSpec extends GraftSpec {
   def docs = Tables.t(spark, dir, "documents")
   def emb = Tables.t(spark, dir, "embeddings")
 
+  test("tokens: whitespace-robust — tabs, newlines, runs, edges") {
+    import spark.implicits._
+    val messy = Seq(
+      "Plain single spaced",
+      "  leading and trailing  ",
+      "tab\tseparated\twords",
+      "line\nbreaks\r\nand\n\nblanks",
+      "multi   space    runs",
+      "").toDF("text")
+    val got = messy.select(Text.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("plain", "single", "spaced"),
+      List("leading", "and", "trailing"),
+      List("tab", "separated", "words"),
+      List("line", "breaks", "and", "blanks"),
+      List("multi", "space", "runs"),
+      List("")))
+    // tokenCount on messy text counts words, not separator artifacts
+    val counts = messy.select(Text.tokenCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toList
+    assert(counts == List(3, 3, 3, 4, 3, 1))
+  }
+
   test("minhash-LSH near-dup pairs == exact all-pairs Jaccard >= 0.5") {
     val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
