@@ -177,6 +177,18 @@ object SparkEntry {
   private val minhashAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** BPE merge table learned once per sf-dir (q103/q104/q105 share it;
+    * learning is one word-count groupBy + a driver loop over the
+    * bounded top-word dictionary). */
+  private val BpeNumMerges = 16
+  private val BpeTopWords = 200
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
+  private def bpeMerges(sp: SparkSession, dir: String): Seq[ops.Bpe.Merge] =
+    bpeMergesCache.computeIfAbsent(dir, _ =>
+      ops.Bpe.learnMerges(Tables.t(sp, dir, "documents"), "text",
+        BpeNumMerges, BpeTopWords))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- 1-2: triple-pattern scan + BGP conjunction (join fold) ----
     "q01_bgp_select" -> ((sp, dir) => {
@@ -1041,6 +1053,36 @@ object SparkEntry {
           element_at(col("feature"), 2).cast("int").as("cb"),
           element_at(col("feature"), 3).cast("int").as("cr"))),
 
+    // ---- true subword BPE: merge table learned from the corpus
+    //      word-frequency dictionary (count-argmax with a fixed
+    //      (count DESC, left, right) tie-break — the DuckDB oracle
+    //      replays every merge step) ----
+    "q103_bpe_merges" -> ((sp, dir) =>
+      ops.Bpe.mergesDf(sp, bpeMerges(sp, dir))
+        .select(col("rank").cast("long").as("rank"),
+          col("left").as("lhs"), col("right").as("rhs"))),
+
+    // ---- BPE subword encoding: lowest-rank-first merge loop per word
+    //      (the Sennrich/GPT-2 priority algorithm — replayed merge by
+    //      merge in the oracle's recursive CTE), with sorted-vocab
+    //      token ids ----
+    "q104_bpe_encode" -> ((sp, dir) =>
+      ops.Bpe.encode(
+        Tables.t(sp, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", bpeMerges(sp, dir))),
+
+    // ---- q70's token-budget packing re-based on REAL subword counts:
+    //      the production shape (packing budgets are model-token
+    //      budgets, not whitespace-word budgets) ----
+    "q105_bpe_pack" -> ((sp, dir) =>
+      ops.Sample.packAssignments(
+          Tables.t(sp, dir, "documents")
+            .select(col("doc_id"),
+              ops.Bpe.tokenCount(col("text"), bpeMerges(sp, dir))
+                .as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pack"), col("off"))),
+
     // ---- repetition profile (Gopher-style repetitiousness signal) ----
     "q59_repetition" -> ((sp, dir) =>
       ops.Text.repetition(Tables.t(sp, dir, "documents"), "doc_id", "text")),
@@ -1496,7 +1538,141 @@ object SparkEntry {
       |d AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id >= 5)
       |SELECT DISTINCT d.doc_id FROM d JOIN b ON d.s = b.s""".stripMargin
 
+  /** Unrolled BPE merge-learning CTE block: `wc` (word counts over the
+    * whitespace tokens, alphanumeric only) → `topw` (deterministic
+    * top-`BpeTopWords` dictionary) → `seg0` (each word as a
+    * parenthesized char-symbol string) → `BpeNumMerges` chained
+    * count-argmax-substitute stages (applying a merge IS a string
+    * replace of "(l)(r)" with "(lr)" — parens make symbol boundaries
+    * unambiguous, so plain left-to-right non-overlapping replace equals
+    * the trainer's merge application) → `merges(rank, l, r)`.
+    * Tie-break everywhere: count DESC, then (l, r) ascending — exactly
+    * Bpe.learnMerges' rule. */
+  private def bpeLearnCtes: String = {
+    val head =
+      """wc AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$')
+        |  GROUP BY w),
+        |topw AS (SELECT w, n FROM (
+        |  SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rn FROM wc)
+        |  WHERE rn <= """.stripMargin + BpeTopWords + """),
+        |seg0 AS MATERIALIZED (SELECT w, n, regexp_replace(w, '(.)', '(\1)', 'g') AS seg
+        |         FROM topw)""".stripMargin
+    val stages = (1 to BpeNumMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, sum(n) AS cnt FROM (
+         |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+         |           i -> {'l': s[i], 'r': s[i + 1]})) AS pr
+         |    FROM (SELECT n, string_split(trim(seg, '()'), ')(') AS s
+         |          FROM seg${i - 1})
+         |  ) GROUP BY pr.l, pr.r),
+         |m$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |seg$i AS MATERIALIZED (SELECT w, n,
+         |    replace(seg, '(' || m.l || ')(' || m.r || ')',
+         |            '(' || m.l || m.r || ')') AS seg
+         |  FROM seg${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeNumMerges)
+      .map(i => s"SELECT ${i - 1} AS rank, l, r FROM m$i")
+      .mkString(" UNION ALL ")
+    // every stage is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // stage referencing its predecessor twice (via p_i and seg_i) would
+    // otherwise expand the base scan 2^BpeNumMerges times
+    s"$head,\n$stages,\nmerges AS MATERIALIZED ($union)"
+  }
+
+  /** Recursive BPE encode over `merges`: each word steps from its char
+    * segmentation by fusing the LOWEST-rank pair present anywhere in it
+    * (all left-to-right non-overlapping occurrences — one string
+    * replace), until no table pair remains; the priority algorithm of
+    * Sennrich's apply_bpe / the GPT-2 encoder, replayed merge by
+    * merge. `where` scopes the encoded slice. Yields `tk(doc_id, wi,
+    * ti, token)`. */
+  private def bpeEncodeCtes(where: String): String =
+    // the lowest-rank-present pick is list_filter over a rank-ordered
+    // struct list (first survivor = lowest rank), NOT a correlated
+    // LATERAL min — DuckDB 1.0's recursive execution of a correlated
+    // subquery proved nondeterministic (observed: 0-3 recursion levels
+    // for identical inputs across runs)
+    raw"""ml AS MATERIALIZED (SELECT list({'l': l, 'r': r} ORDER BY rank) AS ms
+       |      FROM merges),
+       |wsrc AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+') AS t
+       |         FROM documents $where),
+       |widx AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS wi
+       |         FROM wsrc),
+       |words AS (SELECT doc_id, wi, t[wi + 1] AS w FROM widx
+       |          WHERE t[wi + 1] <> ''),
+       |enc AS (
+       |  SELECT doc_id, wi, regexp_replace(w, '(.)', '(\1)', 'g') AS seg,
+       |         0 AS step
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi,
+       |    replace(seg, '(' || b.l || ')(' || b.r || ')',
+       |            '(' || b.l || b.r || ')'),
+       |    step + 1
+       |  FROM (SELECT e.doc_id, e.wi, e.seg, e.step,
+       |          list_filter(ml.ms, x ->
+       |            position('(' || x.l || ')(' || x.r || ')' IN e.seg) > 0)[1]
+       |            AS b
+       |        FROM enc e, ml)
+       |  WHERE b IS NOT NULL),
+       |fin AS (SELECT e.doc_id, e.wi, e.seg
+       |        FROM enc e JOIN (SELECT doc_id, wi, max(step) AS ms
+       |                         FROM enc GROUP BY 1, 2) f
+       |          ON e.doc_id = f.doc_id AND e.wi = f.wi AND e.step = f.ms),
+       |sy AS (SELECT doc_id, wi, string_split(trim(seg, '()'), ')(') AS s
+       |       FROM fin),
+       |st AS (SELECT doc_id, wi, s,
+       |         unnest(generate_series(0, len(s) - 1)) AS ti FROM sy),
+       |tk AS (SELECT doc_id, wi, ti, s[ti + 1] AS token FROM st)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // merge-table learning, replayed stage by stage
+    "q103_bpe_merges" ->
+      s"""WITH $bpeLearnCtes
+         |SELECT CAST(rank AS BIGINT) AS rank, l AS lhs, r AS rhs
+         |FROM merges""".stripMargin,
+
+    // subword encoding, replayed merge by merge (recursive CTE)
+    "q104_bpe_encode" ->
+      s"""WITH RECURSIVE
+         |$bpeLearnCtes,
+         |${bpeEncodeCtes("WHERE doc_id < 200")},
+         |ptab AS (SELECT doc_id, token,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1 AS pos
+         |  FROM tk),
+         |vocab AS (SELECT token,
+         |    row_number() OVER (ORDER BY token) - 1 AS token_id
+         |  FROM (SELECT DISTINCT token FROM ptab))
+         |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, p.token,
+         |  CAST(v.token_id AS BIGINT) AS token_id
+         |FROM ptab p JOIN vocab v USING (token)""".stripMargin,
+
+    // q70's packing window over real subword counts
+    "q105_bpe_pack" ->
+      s"""WITH RECURSIVE
+         |$bpeLearnCtes,
+         |${bpeEncodeCtes("")},
+         |cnt AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY doc_id),
+         |t AS (SELECT d.doc_id,
+         |        CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |        md5(CAST(d.doc_id AS VARCHAR)) AS h
+         |      FROM documents d LEFT JOIN cnt c USING (doc_id)),
+         |s AS (SELECT doc_id, n_tokens, h,
+         |        CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS shard
+         |      FROM t),
+         |c AS (SELECT doc_id, shard,
+         |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS excl
+         |      FROM s)
+         |SELECT doc_id, shard, CAST(excl // 512 AS BIGINT) AS pack,
+         |  CAST(excl % 512 AS BIGINT) AS off
+         |FROM c""".stripMargin,
+
     "q01_bgp_select" ->
       """SELECT 's|' || c_name AS cname, 's|' || n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding: merge-table learning and subword encoding, the
+  * real-token-count backbone of a training-data pipeline (packing,
+  * chunking, and length quantiles all want subword counts, not word
+  * counts).
+  *
+  * Scale shape: learning runs on the word-frequency dictionary — the
+  * classic BPE sufficient statistic (Sennrich et al. 2016; every
+  * production trainer works off word counts, not the raw corpus). The
+  * dictionary is produced by ONE distributed map-side-combined groupBy
+  * over the corpus; only the deterministic top-`topWords` rows (count
+  * desc, word asc — a TakeOrdered, no full sort) reach the driver, so
+  * the collect is bounded by a constant the caller picks, not by corpus
+  * size. Encoding is a pure per-row expression inside the scan
+  * projection: no shuffle, memoized per word.
+  *
+  * Everything is exactly reproducible in SQL: the learning loop
+  * replays as `numMerges` unrolled count-argmax-substitute stages with
+  * a (count DESC, left, right) tie-break, and encoding replays as a
+  * recursive lowest-rank-first substitution — both over a
+  * parenthesized-symbol string representation where applying a merge is
+  * a plain string replace.
+  */
+object Bpe {
+
+  /** One learned merge: at `rank`, adjacent symbols `left`+`right`
+    * fuse into `left+right`. Ranks are dense from 0. */
+  case class Merge(rank: Int, left: String, right: String)
+
+  /** Learn `numMerges` BPE merges from a corpus.
+    *
+    * Words are whitespace tokens of the lowercased text, restricted to
+    * `^[a-z0-9]+$` (dirty tokens — URLs, punctuation runs — carry
+    * little reusable subword structure and would dominate the pair
+    * space; the filter also keeps the symbol alphabet closed). Per
+    * iteration: count adjacent symbol pairs weighted by word frequency,
+    * fuse the most frequent pair (ties: lexicographically smallest
+    * (left, right)) in every word, repeat. Stops early if no pair is
+    * left (tiny corpora).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  topWords: Int = 1000): Seq[Merge] = {
+    require(numMerges >= 1 && topWords >= 1, "numMerges and topWords >= 1")
+    val dict = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the driver loop below is the textbook trainer over the bounded
+    // dictionary — identical argmax/tie-break to the SQL replay
+    val segs: Array[(Array[String], Long)] =
+      dict.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      segs.foreach { case (s, n) =>
+        var i = 0
+        while (i < s.length - 1) {
+          counts.merge((s(i), s(i + 1)), n, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestN = -1L
+        counts.forEach { (p, n) =>
+          if (n > bestN || (n == bestN &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestN = n
+          }
+        }
+        merges += Merge(rank, best._1, best._2)
+        var k = 0
+        while (k < segs.length) {
+          val (s, n) = segs(k)
+          val out = new Array[String](s.length)
+          var m = 0
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
+              out(m) = s(i) + s(i + 1); m += 1; i += 2
+            } else { out(m) = s(i); m += 1; i += 1 }
+          }
+          if (m < s.length) segs(k) = (java.util.Arrays.copyOf(out, m), n)
+          k += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The merge table as a (rank, left, right) relation. */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right")
+  }
+
+  /** Subword tokens of a text column under a merge table — an array
+    * column computed inside the scan projection (no shuffle). */
+  def encodeTokens(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeExpressions.bpeEncodeTokens(
+      Text.tokens(text), merges.map(m => (m.left, m.right)))
+
+  /** Real subword token count — the drop-in upgrade for every consumer
+    * that previously used whitespace-word counts. */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    size(encodeTokens(text, merges)).cast("long")
+
+  /** Encode a corpus: one row per (id, pos, token, token_id), pos
+    * 0-based over the document's subword stream. `token_id` is the
+    * token's rank in the sorted distinct-token vocabulary of the
+    * encoded corpus (deterministic, SQL-replayable; the vocabulary is
+    * bounded by base-alphabet + numMerges symbols, so the id-assignment
+    * window is over a tiny relation).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(encodeTokens(col(textCol), merges)).as(Seq("pos", "token")))
+    val vocab = toks.select(col("token")).distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("token"))).cast("long") - 1)
+    toks.join(broadcast(vocab), "token")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("token"), col("token_id"))
+  }
+}
