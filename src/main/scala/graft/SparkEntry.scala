@@ -80,6 +80,11 @@ object SparkEntry {
       ops.Multimodal.syntheticY4ms(
         Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id")
         .toDF()))
+  private def syntheticAviBlobs(sp: SparkSession, dir: String) =
+    readBlobs(sp, materializeOnce(sp, s"avi:$dir")(
+      ops.Multimodal.syntheticAvis(
+        Tables.t(sp, dir, "documents").where(col("doc_id") < 200), "doc_id")
+        .toDF()))
 
   /** The full graph, dict-encoded ONCE per (session, sf-dir) — the
     * documented usage of the dict layout is build-once-query-many, so
@@ -150,6 +155,7 @@ object SparkEntry {
     syntheticBlobs(sp, dir).count()
     syntheticGifBlobs(sp, dir).count()
     syntheticY4mBlobs(sp, dir).count()
+    syntheticAviBlobs(sp, dir).count()
     dictGraph(sp, dir).triples.count()
     // pre-build the paid-once durable indexes (cached per sf-dir) so the
     // timed q77/q98/q101/q102 measure load+append+probe — the recurring
@@ -1052,6 +1058,25 @@ object SparkEntry {
           element_at(col("feature"), 1).cast("int").as("luma"),
           element_at(col("feature"), 2).cast("int").as("cb"),
           element_at(col("feature"), 3).cast("int").as("cr"))),
+
+    // ---- REAL MJPEG-in-AVI: RIFF chunk walk for dims + counted
+    //      '00dc' frames (third codec-free video family) ----
+    "q106_avi_decode" -> ((sp, dir) =>
+      ops.Multimodal.decodeMeta(syntheticAviBlobs(sp, dir))
+        .toDF().select(col("id"), col("width"), col("height"),
+          col("n_frames"))),
+
+    // ---- REAL MJPEG frame sampling: every 2nd '00dc' JPEG decoded
+    //      through ImageIO; solid-gray fixture round-trips bit-exactly
+    //      so the oracle derives each pixel from the id alone ----
+    "q107_avi_frames" -> ((sp, dir) =>
+      ops.Multimodal.sampleAviFrames(syntheticAviBlobs(sp, dir), 2)
+        .toDF().select(col("id"), col("frame_idx"),
+          element_at(col("feature"), 1).cast("int").as("r"),
+          element_at(col("feature"), 2).cast("int").as("g"),
+          element_at(col("feature"), 3).cast("int").as("b"),
+          element_at(col("feature"), 4).cast("int").as("w"),
+          element_at(col("feature"), 5).cast("int").as("h"))),
 
     // ---- true subword BPE: merge table learned from the corpus
     //      word-frequency dictionary (count-argmax with a fixed
@@ -2507,6 +2532,28 @@ object SparkEntry {
         |  CAST((7 * id + 13 * frame_idx) % 211 + 20 AS INTEGER) AS luma,
         |  CAST((5 * id + 11 * frame_idx) % 199 + 30 AS INTEGER) AS cb,
         |  CAST((3 * id + 17 * frame_idx) % 223 + 16 AS INTEGER) AS cr
+        |FROM f""".stripMargin,
+
+    // AVI dims/frames, straight from the synthetic rule
+    "q106_avi_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(6 + (doc_id * 5) % 11 AS INTEGER) AS height,
+        |  CAST(2 + doc_id % 5 AS INTEGER) AS n_frames
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    // per-sampled-frame decoded pixels: solid gray (11·id + 29·f) mod
+    // 256 survives the JPEG round-trip bit-exactly
+    "q107_avi_frames" ->
+      """WITH v AS (SELECT doc_id AS id, 2 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id < 200),
+        |f AS (SELECT id, unnest(range(0, n, 2)) AS frame_idx FROM v)
+        |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST((11 * id + 29 * frame_idx) % 256 AS INTEGER) AS r,
+        |  CAST((11 * id + 29 * frame_idx) % 256 AS INTEGER) AS g,
+        |  CAST((11 * id + 29 * frame_idx) % 256 AS INTEGER) AS b,
+        |  CAST(8 + id % 9 AS INTEGER) AS w,
+        |  CAST(6 + (id * 5) % 11 AS INTEGER) AS h
         |FROM f""".stripMargin,
 
     // triangles over q23's pair graph: wedge through the middle node,

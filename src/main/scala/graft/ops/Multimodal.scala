@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * pixel dimensions; [[resizeImages]] scales with `Graphics2D` and
   * re-encodes. Audio decode is REAL: `javax.sound.sampled` (also in the
   * JDK) parses WAV/AIFF/AU containers — header parsing only, no audio
-  * device needed, headless-safe. Video decode is REAL for two
+  * device needed, headless-safe. Video decode is REAL for three
   * codec-free container families: multi-frame containers ImageIO can
   * read (animated GIF in this environment — [[videoDecode]] walks the
   * container for true width/height/frame count and
-  * [[sampleVideoFrames]] decodes actual frame pixels), and Y4M
+  * [[sampleVideoFrames]] decodes actual frame pixels), Y4M
   * (YUV4MPEG2: uncompressed planar YCbCr behind a pure-ASCII header —
   * [[y4mDecode]] parses the header and walks FRAME markers by plane
-  * arithmetic alone, [[sampleY4mFrames]] reads actual plane bytes).
+  * arithmetic alone, [[sampleY4mFrames]] reads actual plane bytes),
+  * and MJPEG-in-AVI ([[aviDecode]] walks the RIFF chunk tree,
+  * [[sampleAviFrames]] ImageIO-decodes the per-frame JPEGs).
   * Only codec-backed formats (H.264/VP9/…) stay behind the clearly
   * marked deterministic STUB (`fakeDecode`) — the JDK ships no video
   * codecs; swapping `fakeDecode` for JavaCV or ffmpeg-cli per
@@ -93,6 +95,9 @@ object Multimodal {
           MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
         } else if (b.mediaType == "video/y4m") {
           val (w, h, f) = y4mDecode(b.payload) // REAL plane-arithmetic decode
+          MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
+        } else if (b.mediaType == "video/avi") {
+          val (w, h, f) = aviDecode(b.payload) // REAL RIFF walk (MJPEG)
           MediaMeta(b.id, b.payload.length.toLong, w, h, f, b.mediaType)
         } else {
           val (w, h, f) = fakeDecode(b.payload)
@@ -414,6 +419,185 @@ object Multimodal {
         MediaBlob(id, bos.toByteArray, "video/y4m")
       }
     }
+  }
+
+  // --------------------------------------------------------------------
+  // MJPEG-in-AVI: a RIFF container ('RIFF' size 'AVI ' + nested LIST
+  // chunks) whose 'movi' list carries one complete JPEG image per
+  // '00dc' chunk. The container walk is pure chunk arithmetic (fourcc +
+  // little-endian u32 size, even-padded) and each frame decodes with
+  // the JDK's ImageIO JPEG reader — a third codec-free REAL video
+  // family after GIF and Y4M. Reference format: Microsoft AVI RIFF
+  // spec (public).
+  // --------------------------------------------------------------------
+
+  private def leU32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], p: Int): String = {
+    require(p + 4 <= b.length, s"truncated fourcc at byte $p")
+    new String(b, p, 4, "US-ASCII")
+  }
+
+  /** Walk an AVI payload: returns (width, height, list of (offset,
+    * length) of the '00dc' frame chunks inside the 'movi' list).
+    * Dimensions come from the 'avih' main header and are required to
+    * agree with the 'strf' BITMAPINFOHEADER — inconsistent containers
+    * fail loudly. */
+  private def aviWalk(b: Array[Byte]): (Int, Int, Seq[(Int, Int)]) = {
+    require(b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+      fourcc(b, 8) == "AVI ", s"not a RIFF AVI payload (${b.length} bytes)")
+    val riffEnd = math.min(b.length.toLong, 8 + leU32(b, 4)).toInt
+    var w = -1; var h = -1; var sw = -1; var sh = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val cc = fourcc(b, pos)
+        val size = leU32(b, pos + 4).toInt
+        val data = pos + 8
+        require(data + size <= to, s"truncated '$cc' chunk at byte $pos")
+        if (cc == "LIST") {
+          // list type consumes the first 4 payload bytes
+          walk(data + 4, data + size)
+        } else if (cc == "avih") {
+          require(size >= 40, s"avih too short ($size bytes)")
+          w = leU32(b, data + 32).toInt; h = leU32(b, data + 36).toInt
+        } else if (cc == "strf" && size >= 40 && leU32(b, data) == 40L) {
+          sw = leU32(b, data + 4).toInt; sh = leU32(b, data + 8).toInt
+        } else if (cc == "00dc") {
+          frames += ((data, size))
+        }
+        pos = data + size + (size & 1) // chunks are even-padded
+      }
+    }
+    walk(12, riffEnd)
+    require(w > 0 && h > 0, "AVI missing avih dimensions")
+    require(sw == -1 || (sw == w && math.abs(sh) == h),
+      s"avih ${w}x$h disagrees with strf ${sw}x${math.abs(sh)}")
+    (w, h, frames.toSeq)
+  }
+
+  /** REAL MJPEG-in-AVI decode: (width, height, frameCount) from the
+    * RIFF chunk walk — frames are COUNTED from the '00dc' chunks
+    * actually present, not trusted from the header. */
+  def aviDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val (w, h, frames) = aviWalk(payload)
+    (w, h, frames.length)
+  }
+
+  /** REAL per-frame sampling over an MJPEG AVI: every Nth '00dc'
+    * chunk's JPEG decodes through ImageIO and yields feature =
+    * [R(0,0), G(0,0), B(0,0), w, h] with w/h from the DECODED frame
+    * (not the container header). Narrow flatMap, the
+    * [[sampleY4mFrames]] shape. */
+  def sampleAviFrames(blobs: Dataset[MediaBlob], everyN: Int): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { b =>
+        val (_, _, chunks) = aviWalk(b.payload)
+        chunks.zipWithIndex.collect {
+          case ((off, len), idx) if idx % math.max(1, everyN) == 0 =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b.payload, off, len))
+            require(img != null, s"undecodable MJPEG frame $idx of blob ${b.id}")
+            val px = img.getRGB(0, 0)
+            Frame(b.id, idx, Array(((px >> 16) & 0xff).toFloat,
+              ((px >> 8) & 0xff).toFloat, (px & 0xff).toFloat,
+              img.getWidth.toFloat, img.getHeight.toFloat))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic MJPEG AVIs: w = 8 + id mod 9, h = 6 +
+    * 5·id mod 11, 2 + id mod 5 frames; frame f is a solid GRAYSCALE
+    * JPEG of value (11·id + 29·f) mod 256 — grayscale because solid
+    * gray survives ImageIO's JPEG round-trip bit-exactly at quality
+    * 1.0 (verified over all 256 values), so an external oracle can
+    * derive every sampled pixel from the id alone; chroma'd colors
+    * drift ±1 under 4:2:0 quantization. Same repartition-then-encode
+    * shape as [[syntheticY4ms]]. */
+  def syntheticAvis(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(par).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 6 + ((id * 5) % 11).toInt
+        val n = 2 + (id % 5).toInt
+        val jpegs = (0 until n).map { f =>
+          val g = ((11 * id + 29 * f) % 256).toInt
+          solidJpeg(w, h, g)
+        }
+        MediaBlob(id, aviBytes(w, h, jpegs), "video/avi")
+      }
+    }
+  }
+
+  /** A solid-gray JPEG at quality 1.0 (DC-only blocks round-trip
+    * exactly for r=g=b). */
+  private def solidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Minimal spec-conformant AVI wrapper: RIFF('AVI '){ LIST('hdrl'){
+    * avih, LIST('strl'){ strh 'vids'/'MJPG', strf BITMAPINFOHEADER } },
+    * LIST('movi'){ '00dc' JPEG chunks, even-padded } }. */
+  private def aviBytes(w: Int, h: Int, jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val avih = Array.concat(u32(40000), u32(0), u32(0), u32(0),
+      u32(jpegs.length), u32(0), u32(1), u32(0), u32(w), u32(h),
+      u32(0), u32(0), u32(0), u32(0))
+    val strh = Array.concat(cc("vids"), cc("MJPG"), u32(0), u16(0), u16(0),
+      u32(0), u32(1), u32(25), u32(0), u32(jpegs.length), u32(0), u32(0),
+      u16(0), u16(0), u16(w), u16(h))
+    val strf = Array.concat(u32(40), u32(w), u32(h), u16(1), u16(24),
+      cc("MJPG"), u32(3L * w * h), u32(0), u32(0), u32(0), u32(0))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      Array.concat(cc(id), u32(body.length), body, pad)
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      Array.concat(cc("LIST"), u32(4L + body.length), cc(typ), body)
+    val strl = list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))
+    val hdrl = list("hdrl", Array.concat(chunk("avih", avih), strl))
+    val movi = list("movi",
+      Array.concat(jpegs.map(j => chunk("00dc", j)): _*))
+    val body = Array.concat(cc("AVI "), hdrl, movi)
+    bb.write(cc("RIFF")); bb.write(u32(body.length.toLong))
+    bb.write(body)
+    bb.toByteArray
   }
 
   /** REAL video-container decode (ImageIO frame reader — GIF in this

@@ -682,6 +682,42 @@ class OpsSpec extends GraftSpec {
     }
   }
 
+  test("video: MJPEG-in-AVI round-trip — RIFF walk dims, counted " +
+    "frames, bit-exact solid-gray pixels") {
+    import spark.implicits._
+    val ids = Seq(0L, 4L, 9L, 17L, 123L).toDF("id")
+    val blobs = Multimodal.syntheticAvis(ids, "id")
+    val meta = Multimodal.decodeMeta(blobs).collect()
+      .map(m => m.id -> ((m.width, m.height, m.n_frames))).toMap
+    for (id <- Seq(0L, 4L, 9L, 17L, 123L))
+      assert(meta(id) == ((8 + (id % 9).toInt, 6 + ((id * 5) % 11).toInt,
+        2 + (id % 5).toInt)), s"metadata mismatch for id $id")
+    // every frame ImageIO-decodes to the exact fill gray (solid gray
+    // survives the quality-1.0 JPEG round-trip); dims come from the
+    // decoded frame, not the header
+    val frames = Multimodal.sampleAviFrames(blobs, 1).collect()
+    assert(frames.map(_.id).distinct.length == 5)
+    for (f <- frames) {
+      val g = ((11 * f.id + 29 * f.frame_idx) % 256).toInt
+      assert(f.feature(0).toInt == g && f.feature(1).toInt == g &&
+        f.feature(2).toInt == g,
+        s"pixel mismatch id=${f.id} frame=${f.frame_idx}")
+      assert(f.feature(3).toInt == 8 + (f.id % 9).toInt &&
+        f.feature(4).toInt == 6 + ((f.id * 5) % 11).toInt)
+    }
+    // sampling stride honored
+    assert(Multimodal.sampleAviFrames(blobs, 2).collect()
+      .forall(f => f.frame_idx % 2 == 0))
+    // malformed container fails loud
+    intercept[Exception] {
+      Multimodal.aviDecode("RIFFxxxxNOPE".getBytes("US-ASCII"))
+    }
+    intercept[Exception] { // truncated mid-chunk
+      val good = blobs.collect().head.payload
+      Multimodal.aviDecode(java.util.Arrays.copyOf(good, good.length - 9))
+    }
+  }
+
   test("searchTopK: integer tf-idf ranks by relevance, deterministic ties") {
     import spark.implicits._
     val corpus = Seq(
