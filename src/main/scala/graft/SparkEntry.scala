@@ -183,6 +183,14 @@ object SparkEntry {
   private val minhashAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q108's tombstone-deleted MinHash index path, once per sf-dir. */
+  private val minhashDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q109's tombstone-deleted IVF-PQ index path, once per sf-dir. */
+  private val ivfPqDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** BPE merge table learned once per sf-dir (q103/q104/q105 share it;
     * learning is one word-count groupBy + a driver loop over the
     * bounded top-word dictionary). */
@@ -1022,6 +1030,47 @@ object SparkEntry {
         ops.Dedup.minhashIndexLoad(sp, tmp))
     }),
 
+    // ---- durable-index DELETE: tombstone a deterministic slice of a
+    //      saved MinHash index (one tiny write, no rewrite), then probe
+    //      the masked load — result ≡ an index never containing the
+    //      deleted docs (the oracle rebuilds exactly that corpus) ----
+    "q108_minhash_delete" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      val tmp = minhashDeleteCache.computeIfAbsent(dir, _ => {
+        val t = java.nio.file.Files.createTempDirectory("graft_q108").toString
+        ops.Dedup.minhashIndexSave(ops.Dedup.minhashIndex(
+          docs.where(col("doc_id") < 400), "doc_id", "text"), t)
+        ops.Dedup.minhashIndexDelete(
+          docs.where(col("doc_id") < 400 && col("doc_id") % 5 === 3)
+            .select(col("doc_id")), t, idCol = "doc_id")
+        t
+      })
+      ops.Dedup.minhashNearDupAgainst(
+        docs.where(col("doc_id") >= 400), "doc_id", "text",
+        ops.Dedup.minhashIndexLoad(sp, tmp))
+    }),
+
+    // ---- IVF-PQ DELETE: tombstone every vec_id ≡ 2 (mod 7), search
+    //      the masked load — ranking ≡ an index built without them
+    //      (codebooks are NEVER retrained by maintenance ops, so the
+    //      oracle keeps the fixed first-16 centroids) ----
+    "q109_ivfpq_delete" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val tmp = ivfPqDeleteCache.computeIfAbsent(dir, _ => {
+        val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray).toSeq
+        val t = java.nio.file.Files.createTempDirectory("graft_q109").toString
+        ops.Similarity.ivfPqSaveIndex(emb, centroids, centroids, t)
+        ops.Similarity.ivfPqDeleteIndex(
+          emb.where(col("vec_id") % 7 === 2).select(col("vec_id")), t)
+        t
+      })
+      val (codes, coarse, pq) = ops.Similarity.ivfPqLoadIndex(sp, tmp)
+      ops.Similarity.ivfPqSearchTopK(codes, coarse, pq,
+        emb.where(col("vec_id") < 10), 5)
+    }),
+
     // ---- IVF-PQ append: encode a new batch with the SAVED codebooks
     //      and add it partition-wise to the durable index — searching
     //      the appended index is bit-equal to q98's full build ----
@@ -1442,8 +1491,8 @@ object SparkEntry {
   /** IVF-PQ replay (coarse probe + PQ codes + quantized ADC LUT):
     * shared by q95 (in-memory build) and q98 (loaded durable
     * index) — both must produce bit-identical rankings. */
-  private val IvfPqOracleSql: String =
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  private def ivfPqOracleSql(corpusWhere: String = ""): String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |             FROM embeddings),
         |ccent AS (SELECT vec_id AS cell, v AS c,
         |            list_sum(list_transform(v, x -> x * x)) AS c2
@@ -1454,7 +1503,7 @@ object SparkEntry {
         |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
         |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
         |      c.cell) AS rk
-        |  FROM emb e, ccent c) WHERE rk = 1),
+        |  FROM emb e, ccent c$corpusWhere) WHERE rk = 1),
         |qpr AS (SELECT qid, cell FROM (
         |  SELECT q.vec_id AS qid, c.cell,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1493,6 +1542,7 @@ object SparkEntry {
         |          ORDER BY score, nid) AS rk
         |      FROM sc)
         |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin
+  private val IvfPqOracleSql: String = ivfPqOracleSql()
 
   private val IvfOracleSql: String =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1531,8 +1581,9 @@ object SparkEntry {
   /** Exact replay of the incremental near-dup contract (new batch =
     * doc_id ≥ 400 vs corpus = doc_id < 400, 3-shingles, J ≥ 1/2):
     * shared by q73 (batch) and q81 (streaming gate) — same flag set. */
-  private val IncNearDupOracleSql: String =
-    """WITH toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+  private def incNearDupOracleSql(
+      corpusPred: String = "b.doc_id < 400"): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+') AS t
       |              FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
       |         range(greatest(1, len(t) - 2)),
@@ -1542,12 +1593,13 @@ object SparkEntry {
       |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
       |          FROM ex a JOIN ex b ON a.s = b.s
-      |            AND a.doc_id >= 400 AND b.doc_id < 400
+      |            AND a.doc_id >= 400 AND $corpusPred
       |          GROUP BY 1, 2)
       |SELECT ia, ib FROM inter
       |JOIN sizes sa ON sa.doc_id = ia
       |JOIN sizes sb ON sb.doc_id = ib
       |WHERE 3 * i >= sa.n + sb.n""".stripMargin
+  private val IncNearDupOracleSql: String = incNearDupOracleSql()
 
   /** Exact eval-overlap replay (benchmark = doc_id < 5, 3-shingles):
     * shared by q58 (broadcast semi-join) and q82 (bloom pre-filter +
@@ -2508,6 +2560,14 @@ object SparkEntry {
     // (built over < 200, appended 200–399) is the same computation as
     // q73's one-shot index over docs < 400 — one shared oracle
     "q101_minhash_append" -> IncNearDupOracleSql,
+
+    // delete-then-probe ≡ an index never containing the deleted docs
+    "q108_minhash_delete" ->
+      incNearDupOracleSql("b.doc_id < 400 AND b.doc_id % 5 <> 3"),
+
+    // masked IVF-PQ search ≡ index built without the deleted vectors
+    // (same fixed codebooks — maintenance never retrains)
+    "q109_ivfpq_delete" -> ivfPqOracleSql(" WHERE e.vec_id % 7 <> 2"),
 
     // append ≡ rebuild: the appended IVF-PQ index covers the full
     // corpus with the same codebooks, so the search replay is q98's

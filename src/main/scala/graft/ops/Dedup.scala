@@ -160,12 +160,79 @@ object Dedup {
     }
   }
 
-  /** Load a saved [[minhashIndex]] (build + any appends): querying it
-    * via [[minhashNearDupAgainst]] is equivalent to querying a fresh
-    * index built over the union of every batch written so far. */
+  /** Load a saved [[minhashIndex]] (build + any appends), with any
+    * tombstoned ids masked out: querying it via
+    * [[minhashNearDupAgainst]] is equivalent to querying a fresh index
+    * built over the union of every batch written so far MINUS every id
+    * passed to [[minhashIndexDelete]]. */
   def minhashIndexLoad(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame =
-    spark.read.parquet(path)
+                       path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    if (tombstonesExist(spark, path))
+      base.join(spark.read.parquet(tombPath(path)), Seq("id"), "left_anti")
+    else base
+  }
+
+  private val TombDir = "_tombstones"
+  private def tombPath(path: String): String = s"$path/$TombDir"
+  private def tombstonesExist(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** GDPR-style takedown for a durable index: append the ids to a
+    * tombstone file set under an underscore-prefixed subdir (invisible
+    * to parquet directory readers, so raw reads of the index dir are
+    * unaffected). A delete costs one tiny write — nothing in the index
+    * is rewritten; [[minhashIndexLoad]] masks tombstoned rows at read,
+    * and [[minhashIndexCompact]] reclaims the space physically. */
+  def minhashIndexDelete(ids: DataFrame, path: String,
+                         idCol: String = "id"): Unit =
+    ids.select(col(idCol).cast("long").as("id"))
+      .write.mode("append").parquet(tombPath(path))
+
+  /** Physically drop tombstoned rows, rewriting ONLY the parquet files
+    * that contain at least one deleted id — untouched files are never
+    * read-modified-written (at 100 TB a takedown of one tenant touches
+    * their files, not the corpus). Staging-then-swap: survivors of the
+    * affected files are written to an underscore staging dir, the
+    * affected originals are deleted, the staged part files move in,
+    * and the tombstones clear. Load/probe before and after are
+    * equivalent (spec-pinned). */
+  def minhashIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    if (!tombstonesExist(spark, path)) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val tomb = spark.read.parquet(tombPath(path))
+    // file list is bounded by the index's file count, and only files
+    // actually holding a deleted id survive the distinct
+    val affected = spark.read.parquet(path)
+      .withColumn("_f", input_file_name())
+      .join(tomb, "id").select("_f").distinct()
+      .collect().map(_.getString(0))
+    if (affected.nonEmpty) {
+      val staging = s"$path/_compact_staging"
+      spark.read.parquet(affected: _*)
+        .join(tomb, Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      affected.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      fs.listStatus(stagingPath).foreach { st =>
+        if (st.getPath.getName.endsWith(".parquet"))
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(path, st.getPath.getName))
+      }
+      fs.delete(stagingPath, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tombPath(path)), true)
+    // compaction replaces files in place — drop any cached listings so
+    // open sessions re-list instead of chasing deleted part files
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(tombPath(path))
+  }
 
   /** Incremental near-dup: a NEW batch of docs against an EXISTING
     * corpus index (the [[minhashIndex]] layout). Returns verified

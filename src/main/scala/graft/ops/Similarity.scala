@@ -551,8 +551,76 @@ object Similarity {
     def readCents(sub: String): Seq[Array[Float]] =
       spark.read.parquet(s"$path/$sub").orderBy("j").collect()
         .map(_.getSeq[Float](1).toArray).toSeq
-    (spark.read.parquet(s"$path/codes"),
-      readCents("coarse"), readCents("pq"))
+    val codes = spark.read.parquet(s"$path/codes")
+    // mask tombstoned vectors (ivfPqDeleteIndex) at read; the coarse
+    // probe's partition pruning is unaffected (cell stays the
+    // partition column under the anti-join)
+    val masked =
+      if (ivfPqTombstonesExist(spark, path))
+        codes.join(spark.read.parquet(ivfPqTombPath(path)),
+          Seq("vec_id"), "left_anti")
+      else codes
+    (masked, readCents("coarse"), readCents("pq"))
+  }
+
+  private def ivfPqTombPath(path: String): String = s"$path/tombstones"
+  private def ivfPqTombstonesExist(spark: SparkSession,
+                                   path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ivfPqTombPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Tombstone-delete vectors from a durable IVF-PQ index: one tiny
+    * append beside the codes — nothing in the index is rewritten.
+    * [[ivfPqLoadIndex]] masks deleted ids at read;
+    * [[ivfPqCompactIndex]] reclaims the space physically. The
+    * GDPR-takedown / re-curation maintenance op. */
+  def ivfPqDeleteIndex(ids: DataFrame, path: String,
+                       idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id"))
+      .write.mode("append").parquet(ivfPqTombPath(path))
+
+  /** Physically drop tombstoned vectors, rewriting ONLY the cell
+    * partitions that contain at least one deleted id — the other cell
+    * directories are never touched (spec-pinned), so compaction cost
+    * scales with the delete's spread, not the index. Cells left empty
+    * are removed outright. */
+  def ivfPqCompactIndex(spark: SparkSession, path: String): Unit = {
+    if (!ivfPqTombstonesExist(spark, path)) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val codesPath = s"$path/codes"
+    val fs = new org.apache.hadoop.fs.Path(codesPath).getFileSystem(hconf)
+    val tomb = spark.read.parquet(ivfPqTombPath(path))
+    val codes = spark.read.parquet(codesPath)
+    val affected = codes.join(tomb, "vec_id")
+      .select("cell").distinct().collect().map(_.getInt(0))
+    affected.foreach { cell =>
+      val dir = new org.apache.hadoop.fs.Path(codesPath, s"cell=$cell")
+      val kept = spark.read.parquet(dir.toString)
+        .join(tomb, Seq("vec_id"), "left_anti")
+      if (kept.isEmpty) {
+        // every vector of the cell was deleted: the partition vanishes
+        // (a zero-row part file would still read fine, but an empty
+        // directory is the honest state and keeps probes pruning it)
+        fs.delete(dir, true)
+      } else {
+        val staging =
+          new org.apache.hadoop.fs.Path(codesPath, s"_staging_cell_$cell")
+        kept.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(dir, true)
+        fs.mkdirs(dir)
+        fs.listStatus(staging)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(st => fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dir, st.getPath.getName)))
+        fs.delete(staging, true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(ivfPqTombPath(path)), true)
+    // compaction replaces files in place — drop any cached listings so
+    // open sessions re-list instead of chasing deleted part files
+    spark.catalog.refreshByPath(codesPath)
+    spark.catalog.refreshByPath(ivfPqTombPath(path))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -576,6 +576,94 @@ class OpsSpec extends GraftSpec {
     assert(appended == oneShot)
   }
 
+  test("minhash index delete + compact: masked probe ≡ compacted probe " +
+    "≡ never-indexed; compaction touches only files holding deletes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_del").toString
+    // several small files so some hold no deleted ids
+    Dedup.minhashIndexSave(
+      Dedup.minhashIndex(docs.where(col("doc_id") < 250), "doc_id", "text")
+        .repartition(8), tmp)
+    Dedup.minhashIndexDelete(
+      docs.where(col("doc_id") < 250 && col("doc_id") % 4 === 1)
+        .select(col("doc_id")), tmp, idCol = "doc_id")
+    val batch = docs.where(col("doc_id") >= 250)
+    def probe() = Dedup.minhashNearDupAgainst(batch, "doc_id", "text",
+        Dedup.minhashIndexLoad(spark, tmp))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val masked = probe()
+    // ground truth: an index that never contained the deleted docs
+    val never = Dedup.minhashNearDupAgainst(batch, "doc_id", "text",
+        Dedup.minhashIndex(
+          docs.where(col("doc_id") < 250 && col("doc_id") % 4 =!= 1),
+          "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(never.nonEmpty, "split should keep at least one planted pair")
+    assert(masked == never)
+    // which files hold deleted ids (these may be rewritten; others not)
+    import org.apache.spark.sql.functions.input_file_name
+    val byFile = spark.read.parquet(tmp)
+      .withColumn("f", input_file_name())
+      .select(col("f"), (col("id") % 4 === 1).as("del"))
+      .groupBy("f").agg(org.apache.spark.sql.functions.max(col("del")).as("hasDel"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    val untouchedBefore = byFile.filter(!_._2).keySet
+    Dedup.minhashIndexCompact(spark, tmp)
+    val filesAfter = spark.read.parquet(tmp)
+      .withColumn("f", input_file_name()).select("f").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(untouchedBefore.subsetOf(filesAfter),
+      "compaction must not rewrite files holding no deleted ids")
+    assert(byFile.filter(_._2).keySet.intersect(filesAfter).isEmpty,
+      "files holding deleted ids must be replaced")
+    assert(probe() == never, "compacted probe must equal masked probe")
+    // tombstones cleared: physical rows no longer contain deleted ids
+    assert(spark.read.parquet(tmp).where(col("id") % 4 === 1).count() == 0)
+  }
+
+  test("ivfpq index delete + compact: masked search ≡ compacted search; " +
+    "untouched cells keep their files; emptied cells vanish") {
+    import graft.ops.Similarity
+    val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_del").toString
+    Similarity.ivfPqSaveIndex(emb, centroids, centroids, tmp)
+    // delete EVERY vector of one whole cell + a few others
+    val (codes0, _, _) = Similarity.ivfPqLoadIndex(spark, tmp)
+    val someCell = codes0.select("cell").orderBy("cell").head().getInt(0)
+    val victimIds = codes0.where(col("cell") === someCell)
+      .select("vec_id").distinct()
+      .union(emb.where(col("vec_id") % 11 === 5).select("vec_id"))
+      .distinct()
+    Similarity.ivfPqDeleteIndex(victimIds, tmp)
+    def search() = {
+      val (c, co, pq) = Similarity.ivfPqLoadIndex(spark, tmp)
+      Similarity.ivfPqSearchTopK(c, co, pq, emb.where(col("vec_id") < 6), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val masked = search()
+    assert(masked.nonEmpty)
+    val victims = victimIds.collect().map(_.getLong(0)).toSet
+    assert(masked.forall { case (_, nid, _) => !victims.contains(nid) })
+    val dirOf = new java.io.File(s"$tmp/codes")
+    def cellDirs = dirOf.listFiles().filter(_.getName.startsWith("cell="))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val affectedCells = codes0.join(victimIds, "vec_id")
+      .select("cell").distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+    val before = cellDirs
+    Thread.sleep(1100) // dir mtimes have second granularity on some FS
+    Similarity.ivfPqCompactIndex(spark, tmp)
+    val after = cellDirs
+    assert(!after.contains(s"cell=$someCell"), "emptied cell must vanish")
+    for ((d, m) <- after if !affectedCells.contains(d))
+      assert(before(d) == m, s"untouched cell $d was modified")
+    assert(search() == masked, "compacted search must equal masked search")
+    // victims is a materialized Set — the lazy victimIds plan would
+    // re-scan the pre-compaction file listing
+    assert(spark.read.parquet(s"$tmp/codes")
+      .where(col("vec_id").isin(victims.toSeq: _*)).count() == 0)
+  }
+
   test("minhash index append: mismatched banding params fail loud") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mh_bad").toString
     Dedup.minhashIndexSave(
