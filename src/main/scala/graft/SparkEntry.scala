@@ -911,6 +911,50 @@ object SparkEntry {
       sp.table(sink)
     }),
 
+    // ---- log-linear quantile sketch (HDR/DDSketch bucket family,
+    //      all-integer): register-level replay — shuffle carries ≤
+    //      64·k+1 bucket rows, never the values ----
+    "q110_hdr_sketch" -> ((sp, dir) =>
+      ops.Sketch.hdrSketch(
+        Tables.t(sp, dir, "documents")
+          .select(ops.Text.tokenCount(col("text")).as("v")), "v")),
+
+    // ---- sketch MERGE on the oracle-pinned path: three per-split
+    //      sketches combine bucket-wise (no re-scan) and the merged
+    //      sketch answers global p50/p90/p99 ----
+    "q111_hdr_quantiles" -> ((sp, dir) => {
+      val d = ops.Sample.hashSplit(Tables.t(sp, dir, "documents"), "doc_id")
+        .select(col("split"), ops.Text.tokenCount(col("text")).as("v"))
+      val merged = Seq("train", "val", "test")
+        .map(s => ops.Sketch.hdrSketch(d.where(col("split") === s), "v"))
+        .reduce(ops.Sketch.hdrMerge)
+      ops.Sketch.hdrQuantiles(merged,
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
+
+    // ---- streaming build of the same sketch (q89 pattern): identical
+    //      aggregation under complete mode, so stream ≡ batch share
+    //      q110's oracle ----
+    "q112_hdr_stream" -> ((sp, dir) => {
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val texts = Tables.t(sp, dir, "documents")
+        .select(col("text")).as[String].collect().toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      val vals = stream.toDF().toDF("text")
+        .select(ops.Text.tokenCount(col("text")).as("v"))
+      val sink = s"graft_q112_sink_${q89Seq.incrementAndGet()}"
+      val sq = ops.Sketch.hdrSketch(vals, "v")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      stream.addData(h1); sq.processAllAvailable()
+      stream.addData(h2); sq.processAllAvailable()
+      sq.stop()
+      sp.table(sink)
+    }),
+
     // ---- integer bigram surprisal: CCNet-style LM quality signal with
     //      floor-log2 as bit-length arithmetic — no float log anywhere,
     //      so the corpus-LM scoring replays exactly in SQL ----
@@ -1707,7 +1751,47 @@ object SparkEntry {
        |         unnest(generate_series(0, len(s) - 1)) AS ti FROM sy),
        |tk AS (SELECT doc_id, wi, ti, s[ti + 1] AS token FROM st)""".stripMargin
 
+  /** Log-linear sketch bucket of a non-negative BIGINT expression `v`
+    * (q110/q111/q112): e·k + ((v − 2^e)·k) // 2^e with e = bit-length
+    * − 1 via the q90 binary-string trick; 0 → −1. */
+  private def hdrBucketSql(v: String, k: Int = 16): String =
+    s"CASE WHEN $v = 0 THEN CAST(-1 AS BIGINT) " +
+      s"ELSE CAST(length(format('{:b}', $v)) - 1 AS BIGINT) * $k " +
+      s"+ (($v - (CAST(1 AS BIGINT) << (length(format('{:b}', $v)) - 1))) " +
+      s"* $k) // (CAST(1 AS BIGINT) << (length(format('{:b}', $v)) - 1)) END"
+
+  /** Shared q110/q112 oracle: the sketch itself, register-level. */
+  private def hdrSketchOracleSql: String =
+    raw"""WITH t AS (SELECT CAST(len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+')) AS BIGINT) AS v
+         |           FROM documents)
+         |SELECT ${hdrBucketSql("v")} AS bucket, count(*) AS cnt
+         |FROM t GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q110_hdr_sketch" -> hdrSketchOracleSql,
+    "q112_hdr_stream" -> hdrSketchOracleSql,
+
+    // merged per-split sketches ≡ the global histogram (bucket-wise
+    // add), so the oracle replays buckets globally then walks the
+    // cumulative histogram to each quantile's bucket lower bound
+    "q111_hdr_quantiles" ->
+      raw"""WITH t AS (SELECT CAST(len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+')) AS BIGINT) AS v
+         |             FROM documents),
+         |h AS (SELECT ${hdrBucketSql("v")} AS bucket, count(*) AS cnt
+         |      FROM t GROUP BY 1),
+         |cum AS (SELECT bucket, cnt,
+         |          sum(cnt) OVER (ORDER BY bucket) AS cum,
+         |          sum(cnt) OVER () AS n
+         |        FROM h)
+         |SELECT p.pct,
+         |  CAST(CASE WHEN bucket = -1 THEN 0
+         |    ELSE (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INTEGER))
+         |      + ((bucket % 16) * (CAST(1 AS BIGINT)
+         |           << CAST(bucket // 16 AS INTEGER))) // 16
+         |  END AS BIGINT) AS value
+         |FROM cum, (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) p(pct, q)
+         |WHERE cum - cnt < ceil(p.q * n) AND ceil(p.q * n) <= cum""".stripMargin,
+
     // merge-table learning, replayed stage by stage
     "q103_bpe_merges" ->
       s"""WITH $bpeLearnCtes

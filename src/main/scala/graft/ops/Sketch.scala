@@ -141,4 +141,83 @@ object Sketch {
     val zeros = m - regs.size
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
+
+  // --------------------------------------------------------------------
+  // Log-linear quantile sketch (the HDR-histogram / DDSketch bucket
+  // family, all-integer): value v ≥ 1 lands in bucket e·k + sub with
+  // e = floor(log2 v) (= bit-length − 1, the q90 bin-string trick) and
+  // sub = ((v − 2^e)·k) DIV 2^e ∈ [0, k); v = 0 gets bucket −1.
+  // Bucket width ≤ 2^e/k + 1, so a quantile read off the bucket lower
+  // bound has relative error ≤ 1/k. Deterministic — no sampling, no
+  // randomized compaction (KLL's) — hence exactly replayable by the
+  // SQL oracle at register level, like countMin/hllRegisters.
+  //
+  // Scale shapes: build is one narrow projection + a map-side-combined
+  // groupBy to ≤ 64·k rows — the shuffle carries the sketch, never the
+  // values; merge is bucket-wise ADD (union + sum) without re-scanning
+  // shards; the streaming build is the same aggregation under
+  // outputMode(complete), so stream ≡ batch share one oracle.
+  // --------------------------------------------------------------------
+
+  /** Bucket id of a non-negative value column (named by `valueCol`).
+    * Negative values fail loud — a quantile sketch of counts/sizes
+    * that silently folded sign would misreport every percentile. */
+  def hdrBucket(valueCol: String, k: Int = 16): Column = {
+    require(k >= 1, "k must be >= 1")
+    expr(
+      s"""CASE
+         |  WHEN $valueCol < 0 THEN CAST(raise_error(
+         |    'hdr sketch requires non-negative values') AS BIGINT)
+         |  WHEN $valueCol = 0 THEN CAST(-1 AS BIGINT)
+         |  ELSE CAST(length(bin($valueCol)) - 1 AS BIGINT) * $k
+         |    + (($valueCol - shiftleft(CAST(1 AS BIGINT),
+         |         length(bin($valueCol)) - 1)) * $k)
+         |      DIV shiftleft(CAST(1 AS BIGINT), length(bin($valueCol)) - 1)
+         |END""".stripMargin)
+  }
+
+  /** Smallest value a bucket can hold: 2^e + (sub·2^e) DIV k (0 for
+    * the zero bucket) — the deterministic quantile estimate. */
+  def hdrBucketLow(bucketCol: String, k: Int = 16): Column =
+    expr(
+      s"""CASE WHEN $bucketCol = -1 THEN CAST(0 AS BIGINT)
+         |  ELSE shiftleft(CAST(1 AS BIGINT), CAST($bucketCol DIV $k AS INT))
+         |    + (($bucketCol % $k) * shiftleft(CAST(1 AS BIGINT),
+         |         CAST($bucketCol DIV $k AS INT))) DIV $k
+         |END""".stripMargin)
+
+  /** Build the sketch: (bucket, cnt), at most 64·k + 1 rows. Works on
+    * batch AND streaming frames (groupBy-count is a streaming-legal
+    * aggregation under complete mode — the q89 pattern). */
+  def hdrSketch(df: DataFrame, valueCol: String, k: Int = 16): DataFrame =
+    df.select(hdrBucket(valueCol, k).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Sketch union: bucket-wise add — shard-local sketches combine
+    * without re-scanning the shards (the hllMerge property). */
+  def hdrMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantiles from a sketch: for each (pct, q), the lower bound of
+    * the first bucket whose cumulative count reaches ceil(q·n) — the
+    * discQuantiles histogram-walk shape, over ≤ 64·k + 1 rows (the
+    * single-partition window is bounded by the sketch size, not the
+    * data). Relative error ≤ 1/k by the bucket-width bound. */
+  def hdrQuantiles(sketch: DataFrame, qs: Seq[(String, Double)],
+                   k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    import sketch.sparkSession.implicits._
+    val qdf = qs.toDF("pct", "q")
+    cum.crossJoin(broadcast(qdf))
+      .where(col("cum") - col("cnt") < ceil(col("q") * col("n")) &&
+        ceil(col("q") * col("n")) <= col("cum"))
+      .select(col("pct"), hdrBucketLow("bucket", k).as("value"))
+  }
 }

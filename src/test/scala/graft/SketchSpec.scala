@@ -373,4 +373,52 @@ class SketchSpec extends GraftSpec {
       s"within-cell join must be an equi-join on cell:\n$p")
     df.unpersist()
   }
+
+  test("hdr sketch: bucket rule on hand-computed values, zero bucket, " +
+    "negative fails loud") {
+    import spark.implicits._
+    // k=16: v=1 → e=0,sub=0 → 0; v=2 → e=1,p=2,sub=0 → 16;
+    // v=3 → e=1,sub=((3-2)*16)/2=8 → 24; v=100 → e=6,p=64,
+    // sub=((100-64)*16)/64=9 → 105; v=0 → -1
+    val got = Seq(1L, 2L, 3L, 100L, 0L).toDF("v")
+      .select(Sketch.hdrBucket("v").as("b"))
+      .collect().map(_.getLong(0)).toList
+    assert(got == List(0L, 16L, 24L, 105L, -1L))
+    // lower bounds invert: lb(105) = 64 + (9*64)/16 = 100 (exact here)
+    val lbs = Seq(0L, 16L, 24L, 105L, -1L).toDF("bucket")
+      .select(Sketch.hdrBucketLow("bucket").as("lb"))
+      .collect().map(_.getLong(0)).toList
+    assert(lbs == List(1L, 2L, 3L, 100L, 0L))
+    intercept[Exception] {
+      Seq(-1L).toDF("v").select(Sketch.hdrBucket("v")).collect()
+    }
+  }
+
+  test("hdr sketch: merge of shard sketches ≡ sketch of the union") {
+    val d = docs.select(graft.ops.Text.tokenCount(col("text")).as("v"))
+    val a = d.where(col("v") % 2 === 0)
+    val b = d.where(col("v") % 2 =!= 0)
+    val merged = Sketch.hdrMerge(
+        Sketch.hdrSketch(a, "v"), Sketch.hdrSketch(b, "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Sketch.hdrSketch(d, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == whole && whole.nonEmpty)
+  }
+
+  test("hdr sketch: quantile estimates within the 1/k relative-error " +
+    "bound of the exact quantiles") {
+    val d = docs.select(graft.ops.Text.tokenCount(col("text")).as("v"))
+    val n = d.count()
+    val exactVals = d.orderBy("v").collect().map(_.getLong(0))
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val est = Sketch.hdrQuantiles(Sketch.hdrSketch(d, "v"), qs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((name, q) <- qs) {
+      val exact = exactVals((math.ceil(q * n) - 1).toInt.max(0))
+      val lb = est(name)
+      assert(lb <= exact && exact <= lb + lb / 16 + 1,
+        s"$name: est $lb vs exact $exact outside 1/k bound")
+    }
+  }
 }
