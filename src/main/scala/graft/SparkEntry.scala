@@ -799,6 +799,24 @@ object SparkEntry {
         window = 10, maxDf = 5)
     }),
 
+    // ---- C4-style URL/domain filter: deterministic URL injection
+    //      (every 4th doc a blocked spam domain, the next a benign
+    //      one), blocklist as a literal array — one codegen'd scan
+    //      projection + filter, corpus never shuffled ----
+    "q113_url_filter" -> ((sp, dir) => {
+      val injected = Tables.t(sp, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), functions.lit(" see https://spam"),
+            (col("doc_id") % 7).cast("string"), functions.lit(".example/x")))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), functions.lit(" via https://news"),
+              (col("doc_id") % 5).cast("string"), functions.lit(".example/page")))
+          .otherwise(col("text")).as("text"))
+      ops.Text.urlFilter(injected, "doc_id", "text",
+          (0 until 7).map(i => s"spam$i.example"))
+        .select(col("doc_id"), col("n_urls"))
+    }),
+
     // ---- benchmark decontamination: docs sharing any 3-gram with the
     //      "benchmark" (docs 0-4); broadcast semi-join, no corpus
     //      shuffle ----
@@ -2494,6 +2512,24 @@ object SparkEntry {
         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q58_decontaminate" -> DecontaminateOracleSql,
+
+    "q113_url_filter" ->
+      """WITH inj AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' see https://spam'
+        |         || CAST(doc_id % 7 AS VARCHAR) || '.example/x'
+        |       WHEN doc_id % 4 = 1 THEN text || ' via https://news'
+        |         || CAST(doc_id % 5 AS VARCHAR) || '.example/page'
+        |       ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://([a-z0-9.-]+)'))
+        |    AS BIGINT) AS n_urls
+        |FROM inj
+        |WHERE NOT list_has_any(
+        |  regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1),
+        |  ['spam0.example', 'spam1.example', 'spam2.example',
+        |   'spam3.example', 'spam4.example', 'spam5.example',
+        |   'spam6.example'])""".stripMargin,
 
     // the bloom pre-filter has no false negatives and survivors are
     // exactly verified, so q82 ≡ q58

@@ -264,6 +264,38 @@ object Text {
     * explode + broadcast semi-join + distinct on ids, never a corpus
     * shuffle. The standard eval-overlap filter for training data.
     */
+  /** URL regex (RE2-portable): scheme + host, with the host captured
+    * as group 1 for domain extraction. Path characters beyond the host
+    * are intentionally not consumed — domain policy is what C4-style
+    * filtering acts on. */
+  val UrlPattern = "https?://([a-z0-9.-]+)"
+
+  /** Per-document URL profile: every URL host mentioned + the count —
+    * one codegen'd projection inside the scan (no shuffle, no UDF). */
+  def urlProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_extract_all(col(textCol), lit(UrlPattern), lit(1)).as("domains"),
+      regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"))
+
+  /** C4-style domain-blocklist filter: drop every document that
+    * mentions a URL whose host is on the blocklist. The blocklist
+    * travels as a LITERAL array in the plan (the C4 badlist is a
+    * static file of bounded size), so the whole op is one codegen'd
+    * scan projection + filter — the corpus is never shuffled, joined,
+    * or exploded (PlanSpec-pinned). Survivors keep their columns plus
+    * the n_urls profile. */
+  def urlFilter(docs: DataFrame, idCol: String, textCol: String,
+                blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "empty blocklist filters nothing")
+    val domains =
+      regexp_extract_all(col(textCol), lit(UrlPattern), lit(1))
+    docs
+      .withColumn("n_urls",
+        regexp_count(col(textCol), lit(UrlPattern)).cast("long"))
+      .where(!arrays_overlap(domains,
+        array(blockedDomains.map(lit): _*)))
+  }
+
   def contaminated(docs: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchTextCol: String,
                    n: Int = 3): DataFrame = {

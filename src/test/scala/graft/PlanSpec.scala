@@ -104,6 +104,17 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("urlFilter: literal-blocklist projection — no shuffle, no join, " +
+    "inside whole-stage codegen") {
+    val docs = Tables.t(spark, dir, "documents")
+    val p = plan(graft.ops.Text.urlFilter(docs, "doc_id", "text",
+      Seq("spam.example", "bad.example")))
+    assert(!p.contains("Exchange"), s"corpus must never shuffle:\n$p")
+    assert(!p.contains("Join"), s"blocklist must not become a join:\n$p")
+    // "*(1)" is the WholeStageCodegen stage marker in compact rendering
+    assert(p.contains("*(1) Filter"), s"filter must codegen:\n$p")
+  }
+
   test("codegen'd dot product stays inside whole-stage codegen") {
     val emb = Tables.t(spark, dir, "embeddings")
     val df = emb.as("a").crossJoin(emb.as("b").limit(5))
