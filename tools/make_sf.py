@@ -30,7 +30,23 @@ Replica 0 is bit-identical to the source, so fixed-id query semantics
 (doc_id < 200 rigs, vec_id < 16 centroids) read the same rows at every
 scale.
 
-Usage: make_sf.py SRC_DIR OUT_DIR [N_REPS=10]
+Organic-skew mode (--skew, replicas r > 0 only; replica 0 stays
+bit-identical so fixed-id rigs read the same rows):
+  - documents: Zipf-ish length tail — text repeated 8x for ~1% of docs,
+    4x for ~7%, 2x for ~18% (deterministic by doc_id), n_chars
+    recomputed. Long docs stress winnowing/shingling/BPE with a
+    realistic work distribution instead of uniform lengths.
+  - orders: 30% of each replica's orders collapse onto 3 hot customers
+    (o_orderkey % 10 < 3 → custkey 1..3 of the replica) — hot join keys
+    for the orders⋈customer tier, AQE skew-split territory.
+  - customer: 60% of each replica's customers move to one hot nation —
+    a heavy-hitter object value for the BGP/graph tier.
+  - events: 30% of each replica's events collapse onto 5 hot users —
+    hot stream-join and sessionization keys.
+  All rules are seeded by ids (no RNG), so reruns are byte-stable and
+  the DuckDB oracle sees exactly the same files.
+
+Usage: make_sf.py SRC_DIR OUT_DIR [N_REPS=10] [--skew]
 """
 import sys
 
@@ -51,31 +67,50 @@ OFFSETS = {
 }
 
 
-def rep_table(con, src, out, table, n_reps):
+def rep_table(con, src, out, table, n_reps, skew=False):
     offs = OFFSETS[table]
     parts = []
     for r in range(n_reps):
-        repl = ", ".join(f"({c} + {r * o}) AS {c}" for c, o in offs.items())
+        repl = {c: f"({c} + {r * o})" for c, o in offs.items()}
+        if skew and r > 0 and table == "orders":
+            # 30% of the replica's orders hit 3 hot customers
+            repl["o_custkey"] = (
+                f"(CASE WHEN o_orderkey % 10 < 3 THEN o_orderkey % 3 + 1 "
+                f"ELSE o_custkey END + {r * 1_000_000})")
+        if skew and r > 0 and table == "customer":
+            # 60% of the replica's customers move to one hot nation
+            repl["c_nationkey"] = (
+                f"(CASE WHEN c_custkey % 5 < 3 THEN 0 "
+                f"ELSE c_nationkey END + {r * 1_000})")
+        rs = ", ".join(f"{e} AS {c}" for c, e in repl.items())
         parts.append(
-            f"SELECT * REPLACE ({repl}) FROM read_parquet('{src}/{table}.parquet')")
+            f"SELECT * REPLACE ({rs}) FROM read_parquet('{src}/{table}.parquet')")
     con.execute(
         f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
 
 
-def rep_documents(con, src, out, n_reps):
+def rep_documents(con, src, out, n_reps, skew=False):
     parts = []
     for r in range(n_reps):
         if r == 0:
             parts.append(f"SELECT * FROM read_parquet('{src}/documents.parquet')")
         else:
+            rep = ("CASE WHEN doc_id % 97 = 0 THEN 8 "
+                   "WHEN doc_id % 13 = 0 THEN 4 "
+                   "WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END") if skew else "1"
             parts.append(f"""
               SELECT doc_id + {r * 10_000_000} AS doc_id,
-                array_to_string(list_transform(string_split(text, ' '),
-                  t -> 'x{r}' || t), ' ') AS text,
-                lang, source,
-                length(array_to_string(list_transform(string_split(text, ' '),
-                  t -> 'x{r}' || t), ' ')) AS n_chars
-              FROM read_parquet('{src}/documents.parquet')""")
+                t2 AS text, lang, source, length(t2) AS n_chars
+              FROM (
+                SELECT *, CASE WHEN m = 1 THEN t1 ELSE
+                    array_to_string(list_transform(range(m), i -> t1), ' ')
+                  END AS t2
+                FROM (
+                  SELECT *,
+                    array_to_string(list_transform(string_split(text, ' '),
+                      t -> 'x{r}' || t), ' ') AS t1,
+                    {rep} AS m
+                  FROM read_parquet('{src}/documents.parquet')))""")
     con.execute(
         f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
@@ -99,13 +134,25 @@ def rep_embeddings(con, src, out, n_reps):
         f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
 
-def rep_events(src, out, n_reps):
+def rep_events(src, out, n_reps, skew=False):
     t = pq.read_table(f"{src}/events.parquet")
     reps = []
     for r in range(n_reps):
         cols = {name: t.column(name) for name in t.column_names}
         cols["event_id"] = pc.add(cols["event_id"], r * 10_000_000)
-        cols["user_id"] = pc.add(cols["user_id"], r * 1_000_000)
+        uid = cols["user_id"]
+        if skew and r > 0:
+            # 30% of the replica's events collapse onto 5 hot users
+            # (pyarrow.compute has no modulo kernel — emulate with
+            # truncated integer division)
+            eid = t.column("event_id").combine_chunks()
+
+            def imod(arr, m):
+                q = pc.divide(arr, m)  # integer divide truncates
+                return pc.subtract(arr, pc.multiply(q, m))
+            hot = pc.less(imod(eid, 10), 3)
+            uid = pc.if_else(hot, imod(eid, 5), uid.combine_chunks())
+        cols["user_id"] = pc.add(uid, r * 1_000_000)
         reps.append(pa.table(cols))
     merged = pa.concat_tables(reps)
     assert merged.schema.field("ts").type == pa.timestamp("ns"), \
@@ -114,20 +161,23 @@ def rep_events(src, out, n_reps):
 
 
 def main():
-    src, out = sys.argv[1], sys.argv[2]
-    n_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    skew = "--skew" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    src, out = args[0], args[1]
+    n_reps = int(args[2]) if len(args) > 2 else 10
     import os
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    tag = " +skew" if skew else ""
     for table in OFFSETS:
-        rep_table(con, src, out, table, n_reps)
-        print(f"[make_sf] {table}: replicated x{n_reps}")
-    rep_documents(con, src, out, n_reps)
-    print(f"[make_sf] documents: replicated x{n_reps} (token-prefixed)")
+        rep_table(con, src, out, table, n_reps, skew)
+        print(f"[make_sf] {table}: replicated x{n_reps}{tag}")
+    rep_documents(con, src, out, n_reps, skew)
+    print(f"[make_sf] documents: replicated x{n_reps} (token-prefixed{tag})")
     rep_embeddings(con, src, out, n_reps)
-    print(f"[make_sf] embeddings: replicated x{n_reps} (jittered)")
-    rep_events(src, out, n_reps)
-    print(f"[make_sf] events: replicated x{n_reps} (timestamp[ns] kept)")
+    print(f"[make_sf] embeddings: replicated x{n_reps} (rotated)")
+    rep_events(src, out, n_reps, skew)
+    print(f"[make_sf] events: replicated x{n_reps} (timestamp[ns] kept{tag})")
 
 
 if __name__ == "__main__":
