@@ -19,6 +19,15 @@ object Explain {
       // mirror Bench/Verify so inspected plans are the shipped plans
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .getOrCreate()
+    // same A/B knob as Bench: "k=v,k=v" extra confs (e.g. lowering AQE
+    // skew thresholds to observe skew handling on small fixtures —
+    // thresholds are byte-based and sized for production data)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")

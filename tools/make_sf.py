@@ -73,9 +73,12 @@ def rep_table(con, src, out, table, n_reps, skew=False):
     for r in range(n_reps):
         repl = {c: f"({c} + {r * o})" for c, o in offs.items()}
         if skew and r > 0 and table == "orders":
-            # 30% of the replica's orders hit 3 hot customers
+            # 30% of the replica's orders hit ONE hot customer — hot
+            # keys must stay far fewer than shuffle partitions, or the
+            # hash spreads them evenly and no partition is ever 5x the
+            # median (the AQE skew factor would never trigger)
             repl["o_custkey"] = (
-                f"(CASE WHEN o_orderkey % 10 < 3 THEN o_orderkey % 3 + 1 "
+                f"(CASE WHEN o_orderkey % 10 < 3 THEN 1 "
                 f"ELSE o_custkey END + {r * 1_000_000})")
         if skew and r > 0 and table == "customer":
             # 60% of the replica's customers move to one hot nation
