@@ -98,9 +98,23 @@ def rep_documents(con, src, out, n_reps, skew=False):
         if r == 0:
             parts.append(f"SELECT * FROM read_parquet('{src}/documents.parquet')")
         else:
-            rep = ("CASE WHEN doc_id % 97 = 0 THEN 8 "
-                   "WHEN doc_id % 13 = 0 THEN 4 "
-                   "WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END") if skew else "1"
+            # Factor keyed on the FIRST TOKEN's hash, not doc_id: planted
+            # near-dup twins share their first tokens, so both members of
+            # a pair repeat identically and pairwise Jaccard is preserved.
+            # doc_id-keyed factors created (repeated, unrepeated) twin
+            # pairs at J≈0.69 — inside MinHash-LSH's ~2% miss band, which
+            # broke the corpus's LSH ≡ exact contract (2 missed pairs at
+            # sf1). Skew rules must respect fixture CONTRACTS (the J gap
+            # around the s-curve midpoint), not just spread work.
+            # Short docs are exempt: a repeat seam contributes ~2 novel
+            # shingles per side, which on a 10-14-token doc's ~11-shingle
+            # set knocks twin Jaccard from ~0.9 to ~0.65 — into LSH's
+            # miss band. On ≥30-token docs the seam is noise.
+            rep = ("CASE WHEN len(string_split(text, ' ')) < 30 THEN 1 "
+                   "WHEN CAST('0x' || substr(md5(string_split(text, ' ')[1]), 1, 2) AS INTEGER) % 100 < 1 THEN 8 "
+                   "WHEN CAST('0x' || substr(md5(string_split(text, ' ')[1]), 1, 2) AS INTEGER) % 100 < 8 THEN 4 "
+                   "WHEN CAST('0x' || substr(md5(string_split(text, ' ')[1]), 1, 2) AS INTEGER) % 100 < 26 THEN 2 "
+                   "ELSE 1 END") if skew else "1"
             parts.append(f"""
               SELECT doc_id + {r * 10_000_000} AS doc_id,
                 t2 AS text, lang, source, length(t2) AS n_chars
