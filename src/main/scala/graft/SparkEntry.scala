@@ -161,7 +161,8 @@ object SparkEntry {
     // timed q77/q98/q101/q102 measure load+append+probe — the recurring
     // cost of index maintenance — not the one-time build
     Seq("q77_ivf_index", "q98_ivfpq_indexed",
-        "q101_minhash_append", "q102_ivfpq_append")
+        "q101_minhash_append", "q102_ivfpq_append",
+        "q108_minhash_delete", "q109_ivfpq_delete")
       .foreach(q => queries(q)(sp, dir).count())
   }
 
