@@ -32,12 +32,25 @@ object SkewProbe {
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "65536")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      // AQE splits a skewed reducer partition at MAPPER granularity —
+      // a 29 MB parquet scanned as one input split gives one mapper,
+      // and a one-mapper hot partition cannot be split at all. Smaller
+      // input splits = production mapper counts in miniature.
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // carry real payload columns through the shuffle: skew detection
+    // works on COMPRESSED map-output bytes, and a partition of one
+    // repeated join key with no payload compresses ~100:1 — below the
+    // byte threshold even at 13x the median row count. Production
+    // joins ship payload; the probe must too.
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     val joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ok"))
     // collect() on THIS frame, then read ITS executedPlan — the
     // documented way to see the AQE final plan (a separate action
     // plans a separate execution)

@@ -73,12 +73,14 @@ def rep_table(con, src, out, table, n_reps, skew=False):
     for r in range(n_reps):
         repl = {c: f"({c} + {r * o})" for c, o in offs.items()}
         if skew and r > 0 and table == "orders":
-            # 30% of the replica's orders hit ONE hot customer — hot
-            # keys must stay far fewer than shuffle partitions, or the
-            # hash spreads them evenly and no partition is ever 5x the
-            # median (the AQE skew factor would never trigger)
+            # 30% of every skewed replica's orders hit base customer 1
+            # (exists in replica 0, so the FK holds): ONE globally hot
+            # key. Per-replica hot keys hash-spread across the shuffle
+            # partitions and no partition ever reaches the AQE skew
+            # factor (5x median) — the hot key count must stay far
+            # below the partition count for a partition to go hot.
             repl["o_custkey"] = (
-                f"(CASE WHEN o_orderkey % 10 < 3 THEN 1 "
+                f"(CASE WHEN o_orderkey % 10 < 3 THEN {-r * 1_000_000 + 1} "
                 f"ELSE o_custkey END + {r * 1_000_000})")
         if skew and r > 0 and table == "customer":
             # 60% of the replica's customers move to one hot nation
