@@ -232,6 +232,79 @@ object Stress {
           .groupBy("shard").count().count()
         println(s"[stress]   -> $n shards")
       }
+      // round-6 tiers at the same scale point
+      time(s"BPE learn (16 merges) + encode at ${nReps}x corpus") {
+        val m = graft.ops.Bpe.learnMerges(reps, "text", 16, topWords = 200)
+        val n = reps.select(sum(graft.ops.Bpe.tokenCount(col("text"), m)))
+          .head().getLong(0)
+        println(s"[stress]   -> ${m.size} merges, $n subword tokens")
+      }
+      time(s"hdr quantile sketch + quantiles at ${nReps}x corpus") {
+        val sk = graft.ops.Sketch.hdrSketch(
+          reps.select(graft.ops.Text.tokenCount(col("text")).as("v")), "v")
+        val q = graft.ops.Sketch.hdrQuantiles(sk,
+          Seq("p50" -> 0.5, "p99" -> 0.99)).count()
+        println(s"[stress]   -> $q quantiles")
+      }
+      time(s"url filter at ${nReps}x corpus (every 4th doc blocked)") {
+        val inj = reps.select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), functions.lit(" x https://spam.example/p")))
+            .otherwise(col("text")).as("text"))
+        val n = graft.ops.Text.urlFilter(inj, "doc_id", "text",
+          Seq("spam.example")).count()
+        println(s"[stress]   -> $n survivors")
+      }
+    }
+
+    // 2d-6. durable-index maintenance at 10×: build once over the
+    // replicated corpus, tombstone-delete 10%, compact, probe — the
+    // delete/compact costs must track the DELETE's size, not the
+    // corpus (compaction rewrites only files holding deleted ids)
+    {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_stress_del").toString
+      time(s"minhash index build+save at ${nReps}x corpus") {
+        Dedup.minhashIndexSave(
+          Dedup.minhashIndex(reps, "doc_id", "text").repartition(32), idxDir)
+      }
+      time(s"tombstone delete 10% of ${nReps}x index") {
+        Dedup.minhashIndexDelete(
+          reps.where(col("doc_id") % 10 === 3).select(col("doc_id")),
+          idxDir, idCol = "doc_id")
+      }
+      time(s"compact ${nReps}x index (10% deleted)") {
+        Dedup.minhashIndexCompact(spark, idxDir)
+      }
+      time(s"probe 1/${nReps} batch vs compacted index") {
+        val n = Dedup.minhashNearDupAgainst(
+          docs.select(col("doc_id") + functions.lit(990000000L) as "doc_id",
+            col("text")),
+          "doc_id", "text", Dedup.minhashIndexLoad(spark, idxDir)).count()
+        println(s"[stress]   -> $n cross pairs")
+      }
+    }
+
+    // 2d-7. MJPEG-AVI decode at 10×: container walk + per-frame JPEG
+    {
+      val ids10 = (0 until nReps).map(r =>
+          docs.select((col("doc_id") + functions.lit(r * 10000000L))
+            .as("id")))
+        .reduce(_.unionByName(_))
+      val avis = graft.ops.Multimodal.syntheticAvis(ids10, "id")
+        .toDF().persist()
+      println(s"[stress] ${nReps}x AVI corpus: ${avis.count()} containers")
+      import spark.implicits._
+      val blobs = avis.as[graft.ops.Multimodal.MediaBlob]
+      time(s"avi decode (RIFF walk) at ${nReps}x") {
+        val n = graft.ops.Multimodal.decodeMeta(blobs).count()
+        println(s"[stress]   -> $n decoded")
+      }
+      time(s"avi frame sampling (ImageIO JPEG) at ${nReps}x") {
+        val n = graft.ops.Multimodal.sampleAviFrames(blobs, 2).count()
+        println(s"[stress]   -> $n frames")
+      }
+      avis.unpersist()
     }
 
     // 2e. dictionary-encoded store A/B (the REAL operator, DictDb): the

@@ -104,6 +104,26 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("hdrSketch: one map-side-combined shuffle carrying only buckets") {
+    val docs = Tables.t(spark, dir, "documents")
+    val sk = graft.ops.Sketch.hdrSketch(
+      docs.select(graft.ops.Text.tokenCount(col("text")).as("v")), "v")
+    val p = plan(sk)
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"sketch build must shuffle exactly once:\n$p")
+    assert(p.contains("partial_count"), s"combine must be map-side:\n$p")
+  }
+
+  test("BPE encodeTokens: pure scan projection — no shuffle, no join") {
+    val docs = Tables.t(spark, dir, "documents")
+    val m = Seq(graft.ops.Bpe.Merge(0, "e", "s"),
+      graft.ops.Bpe.Merge(1, "es", "t"))
+    val p = plan(docs.select(col("doc_id"),
+      graft.ops.Bpe.encodeTokens(col("text"), m).as("toks")))
+    assert(!p.contains("Exchange"), s"encode must never shuffle:\n$p")
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+  }
+
   test("urlFilter: literal-blocklist projection — no shuffle, no join, " +
     "inside whole-stage codegen") {
     val docs = Tables.t(spark, dir, "documents")
