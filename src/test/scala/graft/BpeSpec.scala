@@ -79,7 +79,7 @@ class BpeSpec extends GraftSpec {
     assert(m.size == 16 && m.map(_.rank) == (0 until 16))
     // every document's subword stream concatenates back to its words
     val joined = docs.select(col("doc_id"),
-        concat_ws("", ops_concat(docs)).as("w0"),
+        concat_ws("", Text.tokens(col("text"))).as("w0"),
         concat_ws("", Bpe.encodeTokens(col("text"), m)).as("w1"))
       .where(col("w0") =!= col("w1")).count()
     assert(joined == 0L)
@@ -90,7 +90,4 @@ class BpeSpec extends GraftSpec {
       .select(sum(Bpe.tokenCount(col("text"), m))).head().getLong(0)
     assert(a == b && a > 0)
   }
-
-  private def ops_concat(docs: org.apache.spark.sql.DataFrame) =
-    Text.tokens(col("text"))
 }
