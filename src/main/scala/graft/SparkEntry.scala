@@ -1774,10 +1774,19 @@ object SparkEntry {
     * (q110/q111/q112): e·k + ((v − 2^e)·k) // 2^e with e = bit-length
     * − 1 via the q90 binary-string trick; 0 → −1. */
   private def hdrBucketSql(v: String, k: Int = 16): String =
+    // mirrors Sketch.hdrBucket's large-decade branch: for e ≥ 32
+    // divide BEFORE multiplying (BIGINT-overflow-safe; identical for
+    // power-of-two k, clamped to keep sub ∈ [0, k))
     s"CASE WHEN $v = 0 THEN CAST(-1 AS BIGINT) " +
-      s"ELSE CAST(length(format('{:b}', $v)) - 1 AS BIGINT) * $k " +
+      s"WHEN length(format('{:b}', $v)) - 1 < 32 " +
+      s"THEN CAST(length(format('{:b}', $v)) - 1 AS BIGINT) * $k " +
       s"+ (($v - (CAST(1 AS BIGINT) << (length(format('{:b}', $v)) - 1))) " +
-      s"* $k) // (CAST(1 AS BIGINT) << (length(format('{:b}', $v)) - 1)) END"
+      s"* $k) // (CAST(1 AS BIGINT) << (length(format('{:b}', $v)) - 1)) " +
+      s"ELSE CAST(length(format('{:b}', $v)) - 1 AS BIGINT) * $k " +
+      s"+ least(CAST(${k - 1} AS BIGINT), " +
+      s"($v - (CAST(1 AS BIGINT) << (length(format('{:b}', $v)) - 1))) " +
+      s"// ((CAST(1 AS BIGINT) << (length(format('{:b}', $v)) - 1)) // $k)) " +
+      s"END"
 
   /** Shared q110/q112 oracle: the sketch itself, register-level. */
   private def hdrSketchOracleSql: String =
@@ -2523,11 +2532,11 @@ object SparkEntry {
         |       ELSE text END AS text
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, 'https?://([a-z0-9.-]+)'))
+        |  CAST(len(regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)'))
         |    AS BIGINT) AS n_urls
         |FROM inj
         |WHERE NOT list_has_any(
-        |  regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1),
+        |  regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1),
         |  ['spam0.example', 'spam1.example', 'spam2.example',
         |   'spam3.example', 'spam4.example', 'spam5.example',
         |   'spam6.example'])""".stripMargin,

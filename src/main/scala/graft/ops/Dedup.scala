@@ -87,11 +87,19 @@ object Dedup {
     */
   def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, perms: Int = 64,
-                   bands: Int = 16): DataFrame =
+                   bands: Int = 16): DataFrame = {
+    // the banding params ride on the bhs column's metadata so save()
+    // records what the index was BUILT with, not what its caller
+    // happened to pass (metadata survives select/filter/union)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("shingleN", shingleN.toLong).putLong("perms", perms.toLong)
+      .putLong("bands", bands.toLong).build()
     docs.select(col(idCol).as("id"),
         Text.shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("bhs", graft.functions.TextExpressions.minhashBandHashes(
-        col("sh"), perms, bands))
+      .select(col("id"), col("sh"),
+        graft.functions.TextExpressions.minhashBandHashes(
+          col("sh"), perms, bands).as("bhs", md))
+  }
 
   /** Durable [[minhashIndex]]: save the (id, sh, bhs) relation as
     * parquet. Pairs with [[minhashIndexAppend]] for build-once,
@@ -101,8 +109,21 @@ object Dedup {
     * silently corrupting the bucket space. */
   def minhashIndexSave(index: DataFrame, path: String, shingleN: Int = 3,
                        perms: Int = 64, bands: Int = 16): Unit = {
+    // prefer the build params carried on the index itself (bhs column
+    // metadata, written by [[minhashIndex]]) over this call's
+    // arguments — a save that defaulted its params after a non-default
+    // build would otherwise record a lie and give append validation
+    // false confidence
+    val m = index.schema.fields.find(_.name == "bhs").map(_.metadata)
+    val (s, p, b) = m match {
+      case Some(md) if md.contains("shingleN") && md.contains("perms") &&
+          md.contains("bands") =>
+        (md.getLong("shingleN").toInt, md.getLong("perms").toInt,
+          md.getLong("bands").toInt)
+      case _ => (shingleN, perms, bands)
+    }
     index.write.mode("overwrite").parquet(path)
-    writeParams(index.sparkSession, path, shingleN, perms, bands)
+    writeParams(index.sparkSession, path, s, p, b)
   }
 
   /** Append a new batch to a saved index WITHOUT rebuilding: only the

@@ -164,15 +164,29 @@ object Sketch {
     * that silently folded sign would misreport every percentile. */
   def hdrBucket(valueCol: String, k: Int = 16): Column = {
     require(k >= 1, "k must be >= 1")
+    // For e ≥ 32 the multiply-first sub ((v−2^e)·k) DIV 2^e can
+    // overflow BIGINT (silently wrapping in non-ANSI Spark, erroring
+    // in the DuckDB oracle), so large decades divide FIRST:
+    // (v−2^e) DIV (2^e DIV k) — bit-identical when k divides 2^e
+    // (any power-of-two k, e ≥ log2 k), and clamped to k−1 so the
+    // sub-bucket invariant sub ∈ [0, k) holds for every k.
     expr(
       s"""CASE
          |  WHEN $valueCol < 0 THEN CAST(raise_error(
          |    'hdr sketch requires non-negative values') AS BIGINT)
          |  WHEN $valueCol = 0 THEN CAST(-1 AS BIGINT)
-         |  ELSE CAST(length(bin($valueCol)) - 1 AS BIGINT) * $k
+         |  WHEN length(bin($valueCol)) - 1 < 32 THEN
+         |    CAST(length(bin($valueCol)) - 1 AS BIGINT) * $k
          |    + (($valueCol - shiftleft(CAST(1 AS BIGINT),
          |         length(bin($valueCol)) - 1)) * $k)
          |      DIV shiftleft(CAST(1 AS BIGINT), length(bin($valueCol)) - 1)
+         |  ELSE
+         |    CAST(length(bin($valueCol)) - 1 AS BIGINT) * $k
+         |    + least(CAST(${k - 1} AS BIGINT),
+         |        ($valueCol - shiftleft(CAST(1 AS BIGINT),
+         |           length(bin($valueCol)) - 1))
+         |        DIV (shiftleft(CAST(1 AS BIGINT),
+         |           length(bin($valueCol)) - 1) DIV $k))
          |END""".stripMargin)
   }
 

@@ -271,11 +271,17 @@ object Text {
   val UrlPattern = "https?://([a-z0-9.-]+)"
 
   /** Per-document URL profile: every URL host mentioned + the count —
-    * one codegen'd projection inside the scan (no shuffle, no UDF). */
-  def urlProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * one codegen'd projection inside the scan (no shuffle, no UDF).
+    * Matching runs over the lowercased text so `HTTPS://HOST` and
+    * mixed-case hosts are seen (URL schemes and hosts are
+    * case-insensitive per RFC 3986); extracted domains come out
+    * lowercased. */
+  def urlProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
     docs.select(col(idCol),
-      regexp_extract_all(col(textCol), lit(UrlPattern), lit(1)).as("domains"),
-      regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"))
+      regexp_extract_all(t, lit(UrlPattern), lit(1)).as("domains"),
+      regexp_count(t, lit(UrlPattern)).cast("long").as("n_urls"))
+  }
 
   /** C4-style domain-blocklist filter: drop every document that
     * mentions a URL whose host is on the blocklist. The blocklist
@@ -287,13 +293,15 @@ object Text {
   def urlFilter(docs: DataFrame, idCol: String, textCol: String,
                 blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "empty blocklist filters nothing")
-    val domains =
-      regexp_extract_all(col(textCol), lit(UrlPattern), lit(1))
+    // lowercase both sides: hosts are case-insensitive, and a
+    // mixed-case 'HTTPS://SPAM.EXAMPLE' must not slip past the gate
+    val t = lower(col(textCol))
+    val domains = regexp_extract_all(t, lit(UrlPattern), lit(1))
     docs
       .withColumn("n_urls",
-        regexp_count(col(textCol), lit(UrlPattern)).cast("long"))
+        regexp_count(t, lit(UrlPattern)).cast("long"))
       .where(!arrays_overlap(domains,
-        array(blockedDomains.map(lit): _*)))
+        array(blockedDomains.map(d => lit(d.toLowerCase)): _*)))
   }
 
   def contaminated(docs: DataFrame, idCol: String, textCol: String,
