@@ -818,6 +818,25 @@ object SparkEntry {
         .select(col("doc_id"), col("n_urls"))
     }),
 
+    // ---- substring-level exact dedup (Lee et al. 2022 ExactSubstr):
+    //      two spans planted across many docs; every occurrence after
+    //      the first is excised as part of a maximal repeated span.
+    //      Sorted k-window grouping — never all-pairs, never a suffix
+    //      array ----
+    "q114_substring_dedup" -> ((sp, dir) => {
+      val injected = Tables.t(sp, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 3,
+          concat(col("text"), functions.lit(
+            " lorem ipsum dolor sit amet consectetur adipiscing elit sed do")))
+          .when(col("doc_id") % 10 === 7,
+            concat(col("text"), functions.lit(
+              " pack my box with five dozen liquor jugs today")))
+          .otherwise(col("text")).as("text"))
+      ops.Dedup.exciseRepeatedSpans(injected, "doc_id", "text", k = 6)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_removed"))
+    }),
+
     // ---- benchmark decontamination: docs sharing any 3-gram with the
     //      "benchmark" (docs 0-4); broadcast semi-join, no corpus
     //      shuffle ----
@@ -2540,6 +2559,44 @@ object SparkEntry {
         |  ['spam0.example', 'spam1.example', 'spam2.example',
         |   'spam3.example', 'spam4.example', 'spam5.example',
         |   'spam6.example'])""".stripMargin,
+
+    // replays the full substring-dedup pass: per-position 6-token
+    // window md5s, first-occurrence keeper via row_number over the
+    // window hash, run-grouping to maximal spans, anti-join excision
+    "q114_substring_dedup" ->
+      raw"""WITH inj AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 3 THEN text ||
+         |         ' lorem ipsum dolor sit amet consectetur adipiscing elit sed do'
+         |       WHEN doc_id % 10 = 7 THEN text ||
+         |         ' pack my box with five dozen liquor jugs today'
+         |       ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+') AS a FROM inj),
+         |st AS (SELECT doc_id, a, unnest(generate_series(0, len(a) - 1)) AS pos FROM t),
+         |tok AS (SELECT doc_id, pos, a[pos + 1] AS token FROM st),
+         |win AS (SELECT doc_id, pos,
+         |          md5(array_to_string(a[pos + 1 : pos + 6], ' ')) AS h
+         |        FROM st WHERE pos + 6 <= len(a)),
+         |mk AS (SELECT doc_id, pos FROM (
+         |         SELECT doc_id, pos,
+         |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |         FROM win) WHERE rn > 1),
+         |rg AS (SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |       FROM mk),
+         |spn AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+         |        FROM rg GROUP BY doc_id, grp),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM
+         |         (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spn)),
+         |kept AS (SELECT tok.doc_id, tok.pos, tok.token FROM tok
+         |         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+         |ag AS (SELECT doc_id, md5(string_agg(token, ' ' ORDER BY pos)) AS clean_md5,
+         |              count(*) AS n_kept
+         |       FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(ag.clean_md5, md5('')) AS clean_md5,
+         |  CAST(coalesce(ag.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(t.a) - coalesce(ag.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN ag USING (doc_id)""".stripMargin,
 
     // the bloom pre-filter has no false negatives and survivors are
     // exactly verified, so q82 ≡ q58

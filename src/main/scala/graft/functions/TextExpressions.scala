@@ -247,6 +247,55 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** md5 hex of EVERY n-token window of a token array, in position
+    * order: element i = md5 of tokens i..i+n−1 joined by one space, so
+    * `posexplode` of the result yields (window start, hash) directly.
+    * Fewer than n tokens → empty array (a doc too short to hold one
+    * window has no substring-dedup surface). Unlike [[WordShingles]]
+    * this keeps EVERY occurrence (no distinct) — position identity is
+    * the point. One flat loop, one md5 per window; md5 so the SQL
+    * oracle replays the keys bit-for-bit.
+    */
+  case class WordWindowHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0, "window must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val space = UTF8String.fromString(" ")
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private val hexDigits = "0123456789abcdef".toCharArray
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m < n) return new GenericArrayData(new Array[AnyRef](0))
+      val toks = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val md = mdTL.get()
+      val out = new Array[AnyRef](m - n + 1)
+      i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
+        val d = md.digest(UTF8String.concatWs(space, parts: _*).getBytes)
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+          hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+          b += 1
+        }
+        out(i) = UTF8String.fromString(new String(hex))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Rendezvous (HRW) shard argmax in ONE loop: weight(s) = the first
     * 32 md5 bits of "id#s" (unsigned), winner = max weight, ties to
     * the HIGHER shard index — exactly the column formulation
@@ -289,6 +338,10 @@ object TextExpressions {
 
   def wordShingles(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
+
+  def wordWindowHashes(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      WordWindowHashes(GraftSqlBridge.expression(tokens), n))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(

@@ -370,4 +370,88 @@ object Dedup {
     sh.unpersist()
     result
   }
+
+  // --------------------------------------------------------------------
+  // Substring-level exact dedup (the ExactSubstr pass of Lee et al.
+  // 2022, "Deduplicating Training Data Makes Language Models Better"):
+  // a span of ≥ k tokens appearing at more than one (doc, position) is
+  // repeated text — ads, licence boilerplate, templated headers —
+  // even when the surrounding documents are entirely distinct, which
+  // is exactly what document-level MinHash cannot see.
+  //
+  // Spark shape (suffix arrays don't distribute; sorted k-window
+  // grouping does): every k-token window hashes to md5 inside the scan
+  // projection (one custom-expression pass, position = array index), a
+  // window row_number partitioned by hash marks every occurrence after
+  // the first — the canonical keeper is the lexicographically smallest
+  // (id, pos), so exactly one copy of every repeated span survives —
+  // and per-doc run-grouping of marked window starts yields MAXIMAL
+  // spans (consecutive duplicated k-windows chain into one long span,
+  // the suffix-array property recovered relationally). Never all-pairs:
+  // the only shuffles are hash-partitioned (by window hash, then by
+  // doc), each carrying (id, pos, 32-byte md5) — ~corpus-sized, the
+  // honest floor for this op at 100 TB.
+  // --------------------------------------------------------------------
+
+  /** All k-token windows of every doc: (id, pos, h) with h = md5 of
+    * the window's space-joined tokens. Docs shorter than k tokens
+    * contribute nothing. */
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.TextExpressions.wordWindowHashes(
+        Text.tokens(col(textCol)), k)).as(Seq("pos", "h")))
+
+  /** Maximal repeated spans, excluding each span's first occurrence:
+    * (id, start, end) token-position ranges (inclusive) where every
+    * k-window inside the range also occurs at a smaller (id, pos).
+    * `start`/`end` index the doc's whitespace tokens, 0-based. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 20): DataFrame = {
+    require(k >= 2, "a repeated span needs at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val win = windowHashes(docs, idCol, textCol, k)
+    val marked = win
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy(col("id"), col("pos"))))
+      .where(col("rn") > 1)
+      .select("id", "pos")
+    marked
+      .withColumn("grp",
+        col("pos") - row_number().over(
+          Window.partitionBy("id").orderBy(col("pos"))))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("end"))
+      .select("id", "start", "end")
+  }
+
+  /** Excise repeated spans: every token covered by a non-first
+    * duplicated k-window is removed; the surviving tokens re-join with
+    * single spaces. Returns one row per input doc —
+    * (id, clean_text, n_kept, n_removed) — fully-excised docs come
+    * back with empty text, short docs untouched. The first occurrence
+    * of every repeated span survives verbatim, so corpus content is
+    * never lost, only de-repeated. */
+  def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 20): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "token")))
+    val covered = repeatedSpans(docs, idCol, textCol, k)
+      .select(col("id"), explode(sequence(col("start"), col("end"))).as("pos"))
+      .dropDuplicates("id", "pos") // adjacent runs may cover overlapping tokens
+    val agg = tok.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x("token")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("id"), Text.tokenCount(col(textCol)).as("n_total"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

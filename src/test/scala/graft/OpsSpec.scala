@@ -155,6 +155,33 @@ class OpsSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("substring dedup: cross-doc and within-doc spans excised, first kept") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a b c d e f g h"),           // first occurrence of "a b c d e f"
+      (2L, "x y a b c d e f q"),         // later occurrence — excised
+      (3L, "p q r s p q r s"),           // within-doc repeat of "p q r s"
+      (4L, "too short"),                 // < k tokens: untouched
+      (5L, "a b c d e f")                // the whole doc is a later copy
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.repeatedSpans(fix, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 2: windows 2,3,4 duplicated → one maximal span of tokens 2..7
+    // doc 3: window 4 duplicated → tokens 4..7
+    // doc 5: windows 0,1,2 duplicated → tokens 0..5 (everything)
+    assert(spans == Set((2L, 2L, 7L), (3L, 4L, 7L), (5L, 0L, 5L)))
+
+    val clean = Dedup.exciseRepeatedSpans(fix, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(clean(1L) == (("a b c d e f g h", 8L, 0L)), "first occurrence intact")
+    assert(clean(2L) == (("x y q", 3L, 6L)))
+    assert(clean(3L) == (("p q r s", 4L, 4L)))
+    assert(clean(4L) == (("too short", 2L, 0L)))
+    assert(clean(5L) == (("", 0L, 6L)), "fully-excised doc returns empty text")
+  }
+
   test("exact dedup groups identical content") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
