@@ -837,6 +837,24 @@ object SparkEntry {
           col("n_kept"), col("n_removed"))
     }),
 
+    // ---- learned quality classifier (fastText shape): templated spam
+    //      planted on doc_id%5==2, hashed-ngram weights trained on the
+    //      even-id half in one counting pass, every doc scored by a
+    //      zero-shuffle expression ----
+    "q115_quality_classifier" -> ((sp, dir) => {
+      val spam = "click here to claim your free prize winner bonus offer now"
+      val labeled = Tables.t(sp, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 2,
+          concat_ws(" ", functions.lit(spam), functions.lit(spam), functions.lit(spam),
+            concat(functions.lit("ref"), col("doc_id").cast("string"))))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 5 === 2, 0L).otherwise(1L).as("label"))
+      val w = ops.Text.trainQualityWeights(
+        labeled.where(col("doc_id") % 2 === 0), "text", "label", buckets = 1024)
+      ops.Text.scoreQuality(labeled, "doc_id", "text", w)
+        .select(col("doc_id"), col("label"), col("score"), col("pred"))
+    }),
+
     // ---- benchmark decontamination: docs sharing any 3-gram with the
     //      "benchmark" (docs 0-4); broadcast semi-join, no corpus
     //      shuffle ----
@@ -2597,6 +2615,46 @@ object SparkEntry {
          |  CAST(coalesce(ag.n_kept, 0) AS BIGINT) AS n_kept,
          |  CAST(len(t.a) - coalesce(ag.n_kept, 0) AS BIGINT) AS n_removed
          |FROM t LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    // replays classifier training and scoring: same md5u32 buckets,
+    // same floor-log2 count-difference weights over the even-id
+    // training half, same integer score sum
+    "q115_quality_classifier" ->
+      raw"""WITH lab AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 2 THEN
+         |    'click here to claim your free prize winner bonus offer now ' ||
+         |    'click here to claim your free prize winner bonus offer now ' ||
+         |    'click here to claim your free prize winner bonus offer now ' ||
+         |    'ref' || CAST(doc_id AS VARCHAR)
+         |  ELSE text END AS text,
+         |  CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 END AS label
+         |  FROM documents),
+         |tk AS (SELECT doc_id, label,
+         |  regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+') AS a
+         |  FROM lab),
+         |pos AS (SELECT doc_id, label, a,
+         |          unnest(generate_series(0, len(a) - 1)) AS i FROM tk),
+         |feat AS (
+         |  SELECT doc_id, label,
+         |    CAST('0x' || substr(md5(a[i + 1]), 1, 8) AS BIGINT) % 1024 AS b
+         |  FROM pos
+         |  UNION ALL
+         |  SELECT doc_id, label,
+         |    CAST('0x' || substr(md5(a[i + 1] || ' ' || a[i + 2]), 1, 8) AS BIGINT) % 1024 AS b
+         |  FROM pos WHERE i + 2 <= len(a)),
+         |w AS (SELECT b,
+         |        (length(format('{:b}', CAST(np + 1 AS BIGINT))) - 1)
+         |      - (length(format('{:b}', CAST(nn + 1 AS BIGINT))) - 1) AS w
+         |      FROM (SELECT b,
+         |              sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+         |              sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nn
+         |            FROM feat WHERE doc_id % 2 = 0 GROUP BY b)),
+         |sc AS (SELECT f.doc_id, sum(w.w) AS score
+         |       FROM feat f JOIN w ON f.b = w.b GROUP BY f.doc_id)
+         |SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+         |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id""".stripMargin,
 
     // the bloom pre-filter has no false negatives and survivors are
     // exactly verified, so q82 ≡ q58

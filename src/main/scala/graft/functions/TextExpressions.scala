@@ -296,6 +296,50 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** fastText-shaped hashed n-gram linear score in ONE loop over the
+    * token array: every unigram and adjacent bigram hashes into a
+    * weight bucket (first 32 md5 bits mod `weights.length` — the same
+    * md5u32 rule the sampling ops use, so DuckDB replays the bucket
+    * arithmetic bit-for-bit) and the row's score is the plain integer
+    * sum of the bucket weights. Weights are trained once (bounded by
+    * the bucket count) and embedded in the expression, so scoring is a
+    * zero-shuffle scan projection — the shape a 100 TB quality filter
+    * needs.
+    */
+  case class HashedNgramScore(child: Expression, weights: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    require(weights.nonEmpty, "need at least one weight bucket")
+    override def dataType: DataType = LongType
+    private val space = UTF8String.fromString(" ")
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private def bucket(md: java.security.MessageDigest, s: UTF8String): Int = {
+      val d = md.digest(s.getBytes)
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (u32 % weights.length).toInt
+    }
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val md = mdTL.get()
+      var score = 0L
+      var i = 0
+      while (i < m) {
+        val t = arr.getUTF8String(i)
+        score += weights(bucket(md, t))
+        if (i + 1 < m)
+          score += weights(bucket(md,
+            UTF8String.concatWs(space, t, arr.getUTF8String(i + 1))))
+        i += 1
+      }
+      score
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Rendezvous (HRW) shard argmax in ONE loop: weight(s) = the first
     * 32 md5 bits of "id#s" (unsigned), winner = max weight, ties to
     * the HIGHER shard index — exactly the column formulation
@@ -342,6 +386,10 @@ object TextExpressions {
   def wordWindowHashes(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(
       WordWindowHashes(GraftSqlBridge.expression(tokens), n))
+
+  def hashedNgramScore(tokens: Column, weights: Array[Long]): Column =
+    GraftSqlBridge.column(
+      HashedNgramScore(GraftSqlBridge.expression(tokens), weights))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(

@@ -91,6 +91,68 @@ object Text {
     (length(text) >= 100) && (tokenCount(text) >= 15) &&
       (stopwordCount(text) >= 1) && (punctCount(text) * 10 < length(text))
 
+  // ------------------------------------------------------------------
+  // Learned quality classifier — the fastText/CCNet shape: hashed
+  // unigram+bigram features, a linear integer score, trained by ONE
+  // distributed counting pass. Everything is md5/floor-log2 integer
+  // arithmetic so the DuckDB oracle replays training AND scoring
+  // bit-for-bit (no float anywhere).
+  // ------------------------------------------------------------------
+
+  /** Feature buckets of a document: every unigram and adjacent bigram
+    * of `tokens(text)`, hashed by the shared md5u32 rule (first 8 md5
+    * hex chars as an integer) mod `buckets`. Used by the training
+    * pass; scoring runs the same rule inside one loop
+    * ([[graft.functions.TextExpressions.HashedNgramScore]]).
+    */
+  def hashedNgramFeatures(text: Column, buckets: Int): Column = {
+    require(buckets > 0, "need at least one bucket")
+    def b(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets
+    val toks = tokens(text)
+    val nbi = greatest(size(toks) - 1, lit(0))
+    val uni = transform(toks, t => b(t))
+    val bi = zip_with(slice(toks, lit(1), nbi), slice(toks, lit(2), nbi),
+      (x, y) => b(concat_ws(" ", x, y)))
+    concat(uni, bi)
+  }
+
+  /** One-pass distributed training: per-bucket occurrence counts by
+    * class, weight = floor-log2(pos+1) − floor-log2(neg+1) — the
+    * integer log-odds of a multinomial naive-Bayes / linear filter.
+    * One explode + one map-side-combined groupBy over the training
+    * docs; the result is bounded by `buckets` (the only collect),
+    * never by the corpus. `labelCol` must be 1 (quality) / 0 (junk).
+    */
+  def trainQualityWeights(train: DataFrame, textCol: String,
+                          labelCol: String, buckets: Int = 1024): Array[Long] = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val rows = train
+      .select(col(labelCol).cast("long").as("y"),
+        explode(hashedNgramFeatures(col(textCol), buckets)).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+      .select(col("b"), (flog2(col("np") + 1) - flog2(col("nn") + 1)).as("w"))
+      .collect()
+    val w = new Array[Long](buckets)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
+
+  /** Score every document with trained weights: one zero-shuffle scan
+    * projection (score = integer sum of bucket weights over all
+    * unigram+bigram features), `pred` = score > 0. Weights ride into
+    * the expression as a literal array — nothing joins, nothing
+    * broadcasts, the filter costs one pass at any corpus size.
+    */
+  def scoreQuality(docs: DataFrame, idCol: String, textCol: String,
+                   weights: Array[Long]): DataFrame =
+    docs.withColumn("score",
+        graft.functions.TextExpressions.hashedNgramScore(
+          tokens(col(textCol)), weights))
+      .withColumn("pred", (col("score") > 0).cast("long"))
+
   // language-ID marker words, distinct-count scored; priority-ordered
   // CASE keeps ties deterministic and SQL-replicable
   private val MarkersEn = Seq("the", "and", "of", "to", "in", "is", "was", "with")

@@ -182,6 +182,31 @@ class OpsSpec extends GraftSpec {
     assert(clean(5L) == (("", 0L, 6L)), "fully-excised doc returns empty text")
   }
 
+  test("learned quality classifier separates planted junk from text") {
+    import spark.implicits._
+    val spam = "buy now free prize click here winner bonus"
+    val good = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "a study of language models shows that data quality matters most",
+      "the weather in the valley was mild and the harvest came early",
+      "she walked to the market and bought fresh bread for the family")
+    val docs = (good.zipWithIndex.map { case (t, i) => (i.toLong, t, 1L) } ++
+      (10L to 13L).map(i => (i, s"$spam $spam doc$i", 0L))).toDF("doc_id", "text", "label")
+    val w = Text.trainQualityWeights(docs, "text", "label", buckets = 256)
+    assert(w.length == 256)
+    val scored = Text.scoreQuality(docs, "doc_id", "text", w)
+      .select("doc_id", "label", "score", "pred")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    scored.foreach { case (id, label, score, pred) =>
+      assert(pred == label, s"doc $id: score $score pred $pred != label $label")
+    }
+    // unseen doc built from the good vocabulary still scores positive
+    val fresh = Seq((99L, "the fox walked to the river and the dog followed"))
+      .toDF("doc_id", "text")
+    val f = Text.scoreQuality(fresh, "doc_id", "text", w).select("pred").head.getLong(0)
+    assert(f == 1L)
+  }
+
   test("exact dedup groups identical content") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
