@@ -1306,6 +1306,69 @@ object SparkEntry {
         "n", "name", "r")
     }),
 
+    // ---- durable-store GDPR: delete every fact about 1-in-4 subjects
+    //      (tombstone write only — nothing rewritten), load masks them,
+    //      BGP ≡ a store never containing those subjects ----
+    "q116_store_delete" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q116").toString
+      TripleDb.save(Tables.nationDb(sp, dir), tmp)
+      val gone = Tables.t(sp, dir, "nation")
+        .where(col("n_nationkey") % 4 === 1)
+        .select(uriCol(concat(functions.lit("nation/"),
+          col("n_nationkey").cast("string"))).as("s"))
+      TripleDb.deleteSubjects(sp, tmp, gone)
+      sel(TripleDb.load(sp, tmp), Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
+    // ---- durable-store compaction: delete the n_name facts of one
+    //      region's nations (only the pred=n_name partition is
+    //      affected), compact (affected files rewritten, the rest
+    //      byte-stable — spec-pinned), load, BGP ----
+    "q117_store_compact" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q117").toString
+      TripleDb.save(Tables.nationDb(sp, dir), tmp)
+      val doomed = Tables.t(sp, dir, "nation")
+        .where(col("n_regionkey") === 0)
+        .select(uriCol(concat(functions.lit("nation/"),
+          col("n_nationkey").cast("string"))).as("s"),
+          Term.lit(TKeyword("n_name")).as("p"),
+          Term.fromRaw(col("n_name"),
+            org.apache.spark.sql.types.StringType).as("o"))
+      TripleDb.deleteTriples(doomed, tmp)
+      TripleDb.compact(sp, tmp)
+      sel(TripleDb.load(sp, tmp), Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
+    // ---- dict-store GDPR: same contract through the long-keyed
+    //      layout — tombstoned encoded triples masked at load, then
+    //      physically compacted pruned to the affected pid partition ----
+    "q118_dict_delete" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q118").toString
+      val built = Tables.nationDb(sp, dir).dictEncode()
+      val tbl = s"graft_q118_dict_${math.abs(tmp.hashCode)}"
+      graft.core.DictDb.save(built, tmp, tbl)
+      built.unpersist()
+      val doomed = Tables.t(sp, dir, "nation")
+        .where(col("n_nationkey") % 2 === 0)
+        .select(graft.core.DictDb.idOf(uriCol(concat(functions.lit("nation/"),
+          col("n_nationkey").cast("string")))).as("s"),
+          functions.lit(graft.core.DictDb.termId(TKeyword("n_name"))).as("p"),
+          graft.core.DictDb.idOf(Term.fromRaw(col("n_name"),
+            org.apache.spark.sql.types.StringType)).as("o"))
+      graft.core.DictDb.deleteTriples(doomed, tmp)
+      graft.core.DictDb.compact(sp, tmp)
+      selD(graft.core.DictDb.load(sp, tmp, tbl), Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- multimodal: resize/re-encode stage bounds payload bytes
     //      (partition-preserving byte transform; UTF-8 text payloads so
     //      the oracle can derive the clamped lengths) ----
@@ -2358,6 +2421,25 @@ object SparkEntry {
       """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
         |  'u|region/' || n_regionkey AS r
         |FROM nation""".stripMargin,
+
+    // q47 over a store that never contained the deleted subjects
+    "q116_store_delete" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation WHERE n_nationkey % 4 <> 1""".stripMargin,
+
+    // deleting region-0 nations' n_name facts removes them from the
+    // two-pattern join; compaction must not change the answer
+    "q117_store_compact" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation WHERE n_regionkey <> 0""".stripMargin,
+
+    // dict layout, even-keyed nations' n_name facts deleted+compacted
+    "q118_dict_delete" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation WHERE n_nationkey % 2 = 1""".stripMargin,
 
     "q54_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -240,10 +240,31 @@ object DictDb {
     * over the keyword ids — partition values are a metadata-only
     * query), per-slice stats from parquet metadata, dict read bucketed.
     */
+  /** GDPR-style takedown for a [[save]]d dict store: append the doomed
+    * encoded triples (long columns s/p/o) to the tombstone set under
+    * the triples dir. [[load]] masks them; [[compact]] reclaims the
+    * space. Dict entries for terms that no longer occur are left in
+    * place — a dictionary maps ids it has ever issued and an orphan
+    * entry can never resurface a deleted fact (decode joins start from
+    * the triples side).
+    */
+  def deleteTriples(triples: DataFrame, path: String): Unit =
+    Tombstones.append(
+      triples.select(col("s"), col("p"), col("o"), col("p").as("pid")),
+      s"$path/triples")
+
+  /** Physically drop tombstoned triples, pruned to the affected
+    * predicate-id partitions; only files holding a deleted triple are
+    * rewritten. */
+  def compact(spark: SparkSession, path: String): Unit =
+    Tombstones.compactPartitioned(spark, s"$path/triples",
+      Seq("s", "p", "o"), "pid")
+
   def load(spark: SparkSession, path: String, dictTable: String): DictDb = {
-    val raw = spark.read.parquet(s"$path/triples")
+    val raw0 = spark.read.parquet(s"$path/triples")
+    val raw = Tombstones.mask(spark, s"$path/triples", raw0, Seq("s", "p", "o"))
     val dict = spark.table(dictTable)
-    val pids = raw.select("pid").distinct().collect().map(_.getLong(0))
+    val pids = raw0.select("pid").distinct().collect().map(_.getLong(0))
     val names = dict
       .where(col("id").isin(pids.toIndexedSeq: _*) &&
         col("term.kind") === Term.KKeyword)

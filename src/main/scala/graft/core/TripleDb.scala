@@ -110,6 +110,39 @@ object TripleDb {
       .bucketBy(buckets, "sk").sortBy("sk")
       .saveAsTable(table)
 
+  /** GDPR-style takedown for a [[save]]d store: append the doomed
+    * triples (s/p/o [[Term]] structs) to the tombstone set — one tiny
+    * write, nothing in the store is rewritten. [[load]] masks
+    * tombstoned triples; [[compact]] reclaims the space physically.
+    * The tombstones carry the predicate partition value so compaction
+    * prunes to the affected `pred=` directories.
+    */
+  def deleteTriples(triples: DataFrame, path: String): Unit = {
+    val predName = when(col("p.kind") === Term.KKeyword, col("p.lex"))
+      .otherwise(lit("__other"))
+    Tombstones.append(
+      triples.select(col("s"), col("p"), col("o"), predName.as("pred")), path)
+  }
+
+  /** Delete EVERY fact about the given subjects (the usual takedown
+    * unit): one masked scan of the store finds their live triples,
+    * which become the tombstones. `subjects` needs a Term-struct
+    * column `s`.
+    */
+  def deleteSubjects(spark: SparkSession, path: String,
+                     subjects: DataFrame): Unit =
+    deleteTriples(
+      load(spark, path).df.join(subjects.select("s"), Seq("s"), "left_semi"),
+      path)
+
+  /** Physically drop tombstoned triples: only the affected predicate
+    * partitions are scanned and only files holding a deleted triple are
+    * rewritten — untouched predicate partitions stay byte-stable
+    * (spec-pinned). Load before and after are equivalent.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    Tombstones.compactPartitioned(spark, path, Seq("s", "p", "o"), "pred")
+
   /** Save as JSON-lines — one `{"s":{…},"p":{…},"o":{…}}` object per
     * line. Schema-exact interchange sink: JSON escaping handles any
     * lexical content (tabs, newlines, quotes, unicode), unlike an
@@ -129,9 +162,11 @@ object TripleDb {
   /** Load a [[save]]d store, rebuilding the predicate index from the
     * partition directories (slices prune partitions at scan time). */
   def load(spark: SparkSession, path: String): TripleDb = {
-    val raw = spark.read.parquet(path)
+    val raw0 = spark.read.parquet(path)
+    // deleted-but-not-yet-compacted triples are masked at read
+    val raw = Tombstones.mask(spark, path, raw0, Seq("s", "p", "o"))
     // metadata-only job: distinct values of a partition column
-    val preds = raw.select("pred").distinct().collect()
+    val preds = raw0.select("pred").distinct().collect()
       .map(_.getString(0)).filter(_ != "__other")
     val slices = preds.map { name =>
       name -> raw.where(col("pred") === name).drop("pred")

@@ -131,6 +131,37 @@ class DictSpec extends GraftSpec {
       plan)
   }
 
+  test("dict-store delete: masked ≡ compacted ≡ never-containing") {
+    val built = friends.index().dictEncode()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dict_del").toString
+    val tbl = s"dictspec_del_${math.abs(tmp.hashCode)}"
+    DictDb.save(built, tmp, tbl, buckets = 4)
+    built.unpersist()
+
+    def names(d: DictDb): Set[Seq[Term]] = {
+      val q = Projections.selectDf(d, Seq(pat(?("a"), T(label), ?("n"))),
+        Seq(?("a"), ?("n")))
+      q.collect().toSeq.map(r =>
+        Seq(Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1)))).toSet
+    }
+    val before = names(DictDb.load(spark, tmp, tbl))
+    assert(before.exists(_.head == rick))
+
+    // delete rick's label fact by its encoded ids
+    import spark.implicits._
+    val doomed = Seq((DictDb.termId(rick), DictDb.termId(label),
+      DictDb.termId(before.find(_.head == rick).get(1)))).toDF("s", "p", "o")
+    DictDb.deleteTriples(doomed, tmp)
+    val masked = names(DictDb.load(spark, tmp, tbl))
+    assert(masked == before.filterNot(_.head == rick),
+      "masked load ≡ store never containing the fact")
+
+    DictDb.compact(spark, tmp)
+    assert(names(DictDb.load(spark, tmp, tbl)) == masked,
+      "compacted ≡ tombstone-masked")
+    assert(!graft.core.Tombstones.exist(spark, s"$tmp/triples"))
+  }
+
   test("merge ≡ struct-path merge (set union, cross-store terms decode)") {
     val other = db( // overlaps friends on one fact, adds new terms
       (rick, knows, katie),

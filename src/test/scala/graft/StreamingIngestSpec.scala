@@ -41,6 +41,69 @@ class StreamingIngestSpec extends GraftSpec {
     assert(plan.contains("pred=c_name") || plan.toLowerCase.contains("partitionfilters"))
   }
 
+  test("store delete: tombstone-masked ≡ compacted ≡ never-containing; " +
+    "untouched predicate partitions byte-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("triplestore_del").toString
+    val cust = Tables.t(spark, "/root/testdata/sf0.001", "customer")
+    val src = TripleDb.fromWideTable(cust, "customer", "c_custkey",
+      fks = Map("c_nationkey" -> "nation"))
+    TripleDb.save(src, dir)
+
+    def bgp(db: TripleDb) = resultSet(db, Seq(?("c"), ?("name")),
+      Seq(pat(?("c"), T(k("c_name")), ?("name"))))
+    val before = bgp(TripleDb.load(spark, dir))
+
+    // fingerprint every file of an untouched predicate partition
+    def partFiles(pred: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/pred=$pred")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // delete every fact about 1-in-5 customers (tombstone write only)
+    val gone = cust.where(col("c_custkey") % 5 === 0)
+      .select(Term.uriCol(concat(org.apache.spark.sql.functions.lit("customer/"),
+        col("c_custkey").cast("string"))).as("s"))
+    TripleDb.deleteSubjects(spark, dir, gone)
+
+    val masked = bgp(TripleDb.load(spark, dir))
+    assert(masked != before && masked.nonEmpty)
+    val expected = before.filterNot(_.head match {
+      case TUri(u) => u.stripPrefix("customer/").toLong % 5 == 0
+      case _ => false
+    })
+    assert(masked == expected, "masked load ≡ store never containing them")
+
+    TripleDb.compact(spark, dir)
+    assert(bgp(TripleDb.load(spark, dir)) == expected,
+      "compacted ≡ tombstone-masked")
+    assert(!graft.core.Tombstones.exist(spark, dir), "tombstones cleared")
+    // c_acctbal facts of deleted subjects were tombstoned too, so that
+    // partition IS affected — check an untouched one instead: __other
+    // never exists here; re-check stability on a partition with no
+    // deleted rows by deleting nothing and compacting again
+    TripleDb.compact(spark, dir) // no tombstones → no-op
+    assert(partFiles("c_acctbal").keySet.nonEmpty)
+
+    // now a predicate-scoped delete: only pred=c_name files may change
+    val stableBefore = partFiles("c_acctbal")
+    val doomed = cust.where(col("c_custkey") % 7 === 3)
+      .select(Term.uriCol(concat(org.apache.spark.sql.functions.lit("customer/"),
+        col("c_custkey").cast("string"))).as("s"),
+        Term.lit(k("c_name")).as("p"),
+        Term.fromRaw(col("c_name"),
+          org.apache.spark.sql.types.StringType).as("o"))
+    TripleDb.deleteTriples(doomed, dir)
+    TripleDb.compact(spark, dir)
+    assert(partFiles("c_acctbal") == stableBefore,
+      "untouched predicate partition byte-stable through compaction")
+    val afterScoped = bgp(TripleDb.load(spark, dir))
+    val expected2 = expected.filterNot(_.head match {
+      case TUri(u) => u.stripPrefix("customer/").toLong % 7 == 3
+      case _ => false
+    })
+    assert(afterScoped == expected2)
+  }
+
   test("streaming unpivot == batch unpivot on the same wide rows") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
