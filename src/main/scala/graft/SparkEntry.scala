@@ -204,6 +204,15 @@ object SparkEntry {
       ops.Bpe.learnMerges(Tables.t(sp, dir, "documents"), "text",
         BpeNumMerges, BpeTopWords))
 
+  /** q119's corpus-complete merge table (full dictionary, distributed
+    * per-iteration pair counts — no top-K bound). */
+  private val bpeFullMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ops.Bpe.Merge]]()
+  private def bpeFullMerges(sp: SparkSession, dir: String): Seq[ops.Bpe.Merge] =
+    bpeFullMergesCache.computeIfAbsent(dir, _ =>
+      ops.Bpe.learnMergesDistributed(Tables.t(sp, dir, "documents"), "text",
+        BpeNumMerges))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- 1-2: triple-pattern scan + BGP conjunction (join fold) ----
     "q01_bgp_select" -> ((sp, dir) => {
@@ -1236,6 +1245,14 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"),
           col("left").as("lhs"), col("right").as("rhs"))),
 
+    // ---- corpus-complete BPE learning: the same trainer with NO
+    //      top-K dictionary bound — pair counts are distributed per
+    //      iteration, only the winning pair reaches the driver ----
+    "q119_bpe_full_merges" -> ((sp, dir) =>
+      ops.Bpe.mergesDf(sp, bpeFullMerges(sp, dir))
+        .select(col("rank").cast("long").as("rank"),
+          col("left").as("lhs"), col("right").as("rhs"))),
+
     // ---- BPE subword encoding: lowest-rank-first merge loop per word
     //      (the Sennrich/GPT-2 priority algorithm — replayed merge by
     //      merge in the oracle's recursive CTE), with sorted-vocab
@@ -1535,10 +1552,11 @@ object SparkEntry {
     // ---- log compaction: event changelog → latest-state snapshot,
     //      one shuffle + streaming row_number per user ----
     "q76_compact_latest" -> ((sp, dir) =>
-      ops.AsOf.compactLatest(Tables.events(sp, dir),
-          Seq("user_id"), "ts", "event_id")
+      ops.AsOf.compactLatest(
+          streaming.Events.withTsUs(Tables.events(sp, dir)),
+          Seq("user_id"), "tus", "event_id")
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts DIV 1000").as("ts_us"),
+          col("tus").as("ts_us"),
           round(col("value") * 100).cast("long").as("cents"))),
 
     // ---- context-window chunking: 40-token windows, stride 30
@@ -1788,7 +1806,11 @@ object SparkEntry {
     * the trainer's merge application) → `merges(rank, l, r)`.
     * Tie-break everywhere: count DESC, then (l, r) ascending — exactly
     * Bpe.learnMerges' rule. */
-  private def bpeLearnCtes: String = {
+  /** `full = true` replays the corpus-complete trainer (q119): seg0
+    * is the WHOLE word dictionary, no top-K bound — byte-identical
+    * stages otherwise. */
+  private def bpeLearnCtes(full: Boolean = false): String = {
+    val dictSrc = if (full) "wc" else "topw"
     val head =
       """wc AS (
         |  SELECT w, count(*) AS n
@@ -1800,7 +1822,7 @@ object SparkEntry {
         |  SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rn FROM wc)
         |  WHERE rn <= """.stripMargin + BpeTopWords + """),
         |seg0 AS MATERIALIZED (SELECT w, n, regexp_replace(w, '(.)', '(\1)', 'g') AS seg
-        |         FROM topw)""".stripMargin
+        |         FROM """.stripMargin + dictSrc + ")"
     val stages = (1 to BpeNumMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT pr.l AS l, pr.r AS r, sum(n) AS cnt FROM (
@@ -1922,14 +1944,20 @@ object SparkEntry {
 
     // merge-table learning, replayed stage by stage
     "q103_bpe_merges" ->
-      s"""WITH $bpeLearnCtes
+      s"""WITH ${bpeLearnCtes()}
+         |SELECT CAST(rank AS BIGINT) AS rank, l AS lhs, r AS rhs
+         |FROM merges""".stripMargin,
+
+    // corpus-complete learning: identical stages, seg0 = full dict
+    "q119_bpe_full_merges" ->
+      s"""WITH ${bpeLearnCtes(full = true)}
          |SELECT CAST(rank AS BIGINT) AS rank, l AS lhs, r AS rhs
          |FROM merges""".stripMargin,
 
     // subword encoding, replayed merge by merge (recursive CTE)
     "q104_bpe_encode" ->
       s"""WITH RECURSIVE
-         |$bpeLearnCtes,
+         |${bpeLearnCtes()},
          |${bpeEncodeCtes("WHERE doc_id < 200")},
          |ptab AS (SELECT doc_id, token,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1 AS pos
@@ -1944,7 +1972,7 @@ object SparkEntry {
     // q70's packing window over real subword counts
     "q105_bpe_pack" ->
       s"""WITH RECURSIVE
-         |$bpeLearnCtes,
+         |${bpeLearnCtes()},
          |${bpeEncodeCtes("")},
          |cnt AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY doc_id),
          |t AS (SELECT d.doc_id,

@@ -30,9 +30,13 @@ object Tables {
     perSession.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader only accepts as a raw long (legacy flag); Events.withTsUs
-    * converts to integer microseconds downstream. */
+  /** The events fixture has stored its `ts` column two ways across
+    * driver versions: TIMESTAMP(NANOS), which Spark's parquet reader
+    * only accepts as a raw nanos long (legacy flag, harmless when the
+    * file is already timestamp[us]), and plain timestamp[us] (current).
+    * Downstream code must not touch `ts` raw — route through
+    * Events.withTsUs, which normalizes either shape to integer
+    * microseconds (`tus`). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")

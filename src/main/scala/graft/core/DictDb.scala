@@ -251,7 +251,7 @@ object DictDb {
   def deleteTriples(triples: DataFrame, path: String): Unit =
     Tombstones.append(
       triples.select(col("s"), col("p"), col("o"), col("p").as("pid")),
-      s"$path/triples")
+      s"$path/triples", keyCols = Seq("s", "p", "o"))
 
   /** Physically drop tombstoned triples, pruned to the affected
     * predicate-id partitions; only files holding a deleted triple are

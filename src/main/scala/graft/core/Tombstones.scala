@@ -21,25 +21,140 @@ private[graft] object Tombstones {
   val Dir = "_tombstones"
   def tombPath(store: String): String = s"$store/$Dir"
 
-  def exist(spark: SparkSession, store: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(tombPath(store))
+  /** Bloom sidecar (SURVEY §8.5.10): a Bloom filter over every
+    * tombstone key, rebuilt on each delete (cost tracks the TOMBSTONE
+    * set, not the store) and stored as an underscore-prefixed binary
+    * INSIDE the tombstone dir — invisible to parquet readers, cleared
+    * for free whenever the tombstone set clears. ~1.2 bytes/key at
+    * fpp 1%: 100 M deletes ride in ~120 MB where the raw key set is
+    * multi-GB. Masked loads use it to keep definitely-clean rows
+    * (bloom filters have NO false negatives) out of the anti-join —
+    * the join's probe side shrinks from the full store to
+    * bloom-positive rows, so the mask stays a scan-side filter even
+    * when the tombstone set outgrows a broadcast. */
+  private val BloomFile = "_bloom.bin"
+  /** Below this tombstone-set size the plain broadcast anti-join is
+    * already one scan + an in-memory probe, and the bloom's split scan
+    * would cost more than it saves — sidecar kicks in past it.
+    * Overridable (tests/Stress pin 0 to force the bloom path). */
+  val BloomMinBytesKey = "spark.graft.tombstoneBloom.minBytes"
+  private val BloomMinBytesDefault = 32L * 1024 * 1024
+
+  def exist(spark: SparkSession, store: String): Boolean =
+    existAt(spark, tombPath(store))
+
+  def existAt(spark: SparkSession, tombDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Append tombstone rows (whatever key columns the store joins on,
-    * plus its partition column for pruned compaction). */
-  def append(rows: DataFrame, store: String): Unit =
-    rows.write.mode("append").parquet(tombPath(store))
+    * plus its partition column for pruned compaction) and refresh the
+    * bloom sidecar over `keyCols`. */
+  def append(rows: DataFrame, store: String, keyCols: Seq[String]): Unit =
+    appendAt(rows, tombPath(store), keyCols)
 
-  /** The store's rows minus tombstoned ones — a broadcast-able
-    * left_anti on the key columns when tombstones exist, the identity
-    * otherwise. */
+  def appendAt(rows: DataFrame, tombDir: String,
+               keyCols: Seq[String]): Unit = {
+    rows.write.mode("append").parquet(tombDir)
+    refreshBloom(rows.sparkSession, tombDir, keyCols)
+  }
+
+  /** Rebuild `_bloom.bin` from the FULL tombstone set (append-safe:
+    * the sidecar always covers every delete so far). Distributed
+    * build via Catalyst's own BloomFilterAggregate, one bounded row
+    * out; written staging-then-rename so a concurrent load sees the
+    * old sidecar or the new one, never a torn file. */
+  def refreshBloom(spark: SparkSession, tombDir: String,
+                   keyCols: Seq[String], fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val tomb = spark.read.parquet(tombDir).select(keyCols.map(col): _*)
+    val n = tomb.count()
+    if (n == 0) return
+    val numBits = math.max(64L, math.ceil(
+      -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps to the runtime-filter bit
+    // ceiling (default 8 MB) — a clamped filter degrades fpp toward 1;
+    // raise the ceiling to the honest sizing instead
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(maxBitsKey, "67108864").toLong < numBits)
+      spark.conf.set(maxBitsKey, numBits.toString)
+    val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
+      GraftSqlBridge.expression(xxhash64(keyCols.map(col): _*)),
+      Literal(n), Literal(numBits)).toAggregateExpression())
+    val bin = tomb.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = dir.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, BloomFile + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, BloomFile)
+    val out = fs.create(tmp, true)
+    try out.write(bin) finally out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private def readBloom(spark: SparkSession,
+                        tombDir: String): Option[Array[Byte]] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(tombDir, BloomFile)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(buf)
+      } finally in.close()
+    }
+  }
+
+  private def tombBytes(spark: SparkSession, tombDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  /** The store's rows minus tombstoned ones — the identity when no
+    * tombstones exist; a broadcast-able left_anti on the key columns
+    * for small tombstone sets; past [[BloomMinBytesKey]] the bloom
+    * sidecar splits the scan so only bloom-positive rows (actual
+    * deletes + fpp) enter the anti-join and the definitely-clean bulk
+    * of the store passes as a codegen'd scan-side filter — no
+    * broadcast of a huge key set, no store-wide shuffle. The two
+    * shapes are row-identical (no false negatives; positives are
+    * exactly verified by the join). */
   def mask(spark: SparkSession, store: String, df: DataFrame,
            keyCols: Seq[String]): DataFrame =
-    if (exist(spark, store))
-      df.join(spark.read.parquet(tombPath(store))
-        .select(keyCols.map(col): _*), keyCols, "left_anti")
-    else df
+    maskAt(spark, tombPath(store), df, keyCols)
+
+  def maskAt(spark: SparkSession, tombDir: String, df: DataFrame,
+             keyCols: Seq[String]): DataFrame = {
+    if (!existAt(spark, tombDir)) return df
+    val tomb = spark.read.parquet(tombDir).select(keyCols.map(col): _*)
+    val minBytes = spark.conf
+      .get(BloomMinBytesKey, BloomMinBytesDefault.toString).toLong
+    val bloom =
+      if (tombBytes(spark, tombDir) >= minBytes) readBloom(spark, tombDir)
+      else None
+    bloom match {
+      case Some(bin) =>
+        import org.apache.spark.sql.GraftSqlBridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.types.BinaryType
+        val maybe = GraftSqlBridge.column(BloomFilterMightContain(
+          Literal(bin, BinaryType),
+          GraftSqlBridge.expression(xxhash64(keyCols.map(col): _*))))
+        df.where(!maybe).unionByName(
+          df.where(maybe).join(tomb, keyCols, "left_anti"))
+      case None =>
+        df.join(tomb, keyCols, "left_anti")
+    }
+  }
 
   /** Physically drop tombstoned rows from a `partitionBy(partCol)`
     * store. Partition-pruned: only partitions named in the tombstones

@@ -121,7 +121,8 @@ object TripleDb {
     val predName = when(col("p.kind") === Term.KKeyword, col("p.lex"))
       .otherwise(lit("__other"))
     Tombstones.append(
-      triples.select(col("s"), col("p"), col("o"), predName.as("pred")), path)
+      triples.select(col("s"), col("p"), col("o"), predName.as("pred")), path,
+      keyCols = Seq("s", "p", "o"))
   }
 
   /** Delete EVERY fact about the given subjects (the usual takedown

@@ -100,6 +100,73 @@ object Bpe {
     merges.toSeq
   }
 
+  /** [[learnMerges]] without the top-`topWords` bound: the merge table
+    * is learned from the FULL word-frequency dictionary, so long-tail
+    * subword structure participates (§8.5.8's honest limit, closed).
+    * Per iteration everything stays distributed except ONE row: the
+    * dictionary lives as a DataFrame of paren-delimited segment
+    * strings (`(c)(a)(t)`), adjacent-pair counts are a
+    * slice/arrays_zip/explode projection + one map-side-combined
+    * groupBy, the argmax is a TakeOrdered(1) with the same
+    * (count DESC, left, right) tie-break as the driver trainer, and
+    * applying the winning merge is a codegen'd `replace` of
+    * `(l)(r)` → `(lr)` — sequential non-overlapping left-to-right,
+    * exactly the driver loop's fusion rule (paren delimiters make the
+    * pair match unambiguous, so no symbol can match inside another).
+    *
+    * Scale shape: `numMerges` iterations × (one shuffle bounded by the
+    * distinct-pair space + one narrow map). The dictionary frame is
+    * persisted per iteration and the predecessor released (the
+    * pageRank discipline); on a real cluster, checkpoint every ~16
+    * iterations to cap lineage. `minCount` drops hapax words first —
+    * the standard trainer knob when the 100 TB tail is pure noise.
+    * Identical tie-breaks make this bit-equal to [[learnMerges]] with
+    * `topWords` ≥ the full vocabulary (spec-pinned).
+    */
+  def learnMergesDistributed(docs: DataFrame, textCol: String,
+                             numMerges: Int,
+                             minCount: Long = 1L): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges >= 1")
+    var seg = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("seg"), col("n"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val syms = seg.select(col("n"),
+        split(expr("trim(BOTH '()' FROM seg)"), "\\)\\(").as("s"))
+      val top = syms
+        .select(col("n"), explode(arrays_zip(
+          slice(col("s"), 1, size(col("s")) - 1).as("l"),
+          slice(col("s"), 2, size(col("s")) - 1).as("r"))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(rank, l, r)
+        // symbols are ^[a-z0-9]+$ by construction — safe to inline
+        val next = seg
+          .select(expr(s"replace(seg, '($l)($r)', '($l$r)')").as("seg"),
+            col("n"))
+          .persist()
+        next.count()
+        seg.unpersist()
+        seg = next
+        rank += 1
+      }
+    }
+    seg.unpersist()
+    merges.toSeq
+  }
+
   /** The merge table as a (rank, left, right) relation. */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._

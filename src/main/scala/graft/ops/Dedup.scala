@@ -187,20 +187,17 @@ object Dedup {
     * built over the union of every batch written so far MINUS every id
     * passed to [[minhashIndexDelete]]. */
   def minhashIndexLoad(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame = {
-    val base = spark.read.parquet(path)
-    if (tombstonesExist(spark, path))
-      base.join(spark.read.parquet(tombPath(path)), Seq("id"), "left_anti")
-    else base
-  }
+                       path: String): DataFrame =
+    // shared mask: broadcast anti-join for small tombstone sets, bloom
+    // sidecar (scan-side prefilter) once the set outgrows a broadcast
+    graft.core.Tombstones.mask(spark, path, spark.read.parquet(path),
+      Seq("id"))
 
-  private val TombDir = "_tombstones"
-  private def tombPath(path: String): String = s"$path/$TombDir"
+  private def tombPath(path: String): String =
+    graft.core.Tombstones.tombPath(path)
   private def tombstonesExist(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(tombPath(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                              path: String): Boolean =
+    graft.core.Tombstones.exist(spark, path)
 
   /** GDPR-style takedown for a durable index: append the ids to a
     * tombstone file set under an underscore-prefixed subdir (invisible
@@ -210,8 +207,9 @@ object Dedup {
     * and [[minhashIndexCompact]] reclaims the space physically. */
   def minhashIndexDelete(ids: DataFrame, path: String,
                          idCol: String = "id"): Unit =
-    ids.select(col(idCol).cast("long").as("id"))
-      .write.mode("append").parquet(tombPath(path))
+    graft.core.Tombstones.append(
+      ids.select(col(idCol).cast("long").as("id")), path,
+      keyCols = Seq("id"))
 
   /** Physically drop tombstoned rows, rewriting ONLY the parquet files
     * that contain at least one deleted id — untouched files are never
@@ -411,10 +409,20 @@ object Dedup {
     require(k >= 2, "a repeated span needs at least 2 tokens")
     import org.apache.spark.sql.expressions.Window
     val win = windowHashes(docs, idCol, textCol, k)
+    // Mark every occurrence of a k-window except its first (smallest
+    // (id, pos)). NOT a `row_number() over (partition by h)` window: a
+    // boilerplate span present in 10^8 docs (license headers — the
+    // exact thing this op removes) would put 10^8 rows in ONE window
+    // partition = one straggler task doing a full sort, and AQE cannot
+    // split window partitions. Instead: min(struct) groupBy — partial
+    // aggregation collapses each hot h to one row per map task before
+    // the shuffle — joined back on h, where AQE skew-join handling CAN
+    // split the hot probe partition.
+    val firsts = win.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
     val marked = win
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("h").orderBy(col("id"), col("pos"))))
-      .where(col("rn") > 1)
+      .join(firsts, Seq("h"))
+      .where(struct(col("id"), col("pos")) =!= col("first"))
       .select("id", "pos")
     marked
       .withColumn("grp",

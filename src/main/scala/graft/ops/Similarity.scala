@@ -555,11 +555,12 @@ object Similarity {
     // mask tombstoned vectors (ivfPqDeleteIndex) at read; the coarse
     // probe's partition pruning is unaffected (cell stays the
     // partition column under the anti-join)
-    val masked =
-      if (ivfPqTombstonesExist(spark, path))
-        codes.join(spark.read.parquet(ivfPqTombPath(path)),
-          Seq("vec_id"), "left_anti")
-      else codes
+    // shared mask: broadcast anti-join for small tombstone sets, bloom
+    // sidecar (scan-side prefilter) once the set outgrows a broadcast;
+    // cell stays the partition column under either shape, so the
+    // coarse probe's partition pruning is unaffected
+    val masked = graft.core.Tombstones.maskAt(
+      spark, ivfPqTombPath(path), codes, Seq("vec_id"))
     (masked, readCents("coarse"), readCents("pq"))
   }
 
@@ -577,8 +578,9 @@ object Similarity {
     * GDPR-takedown / re-curation maintenance op. */
   def ivfPqDeleteIndex(ids: DataFrame, path: String,
                        idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol).cast("long").as("vec_id"))
-      .write.mode("append").parquet(ivfPqTombPath(path))
+    graft.core.Tombstones.appendAt(
+      ids.select(col(idCol).cast("long").as("vec_id")),
+      ivfPqTombPath(path), keyCols = Seq("vec_id"))
 
   /** Physically drop tombstoned vectors, rewriting ONLY the cell
     * partitions that contain at least one deleted id — the other cell

@@ -16,11 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Events {
 
-  /** Normalize the event timestamp to integer microseconds (`tus`).
-    * The events parquet carries TIMESTAMP(NANOS) which Spark reads
-    * only as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) —
-    * integer `div` keeps full precision (nanos exceed 2^53, so any
-    * double detour would corrupt them).
+  /** Normalize the event timestamp to integer microseconds (`tus`),
+    * whichever way the fixture stored it: TIMESTAMP(NANOS) read as a
+    * raw long (`spark.sql.legacy.parquet.nanosAsLong`; integer `div`
+    * keeps full precision — nanos exceed 2^53, so any double detour
+    * would corrupt them) or a native timestamp[us] column (current
+    * driver fixtures). Every consumer of event time goes through here;
+    * never touch `ts` raw.
     */
   def withTsUs(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {

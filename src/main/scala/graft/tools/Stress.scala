@@ -307,6 +307,42 @@ object Stress {
       avis.unpersist()
     }
 
+    // 2d-8. ExactSubstr under hot-span skew: ONE boilerplate span
+    // planted into ~33% of the 10× corpus (the license-header case the
+    // op exists for). Round 7's keeper rule was `row_number() over
+    // (partition by h)` — every occurrence of the hot span's windows
+    // lands in one window partition = one straggler task, and AQE
+    // cannot split window partitions. The round-8 rule (map-side-
+    // combinable min(struct) + AQE-splittable equi-join) must keep the
+    // max task duration within a small factor of the median; a
+    // straggler shows up as max >> median.
+    {
+      val hot = "begin license header " + (1 to 26).map(i => s"hl$i")
+        .mkString(" ") + " end license header"
+      val seeded = reps.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(functions.lit(hot + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null) durations.add(e.taskInfo.duration)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      time(s"exactsubstr spans, hot span in 33% of ${nReps}x corpus") {
+        val n = Dedup.repeatedSpans(seeded, "doc_id", "text", k = 20).count()
+        println(s"[stress]   -> $n repeated spans")
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val ds = durations.asScala.toArray.sorted
+      if (ds.nonEmpty) {
+        val med = math.max(1L, ds(ds.length / 2))
+        println(f"[stress]   -> ${ds.length} tasks, median ${med} ms, " +
+          f"max ${ds.last} ms (max/median ${ds.last.toDouble / med}%.1f)")
+      }
+    }
+
     // 2e. dictionary-encoded store A/B (the REAL operator, DictDb): the
     // same BGPs over the 6.6M-triple fact store, struct-keyed vs
     // dict-encoded, each repeated 5× — the dict's one-time encode (dict

@@ -90,4 +90,24 @@ class BpeSpec extends GraftSpec {
       .select(sum(Bpe.tokenCount(col("text"), m))).head().getLong(0)
     assert(a == b && a > 0)
   }
+
+  test("distributed corpus-complete trainer ≡ driver trainer on the " +
+    "full dictionary (same argmax + tie-breaks)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents").where(col("doc_id") < 120)
+    // topWords far beyond the slice's vocabulary = the driver trainer
+    // sees the FULL dict too, so the two must be bit-equal
+    val driver = Bpe.learnMerges(docs, "text", 12, topWords = 1000000)
+    val dist = Bpe.learnMergesDistributed(docs, "text", 12)
+    assert(dist == driver)
+    assert(dist.size == 12 && dist.map(_.rank) == (0 until 12))
+    // the top-K trainer genuinely diverges on this corpus slice for a
+    // small K (long-tail pairs exist) — otherwise q119 would not be
+    // testing anything the bounded trainer doesn't
+    val bounded = Bpe.learnMerges(docs, "text", 12, topWords = 20)
+    assert(bounded != dist, "full-dict learning must see the tail")
+    // minCount drops hapax words from the dictionary before learning
+    val noHapax = Bpe.learnMergesDistributed(docs, "text", 4, minCount = 2)
+    assert(noHapax.size == 4)
+  }
 }

@@ -1011,4 +1011,77 @@ class OpsSpec extends GraftSpec {
     assert(out(1L) == Seq(1, 1, 1, 2, 2, 3))
     assert(out(2L) == Seq(2, 1, 0), "rare is out-of-vocabulary → 0")
   }
+
+  test("tombstone bloom sidecar: forced-bloom mask ≡ plain anti-join mask " +
+    "on minhash index, ivf-pq index, and triple store") {
+    import graft.core.Tombstones
+    // minhash index with deletes (the q108 store shape)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_mh").toString
+    Dedup.minhashIndexSave(
+      Dedup.minhashIndex(docs.where(col("doc_id") < 250), "doc_id", "text")
+        .repartition(4), tmp)
+    Dedup.minhashIndexDelete(
+      docs.where(col("doc_id") < 250 && col("doc_id") % 3 === 1)
+        .select(col("doc_id")), tmp, idCol = "doc_id")
+    // ivf-pq index with deletes
+    val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    val pqTmp = java.nio.file.Files.createTempDirectory("graft_bloom_pq").toString
+    graft.ops.Similarity.ivfPqSaveIndex(emb, centroids, centroids, pqTmp)
+    graft.ops.Similarity.ivfPqDeleteIndex(
+      emb.where(col("vec_id") % 7 === 2).select("vec_id"), pqTmp)
+    // triple store with deleted subjects (the q116 store shape)
+    val tsTmp = java.nio.file.Files.createTempDirectory("graft_bloom_ts").toString
+    val cust = Tables.t(spark, dir, "customer")
+    graft.core.TripleDb.save(graft.core.TripleDb.fromWideTable(
+      cust, "customer", "c_custkey"), tsTmp)
+    graft.core.TripleDb.deleteSubjects(spark, tsTmp,
+      spark.range(0, 200, 5).select(graft.core.Term.uriCol(
+        concat(lit("customer/"), col("id").cast("string"))).as("s")))
+
+    def mhIds() = Dedup.minhashIndexLoad(spark, tmp)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    def pqIds() = graft.ops.Similarity.ivfPqLoadIndex(spark, pqTmp)
+      ._1.select("vec_id").collect().map(_.getLong(0)).toSet
+    def tsRows() = graft.core.TripleDb.load(spark, tsTmp).df
+      .select(col("s.lex"), col("p.lex"), col("o.lex"))
+      .collect().map(_.toSeq).toSet
+
+    val (mhPlain, pqPlain, tsPlain) = (mhIds(), pqIds(), tsRows())
+    spark.conf.set(Tombstones.BloomMinBytesKey, "0")
+    try {
+      // the forced path really is the bloom split shape...
+      val p = Dedup.minhashIndexLoad(spark, tmp)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a bloom scan-side prefilter in:\n$p")
+      assert(p.contains("Union"), s"expected the clean/maybe split in:\n$p")
+      // ...and row-identical to the plain anti-join on all three stores
+      assert(mhIds() == mhPlain)
+      assert(pqIds() == pqPlain)
+      assert(tsRows() == tsPlain)
+    } finally spark.conf.unset(Tombstones.BloomMinBytesKey)
+  }
+
+  test("withTsUs normalizes BOTH events fixture shapes (nanos-long, timestamp)") {
+    import spark.implicits._
+    // the driver's events.parquet has shipped ts as TIMESTAMP(NANOS)
+    // (read as raw long) and as timestamp[us] across rounds; q76 broke
+    // in round 7 by touching ts raw. Pin that both shapes normalize to
+    // the same integer microseconds through the one blessed adapter.
+    val micros = Seq(0L, 1L, 1723500000123456L, -5L)
+    val asNanosLong = micros.map(_ * 1000L).toDF("ts")
+    val asTimestamp = micros.toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    def tus(df: org.apache.spark.sql.DataFrame): List[Long] =
+      Events.withTsUs(df).select("tus").collect().map(_.getLong(0)).toList
+    assert(tus(asNanosLong) == micros)
+    assert(tus(asTimestamp) == micros)
+    // and the real fixture (whatever shape this driver wrote) is tus-able
+    val real = Events.withTsUs(Tables.events(spark, dir))
+    assert(real.schema("tus").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(real.where(col("tus") > 0L).count() > 0)
+  }
 }

@@ -298,4 +298,23 @@ class PlanSpec extends GraftSpec {
     assert("InMemoryTableScan".r.findAllIn(p).nonEmpty,
       s"edges+outdeg must come from the persisted relation:\n$p")
   }
+
+  test("repeatedSpans: first-occurrence rule is a combinable aggregate, " +
+    "not a corpus-wide window partitioned by hash") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "x a b c d y"))
+      .toDF("doc_id", "text")
+    val p = plan(ops.Dedup.repeatedSpans(docs, "doc_id", "text", k = 4))
+    // a Window partitioned by the window-hash column serializes the
+    // hottest span (a license header in 10^8 docs) into ONE task, and
+    // AQE cannot split window partitions. The only window allowed is
+    // the per-doc run-grouping one (partition key = id, bounded by doc
+    // length). The keeper rule must be a partial-aggregable min.
+    val windowOnH = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("[h#"))
+    assert(!windowOnH, s"keeper rule must not window-partition by h:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_first") ||
+      "HashAggregate.*min".r.findAllIn(p).nonEmpty,
+      s"expected a map-side-combinable min over h:\n$p")
+  }
 }

@@ -35,7 +35,26 @@ def main(sfdir: str, outdir: str, only=None) -> int:
     names = sorted(oracle)
     if only:
         names = [n for n in names if n in only]
+    # verify_meta.json (written by graft.Verify) records the DECLARED
+    # query count and any queries that crashed during the dump. A
+    # crashing query must turn this gate red even though it has no
+    # comparable result (round 7: q76 crashed -> absent -> "117/117
+    # green" on a 118-query suite).
+    n_declared = len(names)
+    meta_failures = {}
+    try:
+        meta = json.load(open(f"{outdir}/verify_meta.json"))
+        meta_failures = meta.get("failures", {})
+        if only is None:
+            n_declared = max(n_declared, meta.get("declared", 0))
+    except FileNotFoundError:
+        pass
+    for name, err in sorted(meta_failures.items()):
+        if only is None or name in only:
+            print(f"FAIL {name}: verify crash: {err}", flush=True)
     for name in names:
+        if name in meta_failures:
+            continue  # already reported as a verify crash above
         try:
             files = glob.glob(f"{outdir}/{name}/*.parquet")
             if not files:
@@ -58,8 +77,8 @@ def main(sfdir: str, outdir: str, only=None) -> int:
                     print("  (same sets, different multiplicities)")
         except Exception as e:
             print(f"ERR  {name}: {e}", flush=True)
-    print(f"== {n_ok}/{len(names)} green ==")
-    return 0 if n_ok == len(names) else 1
+    print(f"== {n_ok}/{n_declared} green ==")
+    return 0 if n_ok == n_declared else 1
 
 
 if __name__ == "__main__":
