@@ -142,8 +142,8 @@ object Bpe {
         split(expr("trim(BOTH '()' FROM seg)"), "\\)\\(").as("s"))
       val top = syms
         .select(col("n"), explode(arrays_zip(
-          slice(col("s"), 1, size(col("s")) - 1).as("l"),
-          slice(col("s"), 2, size(col("s")) - 1).as("r"))).as("pr"))
+          slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+          slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("pr"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
