@@ -56,46 +56,120 @@ private[graft] object Tombstones {
 
   def appendAt(rows: DataFrame, tombDir: String,
                keyCols: Seq[String]): Unit = {
+    val spark = rows.sparkSession
+    // Drop the stale sidecar BEFORE the append lands: if the rebuild
+    // below dies (or a concurrent deleter's stale rename were to win a
+    // race), masked loads find no bloom — or a fingerprint mismatch —
+    // and take the plain anti-join. The failure mode is slower, never
+    // a resurrected row.
+    deleteBloom(spark, tombDir)
     rows.write.mode("append").parquet(tombDir)
-    refreshBloom(rows.sparkSession, tombDir, keyCols)
+    refreshBloom(spark, tombDir, keyCols)
   }
+
+  private def deleteBloom(spark: SparkSession, tombDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tombDir, BloomFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Order-independent fingerprint of the tombstone DATA file listing
+    * (name + length; underscore/dot files excluded). Stamped into the
+    * sidecar header at build time and recomputed on every masked load:
+    * a sidecar whose fingerprint does not match the CURRENT tombstone
+    * files is never trusted (mask falls back to the plain anti-join).
+    * A pure filesystem listing — no data scan at mask time. */
+  private def listingFingerprint(spark: SparkSession,
+                                 tombDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
+      .map { st =>
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(s"${st.getPath.getName}:${st.getLen}")
+        h.toLong * 0x9E3779B97F4A7C15L // spread sign-extended ints
+      }.sum // commutative: listing order never matters
+  }
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Sidecar layout: magic int, listing fingerprint long, bloom bytes. */
+  private val BloomMagic = 0x47424631 // "GBF1"
 
   /** Rebuild `_bloom.bin` from the FULL tombstone set (append-safe:
     * the sidecar always covers every delete so far). Distributed
     * build via Catalyst's own BloomFilterAggregate, one bounded row
     * out; written staging-then-rename so a concurrent load sees the
-    * old sidecar or the new one, never a torn file. */
+    * old sidecar or the new one, never a torn file; stamped with the
+    * covered file-listing fingerprint so a stale sidecar (concurrent
+    * append, failed refresh) self-invalidates instead of silently
+    * missing keys. */
   def refreshBloom(spark: SparkSession, tombDir: String,
                    keyCols: Seq[String], fpp: Double = 0.01): Unit = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // fingerprint FIRST, read second: a file landing in between makes
+    // the stamp stale-looking and the mask falls back — safe direction
+    val fp = listingFingerprint(spark, tombDir)
     val tomb = spark.read.parquet(tombDir).select(keyCols.map(col): _*)
     val n = tomb.count()
     if (n == 0) return
     val numBits = math.max(64L, math.ceil(
       -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // BloomFilterAggregate silently clamps to the runtime-filter bit
-    // ceiling (default 8 MB) — a clamped filter degrades fpp toward 1;
-    // raise the ceiling to the honest sizing instead
+    // BloomFilterAggregate silently clamps BOTH knobs at eval time:
+    // numBits to the runtime-filter bit ceiling (8 MB default) and
+    // estimatedNumItems to maxNumItems (4 M default). A bit-clamped
+    // filter degrades fpp toward 1; an item-clamped one derives its
+    // hash count from the clamped n against honest bits (~166 probes
+    // per row at 100 M keys). Raise both to the honest sizing for the
+    // build, then restore so unrelated runtime-filter plans in the
+    // session keep their defaults.
     val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (spark.conf.get(maxBitsKey, "67108864").toLong < numBits)
-      spark.conf.set(maxBitsKey, numBits.toString)
-    val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
-      GraftSqlBridge.expression(xxhash64(keyCols.map(col): _*)),
-      Literal(n), Literal(numBits)).toAggregateExpression())
-    val bin = tomb.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prevBits = spark.conf.getOption(maxBitsKey)
+    val prevItems = spark.conf.getOption(maxItemsKey)
+    val bin = try {
+      if (spark.conf.get(maxBitsKey, "67108864").toLong < numBits)
+        spark.conf.set(maxBitsKey, numBits.toString)
+      if (spark.conf.get(maxItemsKey, "4000000").toLong < n)
+        spark.conf.set(maxItemsKey, n.toString)
+      val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(keyCols.map(col): _*)),
+        Literal(n), Literal(numBits)).toAggregateExpression())
+      tomb.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    } finally {
+      restoreConf(spark, maxBitsKey, prevBits)
+      restoreConf(spark, maxItemsKey, prevItems)
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(tombDir)
     val fs = dir.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(dir, BloomFile + ".tmp")
     val dst = new org.apache.hadoop.fs.Path(dir, BloomFile)
     val out = fs.create(tmp, true)
-    try out.write(bin) finally out.close()
+    try {
+      val head = java.nio.ByteBuffer.allocate(12)
+      head.putInt(BloomMagic).putLong(fp)
+      out.write(head.array())
+      out.write(bin)
+    } finally out.close()
     fs.delete(dst, false)
     fs.rename(tmp, dst)
   }
 
+  private def restoreConf(spark: SparkSession, key: String,
+                          prev: Option[String]): Unit = prev match {
+    case Some(v) => spark.conf.set(key, v)
+    case None    => spark.conf.unset(key)
+  }
+
+  /** The sidecar bytes — ONLY if its stamped fingerprint matches the
+    * current tombstone file listing. Missing, torn, pre-header, or
+    * stale sidecars all return None and the mask takes the anti-join
+    * path: false positives cost time, never correctness. */
   private def readBloom(spark: SparkSession,
                         tombDir: String): Option[Array[Byte]] = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -108,15 +182,27 @@ private[graft] object Tombstones {
         val len = fs.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](len)
         in.readFully(0, buf)
-        Some(buf)
+        if (len <= 12) None
+        else {
+          val head = java.nio.ByteBuffer.wrap(buf, 0, 12)
+          val magic = head.getInt()
+          val fp = head.getLong()
+          if (magic != BloomMagic ||
+              fp != listingFingerprint(spark, tombDir)) None
+          else Some(java.util.Arrays.copyOfRange(buf, 12, len))
+        }
       } finally in.close()
     }
   }
 
+  /** Tombstone DATA bytes (the sidecar and markers like _SUCCESS do
+    * not count toward the bloom-activation threshold). */
   private def tombBytes(spark: SparkSession, tombDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(tombDir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
+      .map(_.getLen).sum
   }
 
   /** The store's rows minus tombstoned ones — the identity when no

@@ -1064,6 +1064,76 @@ class OpsSpec extends GraftSpec {
     } finally spark.conf.unset(Tombstones.BloomMinBytesKey)
   }
 
+  test("tombstone bloom self-invalidates: a stale sidecar (tombstones " +
+    "appended without a refresh) falls back to the plain anti-join — " +
+    "deleted rows never resurface") {
+    import graft.core.{Term, Tombstones, TripleDb}
+    val tsTmp =
+      java.nio.file.Files.createTempDirectory("graft_bloom_stale").toString
+    val cust = Tables.t(spark, dir, "customer")
+    TripleDb.save(TripleDb.fromWideTable(cust, "customer", "c_custkey"), tsTmp)
+    def subjects(range: org.apache.spark.sql.Dataset[java.lang.Long]) = range
+      .select(Term.uriCol(
+        concat(lit("customer/"), col("id").cast("string"))).as("s"))
+    TripleDb.deleteSubjects(spark, tsTmp, subjects(spark.range(0, 100, 10)))
+    spark.conf.set(Tombstones.BloomMinBytesKey, "0")
+    try {
+      val fresh = TripleDb.load(spark, tsTmp).df
+      assert(fresh.queryExecution.executedPlan.toString
+        .contains("might_contain"), "valid sidecar → bloom split path")
+      // simulate a refresh that died after its append (or a racing
+      // deleter's stale sidecar): land a second tombstone batch
+      // STRAIGHT in the tombstone dir, bypassing the sidecar refresh
+      val doomed = spark.read.parquet(tsTmp)
+        .where(col("s.lex") === "customer/7")
+        .select("s", "p", "o", "pred")
+      doomed.write.mode("append").parquet(Tombstones.tombPath(tsTmp))
+      val masked = TripleDb.load(spark, tsTmp).df
+      val plan = masked.queryExecution.executedPlan.toString
+      assert(!plan.contains("might_contain"),
+        s"stale sidecar must be distrusted — plain anti-join path:\n$plan")
+      assert(masked.where(col("s.lex") === "customer/7").count() == 0,
+        "rows tombstoned after the stale sidecar must stay masked")
+      // the next API append rebuilds + re-stamps → bloom path returns,
+      // still covering the bypassed batch
+      TripleDb.deleteSubjects(spark, tsTmp, subjects(spark.range(1, 2)))
+      val again = TripleDb.load(spark, tsTmp).df
+      assert(again.queryExecution.executedPlan.toString
+        .contains("might_contain"), "refreshed sidecar trusted again")
+      assert(again.where(
+        col("s.lex").isin("customer/7", "customer/1")).count() == 0)
+    } finally spark.conf.unset(Tombstones.BloomMinBytesKey)
+  }
+
+  test("refreshBloom sizes past the runtime-filter clamps and restores " +
+    "session conf afterwards") {
+    import graft.core.Tombstones
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    spark.conf.set(maxBitsKey, "1024")
+    spark.conf.set(maxItemsKey, "100")
+    try {
+      val tombDir = java.nio.file.Files
+        .createTempDirectory("graft_bloom_conf").toString + "/t"
+      Tombstones.appendAt(
+        spark.range(0, 5000).select(col("id").as("k")), tombDir, Seq("k"))
+      assert(spark.conf.get(maxBitsKey) == "1024",
+        "maxNumBits restored after the build")
+      assert(spark.conf.get(maxItemsKey) == "100",
+        "maxNumItems restored after the build")
+      // honest sizing despite the 1024-bit / 100-item session clamps:
+      // 5000 keys at fpp 1% ≈ 48 kbit ≈ 6 KB of bit array — far above
+      // the 128 B a clamped build would produce
+      val p = new org.apache.hadoop.fs.Path(tombDir, "_bloom.bin")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.getFileStatus(p).getLen > 4000,
+        "sidecar must be sized for the real n, not the clamped one")
+    } finally {
+      spark.conf.unset(maxBitsKey)
+      spark.conf.unset(maxItemsKey)
+    }
+  }
+
   test("withTsUs normalizes BOTH events fixture shapes (nanos-long, timestamp)") {
     import spark.implicits._
     // the driver's events.parquet has shipped ts as TIMESTAMP(NANOS)
