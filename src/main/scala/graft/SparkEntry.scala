@@ -1253,6 +1253,21 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"),
           col("left").as("lhs"), col("right").as("rhs"))),
 
+    // ---- IVF-PQ + exact re-rank (FAISS refine): ADC top-50
+    //      candidates per query re-scored by true cosine over raw
+    //      vectors, final top-5 in exact order — fixes the near-tie
+    //      misrankings 8-byte codes cannot resolve ----
+    "q120_ivfpq_rerank" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      ops.Similarity.ivfPqSearchTopKRefined(
+        ops.Similarity.ivfPqIndex(emb, centroids, centroids),
+        centroids, centroids, emb.where(col("vec_id") < 10),
+        raw = emb, k = 5, rerank = 50)
+    }),
+
     // ---- BPE subword encoding: lowest-rank-first merge loop per word
     //      (the Sennrich/GPT-2 priority algorithm — replayed merge by
     //      merge in the oracle's recursive CTE), with sorted-vocab
@@ -1672,7 +1687,8 @@ object SparkEntry {
   /** IVF-PQ replay (coarse probe + PQ codes + quantized ADC LUT):
     * shared by q95 (in-memory build) and q98 (loaded durable
     * index) — both must produce bit-identical rankings. */
-  private def ivfPqOracleSql(corpusWhere: String = ""): String =
+  private def ivfPqOracleSql(corpusWhere: String = "",
+                             rerank: Int = 0): String =
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |             FROM embeddings),
         |ccent AS (SELECT vec_id AS cell, v AS c,
@@ -1718,11 +1734,34 @@ object SparkEntry {
         |       FROM cc JOIN lut l ON l.cell = cc.cell
         |         AND l.subspace = cc.subspace AND l.code = cc.code
         |       WHERE l.qid <> cc.vec_id GROUP BY 1, 2),
-        |r AS (SELECT qid, nid,
+        |""".stripMargin + ivfPqOracleTail(rerank)
+
+  /** The ranking tail of [[ivfPqOracleSql]]: plain ADC order when
+    * `rerank <= 0`; otherwise the refine replay — ADC top-`rerank`
+    * candidates re-scored by exact cosine over the raw vectors (the
+    * same list_cosine_similarity every exact oracle here uses),
+    * final top-5 in exact order. */
+  private def ivfPqOracleTail(rerank: Int): String =
+    if (rerank <= 0)
+      """r AS (SELECT qid, nid,
         |        row_number() OVER (PARTITION BY qid
         |          ORDER BY score, nid) AS rk
         |      FROM sc)
         |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin
+    else
+      s"""rr AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY score, nid) AS rk
+         |  FROM sc) WHERE rk <= $rerank),
+         |ex AS (SELECT rr.qid, rr.nid,
+         |         list_cosine_similarity(eq.v, en.v) AS sim
+         |       FROM rr JOIN emb eq ON eq.vec_id = rr.qid
+         |               JOIN emb en ON en.vec_id = rr.nid),
+         |r AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, nid) AS rk
+         |      FROM ex)
+         |SELECT qid, nid, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5""".stripMargin
   private val IvfPqOracleSql: String = ivfPqOracleSql()
 
   private val IvfOracleSql: String =
@@ -1953,6 +1992,10 @@ object SparkEntry {
       s"""WITH ${bpeLearnCtes(full = true)}
          |SELECT CAST(rank AS BIGINT) AS rank, l AS lhs, r AS rhs
          |FROM merges""".stripMargin,
+
+    // ADC pipeline replay + the refine tail: exact cosine over the
+    // ADC top-50, final top-5 in exact order
+    "q120_ivfpq_rerank" -> ivfPqOracleSql(rerank = 50),
 
     // subword encoding, replayed merge by merge (recursive CTE)
     "q104_bpe_encode" ->

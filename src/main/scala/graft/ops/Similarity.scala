@@ -474,6 +474,70 @@ object Similarity {
     adcTopK(cells.join(broadcast(lut), Seq("cell", "subspace", "code")), k)
   }
 
+  /** [[ivfPqSearchTopK]] + the FAISS refine step (IndexRefineFlat):
+    * ADC ranks the probed cells' codes, the top-`rerank` candidates
+    * per query are re-scored EXACTLY (cosine over raw vectors — the
+    * same metric every exact scorer here uses), and the exact order
+    * yields the final top-k. ADC distances are 8-byte-code estimates:
+    * near-tie neighbors land in the candidate set but in the wrong
+    * order; the refine step fixes exactly that (spec pins a planted
+    * near-tie ADC cannot order).
+    *
+    * Scale shape: unchanged from the ADC search until the last step —
+    * raw vectors enter ONLY the candidate re-score, a
+    * |queries|×`rerank` broadcast joined into one pass over `raw`
+    * (pass [[ivfPqLoadRaw]] pruned to the probed cells — see
+    * [[ivfPqSearchTopKRefinedIndexed]] — and that pass reads only
+    * nProbe/nCells of the corpus). */
+  def ivfPqSearchTopKRefined(cells: DataFrame, coarse: Seq[Array[Float]],
+                             pqCents: Seq[Array[Float]], queries: DataFrame,
+                             raw: DataFrame, k: Int, rerank: Int = 50,
+                             nProbe: Int = 4,
+                             subspaces: Int = 8, subDim: Int = 8,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             lutScale: Long = 1L << 20,
+                             checkDim: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cand = ivfPqSearchTopK(cells, coarse, pqCents, queries, rerank,
+        nProbe, subspaces, subDim, idCol, vecCol, lutScale, checkDim)
+      .select("qid", "nid")
+    val rawN = raw.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = rawN.join(broadcast(cand), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Refined search over a durable [[ivfPqSaveIndex]] layout saved
+    * with `keepRaw = true`: the raw-vector side is PRUNED to the
+    * queries' probed cells before the candidate re-score, so the
+    * only stage that touches vectors reads nProbe/nCells of the raw
+    * partitions (partition-pruned scan — spec-pinned), not the
+    * corpus. The probed-cell collect is bounded by
+    * min(|queries|·nProbe, |coarse|). */
+  def ivfPqSearchTopKRefinedIndexed(spark: SparkSession, path: String,
+                                    queries: DataFrame, k: Int,
+                                    rerank: Int = 50, nProbe: Int = 4,
+                                    subspaces: Int = 8, subDim: Int = 8,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding",
+                                    lutScale: Long = 1L << 20): DataFrame = {
+    val (codes, coarse, pq) = ivfPqLoadIndex(spark, path)
+    val probed = queries.select(explode(
+        graft.functions.VectorExpressions.nearestCells(
+          col(vecCol), coarse, nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val raw = ivfPqLoadRaw(spark, path)
+      .where(col("cell").isin(probed.toIndexedSeq: _*))
+    ivfPqSearchTopKRefined(codes, coarse, pq, queries, raw, k, rerank,
+      nProbe, subspaces, subDim, idCol, vecCol, lutScale)
+  }
+
   /** One NARROW corpus pass building the IVF-PQ resident state: coarse
     * cell + PQ codes per vector — (vec_id, cell, subspace, code) rows,
     * i.e. `subspaces` rows × ~10 bytes per corpus vector; no shuffle,
@@ -502,9 +566,19 @@ object Similarity {
                      pqCents: Seq[Array[Float]], path: String,
                      subspaces: Int = 8, subDim: Int = 8,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Unit = {
+                     vecCol: String = "embedding",
+                     keepRaw: Boolean = false): Unit = {
     ivfPqIndex(corpus, coarse, pqCents, subspaces, subDim, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // optional flat refine sidecar (FAISS IndexRefineFlat layout):
+    // raw vectors partitioned by the SAME cell column, so the refined
+    // search's exact re-score is a partition-pruned scan of the
+    // probed cells only
+    if (keepRaw)
+      ivfAssign(corpus, coarse, idCol, vecCol)
+        .select(col("nid").as("vec_id"), col("cell"),
+          col("nv").as("embedding"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/raw")
     val spark = corpus.sparkSession
     import org.apache.spark.sql.{Row => SRow}
     import org.apache.spark.sql.types._
@@ -537,10 +611,31 @@ object Similarity {
     def readCents(sub: String): Seq[Array[Float]] =
       spark.read.parquet(s"$path/$sub").orderBy("j").collect()
         .map(_.getSeq[Float](1).toArray).toSeq
-    ivfPqIndex(newVecs, readCents("coarse"), readCents("pq"),
+    val coarse = readCents("coarse")
+    ivfPqIndex(newVecs, coarse, readCents("pq"),
         subspaces, subDim, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    // keep the refine sidecar complete: if the index was saved with
+    // keepRaw, the batch's raw vectors append into the same
+    // partitioned layout (cell assignment is deterministic, so
+    // append ≡ rebuild here exactly as for the codes)
+    val rawPath = new org.apache.hadoop.fs.Path(s"$path/raw")
+    if (rawPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(rawPath))
+      ivfAssign(newVecs, coarse, idCol, vecCol)
+        .select(col("nid").as("vec_id"), col("cell"),
+          col("nv").as("embedding"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/raw")
   }
+
+  /** The refine sidecar of a `keepRaw = true` [[ivfPqSaveIndex]]:
+    * (vec_id, cell, embedding), tombstone-masked with the SAME
+    * tombstone set as the codes — a deleted vector disappears from
+    * both relations at read, so a refined search can never surface
+    * it. `cell` stays the partition column under the mask. */
+  def ivfPqLoadRaw(spark: SparkSession, path: String): DataFrame =
+    graft.core.Tombstones.maskAt(spark, ivfPqTombPath(path),
+      spark.read.parquet(s"$path/raw"), Seq("vec_id"))
 
   /** Load an [[ivfPqSaveIndex]] index: (codes, coarse, pqCents).
     * Centroid collects are bounded (|codebook| rows each). Searching
@@ -596,32 +691,42 @@ object Similarity {
     val codes = spark.read.parquet(codesPath)
     val affected = codes.join(tomb, "vec_id")
       .select("cell").distinct().collect().map(_.getInt(0))
-    affected.foreach { cell =>
-      val dir = new org.apache.hadoop.fs.Path(codesPath, s"cell=$cell")
-      val kept = spark.read.parquet(dir.toString)
-        .join(tomb, Seq("vec_id"), "left_anti")
-      if (kept.isEmpty) {
-        // every vector of the cell was deleted: the partition vanishes
-        // (a zero-row part file would still read fine, but an empty
-        // directory is the honest state and keeps probes pruning it)
-        fs.delete(dir, true)
-      } else {
-        val staging =
-          new org.apache.hadoop.fs.Path(codesPath, s"_staging_cell_$cell")
-        kept.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(dir, true)
-        fs.mkdirs(dir)
-        fs.listStatus(staging)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach(st => fs.rename(st.getPath,
-            new org.apache.hadoop.fs.Path(dir, st.getPath.getName)))
-        fs.delete(staging, true)
+    def compactRelation(relPath: String): Unit = affected.foreach { cell =>
+      val dir = new org.apache.hadoop.fs.Path(relPath, s"cell=$cell")
+      if (fs.exists(dir)) {
+        val kept = spark.read.parquet(dir.toString)
+          .join(tomb, Seq("vec_id"), "left_anti")
+        if (kept.isEmpty) {
+          // every vector of the cell was deleted: the partition
+          // vanishes (a zero-row part file would still read fine, but
+          // an empty directory is the honest state and keeps probes
+          // pruning it)
+          fs.delete(dir, true)
+        } else {
+          val staging =
+            new org.apache.hadoop.fs.Path(relPath, s"_staging_cell_$cell")
+          kept.write.mode("overwrite").parquet(staging.toString)
+          fs.delete(dir, true)
+          fs.mkdirs(dir)
+          fs.listStatus(staging)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach(st => fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dir, st.getPath.getName)))
+          fs.delete(staging, true)
+        }
       }
     }
+    compactRelation(codesPath)
+    // the refine sidecar (keepRaw) shares the tombstone set — compact
+    // it in the same pass or clearing the tombstones below would
+    // resurrect deleted raw vectors
+    val rawPath = new org.apache.hadoop.fs.Path(s"$path/raw")
+    if (fs.exists(rawPath)) compactRelation(rawPath.toString)
     fs.delete(new org.apache.hadoop.fs.Path(ivfPqTombPath(path)), true)
     // compaction replaces files in place — drop any cached listings so
     // open sessions re-list instead of chasing deleted part files
     spark.catalog.refreshByPath(codesPath)
+    if (fs.exists(rawPath)) spark.catalog.refreshByPath(rawPath.toString)
     spark.catalog.refreshByPath(ivfPqTombPath(path))
   }
 

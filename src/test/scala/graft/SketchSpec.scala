@@ -336,6 +336,101 @@ class SketchSpec extends GraftSpec {
     assert(codes.count() == 8L * emb.count())
   }
 
+  test("ivf-pq refine: a planted near-tie ADC cannot order is fixed by " +
+    "the exact re-rank (≡ brute force)") {
+    import spark.implicits._
+    val vecs = emb.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cents = vecs.take(16).map(_._2).toSeq
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosd(a: Array[Float], b: Array[Float]): Double =
+      dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+    // plant two vectors ε away from vec 0's vector along ±u — close
+    // enough that every sub-quantizer gives all three IDENTICAL codes
+    // (ε² vs the O(1) inter-centroid spacing), so ADC sees a 3-way
+    // tie it can only break by id, while the true cosine order is
+    // vec0 (the query itself), then +εu, then −εu
+    val base = vecs(0)._2
+    val u0 = vecs(1)._2
+    val u = if (dotd(base, u0) < 0) u0.map(x => -x) else u0
+    val eps = 1e-3f
+    val vA = base.zip(u).map { case (b, x) => b - eps * x } // id 9001
+    val vB = base.zip(u).map { case (b, x) => b + eps * x } // id 9002
+    assert(cosd(base, vB) > cosd(base, vA),
+      "plant must make 9002 strictly closer than 9001")
+    val planted = Seq((9001L, vA.toSeq, 0), (9002L, vB.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val corpus = emb.unionByName(planted)
+    val queries = Seq((9000L, base.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // the plants really are code-identical — ADC cannot tell them apart
+    val pc = Similarity.pqCodes(planted, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(pc.filter(_._1 == 9001L).map(c => (c._2, c._3)).toSet ==
+           pc.filter(_._1 == 9002L).map(c => (c._2, c._3)).toSet)
+    val cells = Similarity.ivfPqIndex(corpus, cents, cents)
+    val unrefined = Similarity.ivfPqSearchTopK(cells, cents, cents,
+        queries, 3).orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(unrefined == List(0L, 9001L, 9002L),
+      s"ADC tie → id order (the wrong order for this plant): $unrefined")
+    val refined = Similarity.ivfPqSearchTopKRefined(cells, cents, cents,
+        queries, raw = corpus, k = 3, rerank = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(refined == List(0L, 9002L, 9001L),
+      s"exact re-rank must restore the true cosine order: $refined")
+    val brute = Similarity.bruteKnn(corpus, queries, 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toList
+    assert(refined == brute, "refined ≡ brute force on the near-tie")
+  }
+
+  test("ivf-pq refine sidecar: indexed refined search ≡ in-memory, raw " +
+    "scan partition-pruned to probed cells, delete + compact respected") {
+    import spark.implicits._
+    val cents = emb.where(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    val queries = emb.where(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_raw").toString
+    // build via save + append so the raw sidecar exercises both paths
+    Similarity.ivfPqSaveIndex(emb.where(col("vec_id") >= 40), cents, cents,
+      tmp, keepRaw = true)
+    Similarity.ivfPqAppendIndex(emb.where(col("vec_id") < 40), tmp)
+    assert(spark.read.parquet(s"$tmp/raw").count() == emb.count(),
+      "append must extend the raw sidecar too")
+    val inMem = canon(Similarity.ivfPqSearchTopKRefined(
+      Similarity.ivfPqIndex(emb, cents, cents), cents, cents, queries,
+      raw = emb, k = 3, rerank = 10))
+    val indexed = Similarity.ivfPqSearchTopKRefinedIndexed(
+      spark, tmp, queries, 3, rerank = 10)
+    val indexedRows = canon(indexed)
+    assert(indexedRows == inMem, "durable refined ≡ in-memory refined")
+    // the raw-vector side reads ONLY the probed cells' partitions
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"raw scan must be partition-pruned to the probed cells:\n$plan")
+    // GDPR: a deleted vector vanishes from refined results...
+    val victim = indexedRows.find(_._3 == 1).get._2
+    Similarity.ivfPqDeleteIndex(Seq(victim).toDF("vec_id"), tmp)
+    val afterDel = canon(Similarity.ivfPqSearchTopKRefinedIndexed(
+      spark, tmp, queries, 3, rerank = 10))
+    assert(!afterDel.exists(_._2 == victim),
+      "tombstoned vector must not surface from the refine step")
+    // ...and compaction physically drops it from the raw sidecar
+    Similarity.ivfPqCompactIndex(spark, tmp)
+    assert(spark.read.parquet(s"$tmp/raw")
+      .where(col("vec_id") === victim).count() == 0,
+      "compaction must rewrite the raw sidecar as well as the codes")
+    assert(canon(Similarity.ivfPqSearchTopKRefinedIndexed(
+      spark, tmp, queries, 3, rerank = 10)) == afterDel)
+  }
+
   test("rendezvous sharding: removing a shard moves only its own ids") {
     val with8 = graft.ops.Sample.rendezvousShard(docs, "doc_id", 8)
       .select(col("doc_id"), col("shard"))
