@@ -44,9 +44,13 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
 
-  /** Streaming variant: watermark + windowed aggregation. */
+  /** Streaming variant: watermark + windowed aggregation. Input is
+    * tagged with [[LateData.observed]] metrics, and rows older than
+    * the watermark are counted in the query's
+    * `numRowsDroppedByWatermark` — late data is dropped (the
+    * watermark contract) but never silently (see [[LateData]]). */
   def hourlyCountsStream(events: DataFrame): DataFrame =
-    events
+    LateData.observed(events, "graft_input_events")
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -92,7 +96,7 @@ object Events {
     */
   def sessionWindowsStream(events: DataFrame, gapMinutes: Int = 30,
                            watermark: String = "2 hours"): DataFrame =
-    events
+    LateData.observed(events, "graft_input_events")
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -114,12 +118,15 @@ object Events {
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
                         toleranceMinutes: Int = 10,
                         watermark: String = "2 hours"): DataFrame = {
-    val p = purchases
-      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val p = LateData.observed(purchases
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts")),
+        "graft_input_purchases", "p_ts")
       .withWatermark("p_ts", watermark)
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-        col("ts").as("c_ts"))
+    val c = LateData.observed(clicks
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts")),
+        "graft_input_clicks", "c_ts")
       .withWatermark("c_ts", watermark)
     p.join(c, expr(
         s"""user_id = c_user AND

@@ -29,8 +29,10 @@ object TripleIngest {
   def ingestDedup(stream: DataFrame, table: String, keyCol: String,
                   eventTimeCol: String, watermark: String,
                   fks: Map[String, String] = Map.empty): DataFrame =
-    TripleDb.fromWideTable(stream, table, keyCol, fks, keep = Seq(eventTimeCol))
-      .df
+    LateData.observed(
+        TripleDb.fromWideTable(stream, table, keyCol, fks,
+          keep = Seq(eventTimeCol)).df,
+        "graft_input_triples", eventTimeCol)
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("s", "p", "o")
       .drop(eventTimeCol)

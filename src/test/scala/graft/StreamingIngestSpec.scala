@@ -147,6 +147,51 @@ class StreamingIngestSpec extends GraftSpec {
     assert(rows.length == 2)
   }
 
+  test("late-data accounting: watermark-dropped rows are counted, " +
+    "observed input metrics reconcile — loss is never silent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val listener = new graft.streaming.LateData.Listener
+    spark.streams.addListener(listener)
+    try {
+      val stream = MemoryStream[(String, Double, java.sql.Timestamp)]
+      val in = stream.toDF().toDF("event_type", "value", "ts")
+      val sq = graft.streaming.Events.hourlyCountsStream(in)
+        .writeStream.format("memory").queryName("late_test")
+        .outputMode("append").start()
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: on-time events; max event time 12:00 → the NEXT batch
+      // runs with watermark 10:00 (2h delay)
+      stream.addData(Seq(("click", 1.0, t("2024-01-01 09:00:00")),
+                         ("click", 1.0, t("2024-01-01 12:00:00"))))
+      sq.processAllAvailable()
+      // batch 2: one event 4h older than the watermark (dropped) + one
+      // on-time
+      stream.addData(Seq(("click", 1.0, t("2024-01-01 06:00:00")),
+                         ("click", 1.0, t("2024-01-01 12:30:00"))))
+      sq.processAllAvailable()
+      sq.stop()
+      // the late row is gone from results (the watermark contract)...
+      val hours = spark.table("late_test").collect()
+        .map(_.getString(0)).toSet
+      assert(!hours.contains("2024-01-01 06:00:00"),
+        s"late event must not appear in results: $hours")
+      // ...but NOT silently: both accounting surfaces report it
+      assert(graft.streaming.LateData.droppedByWatermark(sq) == 1,
+        "exactly the 06:00 event was dropped as late")
+      assert(graft.streaming.LateData.observedInputRows(
+        sq, "graft_input_events") == 4, "every fed row was observed")
+      // listener delivery is async — poll briefly for the same totals
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while ((listener.dropped(sq) != 1 ||
+              listener.inputRows(sq, "graft_input_events") != 4) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      assert(listener.dropped(sq) == 1, "accumulating listener: drops")
+      assert(listener.inputRows(sq, "graft_input_events") == 4,
+        "accumulating listener: observed inputs")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming near-dup gate flags the same pairs as the batch path") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
