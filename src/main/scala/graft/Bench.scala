@@ -63,14 +63,24 @@ object Bench {
       }
     // min-of-N per query; an error in ANY run surfaces (a flaky query
     // must not hide behind one good run)
+    val runs = (1 to nRuns).map(_ => runOnce())
     val results: Seq[(String, Either[String, Double])] =
-      (1 to nRuns).map(_ => runOnce()).reduce { (a, b) =>
+      runs.reduce { (a, b) =>
         a.zip(b).map {
           case ((n, Right(x)), (_, Right(y))) => n -> Right(math.min(x, y))
           case ((n, Left(e)), _) => n -> Left(e)
           case ((n, _), (_, Left(e))) => n -> Left(e)
         }
       }
+    // run-1 times: the process-level trainer caches (bpeMerges /
+    // bpeFullMerges) are cold on the first pass, so this map records the
+    // cold-path cost for cache-memoized queries (q103-q105, q119) that
+    // the min-of-N headline reports warm. File-only — the stdout
+    // contract line stays one compact JSON object.
+    val firstJson = runs.head.map {
+      case (k, Right(t)) => s""""$k":${"%.3f".format(t)}"""
+      case (k, Left(e))  => s""""$k":"err:$e""""
+    }.mkString("{", ",", "}")
     // 3-decimal times keep the stdout line as small as the contract
     // allows (the driver harness tail-captures ~2000 chars; r4 lost
     // q01–q38 to full-precision doubles), and the SAME json is written
@@ -89,9 +99,12 @@ object Bench {
     // headline by leading with it)
     val line = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir"}"""
     println(line)
+    // file record adds the cold first-run map (full fidelity survives
+    // regardless of stdout tail-capture truncation)
+    val fileLine = s"""{"queries":$qs,"first":$firstJson,"metric":"total","value":$total,"unit":"sec","errors":$nerr,"runs":$nRuns,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"bench file write failed: $e") }
     spark.stop()

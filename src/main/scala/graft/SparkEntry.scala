@@ -1268,6 +1268,28 @@ object SparkEntry {
         raw = emb, k = 5, rerank = 50)
     }),
 
+    // ---- leakage-safe split: near-dup groups (minhash pairs →
+    //      components) assigned to train/val/test as UNITS, so no
+    //      near-duplicate of a training doc lands in eval ----
+    "q121_leakage_split" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      ops.Sample.leakageSafeSplit(docs, "doc_id", pairs, "ia", "ib")
+        .select(col("doc_id"), col("grp"), col("split"))
+    }),
+
+    // ---- cluster-balanced curation sample: nearest-centroid cells,
+    //      keep the 3 most-representative vectors per cell (min
+    //      |v|²−2·v·c, ties on id) — diversity-preserving subset
+    //      selection ----
+    "q122_cluster_sample" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      ops.Similarity.clusterBalancedSample(emb, centroids, perCell = 3)
+    }),
+
     // ---- BPE subword encoding: lowest-rank-first merge loop per word
     //      (the Sennrich/GPT-2 priority algorithm — replayed merge by
     //      merge in the oracle's recursive CTE), with sorted-vocab
@@ -1980,6 +2002,72 @@ object SparkEntry {
          |  END AS BIGINT) AS value
          |FROM cum, (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) p(pct, q)
          |WHERE cum - cnt < ceil(p.q * n) AND ceil(p.q * n) <= cum""".stripMargin,
+
+    // near-dup groups (q53's exact-Jaccard pair CTE + components) split
+    // as units by the md5 bucket of the group label
+    "q121_leakage_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter
+        |          JOIN sizes sa ON sa.doc_id = ia
+        |          JOIN sizes sb ON sb.doc_id = ib
+        |          WHERE 3 * i >= sa.n + sb.n),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION SELECT ib, ia FROM pairs),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM r GROUP BY a),
+        |sel AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+        |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id, CAST(grp AS BIGINT) AS grp,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, grp,
+        |        CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 8) AS BIGINT)
+        |          % 100 AS b
+        |      FROM sel)""".stripMargin,
+
+    // q88's assignment CTE, then per-cell representativeness ranking by
+    // the same |v|²−2·v·c arithmetic (identical op order → identical
+    // doubles both engines)
+    "q122_cluster_sample" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS c,
+        |           list_sum(list_transform(v, x -> x * x)) AS c2
+        |         FROM emb WHERE vec_id < 16),
+        |nsc AS (
+        |  SELECT e.vec_id AS nid, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      c.c2 - 2 * list_sum(list_transform(range(64), j ->
+        |        e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)])),
+        |      c.cell) AS rk
+        |  FROM emb e, cent c
+        |), asg AS (SELECT nid, cell FROM nsc WHERE rk = 1),
+        |d AS (SELECT a.nid, a.cell,
+        |        list_sum(list_transform(e.v, x -> x * x))
+        |          - 2 * list_sum(list_transform(range(64), j ->
+        |              e.v[CAST(j + 1 AS INTEGER)] * c.c[CAST(j + 1 AS INTEGER)]))
+        |          AS dist
+        |      FROM asg a JOIN emb e ON e.vec_id = a.nid
+        |      JOIN cent c ON c.cell = a.cell),
+        |r AS (SELECT nid, cell,
+        |        row_number() OVER (PARTITION BY cell ORDER BY dist, nid) AS rk
+        |      FROM d)
+        |SELECT nid AS vec_id, CAST(cell AS INTEGER) AS cell,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
 
     // merge-table learning, replayed stage by stage
     "q103_bpe_merges" ->

@@ -67,6 +67,35 @@ object Sample {
                 pctTrain: Int = 80, pctVal: Int = 10): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), pctTrain, pctVal))
 
+  /** Dedup-aware (leakage-safe) train/val/test split: near-duplicate
+    * documents must land in the SAME split, or held-out sets leak
+    * training content — the classic eval-contamination failure a plain
+    * per-id [[hashSplit]] cannot prevent (two near-dups hash
+    * independently). Group = connected component of the near-dup pair
+    * graph ([[Components.connected]]); docs with no near-dup form their
+    * own group. The split label is assigned per GROUP — the md5 bucket
+    * of the group's canonical min-id label — so every member inherits
+    * the same split.
+    *
+    * Scale shape: the pair graph covers only documents WITH a
+    * near-duplicate, so the component frame is tiny relative to the
+    * corpus (percent-scale even in crawl data) — the label join is a
+    * broadcast-size left join, and the group hash is a pure projection.
+    * Output: input columns + `grp` (group label) + `split`.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       srcCol: String, dstCol: String,
+                       pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    require(!df.columns.contains("grp") && !df.columns.contains("split"),
+      "input already has a 'grp' or 'split' column")
+    val comp = Components.connected(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("grp", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("split", splitLabel(col("grp"), pctTrain, pctVal))
+  }
+
   /** Token-budget pack assignment — the training-data step that turns a
     * corpus of variable-length documents into fixed-token-budget packs
     * (sequence-packing shards): every doc gets `(shard, pack, off)`

@@ -768,6 +768,44 @@ object Similarity {
     result
   }
 
+  /** Cluster-balanced curation sampling: assign every vector to its
+    * nearest centroid (same fixed-centroid IVF assignment as
+    * [[semDeDup]]), then keep the `perCell` most-REPRESENTATIVE items
+    * per cell — smallest squared distance to the centroid, ties on id.
+    * This is the diversity-preserving subset selection step of a
+    * curation pipeline (cluster the corpus, sample each cluster
+    * proportionally instead of letting dense regions dominate a random
+    * sample).
+    *
+    * Distance is ranked as |v|² − 2·v·c (the |c|² term is constant
+    * within a cell), both dot products via the sequential-double
+    * [[graft.functions.VectorExpressions.dotF]] so the ordering is
+    * SQL-replayable. Scale shape: one narrow assignment pass, a
+    * broadcast join against K centroids, and a per-cell top-n — the
+    * only shuffle is the groupBy cell, and at production K (thousands
+    * of cells) AQE's skew split covers hot cells.
+    *
+    * Output: (idCol, cell, rk) with rk ∈ [1, perCell].
+    */
+  def clusterBalancedSample(corpus: DataFrame, centroids: Seq[Array[Float]],
+                            perCell: Int, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cell", "cv")
+    val d = assigned.join(broadcast(centDf), Seq("cell"))
+      .withColumn("dist",
+        dot(col("nv"), col("nv")) - lit(2.0) * dot(col("nv"), col("cv")))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("dist"), col("nid"))
+    d.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perCell)
+      .select(col("nid").as(idCol), col("cell"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * (anchor), the top-k most-similar corpus vectors whose LABEL
     * differs — the negatives that actually teach a contrastive model

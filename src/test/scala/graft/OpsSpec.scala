@@ -381,6 +381,45 @@ class OpsSpec extends GraftSpec {
     assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.1)
   }
 
+  test("leakageSafeSplit: near-dup groups land in ONE split; singletons keep their id") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.nonEmpty, "corpus should contain planted near-dups")
+    val out = graft.ops.Sample.leakageSafeSplit(docs, "doc_id", pairs, "ia", "ib")
+      .select("doc_id", "grp", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every near-dup pair shares group AND split — the leakage guarantee
+    pairRows.foreach { case (a, b) =>
+      assert(out(a) == out(b), s"pair ($a,$b) split apart: ${out(a)} vs ${out(b)}")
+    }
+    // docs outside the pair graph are their own group and keep the plain
+    // hashSplit label (grp = doc_id ⇒ same md5 bucket)
+    val paired = pairRows.flatMap(p => Seq(p._1, p._2)).toSet
+    val plain = graft.ops.Sample.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (grp, split)) =>
+      if (!paired.contains(id)) {
+        assert(grp == id, s"singleton $id got foreign group $grp")
+        assert(split == plain(id))
+      } else assert(grp <= id, "group label must be the component min id")
+    }
+  }
+
+  test("clusterBalancedSample: perCell most-representative per cell, ties on id") {
+    import spark.implicits._
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.7f, 0.3f)), (13L, Array(0.95f, 0.05f)),
+      (20L, Array(0.1f, 0.9f)), (21L, Array(0.2f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Array(1f, 0f), Array(0f, 1f))
+    val got = Similarity.clusterBalancedSample(vecs, centroids, perCell = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // cell 0 by |v|²−2·v·c: 13 (−0.995) < 10 (−0.98) < 11 (−0.92) < 12
+    assert(got == Set((13L, 0, 1), (10L, 0, 2), (20L, 1, 1), (21L, 1, 2)))
+  }
+
   test("keywords rank by tf desc, rarity asc, token asc — integer-exact") {
     import spark.implicits._
     val tiny = Seq(
