@@ -58,7 +58,13 @@ object Bench {
           name -> Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            name -> Left(e.getClass.getSimpleName)
+            // full trace to stderr for diagnosis; a sanitized one-line
+            // class+message into the record (json-safe: no quotes/newlines)
+            System.err.println(s"[bench] $name failed:")
+            e.printStackTrace()
+            val msg = Option(e.getMessage).getOrElse("")
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+            name -> Left(s"${e.getClass.getSimpleName}: $msg")
         }
       }
     // min-of-N per query; an error in ANY run surfaces (a flaky query

@@ -501,6 +501,15 @@ object SparkEntry {
         .toDF().select(col("id"), col("byte_len"), col("sample_rate"),
           col("channels"), col("n_samples"))),
 
+    // ---- windowed audio features over REAL decoded PCM: per-16-sample
+    //      window energy / zero-crossings / peak — all integer, so the
+    //      oracle replays them from the WAV generation rule ----
+    "q124_audio_features" -> ((sp, dir) =>
+      ops.Multimodal.audioFeatures(ops.Multimodal.syntheticWavs(
+          Tables.t(sp, dir, "documents"), "doc_id"), window = 16)
+        .toDF().select(col("id"), col("win"), col("n"),
+          col("energy"), col("zc"), col("peak"))),
+
     // ---- multimodal: frame sampling (every 4th stub frame) ----
     "q27_frame_sample" -> ((sp, dir) =>
       ops.Multimodal.sampleFrames(ops.Multimodal.textAsBlobs(
@@ -1290,6 +1299,32 @@ object SparkEntry {
       ops.Similarity.clusterBalancedSample(emb, centroids, perCell = 3)
     }),
 
+    // ---- k-anonymity suppression: drop rows whose quasi-identifier
+    //      combination (user_id, event_type) appears < 3 times ----
+    "q126_k_anonymity" -> ((sp, dir) =>
+      ops.Sample.suppressSmallGroups(
+          Tables.t(sp, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"), 3)
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    // ---- Z-order (Morton) codes for multi-dimension scan pruning:
+    //      bit-interleave of two bounded key dims; sorting by this code
+    //      is the OPTIMIZE ZORDER layout pass (locality spec-pinned) ----
+    "q125_zorder_code" -> ((sp, dir) => {
+      val o = Tables.t(sp, dir, "orders")
+      o.select(col("o_orderkey"),
+        ops.Layout.zValue(Seq(pmod(col("o_custkey"), functions.lit(1024)),
+          pmod(col("o_orderkey"), functions.lit(1024))), 10).as("zval"))
+    }),
+
+    // ---- BM25 top-10: q83's retrieval with document-length
+    //      normalization, k1=1.2 b=0.75 replayed in exact integer
+    //      arithmetic (avgdl as milli-token integer) ----
+    "q123_bm25_topk" -> ((sp, dir) =>
+      ops.Text.bm25TopK(Tables.t(sp, dir, "documents"),
+        "doc_id", "text", "vector join hash", 10)),
+
     // ---- BPE subword encoding: lowest-rank-first merge loop per word
     //      (the Sennrich/GPT-2 priority algorithm — replayed merge by
     //      merge in the oracle's recursive CTE), with sorted-vocab
@@ -2069,6 +2104,44 @@ object SparkEntry {
         |  CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 3""".stripMargin,
 
+    "q126_k_anonymity" ->
+      """WITH g AS (SELECT user_id, event_type FROM events
+        |           GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e JOIN g USING (user_id, event_type)""".stripMargin,
+
+    // bit-for-bit Morton interleave, generated term by term
+    "q125_zorder_code" -> {
+      val terms = for (b <- 0 until 10; j <- 0 until 2) yield {
+        val src = if (j == 0) "o_custkey % 1024" else "o_orderkey % 1024"
+        s"(((($src) >> $b) & 1) << ${b * 2 + (1 - j)})"
+      }
+      s"SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval FROM orders"
+    },
+
+    // BM25 with integer idf and milli-token avgdl — identical integer
+    // ops both engines (DuckDB sums cast to BIGINT; all terms positive
+    // so // and DIV agree)
+    "q123_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |             FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM tok),
+        |av AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         (CAST(sum(dl) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS a
+        |       FROM base),
+        |hits AS (SELECT doc_id, dl, unnest(t) AS token FROM base),
+        |qh AS (SELECT * FROM hits WHERE token IN ('vector', 'join', 'hash')),
+        |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qh GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM qh GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         SUM((av.n // dfq.df) * ((44 * tf * av.a * 1000000) //
+        |           (20 * tf * av.a + 6 * av.a + 18 * dl * 1000))) AS score
+        |       FROM tf JOIN dfq USING (token), av GROUP BY doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     // merge-table learning, replayed stage by stage
     "q103_bpe_merges" ->
       s"""WITH ${bpeLearnCtes()}
@@ -2438,6 +2511,27 @@ object SparkEntry {
         |  CAST(1 AS INTEGER) AS channels,
         |  CAST(16 + doc_id % 64 AS BIGINT) AS n_samples
         |FROM documents""".stripMargin,
+
+    // the WAV rig's sample rule v(i) = ((id·31 + i·7) mod 251) − 125
+    // regenerated in SQL; energy/zc/peak are pure integer functions
+    "q124_audio_features" ->
+      """WITH ids AS (SELECT doc_id AS id, 16 + doc_id % 64 AS n
+        |             FROM documents),
+        |s AS (SELECT id, CAST(t.i AS BIGINT) AS i,
+        |        CAST(((id * 31 + t.i * 7) % 251) - 125 AS INTEGER) AS v
+        |      FROM ids,
+        |        LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t),
+        |w AS (SELECT id, CAST(i // 16 AS INTEGER) AS win, i, v,
+        |        lag(v) OVER (PARTITION BY id, i // 16 ORDER BY i) AS pv
+        |      FROM s),
+        |f AS (SELECT id, win, CAST(count(*) AS INTEGER) AS n,
+        |        CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |        CAST(coalesce(sum(CASE WHEN pv IS NOT NULL
+        |            AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END), 0)
+        |          AS INTEGER) AS zc,
+        |        CAST(max(abs(v)) AS INTEGER) AS peak
+        |      FROM w GROUP BY 1, 2)
+        |SELECT id, win, n, energy, zc, peak FROM f""".stripMargin,
 
     "q27_frame_sample" ->
       """SELECT doc_id AS id, CAST(f.i AS INTEGER) AS frame_idx

@@ -122,19 +122,61 @@ object Bpe {
     * the standard trainer knob when the 100 TB tail is pure noise.
     * Identical tie-breaks make this bit-equal to [[learnMerges]] with
     * `topWords` ≥ the full vocabulary (spec-pinned).
+    *
+    * The iteration loop runs at dictionary-sized parallelism: after the
+    * one-time corpus word count collapses the input to the distinct-word
+    * dict (typically a few MB even for crawl corpora), the loop's
+    * frames are repartitioned — and `spark.sql.shuffle.partitions`
+    * temporarily lowered, restored in a finally — to ~100k dict rows
+    * per task (never raised above the session setting, so a genuinely
+    * huge dict keeps full parallelism). Together with the checkpoint
+    * lineage barriers below: 16 merges at sf0.1 measured 81.5 s → 1.8 s
+    * cold.
     */
   def learnMergesDistributed(docs: DataFrame, textCol: String,
                              numMerges: Int,
                              minCount: Long = 1L): Seq[Merge] = {
     require(numMerges >= 1, "numMerges >= 1")
-    var seg = docs
+    val spark = docs.sparkSession
+    // eager localCheckpoint, not persist: the loop replaces the dict
+    // frame every iteration, and a persist/unpersist chain makes the
+    // cache manager RE-COMPILE each surviving entry when its parent is
+    // unpersisted — the recompiled plan falls back to raw lineage and
+    // every later job re-runs the whole history (measured: per-
+    // iteration cost DOUBLED, 16 merges = 100 s on a 31-word dict).
+    // Checkpointing truncates lineage at each step, so iteration cost
+    // is flat; old checkpoint blocks are freed by the context cleaner
+    // (the Paths/pageRank discipline).
+    val seg0 = docs
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
       .select(regexp_replace(col("w"), "(.)", "($1)").as("seg"), col("n"))
-      .persist()
+      .localCheckpoint()
+    val dictRows = seg0.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1L, math.min(sessionParts.toLong,
+      (dictRows + 99999L) / 100000L)).toInt
+    val seg =
+      if (p < seg0.rdd.getNumPartitions) seg0.repartition(p).localCheckpoint()
+      else seg0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      learnLoop(seg, numMerges, merges)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
+    merges.toSeq
+  }
+
+  /** The per-iteration body of [[learnMergesDistributed]] — runs with
+    * the caller's (temporarily dict-sized) shuffle parallelism. */
+  private def learnLoop(seg0: DataFrame, numMerges: Int,
+                        merges: scala.collection.mutable.ArrayBuffer[Merge])
+      : Unit = {
+    var seg = seg0
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
@@ -152,19 +194,15 @@ object Bpe {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(rank, l, r)
-        // symbols are ^[a-z0-9]+$ by construction — safe to inline
-        val next = seg
+        // symbols are ^[a-z0-9]+$ by construction — safe to inline;
+        // eager localCheckpoint truncates lineage (see caller)
+        seg = seg
           .select(expr(s"replace(seg, '($l)($r)', '($l$r)')").as("seg"),
             col("n"))
-          .persist()
-        next.count()
-        seg.unpersist()
-        seg = next
+          .localCheckpoint()
         rank += 1
       }
     }
-    seg.unpersist()
-    merges.toSeq
   }
 
   /** The merge table as a (rank, left, right) relation. */

@@ -41,6 +41,8 @@ object Multimodal {
   case class MediaMetaLenient(id: Long, ok: Boolean, width: Int, height: Int,
                               err: String)
   case class Frame(id: Long, frame_idx: Int, feature: Array[Float])
+  case class AudioWindowFeatures(id: Long, win: Int, n: Int, energy: Long,
+                                 zc: Int, peak: Int)
 
   /** STUB decoder for video/unknown media — deterministic fake
     * dimensions derived from the payload. Replace with a real video
@@ -139,6 +141,71 @@ object Multimodal {
       it.map { b =>
         val (rate, ch, frames) = audioDecode(b.payload)
         AudioMeta(b.id, b.payload.length.toLong, rate, ch, frames)
+      }
+    }
+  }
+
+  /** Windowed audio feature extraction over REAL decoded PCM — the
+    * signal-level features a speech-data pipeline filters on (voice
+    * activity, clipping, silence): per window of `window` samples,
+    *   - `energy`: Σ v² (RMS energy numerator — silence detection),
+    *   - `zc`: zero crossings (sign changes between consecutive
+    *     in-window samples — the classic cheap voicing/noise signal),
+    *   - `peak`: max |v| (clipping detection).
+    * All three are INTEGER functions of the samples, so the features
+    * replay bit-exactly from the generation rule in an external oracle
+    * with no float math anywhere.
+    *
+    * Decode is real: javax.sound parses the container and the PCM
+    * frames are read through the format's own endianness. 16-bit
+    * signed PCM only (the universal interchange format) — anything
+    * else fails loudly. The final window may be short (n < window);
+    * dropping tail samples silently is the chunking bug all over
+    * again.
+    *
+    * Scale shape: narrow mapPartitions flatMap (no shuffle, partition-
+    * inherited); output rows ≈ samples/window per blob.
+    */
+  def audioFeatures(blobs: Dataset[MediaBlob],
+                    window: Int): Dataset[AudioWindowFeatures] = {
+    require(window > 0, "window must be positive")
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b.payload))
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 16 &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getChannels == 1,
+          s"audioFeatures expects 16-bit signed mono PCM, got $f")
+        val bytes =
+          try in.readAllBytes()
+          finally in.close()
+        val n = bytes.length / 2
+        val big = f.isBigEndian
+        def sample(i: Int): Int = {
+          val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+          val hi = bytes(2 * i + (if (big) 0 else 1))
+          (hi << 8) | lo
+        }
+        (0 until (n + window - 1) / window).iterator.map { w =>
+          val start = w * window
+          val end = math.min(start + window, n)
+          var energy = 0L
+          var zc = 0
+          var peak = 0
+          var i = start
+          while (i < end) {
+            val v = sample(i)
+            energy += v.toLong * v
+            if (i > start && ((sample(i - 1) < 0) != (v < 0))) zc += 1
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioWindowFeatures(b.id, w, end - start, energy, zc, peak)
+        }
       }
     }
   }

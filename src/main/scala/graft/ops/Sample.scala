@@ -214,4 +214,32 @@ object Sample {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** k-anonymity-style suppression: drop every row whose
+    * quasi-identifier combination appears in fewer than `k` rows — the
+    * release-time privacy guard complementing the store tier's
+    * tombstone deletes (a rare (user, attribute…) combination
+    * re-identifies even with ids stripped; suppressing small groups is
+    * the baseline k-anonymity mechanism).
+    *
+    * Scale shape: one map-side-combined groupBy over the
+    * quasi-identifier columns to find the rare combinations, then a
+    * join back. The rare-key set is NOT assumed small (at web scale
+    * the long tail usually IS most distinct keys), so this is a plain
+    * shuffle join on the quasi-identifier — AQE picks broadcast when
+    * the rare set happens to be tiny, and the skew split covers hot
+    * keys. No window over the full table: the count aggregate combines
+    * map-side, where a `count(*) over (partition by …)` would carry
+    * every row through one shuffle ungrouped.
+    */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String],
+                          k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be at least 1")
+    val keep = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gc"))
+      .where(col("__gc") >= k)
+      .drop("__gc")
+    df.join(keep, quasiCols, "left_semi")
+  }
 }

@@ -275,6 +275,57 @@ object Text {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75) in EXACT integer
+    * arithmetic — [[searchTopK]]'s tf-idf plus the ingredient it
+    * lacks: document-length normalization, the term that stops long
+    * documents from winning on raw term count alone.
+    *
+    * The float formula idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) is
+    * replayed exactly in integers: with k1 = 6/5, b = 3/4 and
+    * avgdl carried as A = (T·1000) DIV N milli-tokens (T = corpus
+    * tokens, N = docs), each term's contribution is
+    *   (N DIV df) · ((44·tf·A·1000000) DIV (20·tf·A + 6·A + 18·dl·1000))
+    * — the saturating-in-tf, length-penalized BM25 shape with integer
+    * idf (same documented divergence from ln-idf as [[searchTopK]]),
+    * bit-reproducible across engines. The overflow bound is
+    * corpus-size-INDEPENDENT on the ratio term (A is an average doc
+    * length, not a corpus total); the idf factor bounds the sum at
+    * ~|query|·N·2.2e6, safe in int64 beyond trillion-doc corpora.
+    *
+    * Scale shape: identical to [[searchTopK]] — filter to query tokens
+    * before any shuffle, two map-side-combined groupBys, broadcast df
+    * join, TakeOrdered top-k. The corpus stats (N, T) are one bounded
+    * single-row aggregate.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: String, k: Int): DataFrame = {
+    val qTokens = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(qTokens.nonEmpty, "query must contain at least one token")
+    val base = docs.select(col(idCol),
+      org.apache.spark.sql.functions.size(tokens(col(textCol)))
+        .cast("long").as("dl"),
+      tokens(col(textCol)).as("__t"))
+    val st = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val n = st.getLong(0)
+    val t = st.getLong(1)
+    val a = t * 1000L / n // avgdl in milli-tokens, integer division
+    val hits = base
+      .select(col(idCol), col("dl"), explode(col("__t")).as("token"))
+      .where(col("token").isin(qTokens: _*))
+    val tf = hits.groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = hits.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "token")
+      .withColumn("contrib", expr(
+        s"($n DIV df) * ((44 * tf * $a * 1000000) DIV " +
+          s"(20 * tf * $a + 6 * $a + 18 * dl * 1000))"))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k characteristic tokens per document, ranked by term
     * frequency (desc), then corpus rarity (document frequency asc),
     * then token — the tf-idf ordering expressed in pure integers, so

@@ -420,6 +420,112 @@ class OpsSpec extends GraftSpec {
     assert(got == Set((13L, 0, 1), (10L, 0, 2), (20L, 1, 1), (21L, 1, 2)))
   }
 
+  test("bm25TopK: length normalization + tf saturation flip a raw-tf ranking") {
+    import spark.implicits._
+    val tiny = Seq(
+      // doc 1: tf(hash)=5 but buried in a 20-token doc
+      (1L, ("hash " * 5 + "filler " * 15).trim),
+      // doc 2: 3 tokens, two of them query terms
+      (2L, "hash hash vector"),
+      (3L, "join"),
+      (4L, "filler text about nothing")).toDF("doc_id", "text")
+    val bm25 = graft.ops.Text.bm25TopK(tiny, "doc_id", "text", "hash vector", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // plain integer tf-idf ranks doc 1 first on raw term count…
+    val tfidf = graft.ops.Text.searchTopK(tiny, "doc_id", "text", "hash vector", 10)
+      .collect().map(_.getLong(0))
+    assert(tfidf.head == 1L)
+    // …BM25's dl penalty + tf saturation put the short focused doc first
+    assert(bm25.map(_._1).toSeq == Seq(2L, 1L))
+    // exact integer replay: N=4, T=28, A=7000
+    val (n, a) = (4L, 7000L)
+    def contrib(idf: Long, tf: Long, dl: Long): Long =
+      idf * ((44 * tf * a * 1000000L) / (20 * tf * a + 6 * a + 18 * dl * 1000))
+    val expected2 = contrib(n / 2, 2, 3) + contrib(n / 1, 1, 3)
+    val expected1 = contrib(n / 2, 5, 20)
+    assert(bm25.toMap == Map(2L -> expected2, 1L -> expected1))
+  }
+
+  test("audioFeatures: real WAV decode yields rule-exact energy/zc/peak per window") {
+    import spark.implicits._
+    val ids = Seq(0L, 40L, 63L).toDF("doc_id")
+    val got = Multimodal.audioFeatures(
+        Multimodal.syntheticWavs(ids, "doc_id"), window = 16)
+      .collect().map(f => (f.id, f.win) -> ((f.n, f.energy, f.zc, f.peak))).toMap
+    def rule(id: Long): Seq[Int] = (0 until (16 + (id % 64)).toInt)
+      .map(i => (((id * 31 + i * 7) % 251) - 125).toInt)
+    Seq(0L, 40L, 63L).foreach { id =>
+      val wins = rule(id).grouped(16).toSeq
+      assert(got.keys.count(_._1 == id) == wins.size,
+        s"id $id: window count (last window is partial, never dropped)")
+      wins.zipWithIndex.foreach { case (w, wi) =>
+        val energy = w.map(x => x.toLong * x).sum
+        val zc = w.sliding(2).count(p => p.size == 2 && ((p(0) < 0) != (p(1) < 0)))
+        val peak = w.map(math.abs).max
+        assert(got((id, wi)) == ((w.size, energy, zc, peak)), s"id $id win $wi")
+      }
+    }
+    // id 0 is all-negative (v = 7i − 125, i ≤ 15): zero crossings = 0
+    assert(got((0L, 0))._3 == 0)
+  }
+
+  test("zValue: bit-exact Morton codes; contiguous z-ranges narrow in BOTH dims") {
+    import spark.implicits._
+    val pts = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
+    def ref(x: Int, y: Int): Long = {
+      var z = 0L
+      for (b <- 0 until 5) {
+        z |= ((x >> b) & 1).toLong << (2 * b + 1)
+        z |= ((y >> b) & 1).toLong << (2 * b)
+      }
+      z
+    }
+    val withZ = pts.select(col("x"), col("y"),
+      graft.ops.Layout.zValue(Seq(col("x"), col("y")), 5).as("z"))
+    val got = withZ.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (x <- 0 until 32; y <- 0 until 32)
+      assert(got((x, y)) == ref(x, y), s"($x,$y)")
+    // every aligned 128-code block (two sibling 8×8 quads) is narrow in
+    // x AND y — the property that makes per-file min/max prune both
+    // dims; a lexicographic layout leaves the minor dim at full span
+    val spans = withZ.withColumn("bk", expr("z DIV 128"))
+      .groupBy("bk").agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(spans.length == 8)
+    assert(spans.forall { case (sx, sy) => sx <= 16 && sy <= 16 }, spans.toSeq)
+    val lexSpans = pts.withColumn("bk", expr("x DIV 4"))
+      .groupBy("bk").agg((max(col("y")) - min(col("y"))).as("sy"))
+      .collect().map(_.getInt(1))
+    assert(lexSpans.forall(_ == 31), "lexicographic minor-dim span is full")
+    // the layout pass keeps every row and sorts z within partitions
+    val zo = graft.ops.Layout.zOrder(pts, Seq(col("x"), col("y")), 5, 8)
+    assert(zo.count() == 1024)
+    val perPart = zo.select(
+        graft.ops.Layout.zValue(Seq(col("x"), col("y")), 5).as("z"),
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .collect().groupBy(_.getInt(1))
+    perPart.values.foreach { rows =>
+      val zs = rows.map(_.getLong(0)).toSeq
+      assert(zs == zs.sorted, "z not sorted within a partition")
+    }
+  }
+
+  test("suppressSmallGroups: rows with rare quasi-identifier combos are dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "u1", "click"), (2L, "u1", "click"), (3L, "u1", "click"),
+      (4L, "u2", "click"), (5L, "u2", "click"),
+      (6L, "u1", "purchase")).toDF("id", "user", "etype")
+    def ids(k: Long) = graft.ops.Sample
+      .suppressSmallGroups(rows, Seq("user", "etype"), k)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(3) == Set(1L, 2L, 3L))
+    assert(ids(2) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(1) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("keywords rank by tf desc, rarity asc, token asc — integer-exact") {
     import spark.implicits._
     val tiny = Seq(

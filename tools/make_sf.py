@@ -174,8 +174,14 @@ def rep_events(src, out, n_reps, skew=False):
         cols["user_id"] = pc.add(uid, r * 1_000_000)
         reps.append(pa.table(cols))
     merged = pa.concat_tables(reps)
-    assert merged.schema.field("ts").type == pa.timestamp("ns"), \
-        "events.ts must stay timestamp[ns] for the engine's nanosAsLong path"
+    # the engine reads ts through Events.withTsUs, which handles BOTH
+    # fixture encodings (nanos-long and timestamp[us]) — what matters is
+    # that replication preserves whichever encoding the source uses, so
+    # the replica exercises the same read path as the original
+    src_ts = t.schema.field("ts").type
+    assert merged.schema.field("ts").type == src_ts, \
+        f"events.ts changed type under replication: {src_ts} -> " \
+        f"{merged.schema.field('ts').type}"
     pq.write_table(merged, f"{out}/events.parquet")
 
 
@@ -196,7 +202,7 @@ def main():
     rep_embeddings(con, src, out, n_reps)
     print(f"[make_sf] embeddings: replicated x{n_reps} (rotated)")
     rep_events(src, out, n_reps, skew)
-    print(f"[make_sf] events: replicated x{n_reps} (timestamp[ns] kept{tag})")
+    print(f"[make_sf] events: replicated x{n_reps} (source ts type kept{tag})")
 
 
 if __name__ == "__main__":
