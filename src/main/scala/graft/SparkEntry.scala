@@ -1325,6 +1325,30 @@ object SparkEntry {
       ops.Text.bm25TopK(Tables.t(sp, dir, "documents"),
         "doc_id", "text", "vector join hash", 10)),
 
+    // ---- RDFS-lite entailment (the ρdf fragment): subPropertyOf /
+    //      subClassOf closures + domain/range typing materialized over
+    //      the star graph. Reasoning is beyond the reference's scope
+    //      (README:41-45) — composed from Paths.closure on the tiny
+    //      schema + two broadcast-join scans of the instance store ----
+    "q127_rdfs_entail" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      val ont = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("c_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+        (TKeyword("s_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+        (TKeyword("n_regionkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+        (TKeyword("in_geo"), ops.Rdfs.SubPropertyOf, TKeyword("located")),
+        (TKeyword("in_geo"), ops.Rdfs.Domain, TKeyword("geo_thing")),
+        (TKeyword("in_geo"), ops.Rdfs.Range, TKeyword("place")),
+        (TKeyword("place"), ops.Rdfs.SubClassOf, TKeyword("geo_thing")),
+        (TKeyword("geo_thing"), ops.Rdfs.SubClassOf, TKeyword("entity"))))
+      val mat = ops.Rdfs.materialize(db, ont)
+      val keep = Seq("in_geo", "located", "type")
+        .map(k => Term.lit(TKeyword(k)))
+      mat.df.where(keep.map(col("p") === _).reduce(_ || _))
+        .select(Term.encode(col("s")).as("s"),
+          Term.encode(col("p")).as("p"), Term.encode(col("o")).as("o"))
+    }),
+
     // ---- BPE subword encoding: lowest-rank-first merge loop per word
     //      (the Sennrich/GPT-2 priority algorithm — replayed merge by
     //      merge in the oracle's recursive CTE), with sorted-vocab
@@ -2118,6 +2142,50 @@ object SparkEntry {
       }
       s"SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval FROM orders"
     },
+
+    // RDFS ρdf entailment replayed as recursive CTEs: schema closures
+    // (pc/cc) recurse over the VALUES-defined ontology; instance
+    // expansion and typing are plain joins. Multiply-referenced stages
+    // are AS MATERIALIZED (plain CTEs inline → exponential re-scans).
+    "q127_rdfs_entail" ->
+      """WITH RECURSIVE ont(s, p, o) AS (
+        |  SELECT * FROM (VALUES
+        |    ('c_nationkey', 'subPropertyOf', 'in_geo'),
+        |    ('s_nationkey', 'subPropertyOf', 'in_geo'),
+        |    ('n_regionkey', 'subPropertyOf', 'in_geo'),
+        |    ('in_geo', 'subPropertyOf', 'located'),
+        |    ('in_geo', 'domain', 'geo_thing'),
+        |    ('in_geo', 'range', 'place'),
+        |    ('place', 'subClassOf', 'geo_thing'),
+        |    ('geo_thing', 'subClassOf', 'entity')) AS v(s, p, o)
+        |), pc(a, b) AS (
+        |  SELECT s, o FROM ont WHERE p = 'subPropertyOf'
+        |  UNION
+        |  SELECT pc.a, ont.o FROM pc JOIN ont ON ont.s = pc.b AND ont.p = 'subPropertyOf'
+        |), cc(a, b) AS (
+        |  SELECT s, o FROM ont WHERE p = 'subClassOf'
+        |  UNION
+        |  SELECT cc.a, ont.o FROM cc JOIN ont ON ont.s = cc.b AND ont.p = 'subClassOf'
+        |), inst(s, p, o) AS MATERIALIZED (
+        |  SELECT 'u|customer/' || c_custkey, 'c_nationkey', 'u|nation/' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'u|supplier/' || s_suppkey, 's_nationkey', 'u|nation/' || s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT 'u|nation/' || n_nationkey, 'n_regionkey', 'u|region/' || n_regionkey FROM nation
+        |), sup(s, p, o) AS MATERIALIZED (
+        |  SELECT i.s, pc.b, i.o FROM inst i JOIN pc ON pc.a = i.p
+        |), typed0(s, c) AS MATERIALIZED (
+        |  SELECT e.s, ont.o FROM sup e JOIN ont ON ont.s = e.p AND ont.p = 'domain'
+        |  UNION
+        |  SELECT e.o, ont.o FROM sup e JOIN ont ON ont.s = e.p AND ont.p = 'range'
+        |), typed(s, c) AS (
+        |  SELECT s, c FROM typed0
+        |  UNION
+        |  SELECT t.s, cc.b FROM typed0 t JOIN cc ON cc.a = t.c
+        |)
+        |SELECT DISTINCT s, 'k|' || p AS p, o FROM sup WHERE p IN ('in_geo', 'located')
+        |UNION
+        |SELECT DISTINCT s, 'k|type' AS p, 'k|' || c AS o FROM typed""".stripMargin,
 
     // BM25 with integer idf and milli-token avgdl — identical integer
     // ops both engines (DuckDB sums cast to BIGINT; all terms positive

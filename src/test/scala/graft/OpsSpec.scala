@@ -1299,4 +1299,55 @@ class OpsSpec extends GraftSpec {
       org.apache.spark.sql.types.LongType)
     assert(real.where(col("tus") > 0L).count() > 0)
   }
+
+  test("rdfs materialize: rule interaction — subproperty chain fires a " +
+      "superproperty domain, then subclass chain lifts the type") {
+    import graft.core.Term._
+    import graft.core.{Term, TripleDb}
+    import graft.ops.Rdfs
+    val inst = TripleDb.fromTerms(spark, Seq(
+      (TKeyword("alice"), TKeyword("manages"), TKeyword("bob")),
+      (TKeyword("carol"), Rdfs.TypeP, TKeyword("intern"))))
+    val ont = TripleDb.fromTerms(spark, Seq(
+      // two-step property chain: manages ⊑ supervises ⊑ knows
+      (TKeyword("manages"), Rdfs.SubPropertyOf, TKeyword("supervises")),
+      (TKeyword("supervises"), Rdfs.SubPropertyOf, TKeyword("knows")),
+      // domain on the TOP of the chain — must fire for `manages` triples
+      (TKeyword("knows"), Rdfs.Domain, TKeyword("person")),
+      (TKeyword("supervises"), Rdfs.Range, TKeyword("employee")),
+      // two-step class chain above a range-produced and an asserted type
+      (TKeyword("employee"), Rdfs.SubClassOf, TKeyword("person")),
+      (TKeyword("person"), Rdfs.SubClassOf, TKeyword("agent")),
+      (TKeyword("intern"), Rdfs.SubClassOf, TKeyword("employee"))))
+    val got = Rdfs.materialize(inst, ont).triples.toSet
+    def k(s: String) = TKeyword(s)
+    // rdfs7 via the CLOSED property relation (both hops at once)
+    assert(got((k("alice"), k("supervises"), k("bob"))))
+    assert(got((k("alice"), k("knows"), k("bob"))))
+    // rdfs2 on the expanded `knows` triple; rdfs9 lifts person→agent
+    assert(got((k("alice"), Rdfs.TypeP, k("person"))))
+    assert(got((k("alice"), Rdfs.TypeP, k("agent"))))
+    // rdfs3 on the expanded `supervises` triple, then the class chain
+    assert(got((k("bob"), Rdfs.TypeP, k("employee"))))
+    assert(got((k("bob"), Rdfs.TypeP, k("person"))))
+    assert(got((k("bob"), Rdfs.TypeP, k("agent"))))
+    // asserted type climbs the THREE-step class chain (rdfs9 + rdfs11)
+    assert(got((k("carol"), Rdfs.TypeP, k("employee"))))
+    assert(got((k("carol"), Rdfs.TypeP, k("person"))))
+    assert(got((k("carol"), Rdfs.TypeP, k("agent"))))
+    // rdfs5/rdfs11: closed schema triples are themselves entailed
+    assert(got((k("manages"), Rdfs.SubPropertyOf, k("knows"))))
+    assert(got((k("intern"), Rdfs.SubClassOf, k("agent"))))
+    // original facts survive
+    assert(got((k("alice"), k("manages"), k("bob"))))
+    // no spurious subjects: only alice/bob/carol carry type triples
+    val typed = got.collect { case (s, p, _) if p == Rdfs.TypeP => s }
+    assert(typed == Set(k("alice"), k("bob"), k("carol")))
+    // meta-axioms over reserved predicates are rejected
+    val bad = TripleDb.fromTerms(spark, Seq(
+      (TKeyword("manages"), Rdfs.SubPropertyOf, Rdfs.TypeP)))
+    intercept[IllegalArgumentException] {
+      Rdfs.materialize(inst, bad)
+    }
+  }
 }
