@@ -1419,6 +1419,20 @@ object SparkEntry {
         "n", "name", "r")
     }),
 
+    // ---- N-Triples interchange (W3C N-Triples 1.1): serialize the
+    //      nation store to the RDF exchange format, parse it back, run
+    //      the q47 BGP — round-trip must be invisible to queries.
+    //      Both directions are narrow codegen'd projections ----
+    "q128_ntriples_roundtrip" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q128").toString
+      sources.NTriples.save(Tables.nationDb(sp, dir), tmp)
+      val loaded = sources.NTriples.load(sp, tmp)
+      sel(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- durable-store GDPR: delete every fact about 1-in-4 subjects
     //      (tombstone write only — nothing rewritten), load masks them,
     //      BGP ≡ a store never containing those subjects ----
@@ -2739,6 +2753,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q47_save_load" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
+
+    // round-trip through the text interchange form changes nothing
+    "q128_ntriples_roundtrip" ->
       """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
         |  'u|region/' || n_regionkey AS r
         |FROM nation""".stripMargin,

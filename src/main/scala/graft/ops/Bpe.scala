@@ -159,8 +159,11 @@ object Bpe {
     val p = math.max(1L, math.min(sessionParts.toLong,
       (dictRows + 99999L) / 100000L)).toInt
     val seg =
-      if (p < seg0.rdd.getNumPartitions) seg0.repartition(p).localCheckpoint()
-      else seg0
+      if (p < seg0.rdd.getNumPartitions) {
+        val r = seg0.repartition(p).localCheckpoint()
+        freeCheckpoint(seg0) // repartitioned copy is materialized — free
+        r
+      } else seg0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       spark.conf.set("spark.sql.shuffle.partitions", p)
@@ -170,6 +173,22 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Drop a localCheckpoint'd frame's cached blocks. An unpersisted
+    * local checkpoint CANNOT be recomputed (its lineage is truncated by
+    * design), so this is only called on frames provably dead: the loop
+    * predecessor after its successor's EAGER checkpoint materialized,
+    * and the final dict once the merge list (plain driver data) is out.
+    * Without this, every iteration leaks one cached copy of the dict —
+    * bounded at 16 merges, but a real 32k-100k-merge tokenizer build
+    * would pin tens of GB of dead blocks in the block manager.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 
   /** The per-iteration body of [[learnMergesDistributed]] — runs with
     * the caller's (temporarily dict-sized) shuffle parallelism. */
@@ -196,13 +215,16 @@ object Bpe {
         merges += Merge(rank, l, r)
         // symbols are ^[a-z0-9]+$ by construction — safe to inline;
         // eager localCheckpoint truncates lineage (see caller)
+        val prev = seg
         seg = seg
           .select(expr(s"replace(seg, '($l)($r)', '($l$r)')").as("seg"),
             col("n"))
           .localCheckpoint()
+        freeCheckpoint(prev) // successor materialized — predecessor dead
         rank += 1
       }
     }
+    freeCheckpoint(seg) // merge list is plain driver data; dict is dead
   }
 
   /** The merge table as a (rank, left, right) relation. */

@@ -48,16 +48,17 @@ object BpeProbe {
       spark.stop()
       return
     }
+    // mirror of the production learnLoop (localCheckpoint discipline),
+    // with per-iteration phase timing — answers "is per-merge cost flat
+    // with depth, and if not which phase grows"
     val docs = Tables.t(spark, dir, "documents")
     var seg = t("initial word count") {
-      val s = docs
+      docs
         .select(explode(Text.tokens(col("text"))).as("w"))
         .where(col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w").agg(count(lit(1)).as("n"))
         .select(regexp_replace(col("w"), "(.)", "($1)").as("seg"), col("n"))
-        .persist()
-      s.count()
-      s
+        .localCheckpoint()
     }
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     for (i <- 0 until iters) {
@@ -72,16 +73,14 @@ object BpeProbe {
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
       }
-      val (l, r) = (top(0).getString(0), top(0).getString(1))
-      val next = t(s"iter $i apply+persist") {
-        val n = seg
-          .select(expr(s"replace(seg, '($l)($r)', '($l$r)')").as("seg"), col("n"))
-          .persist()
-        n.count()
-        n
+      if (top.isEmpty) { System.err.println(s"[probe] exhausted at $i") }
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        seg = t(s"iter $i apply+ckpt") {
+          seg.select(expr(s"replace(seg, '($l)($r)', '($l$r)')").as("seg"),
+            col("n")).localCheckpoint()
+        }
       }
-      t(s"iter $i unpersist")(seg.unpersist())
-      seg = next
     }
     spark.stop()
   }

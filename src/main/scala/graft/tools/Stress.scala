@@ -343,6 +343,39 @@ object Stress {
       }
     }
 
+    // 2d-9. distributed-BPE depth: drive learnMergesDistributed to 120
+    // merges on the 10× corpus. Per-iteration cost must be bounded by
+    // the DISTINCT-PAIR space (the dict), not the corpus, and lineage
+    // must stay flat under the localCheckpoint discipline — measured as
+    // the INCREMENTAL merges/sec across depth windows (30→60→120):
+    // deltas cancel the one-time corpus word count, so a growing
+    // per-merge cost (lineage creep or dict-size sensitivity) shows up
+    // directly as decaying incremental rates.
+    {
+      // depths stay under this corpus's pair-space exhaustion (~89
+      // merges on the synthetic vocabulary) so every window is a full
+      // window; merge counts are printed so a cap is visible, not
+      // silent (No-silent-caps rule)
+      def learnTimed(n: Int): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val m = graft.ops.Bpe.learnMergesDistributed(reps, "text", n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[stress]   -> depth $n%3d: ${m.size} merges in $dt%.2f s")
+        (dt, m.size)
+      }
+      time(s"distributed BPE to depth 80 at ${nReps}x corpus") {
+        val (t20, n20) = learnTimed(20)
+        val (t40, n40) = learnTimed(40)
+        val (t80, n80) = learnTimed(80)
+        val w1 = n20 / t20
+        val w2 = (n40 - n20) / (t40 - t20)
+        val w3 = (n80 - n40) / (t80 - t40)
+        println(f"[stress]   -> merges/sec: first-20 $w1%.1f, " +
+          f"21-40 incremental $w2%.1f, 41-80 incremental $w3%.1f " +
+          f"(flat ≈ no lineage creep, no checkpoint-block leak)")
+      }
+    }
+
     // 2e. dictionary-encoded store A/B (the REAL operator, DictDb): the
     // same BGPs over the 6.6M-triple fact store, struct-keyed vs
     // dict-encoded, each repeated 5× — the dict's one-time encode (dict

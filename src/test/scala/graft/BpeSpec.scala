@@ -110,4 +110,16 @@ class BpeSpec extends GraftSpec {
     val noHapax = Bpe.learnMergesDistributed(docs, "text", 4, minCount = 2)
     assert(noHapax.size == 4)
   }
+
+  test("distributed trainer frees its checkpoints: cached-RDD count " +
+    "does not grow with merges (a 100k-merge build must not pin one " +
+    "dead dict copy per iteration)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, dir, "documents").where(col("doc_id") < 120)
+    def cached = spark.sparkContext.getPersistentRDDs.size
+    val before = cached
+    Bpe.learnMergesDistributed(docs, "text", 10)
+    assert(cached <= before,
+      s"trainer leaked checkpoint blocks: $before -> $cached")
+  }
 }

@@ -225,4 +225,52 @@ class TermInteropSpec extends GraftSpec {
     assert(resultSet(loaded, Seq(?("s2")),
       Seq(pat(?("s2"), T(k("p")), T(l(9007199254740993L))))) == Set(Seq(k("b"))))
   }
+
+  test("N-Triples sink/source round-trips every term kind; grammar-legal lines") {
+    import graft.sources.NTriples
+    val exotic = db(
+      (k("a"), k("p"), s("tab\there\nand \"quotes\" \\ backslash %pct")),
+      (TNil, k("p"), s("nil subject")),
+      (k("b"), k("p"), l(9007199254740993L)),          // exact past 2^53
+      (k("c"), k("p"), TDouble(-0.125)),
+      (k("d"), k("p"), TLangString("héllo wörld", "de")),
+      (k("e"), k("p"), TTyped("foo>bar", "http://some/data type")),
+      (k("f"), k("p"), TDate("2024-02-29T00:00:00")),
+      (k("g"), k("p"), Term.opaque("pt", Array[Byte](0, 127, -128))),
+      (k("h"), k("p"), TBool(true)),
+      (TUri("http://absolute/iri?x=1"), k("p"), TUri("relative/row 7")),
+      (k("weird kw"), k("p"), s("")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nt").toString
+    NTriples.save(exotic, tmp)
+    val loaded = NTriples.load(spark, tmp)
+    assert(loaded.triples.toSet == exotic.triples.toSet)
+    // every emitted line is a legal N-Triples 1.1 triple production:
+    // IRIREF subject/predicate, IRIREF-or-literal object, final dot —
+    // raw newlines/quotes inside lexicals would break this line regex
+    val lineOk = ("^<[^<>\"{}|^`\\\\\\x00-\\x20]*> <[^<>\"{}|^`\\\\\\x00-\\x20]*> " +
+      "(<[^<>\"{}|^`\\\\\\x00-\\x20]*>|\"(?:[^\"\\\\\\n\\r]|\\\\.)*\"" +
+      "(@[A-Za-z][A-Za-z0-9-]*|\\^\\^<[^<>\"{}|^`\\\\\\x00-\\x20]*>)?) \\.$").r
+    val raw = spark.read.text(tmp).collect().map(_.getString(0))
+    assert(raw.length == exotic.triples.size)
+    raw.foreach(ln => assert(lineOk.findFirstIn(ln).isDefined, s"illegal line: $ln"))
+    // xsd-typed literals normalize to the native kind (documented)
+    val norm = db((k("x"), k("p"),
+      TTyped("42", "http://www.w3.org/2001/XMLSchema#long")))
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_nt2").toString
+    NTriples.save(norm, tmp2)
+    assert(NTriples.load(spark, tmp2).triples.toSet ==
+      Set((k("x"), k("p"), l(42L))))
+    // comments and blank lines skip; blank nodes fail loudly
+    val tmp3 = java.nio.file.Files.createTempDirectory("graft_nt3")
+    java.nio.file.Files.write(tmp3.resolve("a.nt"), java.util.Arrays.asList(
+      "# a comment", "", "<urn:graft:kw/a> <urn:graft:kw/p> \"v\" ."))
+    assert(NTriples.load(spark, tmp3.toString).triples.toSet ==
+      Set((k("a"), k("p"), s("v"))))
+    java.nio.file.Files.write(tmp3.resolve("b.nt"), java.util.Arrays.asList(
+      "_:b0 <urn:p> _:b1 ."))
+    val ex = intercept[Exception] {
+      NTriples.load(spark, tmp3.toString).triples
+    }
+    assert(ex.getMessage.contains("malformed N-Triples line"))
+  }
 }
