@@ -1349,6 +1349,28 @@ object SparkEntry {
           Term.encode(col("p")).as("p"), Term.encode(col("o")).as("o"))
     }),
 
+    // ---- l-diversity suppression (k-anonymity's complement): groups
+    //      whose (user, event_type) rows carry < 12 DISTINCT sensitive
+    //      values (exact cents) leak the attribute — suppressed ----
+    "q129_l_diversity" -> ((sp, dir) => {
+      val e = Tables.t(sp, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      ops.Sample.suppressLowDiversityGroups(
+          e, Seq("user_id", "event_type"), "cents", 12)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // ---- ROUGE-2 F1 refinement of near-dup candidate pairs: exact
+    //      multiset bigram overlap in integer micro-units over the
+    //      LSH-verified pair set (q21's pairs) — the score used to
+    //      threshold "near-dup" beyond set-Jaccard ----
+    "q130_rouge_pairs" -> ((sp, dir) => {
+      val docs = Tables.t(sp, dir, "documents")
+      val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      ops.Text.rougeBigramF1(docs, "doc_id", "text", pairs)
+    }),
+
     // ---- BPE subword encoding: lowest-rank-first merge loop per word
     //      (the Sennrich/GPT-2 priority algorithm — replayed merge by
     //      merge in the oracle's recursive CTE), with sorted-vocab
@@ -2200,6 +2222,54 @@ object SparkEntry {
         |SELECT DISTINCT s, 'k|' || p AS p, o FROM sup WHERE p IN ('in_geo', 'located')
         |UNION
         |SELECT DISTINCT s, 'k|type' AS p, 'k|' || c AS o FROM typed""".stripMargin,
+
+    "q129_l_diversity" ->
+      """WITH g AS (SELECT user_id, event_type FROM events
+        |           GROUP BY 1, 2
+        |           HAVING count(DISTINCT CAST(round(value * 100) AS BIGINT)) >= 12)
+        |SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e JOIN g USING (user_id, event_type)""".stripMargin,
+
+    // q21's exact-Jaccard pair set, then true multiset ROUGE-2:
+    // sum(least(ca, cb)) over per-doc bigram counts, F1 in floor-div
+    // micro-units (identical integer ops both engines)
+    "q130_rouge_pairs" ->
+      raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+') AS t
+        |              FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(greatest(1, len(t) - 2)),
+        |         i -> array_to_string(t[i+1:i+3], ' '))) AS ss
+        |       FROM toks),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter
+        |          JOIN sizes sa ON sa.doc_id = ia
+        |          JOIN sizes sb ON sb.doc_id = ib
+        |          WHERE 3 * i >= sa.n + sb.n),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1])) AS g
+        |       FROM toks),
+        |bgc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |        FROM bg GROUP BY 1, 2),
+        |bn AS (SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n
+        |       FROM toks),
+        |ov AS (SELECT p.ia, p.ib, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |       FROM pairs p
+        |       JOIN bgc a ON a.doc_id = p.ia
+        |       JOIN bgc b ON b.doc_id = p.ib AND b.g = a.g
+        |       GROUP BY 1, 2)
+        |SELECT p.ia, p.ib,
+        |  CAST(CASE WHEN na.n + nb.n = 0 THEN 0
+        |       ELSE (2000000 * coalesce(o.ov, 0)) // (na.n + nb.n) END
+        |    AS BIGINT) AS f1_micro
+        |FROM pairs p
+        |LEFT JOIN ov o ON o.ia = p.ia AND o.ib = p.ib
+        |JOIN bn na ON na.doc_id = p.ia
+        |JOIN bn nb ON nb.doc_id = p.ib""".stripMargin,
 
     // BM25 with integer idf and milli-token avgdl — identical integer
     // ops both engines (DuckDB sums cast to BIGINT; all terms positive

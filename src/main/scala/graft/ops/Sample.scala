@@ -242,4 +242,25 @@ object Sample {
       .drop("__gc")
     df.join(keep, quasiCols, "left_semi")
   }
+
+  /** l-diversity suppression (Machanavajjhala et al., ICDE 2006):
+    * k-anonymity's complement — a quasi-identifier group where every
+    * row shares ONE sensitive value re-identifies the attribute even
+    * when the group is large, so groups with fewer than `l` DISTINCT
+    * sensitive values are suppressed. Same scale shape as
+    * [[suppressSmallGroups]]: `count(distinct)` goes through Spark's
+    * two-phase partial aggregation (dedup map-side on (quasi,
+    * sensitive), then count per quasi) — no window, no all-rows-
+    * through-one-shuffle, and the semi join back is AQE-planned.
+    */
+  def suppressLowDiversityGroups(df: DataFrame, quasiCols: Seq[String],
+                                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, "l must be at least 1")
+    val keep = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__ld"))
+      .where(col("__ld") >= l)
+      .drop("__ld")
+    df.join(keep, quasiCols, "left_semi")
+  }
 }

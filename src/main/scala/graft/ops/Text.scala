@@ -644,6 +644,51 @@ object Text {
         coalesce(col("surprisal"), lit(0L)).as("surprisal"))
   }
 
+  /** ROUGE-2 F1 between candidate document pairs, in exact integer
+    * micro-units (×1e6, floor division — oracle-reproducible; never
+    * a float sum). `pairs` carries (ia, ib); the result adds
+    * `f1_micro`, one row per input pair, zero-overlap pairs included.
+    *
+    * Multiset semantics (true ROUGE): a bigram occurring twice in both
+    * docs contributes 2, via `sum(least(ca, cb))` over the per-doc
+    * bigram counts. Scale shape: the per-doc gram relation is computed
+    * once (narrow explode + map-side-combined groupBy); each pair then
+    * joins its two sparse count vectors on (doc, gram) — the standard
+    * sparse-overlap join, shuffled by gram, never all-pairs (pair
+    * generation is the caller's LSH/banding problem, e.g.
+    * [[Dedup.minhashNearDupPairs]]).
+    */
+  def rougeBigramF1(docs: DataFrame, idCol: String, textCol: String,
+                    pairs: DataFrame): DataFrame = {
+    val withT = docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("t"))
+    // slice+two-arg transform, not sequence(1, n-1): sequence throws on
+    // a 1-token doc (start > stop), slice degrades to the empty array
+    val grams = withT.select(col("id"),
+        explode(expr(
+          "transform(slice(t, 2, size(t) - 1), (x, i) -> concat(t[i], ' ', x))"))
+          .as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val sizes = withT.select(col("id"),
+      greatest(size(col("t")) - 1, lit(0)).cast("long").as("n"))
+    val ov = pairs.select(col("ia"), col("ib"))
+      .join(grams.as("ga"), col("ia") === col("ga.id"))
+      .join(grams.as("gb"),
+        col("ib") === col("gb.id") && col("ga.g") === col("gb.g"))
+      .groupBy("ia", "ib")
+      .agg(sum(least(col("ga.c"), col("gb.c"))).as("ov"))
+    pairs.select(col("ia"), col("ib"))
+      .join(ov, Seq("ia", "ib"), "left")
+      .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
+      // integer floor division (`div`), not a float divide — the F1 is
+      // oracle-compared bit-exactly
+      .withColumn("num", lit(2000000L) * coalesce(col("ov"), lit(0L)))
+      .withColumn("den", col("na") + col("nb"))
+      .select(col("ia"), col("ib"),
+        expr("CASE WHEN den = 0 THEN 0L ELSE num div den END").as("f1_micro"))
+  }
+
   /** Per-document text statistics + quality flag, as a ready projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1300,6 +1300,45 @@ class OpsSpec extends GraftSpec {
     assert(real.where(col("tus") > 0L).count() > 0)
   }
 
+  test("l-diversity: homogeneous sensitive values suppress a group even " +
+      "when it is k-large; diverse groups survive") {
+    import spark.implicits._
+    val rows = Seq(
+      // group (1, a): 3 rows but ONE sensitive value → suppressed at l=2
+      (10L, 1L, "a", 5L), (11L, 1L, "a", 5L), (12L, 1L, "a", 5L),
+      // group (2, b): 2 rows, 2 distinct values → kept
+      (20L, 2L, "b", 5L), (21L, 2L, "b", 6L),
+      // group (3, c): 1 row → suppressed
+      (30L, 3L, "c", 7L)
+    ).toDF("event_id", "user_id", "event_type", "cents")
+    val kept = graft.ops.Sample.suppressLowDiversityGroups(
+        rows, Seq("user_id", "event_type"), "cents", 2)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L, 21L))
+  }
+
+  test("rouge-2 F1: multiset overlap, zero-overlap pairs kept, " +
+      "single-token docs score 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),       // bigrams: ab bc cd
+      (2L, "b c d e"),       // bigrams: bc cd de   → ov 2, f1 = 4/6
+      (3L, "x y x y x"),     // xy:2 yx:2
+      (4L, "x y x"),         // xy:1 yx:1           → ov 2, f1 = 4/6
+      (5L, "solo"),          // no bigrams
+      (6L, "p q")            // pq:1                → vs 5: ov 0, den 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (1L, 3L))
+      .toDF("ia", "ib")
+    val got = graft.ops.Text.rougeBigramF1(d, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 666666L),   // 2*2*1e6 / (3+3)
+      (3L, 4L, 666666L),   // multiset: min(2,1)+min(2,1)=2; 4e6/(4+2)
+      (5L, 6L, 0L),        // zero overlap, nonzero denominator
+      (1L, 3L, 0L)))       // disjoint grams
+  }
+
   test("rdfs materialize: rule interaction — subproperty chain fires a " +
       "superproperty domain, then subclass chain lifts the type") {
     import graft.core.Term._
