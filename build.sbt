@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] is driver+executor in ONE JVM, and the sf1
+  // suite holds warm index rigs plus iterative ops' localCheckpoint
+  // blocks (freed lazily by the context cleaner) — 8g produced
+  // nondeterministic task OOMs in q36/q43 at sf1 (round 9). The box
+  // has 128 GiB; a real cluster sizes executors separately.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -14,6 +14,11 @@ object Bench {
       // on wide struct keys; decision is per-query from measured sizes,
       // so it stays safe when a side is actually huge (default 0 = off)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // drive the context cleaner on a short period: iterative ops
+      // (closure/k-hop/pageRank/BPE) localCheckpoint per round, and the
+      // default 30min GC cadence lets dead checkpoint blocks pile up
+      // across a long suite (round-9 sf1 OOM evidence)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     // extra confs for A/B experiments: "k=v,k=v" (unset = contract run).
     // Diagnostic knob: entries without '=' fail loud, and values may not

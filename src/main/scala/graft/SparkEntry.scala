@@ -920,7 +920,7 @@ object SparkEntry {
     //      exact counts and the estimates, pinning the sketch itself ----
     "q86_cms_heavyhitters" -> ((sp, dir) => {
       import sp.implicits._
-      val toks = Tables.t(sp, dir, "documents")
+      val toks = ops.Text.fanOut(Tables.t(sp, dir, "documents"))
         .select(explode(ops.Text.tokens(col("text"))).as("token"))
       val cm = ops.Sketch.countMin(toks, "token", useMd5 = oracleHash)
       // exact top-20 collected ONCE (bounded, 20 rows) — probing and
@@ -942,7 +942,7 @@ object SparkEntry {
     //      pinned by SketchSpec against the true distinct count) ----
     "q87_hll_sketch" -> ((sp, dir) =>
       ops.Sketch.hllRegisters(
-        Tables.t(sp, dir, "documents")
+        ops.Text.fanOut(Tables.t(sp, dir, "documents"))
           .select(explode(ops.Text.tokens(col("text"))).as("token")),
         "token", useMd5 = oracleHash)),
 

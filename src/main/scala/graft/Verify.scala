@@ -31,6 +31,11 @@ object Verify {
       // same AQE SMJ→SHJ conversion as Bench (see comment there) so the
       // verified plans are the benched plans
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // drive the context cleaner on a short period: iterative ops
+      // (closure/k-hop/pageRank/BPE) localCheckpoint per round, and the
+      // default 30min GC cadence lets dead checkpoint blocks pile up
+      // across a long suite (round-9 sf1 OOM evidence)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

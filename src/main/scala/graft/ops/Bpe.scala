@@ -46,7 +46,7 @@ object Bpe {
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
                   topWords: Int = 1000): Seq[Merge] = {
     require(numMerges >= 1 && topWords >= 1, "numMerges and topWords >= 1")
-    val dict = docs
+    val dict = Text.fanOut(docs)
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -147,7 +147,7 @@ object Bpe {
     // Checkpointing truncates lineage at each step, so iteration cost
     // is flat; old checkpoint blocks are freed by the context cleaner
     // (the Paths/pageRank discipline).
-    val seg0 = docs
+    val seg0 = Text.fanOut(docs)
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))

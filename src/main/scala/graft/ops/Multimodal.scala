@@ -271,7 +271,8 @@ object Multimodal {
     */
   def syntheticWavs(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    graft.ops.Text.fanOut(docs.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val n = 16 + (id % 64).toInt
         val pcm = new Array[Byte](n * 2)

@@ -1,16 +1,15 @@
 package graft.ops
 
 import graft.core.{Term, TripleDb}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** RDFS-lite forward-chaining materializer over a [[TripleDb]].
   *
   * The reference scopes reasoning OUT (README:41-45 names no entailment
-  * support) — this is a capability beyond the reference, composed from
-  * parts that already exist: [[Paths.closure]] computes the schema
-  * closures and plain broadcast joins apply them to the instance data.
-  * The materialized result is an ordinary [[TripleDb]], so every query
+  * support) — this is a capability beyond the reference. The
+  * materialized result is an ordinary [[TripleDb]], so every query
   * operator (select / construct / ask / optional / values) runs over
   * the entailed graph unchanged.
   *
@@ -23,22 +22,24 @@ import org.apache.spark.sql.functions._
   *   - rdfs2  (s p o) ∧ (p domain c) → (s type c)
   *   - rdfs3  (s p o) ∧ (p range  c) → (o type c)
   *
-  * Scale shape: the ontology (schema triples) is small by nature —
-  * its closures are computed once and BROADCAST; the instance store is
-  * touched by exactly two narrow scans (one for rdfs7, one for the
-  * domain/range/type rules), each a map-side broadcast join with no
-  * instance-side shuffle. The final set-semantics dedup is the only
-  * shuffle, the same one `.index()` already charges. At 100 TB the
-  * cost is two scans + one dedup — there is no iteration over the
-  * instance data (all fixpoint iteration happens on the tiny schema).
+  * Scale shape: the ontology (schema triples) is driver-sized by
+  * definition, so ALL fixpoint iteration happens on the driver — the
+  * schema closures fold into a per-predicate emission table
+  * (predicate → superproperties, domain-types, range-types, each
+  * pre-closed under subClassOf). The instance store is then touched by
+  * exactly ONE scan: two broadcast left-joins (emissions keyed by
+  * predicate; subClassOf expansion keyed by the object of `type`
+  * triples) and one explode emit every entailed fact per row. No
+  * instance-instance join, no iteration over instance data; the final
+  * set-semantics dedup is the only shuffle — the same one `.index()`
+  * already charges. At 100 TB the cost is one scan + one dedup.
   *
-  * Fixpoint note: with the rule set above, one pass in the order
-  * (property closure → rdfs7 → rdfs2/3 → class closure → rdfs9) IS the
-  * fixpoint, because type triples never feed back into property
-  * entailment. That holds as long as the ontology does not declare
-  * `subPropertyOf` axioms about the reserved predicates themselves
-  * (`type` / `domain` / `range` / `subClassOf` / `subPropertyOf`) —
-  * meta-axioms of that shape are rejected.
+  * Fixpoint note: with this rule set, per-row emission over pre-closed
+  * schema tables IS the fixpoint, because type triples never feed back
+  * into property entailment. That holds as long as the ontology does
+  * not declare `subPropertyOf` axioms about the reserved RDFS
+  * predicates themselves (`type` / `domain` / `range` / `subClassOf` /
+  * `subPropertyOf`) — meta-axioms of that shape are rejected.
   */
 object Rdfs {
   val SubClassOf: Term = Term.TKeyword("subClassOf")
@@ -50,6 +51,25 @@ object Rdfs {
   private val Reserved: Set[Term] =
     Set(SubClassOf, SubPropertyOf, Domain, Range, TypeP)
 
+  /** Driver-side transitive closure of a (tiny) schema relation. */
+  private def close(pairs: Seq[(Term, Term)]): Map[Term, Set[Term]] = {
+    var m = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var grew = true
+    while (grew) {
+      grew = false
+      m = m.map { case (a, bs) =>
+        val ext = bs ++ bs.flatMap(b => m.getOrElse(b, Set.empty))
+        if (ext.size != bs.size) grew = true
+        a -> ext
+      }
+    }
+    m
+  }
+
+  private val tripleType = StructType(Seq(
+    StructField("s", Term.schema), StructField("p", Term.schema),
+    StructField("o", Term.schema)))
+
   /** Entailed closure of `db` under `ontology` (schema triples using
     * the `subClassOf` / `subPropertyOf` / `domain` / `range` keyword
     * predicates). Returns the full materialized store: original
@@ -57,62 +77,95 @@ object Rdfs {
     * instance/type triples, with set semantics (`distinct = true`).
     */
   def materialize(db: TripleDb, ontology: TripleDb): TripleDb = {
-    val ont = ontology.df
-    // reject meta-axioms that would make the one-pass ordering unsound
-    val meta = ont
-      .where(col("p") === Term.lit(SubPropertyOf) &&
-        (Reserved.map(t => col("s") === Term.lit(t)).reduce(_ || _) ||
-         Reserved.map(t => col("o") === Term.lit(t)).reduce(_ || _)))
-      .limit(1).count()
-    require(meta == 0,
-      "ontology declares subPropertyOf over a reserved RDFS predicate — unsupported")
+    val spark = db.df.sparkSession
+    // the schema is driver-sized by contract — collect once, close on
+    // the driver (no per-round Spark jobs for an 8-triple ontology)
+    val ont = ontology.triples
+    require(!ont.exists { case (s, p, o) =>
+      p == SubPropertyOf && (Reserved(s) || Reserved(o))
+    }, "ontology declares subPropertyOf over a reserved RDFS predicate — unsupported")
 
-    // --- schema closures (tiny frames; iterate on the schema only) ---
-    val pc = broadcast(
-      Paths.closure(ontology, Seq(SubPropertyOf))
-        .select(col("src").as("pa"), col("dst").as("pb")))
-    val cc = broadcast(
-      Paths.closure(ontology, Seq(SubClassOf))
-        .select(col("src").as("ca"), col("dst").as("cb")))
-    val dom = broadcast(ont.where(col("p") === Term.lit(Domain))
-      .select(col("s").as("dp"), col("o").as("dc")).dropDuplicates())
-    val rng = broadcast(ont.where(col("p") === Term.lit(Range))
-      .select(col("s").as("rp"), col("o").as("rc")).dropDuplicates())
+    val pc = close(ont.collect { case (s, p, o) if p == SubPropertyOf => (s, o) })
+    val cc = close(ont.collect { case (s, p, o) if p == SubClassOf => (s, o) })
+    val dom = ont.collect { case (s, p, o) if p == Domain => (s, o) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rng = ont.collect { case (s, p, o) if p == Range => (s, o) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def withSupers(cs: Set[Term]): Seq[Term] =
+      (cs ++ cs.flatMap(c => cc.getOrElse(c, Set.empty))).toSeq
 
-    val inst = db.df.select("s", "p", "o")
+    // per-predicate emissions: superproperties, and domain/range types
+    // collected over the predicate AND its superproperties, pre-closed
+    // under subClassOf — one row per predicate with any entailment
+    val preds = (pc.keySet ++ dom.keySet ++ rng.keySet).toSeq
+    val emitRows = preds.map { p =>
+      val props = p +: pc.getOrElse(p, Set.empty).toSeq
+      Row(Term.toRow(p),
+        pc.getOrElse(p, Set.empty).toSeq.map(Term.toRow),
+        withSupers(props.flatMap(q => dom.getOrElse(q, Set.empty)).toSet)
+          .map(Term.toRow),
+        withSupers(props.flatMap(q => rng.getOrElse(q, Set.empty)).toSet)
+          .map(Term.toRow))
+    }
+    val emitSchema = StructType(Seq(
+      StructField("ep", Term.schema),
+      StructField("e_sups", ArrayType(Term.schema)),
+      StructField("e_dom", ArrayType(Term.schema)),
+      StructField("e_rng", ArrayType(Term.schema))))
+    val emitDf = spark.createDataFrame(
+      java.util.Arrays.asList(emitRows: _*), emitSchema)
+    val ccDf = spark.createDataFrame(
+      java.util.Arrays.asList(cc.toSeq.map { case (c, sups) =>
+        Row(Term.toRow(c), sups.toSeq.map(Term.toRow))
+      }: _*),
+      StructType(Seq(StructField("cc_c", Term.schema),
+        StructField("cc_sups", ArrayType(Term.schema)))))
 
-    // rdfs7 (with rdfs5 pre-folded into pc): superproperty triples.
-    // pc is transitively closed, so ONE broadcast join covers chains.
-    val sup = inst.join(pc, inst("p") === col("pa"))
-      .select(col("s"), col("pb").as("p"), col("o"))
-    val expanded = inst.unionByName(sup)
+    val typeL = Term.lit(TypeP)
+    def trip(s: Column, p: Column, o: Column): Column =
+      struct(s.as("s"), p.as("p"), o.as("o"))
+    val emptyT = array().cast(ArrayType(Term.schema))
+    // ONE instance scan: broadcast left-joins attach the emissions,
+    // explode emits the row's full entailment set
+    val all = db.df
+      .join(broadcast(emitDf), col("p") === col("ep"), "left")
+      .join(broadcast(ccDf),
+        col("p") === typeL && col("o") === col("cc_c"), "left")
+      .select(explode(concat(
+          array(trip(col("s"), col("p"), col("o"))),
+          transform(coalesce(col("e_sups"), emptyT),
+            q => trip(col("s"), q, col("o"))),
+          transform(coalesce(col("e_dom"), emptyT),
+            c => trip(col("s"), typeL, c)),
+          transform(coalesce(col("e_rng"), emptyT),
+            c => trip(col("o"), typeL, c)),
+          transform(coalesce(col("cc_sups"), emptyT),
+            c => trip(col("s"), typeL, c))))
+        .as("t"))
+      .select(col("t.s").as("s"), col("t.p").as("p"), col("t.o").as("o"))
 
-    // rdfs2 / rdfs3 over the EXPANDED triples (a domain declared on a
-    // superproperty must fire for subproperty triples — expansion
-    // already put the superproperty triple in `expanded`).
-    val typeLit = Term.lit(TypeP)
-    val typesDom = expanded.join(dom, col("p") === col("dp"))
-      .select(col("s"), col("dc").as("c"))
-    val typesRng = expanded.join(rng, col("p") === col("rp"))
-      .select(col("o").as("s"), col("rc").as("c"))
-    val instTypes = expanded.where(col("p") === typeLit)
-      .select(col("s"), col("o").as("c"))
-    val types0 = typesDom.unionByName(typesRng).unionByName(instTypes)
+    // schema facts are themselves entailed: ontology ∪ rdfs5/11 closures
+    val schemaTriples = (ont ++
+      pc.toSeq.flatMap { case (a, bs) => bs.map(b => (a, SubPropertyOf, b)) } ++
+      cc.toSeq.flatMap { case (a, bs) => bs.map(b => (a, SubClassOf, b)) }).distinct
+    val schemaDf = TripleDb.fromTerms(spark, schemaTriples).df
 
-    // rdfs9 (with rdfs11 pre-folded into cc): supertype triples.
-    val superTypes = types0.join(cc, col("c") === col("ca"))
-      .select(col("s"), col("cb").as("c"))
-    val allTypes = types0.unionByName(superTypes)
-      .select(col("s"), typeLit.as("p"), col("c").as("o"))
-
-    // schema closure triples are themselves entailed facts (rdfs5/11)
-    val pcT = pc.select(col("pa").as("s"), Term.lit(SubPropertyOf).as("p"),
-      col("pb").as("o"))
-    val ccT = cc.select(col("ca").as("s"), Term.lit(SubClassOf).as("p"),
-      col("cb").as("o"))
-
-    TripleDb(expanded.unionByName(allTypes).unionByName(ont)
-      .unionByName(pcT).unionByName(ccT)
-      .dropDuplicates("s", "p", "o"), distinct = true)
+    TripleDb(all.unionByName(schemaDf).dropDuplicates("s", "p", "o"),
+      distinct = true)
   }
+
+  /** Incremental materialization for an appended instance batch: under
+    * the ρdf rule set every entailment of an instance triple depends
+    * only on that triple and the (fixed) schema closures — no
+    * instance-instance joins — so
+    * `materialize(base ∪ Δ) = materialize(base) ∪ materialize(Δ)` as
+    * sets (spec-pinned). The append path therefore never re-scans the
+    * base store: entail tonight's batch alone and set-union it in
+    * ([[TripleDb.merge]], or [[TripleDb.union]] + `.index()`), which
+    * is the shape that matters when the base is 100 TB and the batch
+    * is 100 GB. The same property makes the rules safe on a stream
+    * (stateless projections per micro-batch, dedup downstream).
+    */
+  def materializeDelta(delta: TripleDb, ontology: TripleDb): TripleDb =
+    materialize(delta, ontology)
 }

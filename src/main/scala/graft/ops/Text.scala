@@ -127,7 +127,7 @@ object Text {
   def trainQualityWeights(train: DataFrame, textCol: String,
                           labelCol: String, buckets: Int = 1024): Array[Long] = {
     def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    val rows = train
+    val rows = fanOut(train)
       .select(col(labelCol).cast("long").as("y"),
         explode(hashedNgramFeatures(col(textCol), buckets)).as("b"))
       .groupBy("b")
@@ -148,7 +148,7 @@ object Text {
     */
   def scoreQuality(docs: DataFrame, idCol: String, textCol: String,
                    weights: Array[Long]): DataFrame =
-    docs.withColumn("score",
+    fanOut(docs).withColumn("score",
         graft.functions.TextExpressions.hashedNgramScore(
           tokens(col(textCol)), weights))
       .withColumn("pred", (col("score") > 0).cast("long"))
@@ -179,13 +179,32 @@ object Text {
       .otherwise("es")
   }
 
+  /** Fan a document frame out to the session's full parallelism before
+    * a token explode. Parquet packs natural-language text so densely
+    * (5-30× compression on real corpora) that Spark's bytes-based
+    * split heuristic (`spark.sql.files.maxPartitionBytes`) hands a few
+    * tasks the WHOLE corpus's exploded work — the expansion factor of
+    * tokenize+explode is 100-5000× the input bytes, which the
+    * byte-sized splits cannot see. Measured at sf1: the 6.7 MB
+    * documents file became ONE task exploding 35M tokens and
+    * docFrequency ran 37× (not ~10×) over sf0.1. A round-robin
+    * repartition of the RAW TEXT (compressed-sized, cheap to shuffle)
+    * before the explode buys full parallelism for the expansion
+    * stage; it is skipped when the scan already has enough partitions
+    * — on a real cluster with block-sized files this is a no-op.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Corpus document frequency: how many documents contain each
     * distinct token. One explode of per-document distinct tokens +
     * one map-side-combined groupBy — the standard vocabulary/DF-table
     * shape at any corpus size.
     */
   def docFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+    fanOut(docs).select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
 
   /** Context-window chunking: split each document into token windows of
@@ -194,10 +213,12 @@ object Text {
     * the pretraining choice). The final partial window is kept —
     * dropping tail tokens silently is the classic chunking bug.
     *
-    * Pure narrow explode over codegen'd array expressions — no
-    * shuffle, no UDF; output scales as ~n_tokens/stride rows per doc
-    * and partitions inherit from the scan, so the stage is safe at any
-    * corpus size. Integer window arithmetic replays exactly in SQL.
+    * Narrow explode over codegen'd array expressions — no UDF;
+    * output scales as ~n_tokens/stride rows per doc. The input is
+    * [[fanOut]]-repartitioned first (dense text parquet otherwise
+    * hands one task the whole corpus's window explode — see fanOut);
+    * on block-sized cluster files that is a no-op and the stage stays
+    * shuffle-free. Integer window arithmetic replays exactly in SQL.
     */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
                   size: Int, stride: Int): DataFrame = {
@@ -205,7 +226,7 @@ object Text {
     require(stride > 0 && stride <= size,
       "stride must be in [1, size] — a stride past size drops tokens")
     val toks = tokens(col(textCol))
-    docs
+    fanOut(docs)
       .select(col(idCol), toks.as("__t"))
       .select(col(idCol), col("__t"),
         explode(sequence(lit(0),
@@ -234,7 +255,7 @@ object Text {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxDf: Long): DataFrame = {
-    val pairs = docs.select(col(idCol).as("doc"),
+    val pairs = fanOut(docs).select(col(idCol).as("doc"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
     val block = pairs.groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("token")
@@ -263,7 +284,8 @@ object Text {
     val qTokens = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     require(qTokens.nonEmpty, "query must contain at least one token")
     val n = docs.count()
-    val hits = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val hits = fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(col("token").isin(qTokens: _*))
     val tf = hits.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfq = hits.select(col(idCol), col("token")).distinct()
@@ -301,7 +323,7 @@ object Text {
                query: String, k: Int): DataFrame = {
     val qTokens = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     require(qTokens.nonEmpty, "query must contain at least one token")
-    val base = docs.select(col(idCol),
+    val base = fanOut(docs).select(col(idCol),
       org.apache.spark.sql.functions.size(tokens(col(textCol)))
         .cast("long").as("dl"),
       tokens(col(textCol)).as("__t"))
@@ -338,7 +360,8 @@ object Text {
     */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3): DataFrame = {
-    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
@@ -498,7 +521,7 @@ object Text {
     * count.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    fanOut(docs).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(
         sum(col("c")).as("n_tokens"),
@@ -565,7 +588,7 @@ object Text {
     */
   def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
                   vocabSize: Int): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val toks = fanOut(docs).select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     // single-partition window is fine: input is already LIMITed to
     // vocabSize rows
@@ -630,7 +653,7 @@ object Text {
     val n = greatest(size(t) - 1, lit(0))
     val pairs = arrays_zip(slice(t, lit(1), n).as("w1"),
       slice(t, lit(2), n).as("w2"))
-    val bg = docs.select(col(idCol).as("doc_id"), explode(pairs).as("p"))
+    val bg = fanOut(docs).select(col(idCol).as("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
@@ -660,7 +683,7 @@ object Text {
     */
   def rougeBigramF1(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame): DataFrame = {
-    val withT = docs.select(col(idCol).as("id"),
+    val withT = fanOut(docs).select(col(idCol).as("id"),
       tokens(col(textCol)).as("t"))
     // slice+two-arg transform, not sequence(1, n-1): sequence throws on
     // a 1-token doc (start > stop), slice degrades to the empty array

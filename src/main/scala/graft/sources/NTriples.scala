@@ -148,12 +148,16 @@ object NTriples {
   private val ObjLitRe =
     """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$"""
 
-  /** Parse an N-Triples export back into a [[TripleDb]]. Comment and
-    * blank lines are skipped; anything else that does not match the
-    * grammar (including blank nodes, which the Term model cannot
-    * represent) raises. */
-  def load(spark: SparkSession, path: String): TripleDb = {
-    val lines = spark.read.text(path)
+  /** Parse a DataFrame of raw N-Triples lines (a `value` string
+    * column) into `(s, p, o)` term-struct rows. Comment and blank
+    * lines are skipped; anything else that does not match the grammar
+    * (including blank nodes, which the Term model cannot represent)
+    * raises. Pure stateless projections, so it works unchanged on a
+    * STREAMING frame (`spark.readStream.text(dir)` — see
+    * [[readStream]]) for live interchange ingest.
+    */
+  def parse(lines0: DataFrame): DataFrame = {
+    val lines = lines0
       .where(!(col("value").rlike("^\\s*(#.*)?$")))
     val m = lines.select(
       regexp_extract(col("value"), LineRe, 1).as("st"),
@@ -174,9 +178,22 @@ object NTriples {
       when(ot.startsWith("<"), iriToTerm(iriBody(ot)))
         .otherwise(literalToTerm(lex, lang, dt))
     }
-    TripleDb(checked.select(
+    checked.select(
       iriToTerm(iriBody(col("st"))).as("s"),
       iriToTerm(iriBody(col("pt"))).as("p"),
-      obj.as("o")))
+      obj.as("o"))
   }
+
+  /** Load an N-Triples export back into a [[TripleDb]]. */
+  def load(spark: SparkSession, path: String): TripleDb =
+    TripleDb(parse(spark.read.text(path)))
+
+  /** Streaming N-Triples ingest: tail a directory of .nt files as a
+    * stream of parsed `(s, p, o)` term-struct rows — drop new export
+    * files in, triples come out. Compose with the streaming tier
+    * (windows, near-dup gate, [[graft.ops.Rdfs.materializeDelta]]'s
+    * per-batch entailment) downstream.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    parse(spark.readStream.text(path))
 }

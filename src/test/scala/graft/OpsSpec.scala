@@ -1388,5 +1388,16 @@ class OpsSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       Rdfs.materialize(inst, bad)
     }
+    // incremental append path: entailing the delta alone and set-
+    // unioning equals re-materializing everything (ρdf rules never
+    // join instance triples with each other) — the base store is
+    // never re-scanned on append
+    val delta = TripleDb.fromTerms(spark, Seq(
+      (TKeyword("dave"), TKeyword("manages"), TKeyword("erin"))))
+    val full = Rdfs.materialize(
+      TripleDb.merge(inst, delta), ont).triples.toSet
+    val incr = Rdfs.materialize(inst, ont).triples.toSet ++
+      Rdfs.materializeDelta(delta, ont).triples.toSet
+    assert(incr == full)
   }
 }

@@ -317,4 +317,29 @@ class PlanSpec extends GraftSpec {
       "HashAggregate.*min".r.findAllIn(p).nonEmpty,
       s"expected a map-side-combinable min over h:\n$p")
   }
+
+  test("rdfs materialize: ONE instance scan, broadcast-joined emissions, " +
+    "no instance-side shuffle before the set-semantics dedup") {
+    import graft.core.{Term, TripleDb}
+    import graft.core.Term._
+    import graft.ops.Rdfs
+    val db = Tables.nationDb(spark, dir)
+    val ont = TripleDb.fromTerms(spark, Seq(
+      (TKeyword("n_regionkey"), Rdfs.SubPropertyOf, TKeyword("in_geo")),
+      (TKeyword("in_geo"), Rdfs.Domain, TKeyword("place"))))
+    val p = plan(Rdfs.materialize(db, ont).df)
+    // schema attaches via broadcast — a sort-merge or shuffled-hash
+    // join here would shuffle the 100 TB instance store by predicate
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), s"instance store must not shuffle:\n$p")
+    // the instance parquet is scanned exactly once (the old shape
+    // re-ran the scan once per rule family — 8 scans at worst)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 instance scan, found $scans:\n$p")
+    // one shuffle total: the final dropDuplicates
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected only the dedup shuffle, found $exchanges:\n$p")
+  }
 }

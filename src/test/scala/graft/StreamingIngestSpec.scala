@@ -219,4 +219,24 @@ class StreamingIngestSpec extends GraftSpec {
     assert(batch.nonEmpty, "corpus should contain planted near-dups")
     assert(streamed == batch)
   }
+
+  test("streaming N-Triples ingest parses the same triples as batch load") {
+    import graft.sources.NTriples
+    val src = db(
+      (k("a"), k("p"), s("hello \"world\"\nline two")),
+      (k("b"), k("p"), l(9007199254740993L)),
+      (k("c"), k("p"), TLangString("grüß", "de")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nts").toString
+    NTriples.save(src, dir)
+    val sink = "nt_stream_test"
+    val sq = NTriples.readStream(spark, dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table(sink).collect().map(r =>
+      (Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1)),
+        Term.fromRow(r.getStruct(2)))).toSet
+    assert(streamed == src.triples.toSet)
+  }
 }
