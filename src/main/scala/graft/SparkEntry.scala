@@ -38,6 +38,23 @@ object SparkEntry {
   private def sel(db: TripleDb, rows: Seq[PatternRow], vars: String*): DataFrame =
     Projections.selectDf(db, rows, vars.map(V(_))).select(vars.map(enc): _*)
 
+  /** The star-schema graph materialized under the q127/q131 demo
+    * ontology: FK predicates ⊑ in_geo ⊑ located (rdfs5/7), in_geo
+    * domain/range typing (rdfs2/3), place ⊑ geo_thing ⊑ entity
+    * (rdfs9/11). */
+  private def entailedStar(sp: SparkSession, dir: String): TripleDb = {
+    val ont = TripleDb.fromTerms(sp, Seq(
+      (TKeyword("c_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+      (TKeyword("s_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+      (TKeyword("n_regionkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+      (TKeyword("in_geo"), ops.Rdfs.SubPropertyOf, TKeyword("located")),
+      (TKeyword("in_geo"), ops.Rdfs.Domain, TKeyword("geo_thing")),
+      (TKeyword("in_geo"), ops.Rdfs.Range, TKeyword("place")),
+      (TKeyword("place"), ops.Rdfs.SubClassOf, TKeyword("geo_thing")),
+      (TKeyword("geo_thing"), ops.Rdfs.SubClassOf, TKeyword("entity"))))
+    ops.Rdfs.materialize(Tables.graph(sp, dir), ont)
+  }
+
   private def selD(db: graft.core.DictDb, rows: Seq[PatternRow],
                    vars: String*): DataFrame =
     Projections.selectDf(db, rows, vars.map(V(_))).select(vars.map(enc): _*)
@@ -409,6 +426,15 @@ object SparkEntry {
     "q21_minhash_lsh" -> ((sp, dir) =>
       ops.Dedup.minhashNearDupPairs(Tables.t(sp, dir, "documents"),
         "doc_id", "text")),
+
+    // ---- SQ8 scalar-quantized ANN (FAISS QT_8bit analog): per-dim
+    //      min/max → uint8 codes, top-5 by exact INTEGER code dot —
+    //      the 1 B/dim point on the compression ladder between raw
+    //      (q20) and PQ (q92) ----
+    "q132_sq8_search" -> ((sp, dir) => {
+      val emb = Tables.t(sp, dir, "embeddings")
+      ops.Similarity.sq8SearchTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
 
     // ---- incremental near-dup: tonight's batch (doc_id >= 400)
     //      against the EXISTING corpus MinHash index (doc_id < 400) —
@@ -1331,23 +1357,23 @@ object SparkEntry {
     //      (README:41-45) — composed from Paths.closure on the tiny
     //      schema + two broadcast-join scans of the instance store ----
     "q127_rdfs_entail" -> ((sp, dir) => {
-      val db = Tables.graph(sp, dir)
-      val ont = TripleDb.fromTerms(sp, Seq(
-        (TKeyword("c_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
-        (TKeyword("s_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
-        (TKeyword("n_regionkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
-        (TKeyword("in_geo"), ops.Rdfs.SubPropertyOf, TKeyword("located")),
-        (TKeyword("in_geo"), ops.Rdfs.Domain, TKeyword("geo_thing")),
-        (TKeyword("in_geo"), ops.Rdfs.Range, TKeyword("place")),
-        (TKeyword("place"), ops.Rdfs.SubClassOf, TKeyword("geo_thing")),
-        (TKeyword("geo_thing"), ops.Rdfs.SubClassOf, TKeyword("entity"))))
-      val mat = ops.Rdfs.materialize(db, ont)
+      val mat = entailedStar(sp, dir)
       val keep = Seq("in_geo", "located", "type")
         .map(k => Term.lit(TKeyword(k)))
       mat.df.where(keep.map(col("p") === _).reduce(_ || _))
         .select(Term.encode(col("s")).as("s"),
           Term.encode(col("p")).as("p"), Term.encode(col("o")).as("o"))
     }),
+
+    // ---- BGP JOIN over the ENTAILED store: (x located n)(n located r)
+    //      — both triples exist only under entailment (subPropertyOf
+    //      chains), and the conjunction runs through the ordinary §2
+    //      engine over the materialized TripleDb ----
+    "q131_entailed_bgp" -> ((sp, dir) =>
+      sel(entailedStar(sp, dir), Seq(
+        pat(V("x"), kw("located"), V("n")),
+        pat(V("n"), kw("located"), V("r"))),
+        "x", "r")),
 
     // ---- l-diversity suppression (k-anonymity's complement): groups
     //      whose (user, event_type) rows carry < 12 DISTINCT sensitive
@@ -2222,6 +2248,44 @@ object SparkEntry {
         |SELECT DISTINCT s, 'k|' || p AS p, o FROM sup WHERE p IN ('in_geo', 'located')
         |UNION
         |SELECT DISTINCT s, 'k|type' AS p, 'k|' || c AS o FROM typed""".stripMargin,
+
+    // SQ8 replay: identical double quantization expression (same op
+    // order, min/max are order-independent), then pure integer dots
+    "q132_sq8_search" ->
+      """WITH flat AS (SELECT unnest(embedding) AS v,
+        |                unnest(generate_series(1, len(embedding))) AS i
+        |              FROM embeddings),
+        |st AS (SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        |       FROM flat GROUP BY i),
+        |arrs AS (SELECT list(mn ORDER BY i) AS mn,
+        |           list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+        |                ORDER BY i) AS sc
+        |         FROM st),
+        |codes AS (SELECT vec_id,
+        |            list_transform(generate_series(1, len(embedding)),
+        |              i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - arrs.mn[i])
+        |                     * arrs.sc[i] + 0.5) AS BIGINT)) AS codes
+        |          FROM embeddings, arrs),
+        |q AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 10),
+        |sc AS (SELECT q.qid, c.vec_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(qc)),
+        |           i -> qc[i] * c.codes[i])) AS BIGINT) AS score
+        |       FROM q JOIN codes c ON c.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |      FROM sc)
+        |SELECT qid, vec_id AS nid, CAST(rank AS INTEGER) AS rank, score
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // entailed `located` edges: customer/supplier → nation (FK
+    // subproperties) and nation → region — the 2-pattern join chains
+    // agents through their nation to its region
+    "q131_entailed_bgp" ->
+      """SELECT 'u|customer/' || c_custkey AS x, 'u|region/' || n_regionkey AS r
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT 'u|supplier/' || s_suppkey, 'u|region/' || n_regionkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
 
     "q129_l_diversity" ->
       """WITH g AS (SELECT user_id, event_type FROM events

@@ -838,4 +838,75 @@ object Similarity {
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("ia", "ib")
   }
+
+  // ------------------------------------------------------------------
+  // SQ8 scalar quantization — the FAISS ScalarQuantizer(QT_8bit)
+  // analog, the middle point of the compression ladder (raw 4 B/dim →
+  // SQ8 1 B/dim → PQ ~1 bit/dim): per-dimension [min, max] maps each
+  // float to a uint8 code, and similarity is an INTEGER dot product of
+  // code vectors. Unlike PQ's codebook distances, integer dots are
+  // exact and order-independent, so rankings replay bit-for-bit in SQL.
+  // ------------------------------------------------------------------
+
+  /** Per-dimension quantization stats over the corpus: (mins, scales)
+    * with scale_d = 255/(max_d−min_d) (0 for constant dims — every
+    * value then codes to 0). One map-side-combined aggregate; the
+    * collect is dim-sized (bounded), never corpus-sized. min/max are
+    * order-independent, so the stats are deterministic at any
+    * parallelism.
+    */
+  def sq8Stats(corpus: DataFrame,
+               vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val st = corpus.select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy("i").agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    val mn = st.map(_.getDouble(1))
+    val sc = st.map { r =>
+      val d = r.getDouble(2) - r.getDouble(1)
+      if (d > 0) 255.0 / d else 0.0
+    }
+    (mn, sc)
+  }
+
+  /** Quantize vectors to uint8 code arrays (as longs for exact SQL
+    * parity): code_d = floor((v_d − min_d)·scale_d + 0.5). A narrow
+    * per-row projection with the stats riding as literal arrays —
+    * no join, no shuffle, one pass at any corpus size.
+    */
+  def sq8Codes(df: DataFrame, mins: Array[Double], scales: Array[Double],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val mnL = typedLit(mins.toSeq)
+    val scL = typedLit(scales.toSeq)
+    df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), (v, i) =>
+        floor((v.cast("double") - element_at(mnL, i + 1)) *
+          element_at(scL, i + 1) + lit(0.5)).cast("long")).as("codes"))
+  }
+
+  /** Top-k by SQ8 inner product: both sides quantize under the SAME
+    * corpus stats, queries broadcast, and each candidate scores as the
+    * exact integer dot of two uint8 code vectors (descending; ties on
+    * id). The corpus-side state is 1 byte/dim — the resident-set story
+    * between [[bruteKnn]] (4 B/dim) and PQ (~1 bit/dim) — and the scan
+    * is one broadcast-join pass, never a corpus shuffle.
+    */
+  def sq8SearchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (mn, sc) = sq8Stats(corpus, vecCol)
+    val c = sq8Codes(corpus, mn, sc, idCol, vecCol)
+    val q = sq8Codes(queries, mn, sc, idCol, vecCol)
+      .select(col("vec_id").as("qid"), col("codes").as("qc"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("qc"), col("codes"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("score"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("score"))
+  }
 }

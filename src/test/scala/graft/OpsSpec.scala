@@ -1339,6 +1339,30 @@ class OpsSpec extends GraftSpec {
       (1L, 3L, 0L)))       // disjoint grams
   }
 
+  test("sq8: codes bounded [0,255], search recovers the planted nearest " +
+      "neighbor and ranks clusters correctly") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f)),
+      (1L, Array(0.9f, 0.1f, 0.2f)),   // near 0
+      (2L, Array(0.0f, 1.0f, 0.8f)),   // far cluster
+      (3L, Array(0.1f, 0.9f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val (mn, sc) = graft.ops.Similarity.sq8Stats(vecs)
+    val codes = graft.ops.Similarity.sq8Codes(vecs, mn, sc)
+      .collect().flatMap(_.getSeq[Long](1))
+    assert(codes.forall(c => c >= 0L && c <= 255L))
+    assert(codes.contains(0L) && codes.contains(255L)) // extremes hit
+    val top = graft.ops.Similarity.sq8SearchTopK(
+        vecs, vecs.where(col("vec_id") === 0L), 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(top.head == (1L, 1), s"expected planted NN first: ${top.toList}")
+    // the far cluster ranks behind the near one
+    assert(top.map(_._1).toList == List(1L, 3L, 2L) ||
+      top.map(_._1).toList == List(1L, 2L, 3L))
+  }
+
   test("rdfs materialize: rule interaction — subproperty chain fires a " +
       "superproperty domain, then subclass chain lifts the type") {
     import graft.core.Term._
