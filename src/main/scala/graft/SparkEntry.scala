@@ -1406,6 +1406,18 @@ object SparkEntry {
         Tables.t(sp, dir, "documents").where(col("doc_id") < 200),
         "doc_id", "text", bpeMerges(sp, dir))),
 
+    // ---- durable tokenizer artifact: the merge table round-trips
+    //      through parquet (train job → encode jobs are DIFFERENT
+    //      pipelines), and encoding under the loaded table is
+    //      byte-identical to q104 under the in-memory one ----
+    "q133_bpe_save_load" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      ops.Bpe.saveMerges(sp, bpeMerges(sp, dir), tmp)
+      ops.Bpe.encode(
+        Tables.t(sp, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", ops.Bpe.loadMerges(sp, tmp))
+    }),
+
     // ---- q70's token-budget packing re-based on REAL subword counts:
     //      the production shape (packing budgets are model-token
     //      budgets, not whitespace-word budgets) ----
@@ -2376,6 +2388,22 @@ object SparkEntry {
 
     // subword encoding, replayed merge by merge (recursive CTE)
     "q104_bpe_encode" ->
+      s"""WITH RECURSIVE
+         |${bpeLearnCtes()},
+         |${bpeEncodeCtes("WHERE doc_id < 200")},
+         |ptab AS (SELECT doc_id, token,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1 AS pos
+         |  FROM tk),
+         |vocab AS (SELECT token,
+         |    row_number() OVER (ORDER BY token) - 1 AS token_id
+         |  FROM (SELECT DISTINCT token FROM ptab))
+         |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, p.token,
+         |  CAST(v.token_id AS BIGINT) AS token_id
+         |FROM ptab p JOIN vocab v USING (token)""".stripMargin,
+
+    // the durable merge table changes nothing: q133 ≡ q104 through a
+    // save→load hop of the tokenizer artifact
+    "q133_bpe_save_load" ->
       s"""WITH RECURSIVE
          |${bpeLearnCtes()},
          |${bpeEncodeCtes("WHERE doc_id < 200")},

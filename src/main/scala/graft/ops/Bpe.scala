@@ -233,6 +233,24 @@ object Bpe {
     merges.toDF("rank", "left", "right")
   }
 
+  /** Persist a learned merge table — the tokenizer ARTIFACT. Training
+    * corpora and encode jobs live in different pipelines; the merge
+    * table is the contract between them (the vocab.json/merges.txt of
+    * this engine), so it must round-trip durably, not ride in a driver
+    * variable. Parquet keeps lexical fidelity for any symbol content.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge],
+                 path: String): Unit =
+    mergesDf(spark, merges).repartition(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveMerges]] table, rank-ordered (encode semantics
+    * depend on rank order, so the read re-sorts — parquet makes no
+    * row-order promise). */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2))).toSeq
+
   /** Subword tokens of a text column under a merge table — an array
     * column computed inside the scan projection (no shuffle). */
   def encodeTokens(text: Column, merges: Seq[Merge]): Column =

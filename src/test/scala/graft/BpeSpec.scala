@@ -111,6 +111,14 @@ class BpeSpec extends GraftSpec {
     assert(noHapax.size == 4)
   }
 
+  test("merge table round-trips through the durable parquet artifact, " +
+    "rank order preserved") {
+    val m = Seq(Merge(0, "e", "s"), Merge(1, "es", "t"), Merge(2, "l", "o"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merges").toString
+    Bpe.saveMerges(spark, m, tmp)
+    assert(Bpe.loadMerges(spark, tmp) == m)
+  }
+
   test("distributed trainer frees its checkpoints: cached-RDD count " +
     "does not grow with merges (a 100k-merge build must not pin one " +
     "dead dict copy per iteration)") {
