@@ -1375,6 +1375,25 @@ object SparkEntry {
         pat(V("n"), kw("located"), V("r"))),
         "x", "r")),
 
+    // ---- VoID property partitions (W3C dataset description):
+    //      void:triples / distinctSubjects / distinctObjects per
+    //      predicate over the star graph ----
+    "q134_void_stats" -> ((sp, dir) =>
+      TripleDb.voidStats(Tables.graph(sp, dir))),
+
+    // ---- dataset card: corpus-level integer metrics in one row —
+    //      the report a curation pipeline publishes with a release ----
+    "q135_corpus_report" -> ((sp, dir) => {
+      val t = col("text")
+      Tables.t(sp, dir, "documents").agg(
+        count(functions.lit(1)).as("n_docs"),
+        sum(ops.Text.tokenCount(t)).as("n_tokens"),
+        sum(length(t).cast("long")).as("n_chars"),
+        countDistinct(ops.Text.fingerprint(t)).as("n_distinct_fps"),
+        sum(when(ops.Text.isQuality(t), 1L).otherwise(0L)).as("n_quality"),
+        max(ops.Text.tokenCount(t)).as("max_doc_tokens"))
+    }),
+
     // ---- l-diversity suppression (k-anonymity's complement): groups
     //      whose (user, event_type) rows carry < 12 DISTINCT sensitive
     //      values (exact cents) leak the attribute — suppressed ----
@@ -2288,6 +2307,63 @@ object SparkEntry {
         |      FROM sc)
         |SELECT qid, vec_id AS nid, CAST(rank AS INTEGER) AS rank, score
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // VoID stats generated per (table, key, column, term-encoding):
+    // n_subjects = distinct keys, n_objects = distinct encoded values
+    // with NULL cells as the matchable nil term 'n|'
+    "q134_void_stats" -> {
+      val specs = Seq(
+        ("customer", "c_custkey", Seq(
+          ("c_name", "s"), ("c_nationkey", "fk:nation"),
+          ("c_acctbal", "d"), ("c_mktsegment", "s"))),
+        ("nation", "n_nationkey", Seq(
+          ("n_name", "s"), ("n_regionkey", "fk:region"))),
+        ("region", "r_regionkey", Seq(("r_name", "s"))),
+        ("supplier", "s_suppkey", Seq(
+          ("s_name", "s"), ("s_nationkey", "fk:nation"),
+          ("s_acctbal", "d"))),
+        ("orders", "o_orderkey", Seq(
+          ("o_custkey", "fk:customer"), ("o_orderstatus", "s"),
+          ("o_totalprice", "d"), ("o_orderdate", "t"),
+          ("o_orderpriority", "s"))))
+      specs.flatMap { case (t, key, cols) =>
+        cols.map { case (c, kind) =>
+          val enc = kind match {
+            case "s" => s"'s|' || $c"
+            case "d" => s"'d|' || printf('%.2f', $c)"
+            case "t" => s"'t|' || strftime($c, '%Y-%m-%dT%H:%M:%S')"
+            case fk => s"'u|${fk.stripPrefix("fk:")}/' || $c"
+          }
+          s"""SELECT 'k|$c' AS pred, CAST(count(*) AS BIGINT) AS n_triples,
+             |  CAST(count(DISTINCT $key) AS BIGINT) AS n_subjects,
+             |  CAST(count(DISTINCT CASE WHEN $c IS NULL THEN 'n|' ELSE $enc END) AS BIGINT) AS n_objects
+             |FROM $t""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+    },
+
+    // the q19 token/quality idioms folded into one corpus-level row
+    "q135_corpus_report" ->
+      """WITH m AS (
+        |  SELECT text,
+        |    regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |q AS (SELECT n_chars, CAST(len(toks) AS BIGINT) AS n_toks, fp,
+        |        CASE WHEN n_chars >= 100 AND len(toks) >= 15
+        |          AND len(list_intersect(toks, ['the','and','of','to','in','a','is','that','for','it','on','was','with','as','at','be','this','are','or','an'])) >= 1
+        |          AND n_punct * 10 < n_chars THEN 1 ELSE 0 END AS ok
+        |      FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
+        |  CAST(sum(ok) AS BIGINT) AS n_quality,
+        |  CAST(max(n_toks) AS BIGINT) AS max_doc_tokens
+        |FROM q""".stripMargin,
 
     // entailed `located` edges: customer/supplier → nation (FK
     // subproperties) and nation → region — the 2-pattern join chains

@@ -180,6 +180,24 @@ object TripleDb {
     TripleDb(raw.drop("pred"), slices, stats)
   }
 
+  /** VoID-style dataset statistics (W3C "Vocabulary of Interlinked
+    * Datasets" property partitions: void:triples,
+    * void:distinctSubjects, void:distinctObjects per predicate) — the
+    * dataset-description surface an RDF publisher ships next to a
+    * store, and the row-level stats that sharpen BGP pattern ordering
+    * beyond the byte-size heuristic in [[TripleDb.stats]].
+    *
+    * One map-side-combined groupBy over the store; output is bounded
+    * by the predicate count. Callers pass an indexed/distinct db for
+    * set-semantics counts (nil objects are term-nil, a VALUE — they
+    * count as a distinct object, matching the matchable-nil model).
+    */
+  def voidStats(db: TripleDb): DataFrame =
+    db.df.groupBy(Term.encode(col("p")).as("pred"))
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(Term.encode(col("s"))).as("n_subjects"),
+        countDistinct(Term.encode(col("o"))).as("n_objects"))
+
   /** Quads → DB: the 4th element (graph) is silently dropped, exactly
     * like the reference's positional destructuring of grafter Quads
     * (alpha.clj:54-58; alpha_test.clj:244-245). */

@@ -220,6 +220,20 @@ class StreamingIngestSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("voidStats: per-predicate triples/subjects/objects; NULL cells " +
+      "count as the matchable nil VALUE, not as SQL-null holes") {
+    import spark.implicits._
+    val wide = Seq((1L, "a", null), (2L, "a", "x"), (3L, null, "x"))
+      .toDF("id", "p1", "p2")
+    val db = TripleDb.fromWideTable(wide, "t", "id")
+    val got = TripleDb.voidStats(db).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "k|p1" -> ((3L, 3L, 2L)),   // objects: s|a, n|
+      "k|p2" -> ((3L, 3L, 2L))))  // objects: n|, s|x
+  }
+
   test("streaming N-Triples ingest parses the same triples as batch load") {
     import graft.sources.NTriples
     val src = db(
