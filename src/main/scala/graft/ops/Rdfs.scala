@@ -66,31 +66,42 @@ object Rdfs {
     m
   }
 
-  private val tripleType = StructType(Seq(
-    StructField("s", Term.schema), StructField("p", Term.schema),
-    StructField("o", Term.schema)))
-
-  /** Entailed closure of `db` under `ontology` (schema triples using
-    * the `subClassOf` / `subPropertyOf` / `domain` / `range` keyword
-    * predicates). Returns the full materialized store: original
-    * instance triples ∪ ontology ∪ schema closures ∪ entailed
-    * instance/type triples, with set semantics (`distinct = true`).
+  /** The per-row entailment pass alone: every input triple expanded to
+    * itself plus all its ρdf consequences (no dedup, no schema
+    * triples). Pure stateless projections over broadcast schema
+    * tables, so it runs UNCHANGED on a STREAMING frame (stream-static
+    * broadcast joins; compose with [[graft.sources.NTriples.readStream]]
+    * for live entailed ingest) — dedup/set semantics are the batch
+    * sink's job. [[materialize]] is this plus schema triples and the
+    * set-semantics dedup.
     */
-  def materialize(db: TripleDb, ontology: TripleDb): TripleDb = {
-    val spark = db.df.sparkSession
-    // the schema is driver-sized by contract — collect once, close on
-    // the driver (no per-round Spark jobs for an 8-triple ontology)
-    val ont = ontology.triples
+  def entailRows(inst: DataFrame, ontology: TripleDb): DataFrame =
+    entailCore(inst.select("s", "p", "o"), ontology.triples)
+
+  /** Driver-side schema prep shared by [[materialize]] and
+    * [[entailRows]]: (subPropertyOf closure, subClassOf closure,
+    * domain decls, range decls). The schema is driver-sized by
+    * contract — collected once, closed on the driver (no per-round
+    * Spark jobs for an 8-triple ontology). */
+  private def schemaTables(ont: Seq[(Term, Term, Term)])
+      : (Map[Term, Set[Term]], Map[Term, Set[Term]],
+         Map[Term, Set[Term]], Map[Term, Set[Term]]) = {
     require(!ont.exists { case (s, p, o) =>
       p == SubPropertyOf && (Reserved(s) || Reserved(o))
     }, "ontology declares subPropertyOf over a reserved RDFS predicate — unsupported")
-
     val pc = close(ont.collect { case (s, p, o) if p == SubPropertyOf => (s, o) })
     val cc = close(ont.collect { case (s, p, o) if p == SubClassOf => (s, o) })
     val dom = ont.collect { case (s, p, o) if p == Domain => (s, o) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val rng = ont.collect { case (s, p, o) if p == Range => (s, o) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (pc, cc, dom, rng)
+  }
+
+  private def entailCore(inst: DataFrame,
+                         ont: Seq[(Term, Term, Term)]): DataFrame = {
+    val spark = inst.sparkSession
+    val (pc, cc, dom, rng) = schemaTables(ont)
     def withSupers(cs: Set[Term]): Seq[Term] =
       (cs ++ cs.flatMap(c => cc.getOrElse(c, Set.empty))).toSeq
 
@@ -127,7 +138,7 @@ object Rdfs {
     val emptyT = array().cast(ArrayType(Term.schema))
     // ONE instance scan: broadcast left-joins attach the emissions,
     // explode emits the row's full entailment set
-    val all = db.df
+    inst
       .join(broadcast(emitDf), col("p") === col("ep"), "left")
       .join(broadcast(ccDf),
         col("p") === typeL && col("o") === col("cc_c"), "left")
@@ -143,7 +154,19 @@ object Rdfs {
             c => trip(col("s"), typeL, c))))
         .as("t"))
       .select(col("t.s").as("s"), col("t.p").as("p"), col("t.o").as("o"))
+  }
 
+  /** Entailed closure of `db` under `ontology` (schema triples using
+    * the `subClassOf` / `subPropertyOf` / `domain` / `range` keyword
+    * predicates). Returns the full materialized store: original
+    * instance triples ∪ ontology ∪ schema closures ∪ entailed
+    * instance/type triples, with set semantics (`distinct = true`).
+    */
+  def materialize(db: TripleDb, ontology: TripleDb): TripleDb = {
+    val spark = db.df.sparkSession
+    val ont = ontology.triples
+    val all = entailCore(db.df.select("s", "p", "o"), ont)
+    val (pc, cc, _, _) = schemaTables(ont)
     // schema facts are themselves entailed: ontology ∪ rdfs5/11 closures
     val schemaTriples = (ont ++
       pc.toSeq.flatMap { case (a, bs) => bs.map(b => (a, SubPropertyOf, b)) } ++

@@ -253,4 +253,35 @@ class StreamingIngestSpec extends GraftSpec {
         Term.fromRow(r.getStruct(2)))).toSet
     assert(streamed == src.triples.toSet)
   }
+
+  test("streaming entailed ingest: N-Triples stream → ρdf entailment " +
+      "per micro-batch ≡ batch entailment (stateless stream-static joins)") {
+    import graft.ops.Rdfs
+    import graft.sources.NTriples
+    val src = db(
+      (k("alice"), k("manages"), k("bob")),
+      (k("carol"), Rdfs.TypeP, k("intern")))
+    val ont = db(
+      (k("manages"), Rdfs.SubPropertyOf, k("knows")),
+      (k("knows"), Rdfs.Domain, k("person")),
+      (k("intern"), Rdfs.SubClassOf, k("employee")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nte").toString
+    NTriples.save(src, dir)
+    val sink = "nt_entail_test"
+    val sq = Rdfs.entailRows(NTriples.readStream(spark, dir), ont)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table(sink).collect().map(r =>
+      (Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1)),
+        Term.fromRow(r.getStruct(2)))).toSet
+    val batch = Rdfs.entailRows(src.df, ont).collect().map(r =>
+      (Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1)),
+        Term.fromRow(r.getStruct(2)))).toSet
+    assert(streamed == batch)
+    assert(streamed((k("alice"), k("knows"), k("bob"))))
+    assert(streamed((k("alice"), Rdfs.TypeP, k("person"))))
+    assert(streamed((k("carol"), Rdfs.TypeP, k("employee"))))
+  }
 }
