@@ -273,4 +273,18 @@ class TermInteropSpec extends GraftSpec {
     }
     assert(ex.getMessage.contains("malformed N-Triples line"))
   }
+
+  test("gzipped N-Triples dumps load transparently (.nt.gz — how public " +
+      "RDF dumps actually ship)") {
+    import graft.sources.NTriples
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntgz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("dump.nt.gz")))
+    gz.write(("<urn:graft:kw/a> <urn:graft:kw/p> \"v1\" .\n" +
+      "<urn:graft:kw/b> <urn:graft:kw/p> \"42\"^^<http://www.w3.org/2001/XMLSchema#long> .\n")
+      .getBytes("UTF-8"))
+    gz.close()
+    assert(NTriples.load(spark, dir.toString).triples.toSet == Set(
+      (k("a"), k("p"), s("v1")), (k("b"), k("p"), l(42L))))
+  }
 }
