@@ -1381,6 +1381,27 @@ object SparkEntry {
     "q134_void_stats" -> ((sp, dir) =>
       TripleDb.voidStats(Tables.graph(sp, dir))),
 
+    // ---- incremental entailment under the gate: entail the BASE
+    //      (even customers) once, entail tonight's BATCH (odd
+    //      customers) alone via materializeDelta, set-union — must
+    //      equal entailing everything (the append path never re-scans
+    //      the base) ----
+    "q136_entail_append" -> ((sp, dir) => {
+      val ont = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("c_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+        (TKeyword("in_geo"), ops.Rdfs.SubPropertyOf, TKeyword("located"))))
+      def custDb(parity: Int) = TripleDb.fromWideTable(
+        Tables.t(sp, dir, "customer").where(col("c_custkey") % 2 === parity),
+        "customer", "c_custkey", fks = Map("c_nationkey" -> "nation"))
+      val base = ops.Rdfs.materialize(custDb(0), ont)
+      val delta = ops.Rdfs.materializeDelta(custDb(1), ont)
+      val merged = TripleDb.merge(base, delta)
+      val keep = Seq("in_geo", "located").map(k => Term.lit(TKeyword(k)))
+      merged.df.where(keep.map(col("p") === _).reduce(_ || _))
+        .select(Term.encode(col("s")).as("s"),
+          Term.encode(col("p")).as("p"), Term.encode(col("o")).as("o"))
+    }),
+
     // ---- dataset card: corpus-level integer metrics in one row —
     //      the report a curation pipeline publishes with a release ----
     "q135_corpus_report" -> ((sp, dir) => {
@@ -2341,6 +2362,13 @@ object SparkEntry {
         }
       }.mkString("\nUNION ALL\n")
     },
+
+    // the append path is invisible: every customer carries both
+    // entailed predicates regardless of which half entailed it
+    "q136_entail_append" ->
+      """SELECT 'u|customer/' || c_custkey AS s, p, 'u|nation/' || c_nationkey AS o
+        |FROM customer
+        |CROSS JOIN (SELECT unnest(['k|in_geo', 'k|located']) AS p)""".stripMargin,
 
     // the q19 token/quality idioms folded into one corpus-level row
     "q135_corpus_report" ->
