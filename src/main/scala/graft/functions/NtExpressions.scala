@@ -17,11 +17,20 @@ object NtExpressions {
     * bodies (escapes the five `\ " \n \r \t`; unescape additionally
     * accepts the full ECHAR set plus `\uXXXX` / `\UXXXXXXXX` UCHARs).
     *
-    * IRI-mode: percent-encodes the characters N-Triples forbids raw
-    * inside `<...>` (controls, space, `<>"{}|^` backtick `\ %`);
-    * non-ASCII stays raw (IRI-legal). Decode maps `%XX` back. Using a
-    * dedicated mode (rather than ECHARs) keeps IRIs grammar-legal for
-    * third-party N-Triples parsers.
+    * IRI-mode: UCHAR-escapes (backslash-u) exactly the characters the
+    * IRIREF terminal forbids raw inside `<...>` (controls, space,
+    * `<>"{}|^` backtick, backslash); everything else — non-ASCII and
+    * `%` included — stays raw. Decode is the exact inverse: UCHAR
+    * unescape only, any other backslash fails loudly (IRIREF admits no
+    * other backslash form). Percent sequences pass through VERBATIM in
+    * both directions: per RFC 3987 a percent-escape like `%2F` or a
+    * multi-byte `%C3%A9` is part of the IRI's identity, so an imported
+    * public dump re-exports byte-identical instead of silently
+    * collapsing `<http://ex/a%2Fb>` to `http://ex/a/b` or decoding
+    * UTF-8 escapes bytewise into mojibake. UCHAR (not percent) as the
+    * escape channel is what makes encode/decode unambiguous inverses —
+    * a raw backslash cannot occur in a grammar-legal IRIREF, while a
+    * raw `%` can. Output stays grammar-legal for third-party parsers.
     */
   case class NtStringCodec(child: Expression, iri: Boolean, decode: Boolean)
       extends UnaryExpression with CodegenFallback {
@@ -89,16 +98,20 @@ object NtExpressions {
     b.toString
   }
 
-  private def iriUnsafe(c: Char): Boolean =
+  /** Characters the IRIREF terminal forbids raw (N-Triples 1.1 §2.3):
+    * `[^#x00-#x20<>"{}|^`\]`. `%` is NOT here — it is grammar-legal raw
+    * and semantically reserved (RFC 3987 identity), so it never takes
+    * part in escaping. */
+  private def iriForbidden(c: Char): Boolean =
     c <= ' ' || c == '<' || c == '>' || c == '"' || c == '{' || c == '}' ||
-      c == '|' || c == '^' || c == '`' || c == '\\' || c == '%'
+      c == '|' || c == '^' || c == '`' || c == '\\'
 
   private def iriEncode(s: String): String = {
     val b = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (iriUnsafe(c)) b.append(f"%%${c.toInt}%02X")
+      if (iriForbidden(c)) b.append(f"\\u${c.toInt}%04X")
       else b.append(c)
       i += 1
     }
@@ -110,10 +123,21 @@ object NtExpressions {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%') {
-        require(i + 3 <= s.length, s"truncated percent escape in IRI: $s")
-        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
+      if (c == '\\') {
+        // UCHAR — the only backslash form the IRIREF terminal admits
+        require(i + 1 < s.length, s"dangling escape in IRI: $s")
+        s.charAt(i + 1) match {
+          case 'u' =>
+            require(i + 6 <= s.length, s"truncated \\u escape in IRI: $s")
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'U' =>
+            require(i + 10 <= s.length, s"truncated \\U escape in IRI: $s")
+            b.appendCodePoint(Integer.parseInt(s.substring(i + 2, i + 10), 16))
+            i += 10
+          case bad => throw new IllegalArgumentException(
+            s"bad escape \\$bad in IRI (IRIREF admits only \\u/\\U): $s")
+        }
       } else { b.append(c); i += 1 }
     }
     b.toString

@@ -213,12 +213,14 @@ object Bpe {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(rank, l, r)
-        // symbols are ^[a-z0-9]+$ by construction — safe to inline;
-        // eager localCheckpoint truncates lineage (see caller)
+        // all-Column replace (symbols ride as literals, never spliced
+        // into SQL text — the ^[a-z0-9]+$ corpus filter is a modeling
+        // choice, not a load-bearing injection guard); eager
+        // localCheckpoint truncates lineage (see caller)
         val prev = seg
         seg = seg
-          .select(expr(s"replace(seg, '($l)($r)', '($l$r)')").as("seg"),
-            col("n"))
+          .select(org.apache.spark.sql.functions.replace(col("seg"),
+            lit(s"($l)($r)"), lit(s"($l$r)")).as("seg"), col("n"))
           .localCheckpoint()
         freeCheckpoint(prev) // successor materialized — predecessor dead
         rank += 1

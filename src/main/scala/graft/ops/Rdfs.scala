@@ -76,7 +76,34 @@ object Rdfs {
     * set-semantics dedup.
     */
   def entailRows(inst: DataFrame, ontology: TripleDb): DataFrame =
-    entailCore(inst.select("s", "p", "o"), ontology.triples)
+    entailCore(inst.select("s", "p", "o"), ontTriples(ontology))
+
+  /** Default ceiling for [[ontTriples]] — generous for any real
+    * ontology (Wikidata's full property/class schema is ~100k triples)
+    * while catching the fatal mix-up early. */
+  val DefaultMaxSchemaTriples: Int = 1000000
+
+  /** Collect the ontology to the driver, with a LOUD size cap: the
+    * whole design premise is that the schema is driver-sized, so a
+    * caller that accidentally feeds an INSTANCE store as the ontology
+    * must fail fast with a diagnosis, not OOM the driver collecting
+    * 100 TB. `head(cap + 1)` stops the scan at the cap instead of
+    * counting the store. Raise `graft.rdfs.maxSchemaTriples` (session
+    * conf) to opt in to a genuinely larger schema.
+    */
+  private def ontTriples(ontology: TripleDb): Seq[(Term, Term, Term)] = {
+    val cap = ontology.df.sparkSession.conf
+      .getOption("graft.rdfs.maxSchemaTriples").map(_.toInt)
+      .getOrElse(DefaultMaxSchemaTriples)
+    val rows = ontology.df.select("s", "p", "o").head(cap + 1)
+    require(rows.length <= cap,
+      s"ontology exceeds $cap triples — the RDFS schema is closed on the " +
+        "driver by contract, so this looks like an instance store passed " +
+        "as the ontology; set graft.rdfs.maxSchemaTriples to opt in to a " +
+        "larger schema")
+    rows.toSeq.map(r => (Term.fromRow(r.getStruct(0)),
+      Term.fromRow(r.getStruct(1)), Term.fromRow(r.getStruct(2))))
+  }
 
   /** Driver-side schema prep shared by [[materialize]] and
     * [[entailRows]]: (subPropertyOf closure, subClassOf closure,
@@ -164,7 +191,7 @@ object Rdfs {
     */
   def materialize(db: TripleDb, ontology: TripleDb): TripleDb = {
     val spark = db.df.sparkSession
-    val ont = ontology.triples
+    val ont = ontTriples(ontology)
     val all = entailCore(db.df.select("s", "p", "o"), ont)
     val (pc, cc, _, _) = schemaTables(ont)
     // schema facts are themselves entailed: ontology ∪ rdfs5/11 closures

@@ -194,6 +194,10 @@ object Text {
     * — on a real cluster with block-sized files this is a no-op.
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames can't expose rdd partitioning (and micro-batch
+    // sizing is the source's job) — skip, matching the documented
+    // already-parallel-enough no-op, so token ops stay stream-composable
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -683,13 +687,19 @@ object Text {
     */
   def rougeBigramF1(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame): DataFrame = {
+    // null text scores like an empty doc (f1 = 0), it must not silently
+    // drop its pairs from the one-row-per-pair contract
     val withT = fanOut(docs).select(col(idCol).as("id"),
-      tokens(col(textCol)).as("t"))
+      coalesce(tokens(col(textCol)),
+        array().cast("array<string>")).as("t"))
     // slice+two-arg transform, not sequence(1, n-1): sequence throws on
     // a 1-token doc (start > stop), slice degrades to the empty array
+    // (greatest-0 guard: slice rejects the negative length an empty
+    // token array would produce)
     val grams = withT.select(col("id"),
         explode(expr(
-          "transform(slice(t, 2, size(t) - 1), (x, i) -> concat(t[i], ' ', x))"))
+          "transform(slice(t, 2, greatest(size(t) - 1, 0)), " +
+            "(x, i) -> concat(t[i], ' ', x))"))
           .as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("c"))
     val sizes = withT.select(col("id"),

@@ -1326,9 +1326,10 @@ class OpsSpec extends GraftSpec {
       (3L, "x y x y x"),     // xy:2 yx:2
       (4L, "x y x"),         // xy:1 yx:1           → ov 2, f1 = 4/6
       (5L, "solo"),          // no bigrams
-      (6L, "p q")            // pq:1                → vs 5: ov 0, den 1
+      (6L, "p q"),           // pq:1                → vs 5: ov 0, den 1
+      (7L, null.asInstanceOf[String]) // null text ≙ empty doc
     ).toDF("doc_id", "text")
-    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (1L, 3L))
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (1L, 3L), (1L, 7L), (7L, 5L))
       .toDF("ia", "ib")
     val got = graft.ops.Text.rougeBigramF1(d, "doc_id", "text", pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -1336,7 +1337,9 @@ class OpsSpec extends GraftSpec {
       (1L, 2L, 666666L),   // 2*2*1e6 / (3+3)
       (3L, 4L, 666666L),   // multiset: min(2,1)+min(2,1)=2; 4e6/(4+2)
       (5L, 6L, 0L),        // zero overlap, nonzero denominator
-      (1L, 3L, 0L)))       // disjoint grams
+      (1L, 3L, 0L),        // disjoint grams
+      (1L, 7L, 0L),        // null-text doc scores 0, pair NOT dropped
+      (7L, 5L, 0L)))       // both degenerate → den 0 branch
   }
 
   test("sq8: codes bounded [0,255], search recovers the planted nearest " +
@@ -1423,5 +1426,36 @@ class OpsSpec extends GraftSpec {
     val incr = Rdfs.materialize(inst, ont).triples.toSet ++
       Rdfs.materializeDelta(delta, ont).triples.toSet
     assert(incr == full)
+  }
+
+  test("rdfs: an instance store fed as the ontology fails fast at the " +
+      "driver-size cap instead of collecting it") {
+    import graft.core.Term._
+    import graft.core.TripleDb
+    import graft.ops.Rdfs
+    val inst = TripleDb.fromTerms(spark, Seq(
+      (TKeyword("a"), TKeyword("p"), TKeyword("b")),
+      (TKeyword("b"), TKeyword("p"), TKeyword("c")),
+      (TKeyword("c"), TKeyword("p"), TKeyword("d"))))
+    spark.conf.set("graft.rdfs.maxSchemaTriples", "2")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Rdfs.materialize(inst, inst)
+      }
+      assert(ex.getMessage.contains("maxSchemaTriples"))
+    } finally spark.conf.unset("graft.rdfs.maxSchemaTriples")
+    // within the cap, the same call works
+    assert(Rdfs.materialize(inst,
+      TripleDb.fromTerms(spark, Seq(
+        (TKeyword("p"), Rdfs.SubPropertyOf, TKeyword("q"))))).df.count() == 7)
+  }
+
+  test("fanOut is a plan-time no-op on streaming frames (token ops stay " +
+      "stream-composable)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val sdf = ms.toDF()
+    assert(Text.fanOut(sdf) eq sdf)
   }
 }

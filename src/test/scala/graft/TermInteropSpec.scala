@@ -247,9 +247,10 @@ class TermInteropSpec extends GraftSpec {
     // every emitted line is a legal N-Triples 1.1 triple production:
     // IRIREF subject/predicate, IRIREF-or-literal object, final dot —
     // raw newlines/quotes inside lexicals would break this line regex
-    val lineOk = ("^<[^<>\"{}|^`\\\\\\x00-\\x20]*> <[^<>\"{}|^`\\\\\\x00-\\x20]*> " +
-      "(<[^<>\"{}|^`\\\\\\x00-\\x20]*>|\"(?:[^\"\\\\\\n\\r]|\\\\.)*\"" +
-      "(@[A-Za-z][A-Za-z0-9-]*|\\^\\^<[^<>\"{}|^`\\\\\\x00-\\x20]*>)?) \\.$").r
+    val ib = "(?:[^<>\"{}|^`\\\\\\x00-\\x20]|\\\\u[0-9A-Fa-f]{4}|\\\\U[0-9A-Fa-f]{8})*"
+    val lineOk = (s"^<$ib> <$ib> " +
+      s"(<$ib>|\"(?:[^\"\\\\\\n\\r]|\\\\.)*\"" +
+      s"(@[A-Za-z][A-Za-z0-9-]*|\\^\\^<$ib>)?) \\.$$").r
     val raw = spark.read.text(tmp).collect().map(_.getString(0))
     assert(raw.length == exotic.triples.size)
     raw.foreach(ln => assert(lineOk.findFirstIn(ln).isDefined, s"illegal line: $ln"))
@@ -286,5 +287,42 @@ class TermInteropSpec extends GraftSpec {
     gz.close()
     assert(NTriples.load(spark, dir.toString).triples.toSet == Set(
       (k("a"), k("p"), s("v1")), (k("b"), k("p"), l(42L))))
+  }
+
+  test("foreign IRIs keep RFC 3987 identity: percent sequences verbatim " +
+      "both ways; UCHARs decode; other backslash fails loudly") {
+    import graft.sources.NTriples
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntiri")
+    java.nio.file.Files.write(dir.resolve("a.nt"), java.util.Arrays.asList(
+      "<http://ex/a%2Fb> <http://ex/p> <http://ex/caf%C3%A9> .",
+      "<http://ex/sp%20ace> <http://ex/p> <http://ex/u\\u00E9> .",
+      "<http://ex/pct%25raw> <http://ex/p> <http://ex/bad%zz> ."))
+    val loaded = NTriples.load(spark, dir.toString)
+    val got = loaded.triples.toSet
+    // %2F, %20, %25, %C3%A9, even non-hex %zz: ALL part of the IRI's
+    // identity (RFC 3987) — never decoded into a different IRI
+    assert(got.contains((TUri("http://ex/a%2Fb"), TUri("http://ex/p"),
+      TUri("http://ex/caf%C3%A9"))))
+    // é arrives as an IRIREF UCHAR → decodes to the raw char
+    assert(got.contains((TUri("http://ex/sp%20ace"), TUri("http://ex/p"),
+      TUri("http://ex/ué"))))
+    assert(got.contains((TUri("http://ex/pct%25raw"), TUri("http://ex/p"),
+      TUri("http://ex/bad%zz"))))
+    // re-export: every percent sequence emerges byte-identical
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_ntiri2").toString
+    NTriples.save(loaded, tmp2)
+    val raw = spark.read.text(tmp2).collect().map(_.getString(0)).toSet
+    assert(raw.contains("<http://ex/a%2Fb> <http://ex/p> <http://ex/caf%C3%A9> ."))
+    assert(raw.contains("<http://ex/sp%20ace> <http://ex/p> <http://ex/ué> ."))
+    assert(raw.contains("<http://ex/pct%25raw> <http://ex/p> <http://ex/bad%zz> ."))
+    // non-UCHAR backslash in an IRI is a loud error, not a silent
+    // backslash-u-text term
+    java.nio.file.Files.write(dir.resolve("b.nt"), java.util.Arrays.asList(
+      "<http://ex/a\\qbad> <http://ex/p> <http://ex/o> ."))
+    val ex = intercept[Exception] {
+      NTriples.load(spark, dir.toString).triples
+    }
+    assert(ex.getMessage.contains("bad escape") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bad escape")))
   }
 }
