@@ -65,4 +65,22 @@ object Tables {
   def graph(spark: SparkSession, dir: String): TripleDb =
     TripleDb.unionDisjoint(customerDb(spark, dir), nationDb(spark, dir),
       regionDb(spark, dir), supplierDb(spark, dir), ordersDb(spark, dir))
+
+  /** Customer facts as a QUAD store: each customer's triples live in
+    * the named graph of their nation (`nation/<key>`) — the
+    * per-tenant/per-source graph layout real RDF warehouses use. The
+    * graph tag is a narrow column map over the unpivot (no shuffle,
+    * distinctness preserved).
+    */
+  def customerQuads(spark: SparkSession, dir: String): graft.core.QuadDb = {
+    import org.apache.spark.sql.functions._
+    val tdb = TripleDb.fromWideTable(t(spark, dir, "customer"), "customer",
+      "c_custkey", fks = Map("c_nationkey" -> "nation"),
+      keep = Seq("c_nationkey"))
+    graft.core.QuadDb(
+      tdb.df.withColumn("g", graft.core.Term.uriCol(
+          concat(lit("nation/"), col("c_nationkey").cast("string"))))
+        .select("s", "p", "o", "g"),
+      distinct = tdb.distinct)
+  }
 }

@@ -1,0 +1,155 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** A quad database: a DataFrame with columns `s`, `p`, `o`, `g`, each a
+  * [[Term]] struct — the named-graph extension of [[TripleDb]].
+  *
+  * The reference destructures grafter Quads positionally and silently
+  * DROPS the 4th element (alpha.clj:54-58; alpha_test.clj:244-245) —
+  * [[TripleDb.fromQuads]] reproduces that faithfully for parity. But
+  * every real RDF dataset ships as quads (TriG / N-Quads), so a store
+  * aiming beyond the reference keeps the graph position: this type is
+  * the keep-`g` counterpart, queried through the same BGP compiler via
+  * [[graft.dsl.QuadPattern]] rows.
+  *
+  * Dataset semantics (documented choice): the DEFAULT graph is the
+  * nil-graph — quads whose `g` is term-nil, which is exactly how an
+  * N-Quads line with no graph label loads ([[graft.sources.NTriples]]
+  * `parseQuads`). A plain [[graft.dsl.TriplePattern]] run against a
+  * QuadDb matches the UNION of all graphs (the "union default graph"
+  * store configuration — the common warehouse setup, e.g. Jena's
+  * unionDefaultGraph); a [[graft.dsl.QuadPattern]] scopes to a ground
+  * graph or binds a graph variable per solution.
+  *
+  * Scale shape is [[TripleDb]]'s: set semantics via one dedup shuffle at
+  * [[index]] time, per-predicate slices for ground-predicate pattern
+  * pruning, predicate-partitioned parquet as the durable layout. The
+  * graph column adds ZERO joins — graph scoping is a pushed-down filter
+  * on the scan, and a graph variable is just a fourth projected column.
+  */
+final case class QuadDb(df: DataFrame,
+                        predIndex: Map[String, DataFrame] = Map.empty,
+                        stats: Map[String, Long] = Map.empty,
+                        distinct: Boolean = false) {
+
+  /** Dedup + cache, with per-predicate slices rebuilt as filtered views
+    * over the single persisted relation (same contract as
+    * [[TripleDb.index]]; set semantics are per QUAD — the same triple
+    * asserted in two graphs is two facts). */
+  def index(): QuadDb = {
+    val deduped =
+      (if (distinct) df else df.dropDuplicates("s", "p", "o", "g")).persist()
+    val slices = predIndex.keys.map { name =>
+      name -> deduped.where(col("p") === Term.lit(Term.TKeyword(name)))
+    }.toMap
+    QuadDb(deduped, slices, stats, distinct = true)
+  }
+
+  def unpersist(): QuadDb = { df.unpersist(); this }
+
+  /** One named graph as a [[TripleDb]] — the graph filter is a pushed
+    * predicate on the scan, not a join. Facts within one graph are
+    * distinct iff the quad store is. */
+  def graph(g: Term): TripleDb =
+    TripleDb(df.where(col("g") === Term.lit(g)).select("s", "p", "o"),
+      predIndex.map { case (n, d) =>
+        n -> d.where(col("g") === Term.lit(g)).select("s", "p", "o") },
+      stats, distinct = distinct)
+
+  /** The union-of-all-graphs view as a [[TripleDb]] — the reference's
+    * quad-collapse (alpha.clj:54-58), made explicit. Distinctness is
+    * NOT preserved: the same triple in two graphs collapses to one
+    * fact, so the result needs its own dedup (`.index()`). */
+  def toTriples: TripleDb =
+    TripleDb(df.select("s", "p", "o"),
+      predIndex.map { case (n, d) => n -> d.select("s", "p", "o") }, stats)
+
+  /** Driver-side collector — human-sized stores only (≙
+    * [[TripleDb.triples]]). */
+  def quads: Seq[(Term, Term, Term, Term)] =
+    df.select("s", "p", "o", "g").collect().toSeq.map(r =>
+      (Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1)),
+        Term.fromRow(r.getStruct(2)), Term.fromRow(r.getStruct(3))))
+}
+
+object QuadDb {
+  val schema: StructType = StructType(Seq(
+    StructField("s", Term.schema, nullable = false),
+    StructField("p", Term.schema, nullable = false),
+    StructField("o", Term.schema, nullable = false),
+    StructField("g", Term.schema, nullable = false)))
+
+  /** The default graph's name: term-nil (an N-Quads line with no graph
+    * label parses here, and quads in this graph serialize without one). */
+  val DefaultGraph: Term = Term.TNil
+
+  /** In-memory quads → DB, keeping the 4th position (contrast
+    * [[TripleDb.fromQuads]], which reproduces the reference's drop). */
+  def fromQuads(spark: SparkSession,
+                quads: Seq[(Term, Term, Term, Term)]): QuadDb = {
+    val rows = quads.map { case (s, p, o, g) =>
+      Row(Term.toRow(s), Term.toRow(p), Term.toRow(o), Term.toRow(g))
+    }
+    QuadDb(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, math.max(1, rows.size / 50000)),
+      schema))
+  }
+
+  /** Tag a whole [[TripleDb]] into one named graph (graph column is a
+    * literal — no shuffle, distinctness preserved). */
+  def fromTripleDb(db: TripleDb, g: Term = DefaultGraph): QuadDb =
+    QuadDb(db.df.select("s", "p", "o").withColumn("g", Term.lit(g)),
+      db.predIndex.map { case (n, d) =>
+        n -> d.select("s", "p", "o").withColumn("g", Term.lit(g)) },
+      db.stats, distinct = db.distinct)
+
+  /** Set union of quad stores (≙ [[TripleDb.merge]], per-quad set
+    * semantics). */
+  def merge(dbs: QuadDb*): QuadDb =
+    QuadDb(dbs.map(_.df).reduce(_.unionByName(_))
+        .dropDuplicates("s", "p", "o", "g"),
+      Map.empty, Map.empty, distinct = true)
+
+  /** Union without the dedup shuffle — callers `.index()` after, or
+    * assert disjointness (e.g. per-graph ingests with distinct graph
+    * names are disjoint by construction). */
+  def union(dbs: QuadDb*): QuadDb =
+    QuadDb(dbs.map(_.df).reduce(_.unionByName(_)),
+      distinct = false)
+
+  /** [[union]] plus the caller's pairwise-disjointness assertion (true
+    * whenever the inputs carry distinct graph names), so downstream
+    * `.index()` skips its dedup shuffle. */
+  def unionDisjoint(dbs: QuadDb*): QuadDb =
+    union(dbs: _*).copy(distinct = dbs.forall(_.distinct))
+
+  /** Durable predicate-partitioned layout, same directory contract as
+    * [[TripleDb.save]] — ground-predicate scans prune to one partition
+    * directory; the graph column rides along and graph scoping remains
+    * a pushed filter. */
+  def save(db: QuadDb, path: String): Unit = {
+    val predName = when(col("p.kind") === Term.KKeyword, col("p.lex"))
+      .otherwise(lit("__other"))
+    db.df.withColumn("pred", predName)
+      .write.mode("overwrite").partitionBy("pred").parquet(path)
+  }
+
+  /** Load a [[save]]d quad store, rebuilding predicate slices from the
+    * partition directories. */
+  def load(spark: SparkSession, path: String): QuadDb = {
+    val raw = spark.read.parquet(path)
+    val preds = raw.select("pred").distinct().collect()
+      .map(_.getString(0)).filter(_ != "__other")
+    val slices = preds.map { name =>
+      name -> raw.where(col("pred") === name).drop("pred")
+    }.toMap
+    val stats = slices.map { case (name, slice) =>
+      name -> slice.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    }
+    QuadDb(raw.drop("pred"), slices, stats)
+  }
+}

@@ -40,6 +40,50 @@ final case class TriplePattern(s: TermOrVar, p: TermOrVar, o: TermOrVar)
   def vars: Seq[V] = Seq(s, p, o).collect { case v: V => v }.distinct
 }
 
+/** One `[s p o g]` graph-scoped BGP row — the named-graph extension the
+  * reference lacks (it destructures Quads but DROPS `g`, alpha.clj:54-58;
+  * alpha_test.clj:244-245). Only valid against a [[graft.core.QuadDb]]
+  * (compiling one against a triple store throws [[InvalidBgp]]). Ground
+  * `g` scopes the pattern to one named graph (a pushed-down scan
+  * filter); variable `g` binds the containing graph per solution. A
+  * plain [[TriplePattern]] against a quad store matches the union of
+  * all graphs (see QuadDb's dataset-semantics note).
+  */
+final case class QuadPattern(s: TermOrVar, p: TermOrVar, o: TermOrVar,
+                             g: TermOrVar) extends PatternRow {
+  def vars: Seq[V] = Seq(s, p, o, g).collect { case v: V => v }.distinct
+}
+
+/** `[s (PathPlus p) o]` — one-or-more transitive traversal of a ground
+  * predicate, the `p+` property path (SPARQL 1.1 §9.1) as a BGP row.
+  * The reference descopes property paths (README:41-45); this composes
+  * [[graft.ops.Paths]]' distributed closure into the BGP join fold, so
+  * transitive hops are expressible where users write queries and join
+  * against other patterns, `optional`, and `values` like any row.
+  * Endpoints may be ground or variables; the predicate must be ground
+  * (a variable-predicate closure is unbounded — [[InvalidBgp]]).
+  */
+final case class PathPattern(s: TermOrVar, path: PathExpr, o: TermOrVar)
+    extends PatternRow {
+  def vars: Seq[V] = Seq(s, o).collect { case v: V => v }.distinct
+}
+
+sealed trait PathExpr extends Product with Serializable {
+  /** The ground edge predicates this path traverses. */
+  def preds: Seq[Term]
+}
+/** `p+`: one or more hops over `pred` edges. */
+final case class PathPlus(pred: Term) extends PathExpr {
+  def preds: Seq[Term] = Seq(pred)
+}
+/** `(p1|p2|…)+`: one or more hops, each over ANY of the given
+  * predicates (the alternation-then-plus form, enough to express
+  * "related transitively via any of these links"). */
+final case class PathAltPlus(alts: Seq[Term]) extends PathExpr {
+  require(alts.nonEmpty, "path alternation needs at least one predicate")
+  def preds: Seq[Term] = alts
+}
+
 /** `(values ?v coll)` — bind ?v to members of a runtime collection
   * (alpha.clj:91-105, 175-176). Bag semantics: duplicates in `coll`
   * duplicate solutions, exactly like `l/membero`.
@@ -68,7 +112,8 @@ object Bgp {
     * rows and in no required row (alpha.clj:301-313).
     */
   def requiredVars(rows: Seq[PatternRow]): Seq[V] =
-    rows.collect { case r: TriplePattern => r; case r: Values => r }
+    rows.collect { case r: TriplePattern => r; case r: QuadPattern => r
+                   case r: PathPattern => r; case r: Values => r }
       .flatMap(_.vars).distinct
 
   def optionalVars(rows: Seq[PatternRow]): Seq[V] = {

@@ -1,7 +1,8 @@
 package graft.engine
 
-import graft.core.{DictDb, Term, TripleDb}
+import graft.core.{DictDb, QuadDb, Term, TripleDb}
 import graft.dsl._
+import graft.ops.Paths
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -60,9 +61,21 @@ object BgpCompiler {
     BgpInput(db.triples, db.predIndex, db.stats,
       t => functions.lit(DictDb.termId(t)), dictCollDf)
 
+  private def quadInput(db: QuadDb): BgpInput =
+    BgpInput(db.df, db.predIndex, db.stats, Term.lit, structCollDf)
+
   /** Compile a full BGP against a db. Result columns = variable names. */
   def compile(db: TripleDb, rows: Seq[PatternRow]): DataFrame =
     compile(structInput(db), rows)
+
+  /** Quad-store path: [[QuadPattern]] rows scope/bind the graph
+    * position; plain [[TriplePattern]] rows match the union of all
+    * graphs (QuadDb's documented dataset semantics). Same fold, same
+    * ordering, same values/optional machinery — the graph position is
+    * just a fourth scan column.
+    */
+  def compileQuads(db: QuadDb, rows: Seq[PatternRow]): DataFrame =
+    compile(quadInput(db), rows)
 
   /** Dict path: result columns are LONG ids — decode at the edge via
     * [[DictDb.decode]]. Same solution multiset as the struct path
@@ -75,9 +88,17 @@ object BgpCompiler {
     if (rows.isEmpty) throw new InvalidBgp("empty BGP")
     val spark = in.full.sparkSession
 
-    val patterns = rows.collect { case p: TriplePattern => p }
+    val patterns: Seq[PatternRow] =
+      rows.collect { case p: TriplePattern => p; case q: QuadPattern => q }
+    val paths = rows.collect { case p: PathPattern => p }
     val values = rows.collect { case v: Values => v }
     val optionals = rows.collect { case o: Optional => o }
+
+    if (rows.exists(_.isInstanceOf[QuadPattern]) &&
+        !in.full.columns.contains("g"))
+      throw new InvalidBgp(
+        "quad pattern against a store with no graph position — " +
+          "graph-scoped patterns need a QuadDb")
 
     val requiredVarNames: Set[String] = Bgp.requiredVars(rows).map(_.name).toSet
 
@@ -111,11 +132,40 @@ object BgpCompiler {
       applyBoundValues()
     }
 
+    // ---- property paths: each PathPattern folds in as a closed
+    // (src, dst) pair frame over its ground predicate's edges —
+    // ground endpoints BFS a frontier instead of closing the whole
+    // relation (Paths.closureEdgesFrom), variable endpoints join the
+    // fold on shared vars like any scanned pattern. Pair semantics are
+    // DISTINCT (SPARQL 1.1 §9.3: path solutions do not multiply by
+    // route count — and enumerating routes would be exponential).
+    val (groundPaths, varPaths) = paths.partition(_.vars.isEmpty)
+    for (pp <- varPaths) {
+      val frame = pathFrame(in, pp)
+      acc = acc match {
+        case None => Some(frame)
+        case Some(a) =>
+          val shared = frame.columns.toSeq.filter(a.columns.contains)
+          if (shared.nonEmpty) Some(a.join(frame, shared, "inner"))
+          else Some(a.crossJoin(frame))
+      }
+      bound ++= pp.vars.map(_.name)
+      applyBoundValues()
+    }
+
     // fully-ground patterns = existence gates (facts are deduped at
-    // index time, so each contributes a 0-or-1-row cross join)
-    for ((pat, i) <- groundOnly.zipWithIndex) {
-      val gate = scanGround(in, sourceFor(in, pat), pat).limit(1)
-        .select(functions.lit(1).as(s"__exists_$i"))
+    // index time, so each contributes a 0-or-1-row cross join);
+    // fully-ground paths gate on single-source reachability
+    val gates: Seq[DataFrame] =
+      groundOnly.map(pat => scanGround(in, sourceFor(in, pat), pat)) ++
+        groundPaths.map { pp =>
+          val (s, o) = (groundTerm(pp.s), groundTerm(pp.o))
+          val e = pathEdges(in, pp.path.preds)
+          Paths.closureEdgesFrom(e, e.where(col("src") === in.groundLit(s)))
+            .where(col("dst") === in.groundLit(o))
+        }
+    for ((g0, i) <- gates.zipWithIndex) {
+      val gate = g0.limit(1).select(functions.lit(1).as(s"__exists_$i"))
       acc = acc match {
         case None    => Some(gate)
         case Some(a) => Some(a.crossJoin(broadcast(gate)))
@@ -142,7 +192,7 @@ object BgpCompiler {
       }
     }
 
-    acc = acc.map(_.drop(groundOnly.indices.map(i => s"__exists_$i"): _*))
+    acc = acc.map(_.drop(gates.indices.map(i => s"__exists_$i"): _*))
 
     // ---- optionals: one left join per clause ----
     val noRequired = acc.isEmpty
@@ -183,14 +233,33 @@ object BgpCompiler {
       .drop("__base")
   }
 
+  /** Scan positions of a pattern row: (column, term-or-var) pairs —
+    * the one place triple and quad patterns differ. */
+  private def positionsOf(pat: PatternRow): Seq[(String, TermOrVar)] = pat match {
+    case TriplePattern(s, p, o)  => Seq("s" -> s, "p" -> p, "o" -> o)
+    case QuadPattern(s, p, o, g) => Seq("s" -> s, "p" -> p, "o" -> o, "g" -> g)
+    case other => throw new InvalidBgp(s"not a scan pattern: $other")
+  }
+
+  private def predOf(pat: PatternRow): TermOrVar = pat match {
+    case TriplePattern(_, p, _)  => p
+    case QuadPattern(_, p, _, _) => p
+    case other => throw new InvalidBgp(s"not a scan pattern: $other")
+  }
+
+  private def groundTerm(tv: TermOrVar): Term = tv match {
+    case T(t) => t
+    case v    => throw new InvalidBgp(s"expected a ground term, got $v")
+  }
+
   /** Pick the narrowest source for a pattern: a ground keyword
     * predicate hits the per-predicate slice (≙ the reference's
     * predicate-position hash index, alpha.clj:52 — but here it also
     * means the parquet scan reads two columns of one table instead of
     * the whole unpivoted union).
     */
-  private def sourceFor(in: BgpInput, pat: TriplePattern): DataFrame =
-    pat.p match {
+  private def sourceFor(in: BgpInput, pat: PatternRow): DataFrame =
+    predOf(pat) match {
       case T(Term.TKeyword(name)) => in.predIndex.getOrElse(name, in.full)
       case _ => in.full
     }
@@ -199,8 +268,8 @@ object BgpCompiler {
     * project under the var's name; a var repeated within the pattern adds
     * an intra-row equality filter.
     */
-  private def scan(in: BgpInput, db: DataFrame, pat: TriplePattern): DataFrame = {
-    val pos: Seq[(String, TermOrVar)] = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
+  private def scan(in: BgpInput, db: DataFrame, pat: PatternRow): DataFrame = {
+    val pos = positionsOf(pat)
     var cur = db
     for ((c, tv) <- pos) tv match {
       case T(t) => cur = cur.where(col(c) === in.groundLit(t))
@@ -216,13 +285,55 @@ object BgpCompiler {
     cur.select(proj: _*)
   }
 
-  private def scanGround(in: BgpInput, db: DataFrame, pat: TriplePattern): DataFrame = {
+  private def scanGround(in: BgpInput, db: DataFrame, pat: PatternRow): DataFrame = {
     var cur = db
-    for ((c, tv) <- Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)) tv match {
+    for ((c, tv) <- positionsOf(pat)) tv match {
       case T(t) => cur = cur.where(col(c) === in.groundLit(t))
       case _    =>
     }
     cur
+  }
+
+  /** The edge relation a path traverses: union of its predicates'
+    * slices projected to (src, dst). Against a quad store this is the
+    * union across ALL graphs (the same union-default semantics as a
+    * plain TriplePattern; a graph-scoped path is future surface).
+    */
+  private def pathEdges(in: BgpInput, preds: Seq[Term]): DataFrame =
+    preds.map { p =>
+      val src = p match {
+        case Term.TKeyword(n) => in.predIndex.get(n)
+        case _                => None
+      }
+      src.getOrElse(in.full.where(col("p") === in.groundLit(p)))
+        .select(col("s").as("src"), col("o").as("dst"))
+    }.reduce(_.unionByName(_))
+
+  /** A path pattern with ≥1 variable endpoint as a joinable frame with
+    * var-named columns. Ground endpoints pick the frontier-BFS form
+    * (closure FROM one source / INTO one sink — never the whole
+    * relation's closure); two distinct vars take the full pair
+    * closure; a repeated var keeps only cycles.
+    */
+  private def pathFrame(in: BgpInput, pp: PathPattern): DataFrame = {
+    val e = pathEdges(in, pp.path.preds)
+    (pp.s, pp.o) match {
+      case (T(t), v: V) =>
+        Paths.closureEdgesFrom(e, e.where(col("src") === in.groundLit(t)))
+          .select(col("dst").as(v.name))
+      case (v: V, T(t)) =>
+        // sink-ground: BFS the REVERSED edges from the sink, flip back
+        val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        Paths.closureEdgesFrom(rev, rev.where(col("src") === in.groundLit(t)))
+          .select(col("dst").as(v.name))
+      case (v1: V, v2: V) if v1 == v2 =>
+        Paths.closureEdges(e).where(col("src") === col("dst"))
+          .select(col("src").as(v1.name))
+      case (v1: V, v2: V) =>
+        Paths.closureEdges(e)
+          .select(col("src").as(v1.name), col("dst").as(v2.name))
+      case _ => throw new InvalidBgp(s"ground path belongs in gates: $pp")
+    }
   }
 
   /** Colls at or below this many elements get an explicit `broadcast()`
@@ -290,17 +401,17 @@ object BgpCompiler {
     * The reference runs patterns in user order (alpha.clj:193-203) and
     * tells users to put selective patterns first; we do it for them.
     */
-  private[graft] def orderPatterns(pats: Seq[TriplePattern],
-                                   stats: Map[String, Long] = Map.empty): Seq[TriplePattern] = {
+  private[graft] def orderPatterns[P <: PatternRow](pats: Seq[P],
+                                   stats: Map[String, Long] = Map.empty): Seq[P] = {
     if (pats.size <= 1) return pats
-    def groundCount(p: TriplePattern): Int =
-      Seq(p.s, p.p, p.o).count(_.isInstanceOf[T])
-    def sourceBytes(p: TriplePattern): Long = p.p match {
+    def groundCount(p: P): Int =
+      positionsOf(p).count(_._2.isInstanceOf[T])
+    def sourceBytes(p: P): Long = predOf(p) match {
       case T(Term.TKeyword(name)) => stats.getOrElse(name, Long.MaxValue)
       case _ => Long.MaxValue // no ground predicate → whole-store scan
     }
     val remaining = mutable.ArrayBuffer(pats.zipWithIndex: _*)
-    val out = mutable.ArrayBuffer.empty[TriplePattern]
+    val out = mutable.ArrayBuffer.empty[P]
     val bound = mutable.Set.empty[String]
     while (remaining.nonEmpty) {
       val bestEntry = remaining.maxBy { case (p, idx) =>

@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.core.{DictDb, Term, TripleDb}
+import graft.core.{DictDb, QuadDb, Term, TripleDb}
 import graft.dsl._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -47,6 +47,25 @@ object Projections {
     db.decode(padded.select(proj.map(v => col(v.name)): _*),
       proj.map(_.name), Bgp.valuesTerms(rows))
   }
+
+  /** Distributed select over a quad store: [[graft.dsl.QuadPattern]]
+    * rows scope/bind the graph position; everything else (optional /
+    * values / paths, unbound-var padding) behaves exactly as the
+    * triple path. No default for `vars` (Scala bars twin defaults
+    * across overloads) — pass `Nil` for all-vars.
+    */
+  def selectDf(db: QuadDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame = {
+    val proj = if (vars.nonEmpty) vars else Bgp.allVars(rows)
+    val sol = BgpCompiler.compileQuads(db, rows)
+    val missing = proj.filterNot(v => sol.columns.contains(v.name))
+    val padded = missing.foldLeft(sol)((d, v) =>
+      d.withColumn(v.name, lit(null).cast(Term.schema)))
+    padded.select(proj.map(v => col(v.name)): _*)
+  }
+
+  /** `ask` over a quad store. */
+  def ask(db: QuadDb, rows: Seq[PatternRow]): Boolean =
+    !BgpCompiler.compileQuads(db, rows).isEmpty
 
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of
     * terms; unbound optional vars are `null` (≙ reified `_N`).

@@ -35,12 +35,21 @@ object Paths {
     * join per round, the standard guard for iterative DataFrame jobs.
     * `maxIter` bounds runaway graphs (diameter > maxIter throws).
     */
-  def closure(db: TripleDb, preds: Seq[Term], maxIter: Int = 20): DataFrame = {
+  def closure(db: TripleDb, preds: Seq[Term], maxIter: Int = 20): DataFrame =
+    closureEdges(edges(db, preds), maxIter)
+
+  /** [[closure]] over an arbitrary `(src, dst)` edge frame — the shared
+    * engine behind [[closure]] and the query DSL's property paths
+    * ([[graft.dsl.PathPlus]] via the BGP compiler), which bring their
+    * own edge frames (struct-keyed or dict-encoded; the loop is
+    * representation-agnostic).
+    */
+  def closureEdges(edges0: DataFrame, maxIter: Int = 20): DataFrame = {
     // re-alias after each checkpoint: fresh expression ids per round
     // keep Union's constraint rewriting from seeing duplicate attrs
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
-    val e = barrier(edges(db, preds).dropDuplicates("src", "dst"))
+    val e = barrier(edges0.dropDuplicates("src", "dst"))
     // `all` stays a UNION of per-round checkpointed frontiers — each
     // segment is already materialized, so the accumulated set is never
     // recomputed OR re-checkpointed per round (re-checkpointing `all`
@@ -48,6 +57,37 @@ object Paths {
     // The union plan grows by one leaf per round, bounded by maxIter.
     var all = e
     var frontier = e
+    var i = 0
+    while (i < maxIter) {
+      val next = barrier(frontier.as("f")
+        .join(e.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .dropDuplicates("src", "dst")
+        .join(all, Seq("src", "dst"), "left_anti"))
+      if (next.isEmpty) return all
+      all = all.unionByName(next)
+      frontier = next
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"closure did not converge within $maxIter iterations")
+  }
+
+  /** Closure restricted to paths whose FIRST edge is in `init` (⊆ the
+    * edge set): returns exactly the (src, dst) pairs reachable from
+    * init's sources. This is the ground-endpoint fast path for property
+    * paths — `[:alice (path knows +) ?x]` BFSes the frontier out of one
+    * source instead of materializing the whole graph's closure and
+    * filtering it; on a 100 TB edge relation that is the difference
+    * between touching the reachable set and touching everything.
+    */
+  def closureEdgesFrom(edges0: DataFrame, init0: DataFrame,
+                       maxIter: Int = 20): DataFrame = {
+    def barrier(df: DataFrame): DataFrame =
+      df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
+    val e = barrier(edges0.dropDuplicates("src", "dst"))
+    var all = barrier(init0.dropDuplicates("src", "dst"))
+    var frontier = all
     var i = 0
     while (i < maxIter) {
       val next = barrier(frontier.as("f")

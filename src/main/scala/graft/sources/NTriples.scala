@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.core.{Term, TripleDb}
+import graft.core.{QuadDb, Term, TripleDb}
 import graft.functions.NtExpressions.NtStringCodec
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
@@ -196,4 +196,73 @@ object NTriples {
     */
   def readStream(spark: SparkSession, path: String): DataFrame =
     parse(spark.readStream.text(path))
+
+  // ---------------------------------------------------------------
+  // N-Quads 1.1 — the named-graph interchange form (W3C N-Quads 1.1:
+  // an N-Triples line plus an optional graph-label IRI before the
+  // dot). Same narrow-projection scale shape both ways; a line with
+  // no graph label is the DEFAULT graph, which maps to QuadDb's
+  // nil-graph ([[QuadDb.DefaultGraph]]) — so N-Triples files load as
+  // all-default-graph quad stores unchanged.
+  // ---------------------------------------------------------------
+
+  /** Serialize a quad DB to N-Quads text files; default-graph quads
+    * emit plain N-Triples lines (no graph label), per the spec. */
+  def saveQuads(db: QuadDb, path: String): Unit =
+    db.df.select(concat_ws(" ", termToken(col("s")), termToken(col("p")),
+        termToken(col("o")),
+        when(col("g") === Term.lit(QuadDb.DefaultGraph), lit("."))
+          .otherwise(concat_ws(" ", termToken(col("g")), lit(".")))).as("value"))
+      .write.mode("overwrite").text(path)
+
+  // N-Quads line: the N-Triples production plus an optional IRIREF
+  // graph label. (Blank-node graph labels, like all blank nodes,
+  // are rejected — the Term model has none.)
+  private val QuadLineRe =
+    """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)(?:\s+(<[^>]*>))?\s*\.\s*$"""
+
+  /** Parse raw N-Quads lines (a `value` string column) into
+    * `(s, p, o, g)` term-struct rows. Same grammar discipline as
+    * [[parse]]: comments/blanks skip, anything else malformed raises;
+    * stateless projections, so it runs unchanged on a streaming frame.
+    */
+  def parseQuads(lines0: DataFrame): DataFrame = {
+    val lines = lines0
+      .where(!(col("value").rlike("^\\s*(#.*)?$")))
+    val m = lines.select(
+      regexp_extract(col("value"), QuadLineRe, 1).as("st"),
+      regexp_extract(col("value"), QuadLineRe, 2).as("pt"),
+      regexp_extract(col("value"), QuadLineRe, 3).as("ot"),
+      regexp_extract(col("value"), QuadLineRe, 4).as("gt"),
+      col("value"))
+    val checked = m.select(
+      when(col("st") === "", raise_error(concat(
+          lit("malformed N-Quads line: "), col("value"))))
+        .otherwise(col("st")).as("st"),
+      col("pt"), col("ot"), col("gt"))
+    def iriBody(c: Column): Column = c.substr(lit(2), length(c) - 2)
+    val obj = {
+      val ot = col("ot")
+      val lex = unescLit(regexp_extract(ot, ObjLitRe, 1))
+      val lang = regexp_extract(ot, ObjLitRe, 2)
+      val dt = regexp_extract(ot, ObjLitRe, 3)
+      when(ot.startsWith("<"), iriToTerm(iriBody(ot)))
+        .otherwise(literalToTerm(lex, lang, dt))
+    }
+    checked.select(
+      iriToTerm(iriBody(col("st"))).as("s"),
+      iriToTerm(iriBody(col("pt"))).as("p"),
+      obj.as("o"),
+      when(col("gt") === "", Term.lit(QuadDb.DefaultGraph))
+        .otherwise(iriToTerm(iriBody(col("gt")))).as("g"))
+  }
+
+  /** Load an N-Quads export into a [[QuadDb]]. */
+  def loadQuads(spark: SparkSession, path: String): QuadDb =
+    QuadDb(parseQuads(spark.read.text(path)))
+
+  /** Streaming N-Quads ingest (≙ [[readStream]], plus the graph
+    * column). */
+  def readStreamQuads(spark: SparkSession, path: String): DataFrame =
+    parseQuads(spark.readStream.text(path))
 }

@@ -1,0 +1,186 @@
+package graft
+
+import graft.core.{QuadDb, Term, TripleDb}
+import graft.core.Term._
+import graft.dsl._
+import graft.engine.Projections
+
+/** Named-graph (quad) semantics and property-path BGP rows — the two
+  * query-surface extensions beyond the reference (which destructures
+  * Quads but DROPS the graph, alpha.clj:54-58, and descopes property
+  * paths, README:41-45).
+  */
+class QuadPathSpec extends GraftSpec {
+
+  def qpat(a: TermOrVar, b: TermOrVar, c: TermOrVar, g: TermOrVar): QuadPattern =
+    QuadPattern(a, b, c, g)
+
+  def qset(d: QuadDb, vars: Seq[V], rows: Seq[PatternRow]): Set[Seq[Term]] =
+    Projections.selectDf(d, rows, vars).collect().toSeq
+      .map(r => r.toSeq.indices.map(i =>
+        if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))).toSet
+
+  val g1: Term = u("graph1")
+  val g2: Term = u("graph2")
+
+  /** friends facts split across two named graphs + one default-graph
+    * fact; (katie knows julie) asserted in BOTH named graphs. */
+  def quadFriends: QuadDb = QuadDb.fromQuads(spark, Seq(
+    (rick, knows, martin, g1),
+    (rick, knows, katie, g1),
+    (katie, knows, julie, g2),
+    (katie, knows, julie, g1),
+    (rick, label, s("Rick"), QuadDb.DefaultGraph)))
+
+  test("quad patterns: ground graph scopes, var graph binds, triple " +
+      "patterns match the union of graphs") {
+    val d = quadFriends
+    // ground graph: only g1's facts
+    assert(qset(d, Seq(?("o")), Seq(qpat(T(rick), T(knows), ?("o"), T(g1)))) ==
+      Set(Seq(martin), Seq(katie)))
+    // var graph binds per containing graph — the twin assertion of
+    // (katie knows julie) yields one solution per graph
+    assert(qset(d, Seq(?("g")), Seq(qpat(T(katie), T(knows), T(julie), ?("g")))) ==
+      Set(Seq(g1), Seq(g2)))
+    // plain TriplePattern = union of all graphs (one solution per
+    // DISTINCT quad; the twin assertion is two facts, bag keeps both)
+    val sol = Projections.selectDf(d, Seq(pat(?("s"), T(knows), ?("o"))),
+      Seq(?("s"), ?("o"))).collect()
+    assert(sol.length == 4) // 4 distinct quads with p=knows
+    // default-graph facts are in the nil graph
+    assert(qset(d, Seq(?("x")),
+      Seq(qpat(T(rick), T(label), ?("x"), T(QuadDb.DefaultGraph)))) ==
+      Set(Seq(s("Rick"))))
+    // shared graph var joins patterns within the same graph: julie is
+    // known in the graph where rick knows katie (g1) — not g2
+    assert(qset(d, Seq(?("g")), Seq(
+      qpat(T(rick), T(knows), T(katie), ?("g")),
+      qpat(T(katie), T(knows), T(julie), ?("g")))) == Set(Seq(g1)))
+  }
+
+  test("quad patterns compose with optional/values; against a triple " +
+      "store they fail loudly") {
+    val d = quadFriends
+    // optional quad clause: label lives only in the default graph, so
+    // scoping the optional to g1 leaves it unbound
+    val got = qset(d, Seq(?("o"), ?("l")), Seq(
+      qpat(T(rick), T(knows), ?("o"), T(g1)),
+      Optional(Seq(qpat(?("o"), T(label), ?("l"), T(g1))))))
+    assert(got == Set(Seq(martin, null), Seq(katie, null)))
+    // values on the graph var
+    assert(qset(d, Seq(?("s"), ?("o")), Seq(
+      qpat(?("s"), T(knows), ?("o"), ?("g")),
+      Values(?("g"), Seq(g2)))) == Set(Seq(katie, julie)))
+    val ex = intercept[InvalidBgp] {
+      Projections.selectDf(friends, Seq(
+        qpat(?("s"), T(knows), ?("o"), ?("g"))), Nil)
+    }
+    assert(ex.getMessage.contains("no graph position"))
+  }
+
+  test("QuadDb: merge is per-quad set semantics; graph() and toTriples " +
+      "views collapse correctly; index idempotent") {
+    val d = quadFriends
+    val merged = QuadDb.merge(d, d)
+    assert(merged.quads.toSet == d.quads.toSet)
+    assert(merged.df.count() == 5)
+    // one named graph as a TripleDb
+    assert(d.graph(g2).triples.toSet == Set((katie, knows, julie)))
+    // union view collapses the twin assertion to one fact after index
+    assert(d.toTriples.index().triples.toSet == Set(
+      (rick, knows, martin), (rick, knows, katie),
+      (katie, knows, julie), (rick, label, s("Rick"))))
+    assert(d.index().df.count() == 5)
+  }
+
+  test("N-Quads round-trip: graph labels for named graphs, plain " +
+      "N-Triples lines for the default graph; .nt loads as all-default") {
+    import graft.sources.NTriples
+    val d = quadFriends
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nq").toString
+    NTriples.saveQuads(d, tmp)
+    val loaded = NTriples.loadQuads(spark, tmp)
+    assert(loaded.quads.toSet == d.quads.toSet)
+    // default-graph quads serialized with NO graph label (spec form)
+    val raw = spark.read.text(tmp).collect().map(_.getString(0))
+    val labelLine = raw.filter(_.contains("rdfs/label"))
+    assert(labelLine.length == 1 &&
+      labelLine.head.split(" ").length == 4) // s p o . — no graph token
+    // an N-Triples file parses as a quad store in the default graph
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_nq2").toString
+    NTriples.save(friends, tmp2)
+    val asQuads = NTriples.loadQuads(spark, tmp2)
+    assert(asQuads.quads.forall(_._4 == QuadDb.DefaultGraph))
+    assert(asQuads.quads.map(q => (q._1, q._2, q._3)).toSet ==
+      friends.triples.toSet)
+    // malformed quad line fails loudly
+    val tmp3 = java.nio.file.Files.createTempDirectory("graft_nq3")
+    java.nio.file.Files.write(tmp3.resolve("bad.nq"), java.util.Arrays.asList(
+      "<urn:graft:kw/a> <urn:graft:kw/p> \"v\" _:g ."))
+    val ex = intercept[Exception] {
+      NTriples.loadQuads(spark, tmp3.toString).quads
+    }
+    assert(ex.getMessage.contains("malformed N-Quads line"))
+  }
+
+  test("path+: transitive closure as a BGP row — var/var, ground " +
+      "source (BFS), ground sink, ground/ground gate, cycles") {
+    // chain a→b→c→d plus a side edge x→c
+    val a = u("a"); val b = u("b"); val c = u("c"); val dd = u("d"); val x = u("x")
+    val g = db((a, knows, b), (b, knows, c), (c, knows, dd), (x, knows, c))
+    // var/var: all reachable pairs
+    assert(resultSet(g, Seq(?("s"), ?("o")),
+      Seq(PathPattern(?("s"), PathPlus(knows), ?("o")))) == Set(
+      Seq(a, b), Seq(a, c), Seq(a, dd),
+      Seq(b, c), Seq(b, dd), Seq(c, dd), Seq(x, c), Seq(x, dd)))
+    // ground source: reachable FROM a
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(a), PathPlus(knows), ?("o")))) ==
+      Set(Seq(b), Seq(c), Seq(dd)))
+    // ground sink: everything that reaches d
+    assert(resultSet(g, Seq(?("s")),
+      Seq(PathPattern(?("s"), PathPlus(knows), T(dd)))) ==
+      Set(Seq(a), Seq(b), Seq(c), Seq(x)))
+    // ground/ground: an existence gate over another pattern's solutions
+    assert(resultSet(g, Seq(?("n")), Seq(
+      pat(T(a), T(knows), ?("n")),
+      PathPattern(T(a), PathPlus(knows), T(dd)))) == Set(Seq(b)))
+    assert(resultSet(g, Seq(?("n")), Seq(
+      pat(T(a), T(knows), ?("n")),
+      PathPattern(T(dd), PathPlus(knows), T(a)))) == Set.empty[Seq[Term]])
+    // cycle: repeated var keeps only nodes on a cycle
+    val cyc = db((a, knows, b), (b, knows, a), (c, knows, dd))
+    assert(resultSet(cyc, Seq(?("n")),
+      Seq(PathPattern(?("n"), PathPlus(knows), ?("n")))) ==
+      Set(Seq(a), Seq(b)))
+  }
+
+  test("path+ composes with patterns, optional, values; alternation " +
+      "walks any predicate; dict store runs the same fold") {
+    val mentors = k("mentors")
+    val g = db(
+      (rick, knows, martin), (martin, knows, katie), (katie, mentors, julie),
+      (rick, label, s("Rick")), (julie, label, s("Julie")))
+    // join with a scan pattern: reachable-from-rick THAT have labels
+    assert(resultSet(g, Seq(?("o"), ?("l")), Seq(
+      PathPattern(T(rick), PathPlus(knows), ?("o")),
+      pat(?("o"), T(label), ?("l")))) == Set.empty[Seq[Term]])
+    // alternation: knows|mentors reaches julie
+    assert(resultSet(g, Seq(?("o"), ?("l")), Seq(
+      PathPattern(T(rick), PathAltPlus(Seq(knows, mentors)), ?("o")),
+      pat(?("o"), T(label), ?("l")))) == Set(Seq(julie, s("Julie"))))
+    // optional around the label; values restricting path endpoints
+    assert(resultSet(g, Seq(?("o"), ?("l")), Seq(
+      PathPattern(T(rick), PathPlus(knows), ?("o")),
+      Values(?("o"), Seq(martin, julie)),
+      Optional(Seq(pat(?("o"), T(label), ?("l")))))) ==
+      Set(Seq(martin, null)))
+    // dict-encoded store: same solutions through the long-keyed fold
+    val dictGot = Projections.selectDf(g.dictEncode(), Seq(
+        PathPattern(T(rick), PathAltPlus(Seq(knows, mentors)), ?("o")),
+        pat(?("o"), T(label), ?("l"))), Seq(?("o"), ?("l")))
+      .collect().toSeq.map(r => (Term.fromRow(r.getStruct(0)),
+        Term.fromRow(r.getStruct(1)))).toSet
+    assert(dictGot == Set((julie, s("Julie"))))
+  }
+}
