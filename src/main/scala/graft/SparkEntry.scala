@@ -1454,6 +1454,20 @@ object SparkEntry {
         "x")
     }),
 
+    // ---- Turtle interchange (W3C Turtle 1.1 subset): the format RDF
+    //      users actually have — prefixed-name write, full reader, the
+    //      q47/q128 BGP over the round-tripped store. Per-FILE parse
+    //      parallelism (Turtle is not splittable — see sources/Turtle) ----
+    "q140_turtle_roundtrip" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q140").toString
+      sources.Turtle.save(Tables.nationDb(sp, dir), tmp)
+      val loaded = sources.Turtle.load(sp, tmp)
+      sel(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- dataset card: corpus-level integer metrics in one row —
     //      the report a curation pipeline publishes with a release ----
     "q135_corpus_report" -> ((sp, dir) => {
@@ -2433,6 +2447,12 @@ object SparkEntry {
     "q138_nquads_roundtrip" ->
       """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
+
+    // round-trip through the Turtle form changes nothing (q128's shape)
+    "q140_turtle_roundtrip" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
 
     // transitive membership in region 1: its nations, plus their
     // customers and suppliers (2-hop reach over the FK predicates)

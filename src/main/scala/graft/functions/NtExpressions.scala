@@ -65,7 +65,7 @@ object NtExpressions {
     b.toString
   }
 
-  private def echarUnescape(s: String): String = {
+  private[graft] def echarUnescape(s: String): String = {
     val b = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -118,7 +118,7 @@ object NtExpressions {
     b.toString
   }
 
-  private def iriDecode(s: String): String = {
+  private[graft] def iriDecode(s: String): String = {
     val b = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

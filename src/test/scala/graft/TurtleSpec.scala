@@ -1,0 +1,102 @@
+package graft
+
+import graft.core.Term._
+import graft.sources.{NTriples, Turtle}
+
+/** Turtle subset reader/writer (sources/Turtle.scala). */
+class TurtleSpec extends GraftSpec {
+
+  private def parseStr(doc: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl")
+    java.nio.file.Files.write(dir.resolve("d.ttl"),
+      doc.getBytes("UTF-8"))
+    Turtle.load(spark, dir.toString).triples.toSet
+  }
+
+  test("turtle: prefixes, 'a', predicate/object lists, comments, " +
+      "numbers, booleans, lang tags, datatypes, long strings") {
+    val got = parseStr(
+      """# a comment
+        |@prefix gk: <urn:graft:kw/> .
+        |@prefix ex: <http://ex/> .
+        |PREFIX sq: <http://sq/>
+        |ex:alice a ex:Person ;            # trailing comment
+        |  gk:age 42 ;
+        |  gk:score 2.5 , 1e2 ;
+        |  gk:active true ;
+        |  gk:name "Alice" , "Alize"@fr ;
+        |  gk:bio '''line1
+        |"quoted" line2''' ;
+        |  gk:joined "2024-02-29T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> ;
+        |  gk:height "1.75"^^sq:meters .
+        |<urn:graft:rel/row/7> gk:label "rel row" .
+        |""".stripMargin)
+    val alice = TUri("http://ex/alice")
+    assert(got == Set(
+      (alice, TUri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+        TUri("http://ex/Person")),
+      (alice, k("age"), l(42)),
+      (alice, k("score"), TDouble(2.5)),
+      (alice, k("score"), TDouble(100.0)),
+      (alice, k("active"), TBool(true)),
+      (alice, k("name"), s("Alice")),
+      (alice, k("name"), TLangString("Alize", "fr")),
+      (alice, k("bio"), s("line1\n\"quoted\" line2")),
+      (alice, k("joined"), TDate("2024-02-29T00:00:00")),
+      (alice, k("height"), TTyped("1.75", "http://sq/meters")),
+      (TUri("row/7"), k("label"), s("rel row"))))
+  }
+
+  test("turtle: outside-subset forms fail loudly — blank nodes, " +
+      "collections, @base, undeclared prefix, unterminated literal") {
+    def err(doc: String): String =
+      intercept[Exception] { parseStr(doc) } match {
+        case e =>
+          (Option(e.getMessage) ++ Option(e.getCause).map(_.getMessage))
+            .mkString(" | ")
+      }
+    assert(err("_:b <http://p> <http://o> .").contains("blank nodes"))
+    assert(err("<http://s> <http://p> [ <http://q> 1 ] .")
+      .contains("anonymous blank nodes"))
+    assert(err("<http://s> <http://p> (1 2) .").contains("collections"))
+    assert(err("@base <http://b/> .").contains("@base"))
+    assert(err("ex:s ex:p ex:o .").contains("undeclared prefix"))
+    assert(err("<http://s> <http://p> \"unterminated .")
+      .contains("unterminated"))
+    assert(err("<http://s> <http://p> 5").contains("expected '.'"))
+  }
+
+  test("turtle round-trip: save emits self-contained per-partition docs " +
+      "with gk: compression; load ≡ original; term mapping ≡ N-Triples") {
+    val exotic = db(
+      (k("a"), k("p"), s("tab\there\nand \"quotes\" \\ backslash")),
+      (TNil, k("p"), s("nil subject")),
+      (k("b"), k("p"), l(9007199254740993L)),
+      (k("c"), k("p"), TDouble(-0.125)),
+      (k("d"), k("p"), TLangString("héllo", "de")),
+      (k("e"), k("p"), TTyped("foo>bar", "http://some/dt")),
+      (k("f"), k("p"), TDate("2024-02-29T00:00:00")),
+      (k("g"), k("p"), graft.core.Term.opaque("pt", Array[Byte](0, 127, -128))),
+      (k("h"), k("p"), TBool(false)),
+      (TUri("http://abs/iri?x=1"), k("p"), TUri("relative/row 7")),
+      (k("weird kw"), k("p"), s("")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttlrt").toString
+    Turtle.save(exotic, tmp)
+    assert(Turtle.load(spark, tmp).triples.toSet == exotic.triples.toSet)
+    // plain keyword predicates compressed to gk: prefixed names
+    val raw = spark.read.text(tmp).collect().map(_.getString(0))
+    assert(raw.exists(_.contains("gk:p ")))
+    // every part file self-contained: header precedes first data line
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.toString)
+    files.foreach { f =>
+      val ls = scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+      assert(ls.headOption.forall(_.startsWith("@prefix gk:")), f)
+    }
+    // cross-format: the same db through N-Triples gives identical terms
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_ttlnt").toString
+    NTriples.save(exotic, tmp2)
+    assert(NTriples.load(spark, tmp2).triples.toSet ==
+      Turtle.load(spark, tmp).triples.toSet)
+  }
+}
