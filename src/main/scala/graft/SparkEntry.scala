@@ -2384,11 +2384,25 @@ object SparkEntry {
         |              i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - arrs.mn[i])
         |                     * arrs.sc[i] + 0.5) AS BIGINT)) AS codes
         |          FROM embeddings, arrs),
-        |q AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 10),
-        |sc AS (SELECT q.qid, c.vec_id,
-        |         CAST(list_sum(list_transform(generate_series(1, len(qc)),
-        |           i -> qc[i] * c.codes[i])) AS BIGINT) AS score
-        |       FROM q JOIN codes c ON c.vec_id <> q.qid),
+        |-- dequantized float reconstruction: min + code/scale (const dims -> min)
+        |deq AS (SELECT vec_id,
+        |          list_transform(generate_series(1, len(codes)), i ->
+        |            CAST(CASE WHEN arrs.sc[i] = 0 THEN arrs.mn[i]
+        |              ELSE arrs.mn[i] + CAST(codes[i] AS DOUBLE) / arrs.sc[i]
+        |            END AS FLOAT)) AS v
+        |        FROM codes, arrs),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM deq WHERE vec_id < 10),
+        |-- cosine over reconstructions, floored to exact integer micro-units
+        |sc AS (SELECT q.qid, d.vec_id,
+        |         CAST(floor(
+        |           list_sum(list_transform(generate_series(1, len(qv)),
+        |             i -> CAST(qv[i] AS DOUBLE) * CAST(d.v[i] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(generate_series(1, len(d.v)),
+        |                  i -> CAST(d.v[i] AS DOUBLE) * CAST(d.v[i] AS DOUBLE)))))
+        |           * 1000000.0) AS BIGINT) AS score
+        |       FROM q JOIN deq d ON d.vec_id <> q.qid),
         |r AS (SELECT qid, vec_id, score,
         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
         |      FROM sc)

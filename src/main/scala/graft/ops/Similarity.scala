@@ -885,24 +885,47 @@ object Similarity {
           element_at(scL, i + 1) + lit(0.5)).cast("long")).as("codes"))
   }
 
-  /** Top-k by SQ8 inner product: both sides quantize under the SAME
-    * corpus stats, queries broadcast, and each candidate scores as the
-    * exact integer dot of two uint8 code vectors (descending; ties on
-    * id). The corpus-side state is 1 byte/dim — the resident-set story
-    * between [[bruteKnn]] (4 B/dim) and PQ (~1 bit/dim) — and the scan
-    * is one broadcast-join pass, never a corpus shuffle.
+  /** Dequantize SQ8 codes back to (float) reconstructions:
+    * x̂_d = min_d + code_d / scale_d (constant dims reconstruct to
+    * min_d). Narrow projection, stats ride as literals. */
+  def sq8Dequant(codes: Column, mins: Array[Double],
+                 scales: Array[Double]): Column = {
+    val mnL = typedLit(mins.toSeq)
+    val scL = typedLit(scales.toSeq)
+    transform(codes, (c, i) =>
+      when(element_at(scL, i + 1) === 0.0, element_at(mnL, i + 1))
+        .otherwise(element_at(mnL, i + 1) +
+          c.cast("double") / element_at(scL, i + 1))
+        .cast("float"))
+  }
+
+  /** Top-k by SQ8 — the FAISS ScalarQuantizer shape: both sides
+    * quantize under the SAME corpus stats, candidates score by COSINE
+    * over the DEQUANTIZED reconstructions (descending; ties on id).
+    * Scoring raw integer code dots instead would silently discard the
+    * per-dimension mins/scales — on centered embeddings that ranking
+    * is near-random (measured recall@5 0.05 vs 0.95+ dequantized;
+    * AnnRecall pins it). The score column is the cosine in exact
+    * integer micro-units (sequential double fold → floor ×1e6, the
+    * pqSearchTopK quantization pattern), so the oracle compare stays
+    * bit-exact. The corpus-side state is 1 byte/dim — the
+    * resident-set story between [[bruteKnn]] (4 B/dim) and PQ
+    * (~1 bit/dim) — and the scan is one broadcast-join pass, never a
+    * corpus shuffle.
     */
   def sq8SearchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val (mn, sc) = sq8Stats(corpus, vecCol)
     val c = sq8Codes(corpus, mn, sc, idCol, vecCol)
+      .select(col("vec_id"), sq8Dequant(col("codes"), mn, sc).as("nv"))
     val q = sq8Codes(queries, mn, sc, idCol, vecCol)
-      .select(col("vec_id").as("qid"), col("codes").as("qc"))
+      .select(col("vec_id").as("qid"),
+        sq8Dequant(col("codes"), mn, sc).as("qv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        aggregate(zip_with(col("qc"), col("codes"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("score"))
+        floor(cosine(col("qv"), col("nv")) * lit(1000000.0))
+          .cast("long").as("score"))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,98 @@
+package graft.tools
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall@k of every ANN family against brute-force ground truth — the
+  * QUALITY axis of the ANN tier. The oracle entries (q20/q28/q33/q92/
+  * q95/q120/q132) pin exactness of the replayed computations; this
+  * table pins how good the approximations ARE, so a refactor that
+  * silently degrades recall (wrong probe order, a broken LUT, a
+  * truncated candidate set) trips the committed numbers and the
+  * OpsSpec thresholds, not just latency.
+  *
+  * Measures the SHIPPED configurations: the oracle entries' fixed
+  * first-16-centroid / md5-plane variants AND the production defaults
+  * (seeded-Gaussian planes, KMeans centroids). Deterministic end to
+  * end (fixed seeds, fixed centroids, md5 planes), so the numbers are
+  * stable per fixture.
+  */
+object AnnRecall {
+
+  /** (family, recall@k) for every ANN family vs [[Similarity.bruteKnn]]
+    * on the first `nQ` vectors as queries. */
+  def recallTable(emb: DataFrame, k: Int, nQ: Int): Seq[(String, Double)] = {
+    val q = emb.where(col("vec_id") < nQ)
+    val truth = Similarity.bruteKnn(emb, q, k)
+      .select("qid", "nid").persist()
+    val nTruth = truth.count().toDouble
+
+    def recall(res: DataFrame): Double =
+      res.select("qid", "nid").join(truth, Seq("qid", "nid"))
+        .count() / nTruth
+
+    val fixed16 = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+
+    val out = Seq(
+      "lsh_gaussian" -> recall(Similarity.lshKnn(emb, q, k)),
+      "lsh_md5" -> recall(Similarity.lshKnn(emb, q, k,
+        planes = Similarity.md5SignPlanes(8, 4, 64))),
+      "ivf_kmeans" -> recall(Similarity.ivfKnn(emb, q, k)),
+      "ivf_fixed16" -> recall(Similarity.ivfKnnFixed(emb, q, k, fixed16)),
+      "pq_fixed16" -> recall(Similarity.pqSearchTopK(
+        Similarity.pqCodes(emb, fixed16), fixed16, q, k)),
+      "ivfpq_fixed16" -> recall(Similarity.ivfPqSearchTopK(
+        Similarity.ivfPqIndex(emb, fixed16, fixed16), fixed16, fixed16, q, k)),
+      "ivfpq_refined" -> recall(Similarity.ivfPqSearchTopKRefined(
+        Similarity.ivfPqIndex(emb, fixed16, fixed16), fixed16, fixed16, q,
+        raw = emb, k = k, rerank = 50)),
+      // the quality dials: more probed cells + deeper exact re-rank...
+      "ivfpq_refined_hi" -> recall(Similarity.ivfPqSearchTopKRefined(
+        Similarity.ivfPqIndex(emb, fixed16, fixed16), fixed16, fixed16, q,
+        raw = emb, k = k, rerank = 200, nProbe = 8)),
+      // ...and TRAINED codebooks (KMeans coarse cells + a KMeans-64
+      // PQ codebook) instead of the oracle entries' replayable
+      // first-16-vectors — the production-default quality point
+      "ivfpq_trained" -> {
+        val coarse = trainCentroids(emb, 16)
+        val pqC = trainCentroids(emb, 64)
+        recall(Similarity.ivfPqSearchTopKRefined(
+          Similarity.ivfPqIndex(emb, coarse, pqC), coarse, pqC, q,
+          raw = emb, k = k, rerank = 50))
+      },
+      "sq8" -> recall(Similarity.sq8SearchTopK(emb, q, k)))
+    truth.unpersist()
+    out
+  }
+
+  /** Deterministic KMeans centroids (seed 42) over the embedding
+    * column — the trained-codebook path (same trainer as
+    * [[Similarity.ivfKnn]]). */
+  def trainCentroids(emb: DataFrame, n: Int): Seq[Array[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = emb.select(col("embedding")).withColumn("features",
+      toVec(col("embedding")))
+    new KMeans().setK(n).setSeed(42).setMaxIter(10).fit(feats)
+      .clusterCenters.map((v: MlVector) => v.toArray.map(_.toFloat)).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val k = if (args.length > 1) args(1).toInt else 10
+    val nQ = if (args.length > 2) args(2).toInt else 50
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    println(s"[recall] corpus=${emb.count()} queries=$nQ k=$k sf=$sfDir")
+    for ((fam, r) <- recallTable(emb, k, nQ))
+      println(f"[recall] $fam%-16s recall@$k = $r%.4f")
+    spark.stop()
+  }
+}

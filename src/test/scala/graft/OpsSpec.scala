@@ -1428,6 +1428,27 @@ class OpsSpec extends GraftSpec {
     assert(incr == full)
   }
 
+  test("ann recall@5 floors per family (quality tripwire — a refactor " +
+      "that degrades approximation quality fails here, not in prod)") {
+    val table = graft.tools.AnnRecall.recallTable(emb, k = 5, nQ = 20).toMap
+    // floors sit under the measured sf0.001 values (SURVEY §8.3 table)
+    // with margin for fixture regeneration; sq8 is the dequantized-
+    // cosine scorer (integer code dots measured 0.05 — the bug this
+    // test exists to catch)
+    val floors = Map(
+      "lsh_gaussian" -> 0.6, "lsh_md5" -> 0.55,
+      "ivf_kmeans" -> 0.5, "ivf_fixed16" -> 0.75,
+      "pq_fixed16" -> 0.1, "ivfpq_fixed16" -> 0.15,
+      "ivfpq_refined" -> 0.7, "sq8" -> 0.9)
+    for ((fam, floor) <- floors)
+      assert(table(fam) >= floor,
+        s"$fam recall ${table(fam)} fell below floor $floor")
+    // the refine step must dominate its unrefined base, and sq8 (1 B/dim)
+    // must dominate the sub-byte PQ families
+    assert(table("ivfpq_refined") >= table("ivfpq_fixed16"))
+    assert(table("sq8") > table("pq_fixed16"))
+  }
+
   test("rdfs: an instance store fed as the ontology fails fast at the " +
       "driver-size cap instead of collecting it") {
     import graft.core.Term._
