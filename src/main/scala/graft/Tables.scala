@@ -74,13 +74,28 @@ object Tables {
     */
   def customerQuads(spark: SparkSession, dir: String): graft.core.QuadDb = {
     import org.apache.spark.sql.functions._
-    val tdb = TripleDb.fromWideTable(t(spark, dir, "customer"), "customer",
+    import graft.core.Term
+    val cust = t(spark, dir, "customer")
+    val tdb = TripleDb.fromWideTable(cust, "customer",
       "c_custkey", fks = Map("c_nationkey" -> "nation"),
       keep = Seq("c_nationkey"))
+    val g = Term.uriCol(concat(lit("nation/"), col("c_nationkey").cast("string")))
+    // per-predicate slices carry g too — a ground-predicate quad scan
+    // reads three columns of the ONE table instead of the unpivoted
+    // union, exactly like the triple store's slices (PlanSpec-pinned)
+    val subj = Term.uriCol(concat(lit("customer/"), col("c_custkey").cast("string")))
+    val dtypes = cust.schema.fields.map(f => f.name -> f.dataType).toMap
+    val slices = cust.columns.toSeq.filter(_ != "c_custkey").map { c =>
+      val obj =
+        if (c == "c_nationkey")
+          when(col(c).isNull, Term.lit(Term.TNil))
+            .otherwise(Term.uriCol(concat(lit("nation/"), col(c).cast("string"))))
+        else Term.fromRaw(col(c), dtypes(c))
+      c -> cust.select(subj.as("s"), Term.lit(Term.TKeyword(c)).as("p"),
+        obj.as("o"), g.as("g"))
+    }.toMap
     graft.core.QuadDb(
-      tdb.df.withColumn("g", graft.core.Term.uriCol(
-          concat(lit("nation/"), col("c_nationkey").cast("string"))))
-        .select("s", "p", "o", "g"),
-      distinct = tdb.distinct)
+      tdb.df.withColumn("g", g).select("s", "p", "o", "g"),
+      slices, tdb.stats, distinct = tdb.distinct)
   }
 }

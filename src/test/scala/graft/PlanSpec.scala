@@ -342,4 +342,25 @@ class PlanSpec extends GraftSpec {
       !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
     assert(exchanges == 1, s"expected only the dedup shuffle, found $exchanges:\n$p")
   }
+
+  test("quad store: ground-graph scope is a scan filter (no join, no " +
+      "shuffle); ground-predicate quad scans hit slices (no explode)") {
+    import graft.core.Term
+    val qdb = Tables.customerQuads(spark, dir)
+    // single ground-graph pattern: pure filtered projection of one slice
+    val p1 = plan(Projections.selectDf(qdb, Seq(
+      QuadPattern(V("c"), T(k("c_name")), V("n"), T(Term.TUri("nation/3")))),
+      Seq(V("c"), V("n"))))
+    assert(!p1.contains("Join"), s"graph scope must not join:\n$p1")
+    assert(!p1.contains("Exchange"), s"graph scope must not shuffle:\n$p1")
+    assert(!p1.contains("Generate"), s"ground-pred quad scan uses slices:\n$p1")
+    // two patterns sharing subject+graph vars: slices + broadcast join,
+    // still no unpivot explode
+    val p2 = plan(Projections.selectDf(qdb, Seq(
+      QuadPattern(V("c"), T(k("c_name")), V("n"), V("g")),
+      QuadPattern(V("c"), T(k("c_mktsegment")), V("s"), V("g"))),
+      Seq(V("c"), V("n"), V("s"), V("g"))))
+    assert(!p2.contains("Generate"), s"expected slice scans:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p2")
+  }
 }
