@@ -1454,6 +1454,20 @@ object SparkEntry {
         "x")
     }),
 
+    // ---- TriG (Turtle's named-graph superset): the quad store through
+    //      the human-authored named-graph form, then a graph-VAR BGP —
+    //      completes the interchange matrix (N-Triples/N-Quads bulk,
+    //      Turtle/TriG authored) ----
+    "q141_trig_roundtrip" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q141").toString
+      sources.Turtle.saveTrig(Tables.customerQuads(sp, dir), tmp)
+      val loaded = sources.Turtle.loadTrig(sp, tmp)
+      Projections.selectDf(loaded, Seq(
+          QuadPattern(V("c"), kw("c_name"), V("name"), V("g"))),
+        Seq(V("c"), V("name"), V("g")))
+        .select(Seq("c", "name", "g").map(enc): _*)
+    }),
+
     // ---- Turtle interchange (W3C Turtle 1.1 subset): the format RDF
     //      users actually have — prefixed-name write, full reader, the
     //      q47/q128 BGP over the round-tripped store. Per-FILE parse
@@ -2461,6 +2475,12 @@ object SparkEntry {
     "q138_nquads_roundtrip" ->
       """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
+
+    // the TriG round-trip preserves every (customer fact, nation graph)
+    "q141_trig_roundtrip" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  'u|nation/' || c_nationkey AS g
+        |FROM customer""".stripMargin,
 
     // round-trip through the Turtle form changes nothing (q128's shape)
     "q140_turtle_roundtrip" ->

@@ -46,9 +46,20 @@ object Matcha {
                db: graft.core.DictDb): DataFrame =
     Projections.selectDf(db, bgps, vars)
 
+  /** Distributed select over a quad (named-graph) store —
+    * [[graft.dsl.QuadPattern]] rows scope/bind the graph position; an
+    * extension beyond the reference, which drops a Quad's 4th element
+    * (alpha.clj:54-58). See [[graft.core.QuadDb]].
+    */
+  def selectDf(vars: Seq[V], bgps: Seq[PatternRow],
+               db: graft.core.QuadDb): DataFrame =
+    Projections.selectDf(db, bgps, vars)
+
   // ---- ask ----
   def ask(bgps: Seq[PatternRow], db: TripleDb): Boolean = Projections.ask(db, bgps)
   def ask(bgps: Seq[PatternRow]): TripleDb => Boolean = ask(bgps, _)
+  def ask(bgps: Seq[PatternRow], db: graft.core.QuadDb): Boolean =
+    Projections.ask(db, bgps)
 
   // ---- construct ----
   def construct(template: Any, bgps: Seq[PatternRow], db: TripleDb): Seq[Any] =

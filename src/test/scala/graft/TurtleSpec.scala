@@ -99,4 +99,66 @@ class TurtleSpec extends GraftSpec {
     assert(NTriples.load(spark, tmp2).triples.toSet ==
       Turtle.load(spark, tmp).triples.toSet)
   }
+
+  private def parseTrigStr(doc: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trig")
+    java.nio.file.Files.write(dir.resolve("d.trig"), doc.getBytes("UTF-8"))
+    Turtle.loadTrig(spark, dir.toString).quads.toSet
+  }
+
+  test("trig: GRAPH blocks, label-only blocks, bare default block, " +
+      "top-level default statements; nesting the graph context") {
+    import graft.core.QuadDb
+    val got = parseTrigStr(
+      """@prefix gk: <urn:graft:kw/> .
+        |@prefix ex: <http://ex/> .
+        |ex:top gk:p "default1" .
+        |GRAPH ex:g1 {
+        |  ex:a gk:p 1 .
+        |  ex:a gk:q 2 , 3 .
+        |}
+        |ex:g2 { ex:b gk:p "in g2" . }
+        |{ ex:c gk:p "default2" . }
+        |""".stripMargin)
+    val dg = QuadDb.DefaultGraph
+    def ex(x: String) = TUri(s"http://ex/$x")
+    assert(got == Set(
+      (ex("top"), k("p"), s("default1"), dg),
+      (ex("a"), k("p"), l(1), ex("g1")),
+      (ex("a"), k("q"), l(2), ex("g1")),
+      (ex("a"), k("q"), l(3), ex("g1")),
+      (ex("b"), k("p"), s("in g2"), ex("g2")),
+      (ex("c"), k("p"), s("default2"), dg)))
+    // plain-Turtle load refuses TriG blocks loudly
+    val err = intercept[Exception] {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_trig2")
+      java.nio.file.Files.write(d2.resolve("d.ttl"),
+        "{ <http://s> <http://p> 1 . }".getBytes("UTF-8"))
+      Turtle.load(spark, d2.toString).triples
+    }
+    assert((Option(err.getMessage) ++
+      Option(err.getCause).map(_.getMessage)).mkString.contains("TriG"))
+  }
+
+  test("trig round-trip: default graph as plain lines, named graphs as " +
+      "per-row blocks; load ≡ original quad store") {
+    import graft.core.QuadDb
+    val store = QuadDb.fromQuads(spark, Seq(
+      (k("a"), k("p"), s("v1"), QuadDb.DefaultGraph),
+      (k("a"), k("p"), l(7), TUri("http://g/one")),
+      (TUri("http://s/x"), k("q"), TLangString("hé\n\"x\"", "fr"),
+        TUri("http://g/two")),
+      (k("b"), k("weird pred"), TBool(true), TUri("http://g/one"))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trigrt").toString
+    Turtle.saveTrig(store, tmp)
+    assert(Turtle.loadTrig(spark, tmp).quads.toSet == store.quads.toSet)
+    val raw = spark.read.text(tmp).collect().map(_.getString(0))
+    // default-graph line has no block braces; named-graph lines are
+    // one-statement blocks opened by the graph label
+    assert(raw.filter(_.contains("\"v1\"")).forall(!_.contains("{")))
+    val blocks = raw.filter(_.contains("{"))
+    assert(blocks.length == 3)
+    assert(blocks.forall(l => l.startsWith("<http://g/") &&
+      l.endsWith("}")))
+  }
 }
