@@ -21,9 +21,8 @@ object MiniInterp {
     * and unbound, or absent entirely. */
   case class Rel(cols: Set[String], rows: Seq[Row])
 
-  private def unifyPattern(triple: (Term, Term, Term), pat: TriplePattern,
-                           row: Row): Option[Row] = {
-    val pairs = Seq(pat.s -> triple._1, pat.p -> triple._2, pat.o -> triple._3)
+  private def unifyPairs(pairs: Seq[(TermOrVar, Term)],
+                         row: Row): Option[Row] =
     pairs.foldLeft(Option(row)) {
       case (None, _) => None
       case (Some(b), (T(t), v)) => if (t == v) Some(b) else None
@@ -33,10 +32,40 @@ object MiniInterp {
         case None       => Some(b + (n -> v))
       }
     }
+
+  private def unifyPattern(quad: (Term, Term, Term, Term), pat: PatternRow,
+                           row: Row): Option[Row] = pat match {
+    case TriplePattern(s, p, o) =>
+      unifyPairs(Seq(s -> quad._1, p -> quad._2, o -> quad._3), row)
+    case QuadPattern(s, p, o, g) =>
+      unifyPairs(Seq(s -> quad._1, p -> quad._2, o -> quad._3, g -> quad._4),
+        row)
+    case other => throw new IllegalArgumentException(s"not a pattern: $other")
   }
 
-  def solve(db: Seq[(Term, Term, Term)], rows: Seq[PatternRow]): Rel = {
-    val patterns = rows.collect { case p: TriplePattern => p }
+  /** Distinct transitive-closure pairs of the path's edge relation
+    * (graph position ignored — union-of-graphs, like the engine). */
+  private def closurePairs(db: Seq[(Term, Term, Term, Term)],
+                           preds: Seq[Term]): Set[(Term, Term)] = {
+    val e = db.collect { case (s, p, o, _) if preds.contains(p) => (s, o) }.toSet
+    var all = e
+    var grew = true
+    while (grew) {
+      val next = for ((a, b) <- all; (c, d) <- e if b == c) yield (a, d)
+      grew = !(next -- all).isEmpty
+      all = all ++ next
+    }
+    all
+  }
+
+  def solve(db: Seq[(Term, Term, Term)], rows: Seq[PatternRow]): Rel =
+    solveQuads(db.map(t => (t._1, t._2, t._3, Term.TNil)), rows)
+
+  def solveQuads(db: Seq[(Term, Term, Term, Term)],
+                 rows: Seq[PatternRow]): Rel = {
+    val patterns: Seq[PatternRow] =
+      rows.collect { case p: TriplePattern => p; case q: QuadPattern => q }
+    val paths = rows.collect { case p: PathPattern => p }
     val values = rows.collect { case v: Values => v }
     val optionals = rows.collect { case o: Optional => o }
     val requiredVarNames = Bgp.requiredVars(rows).map(_.name).toSet
@@ -48,6 +77,13 @@ object MiniInterp {
       val newRows = acc.rows.flatMap(b => db.flatMap(t => unifyPattern(t, pat, b)))
       acc = Rel(acc.cols ++ pat.vars.map(_.name), newRows)
     }
+    // property paths: natural join against the DISTINCT closure pairs
+    for (pp <- paths) {
+      val pairs = closurePairs(db, pp.path.preds)
+      val newRows = acc.rows.flatMap(b => pairs.toSeq.flatMap(pr =>
+        unifyPairs(Seq(pp.s -> pr._1, pp.o -> pr._2), b)))
+      acc = Rel(acc.cols ++ pp.vars.map(_.name), newRows)
+    }
     for (v <- values) {
       val name = v.v.name
       val newRows =
@@ -56,7 +92,7 @@ object MiniInterp {
         else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
       acc = Rel(acc.cols + name, newRows)
     }
-    val noRequired = patterns.isEmpty && values.isEmpty
+    val noRequired = patterns.isEmpty && values.isEmpty && paths.isEmpty
     if (noRequired) acc = Rel(Set.empty, Seq(Map.empty))
 
     // optionals: left join per clause on keys = clauseCols ∩ required ∩ acc;
@@ -65,7 +101,7 @@ object MiniInterp {
     for ((opt, i) <- optionals.zipWithIndex) {
       val m = s"__m_$i"
       markers :+= m
-      val clause0 = solve(db, opt.rows)
+      val clause0 = solveQuads(db, opt.rows)
       val clause = Rel(clause0.cols + m,
         clause0.rows.map(_ + (m -> TBool(true))))
       val keys = clause.cols.intersect(requiredVarNames).intersect(acc.cols)
@@ -223,5 +259,103 @@ object DictDifferentialProps extends Properties("dict-differential") {
         }
         ok
       } finally { dd.unpersist(); db.unpersist() }
+    }
+}
+
+/** Fourth leg: the quad store + the round-10 query surface (quad
+  * patterns, property paths) against the same interpreter semantics —
+  * random named-graph databases, random mixed queries. Fewer cases:
+  * path patterns run the iterative closure (localCheckpoint rounds)
+  * per case.
+  */
+object QuadPathDifferentialProps extends Properties("quadpath-differential") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
+  import DifferentialProps.canon
+  lazy val spark = TestSpark.session
+
+  private val subjects = Seq(TKeyword("a"), TKeyword("b"), TKeyword("c"))
+  private val preds = Seq(TKeyword("p"), TKeyword("q"))
+  private val objs = Seq[Term](TString("x"), TKeyword("a"), TKeyword("b"),
+    TLong(1), TNil)
+  private val graphs = Seq[Term](graft.core.QuadDb.DefaultGraph,
+    TUri("g1"), TUri("g2"))
+
+  val genQuad: Gen[(Term, Term, Term, Term)] = for {
+    s <- Gen.oneOf(subjects); p <- Gen.oneOf(preds)
+    o <- Gen.oneOf(objs); g <- Gen.oneOf(graphs)
+  } yield (s, p, o, g)
+
+  val genQuadDb: Gen[Seq[(Term, Term, Term, Term)]] =
+    Gen.listOfN(10, genQuad).map(_.distinct)
+
+  private val varNames = Seq("v1", "v2", "v3", "gv")
+  val genTv: Gen[TermOrVar] = Gen.frequency(
+    3 -> Gen.oneOf(varNames).map(V(_)),
+    1 -> Gen.oneOf(subjects ++ objs).map(T(_)))
+  val genGv: Gen[TermOrVar] = Gen.frequency(
+    2 -> Gen.oneOf(varNames).map(V(_)),
+    1 -> Gen.oneOf(graphs).map(T(_)))
+
+  val genTriplePat: Gen[TriplePattern] = for {
+    s <- genTv
+    p <- Gen.frequency(3 -> Gen.oneOf(preds).map(T(_): TermOrVar),
+      1 -> Gen.oneOf(varNames).map(V(_): TermOrVar))
+    o <- genTv
+  } yield TriplePattern(s, p, o)
+
+  val genQuadPat: Gen[QuadPattern] = for {
+    s <- genTv; p <- Gen.oneOf(preds).map(T(_)); o <- genTv; g <- genGv
+  } yield QuadPattern(s, p, o, g)
+
+  val genPath: Gen[PathPattern] = for {
+    s <- genTv
+    o <- genTv
+    path <- Gen.oneOf(PathPlus(preds.head), PathPlus(preds(1)),
+      PathAltPlus(preds))
+  } yield PathPattern(s, path, o)
+
+  val genValues: Gen[Values] = for {
+    v <- Gen.oneOf(varNames)
+    coll <- Gen.nonEmptyListOf(Gen.oneOf(objs ++ graphs)).map(_.take(3))
+  } yield Values(V(v), coll)
+
+  val genOptional: Gen[Optional] = for {
+    n <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(n, Gen.oneOf(genTriplePat, genQuadPat))
+  } yield Optional(pats)
+
+  val genQuery: Gen[Seq[PatternRow]] = (for {
+    nPat <- Gen.choose(0, 2)
+    pats <- Gen.listOfN(nPat, Gen.oneOf(genTriplePat, genQuadPat))
+    nPath <- Gen.choose(0, 1)
+    paths <- Gen.listOfN(nPath, genPath)
+    nVal <- Gen.choose(0, 1)
+    vals <- Gen.listOfN(nVal, genValues)
+    nOpt <- Gen.choose(0, 1)
+    opts <- Gen.listOfN(nOpt, genOptional)
+  } yield pats ++ paths ++ vals ++ opts).suchThat(_.nonEmpty)
+
+  property("quad engine (patterns+paths) ≡ in-memory interpreter") =
+    forAll(genQuadDb, genQuery) { (quads, query) =>
+      val expected = MiniInterp.solveQuads(quads, query)
+      val db = graft.core.QuadDb.fromQuads(spark, quads)
+      val compiled = BgpCompiler.compileQuads(db, query)
+      val cols = compiled.columns.toSet
+      val gotRows = compiled.collect().toSeq.map { r =>
+        compiled.columns.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))
+        }.toMap
+      }
+      val got = MiniInterp.Rel(cols, gotRows)
+      val ok = cols == expected.cols && canon(got) == canon(expected)
+      if (!ok) {
+        println(s"QUADS: $quads")
+        println(s"QUERY: $query")
+        println(s"expected cols=${expected.cols} rows=${canon(expected)}")
+        println(s"got      cols=$cols rows=${canon(got)}")
+      }
+      ok
     }
 }
