@@ -1454,6 +1454,18 @@ object SparkEntry {
         "x")
     }),
 
+    // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
+    //      the graph position too — the q137 BGP over four 8-byte id
+    //      columns, terms rehydrated at the edge ----
+    "q142_dict_quad_bgp" -> ((sp, dir) => {
+      val dd = Tables.customerQuads(sp, dir).dictEncode()
+      Projections.selectDf(dd, Seq(
+          QuadPattern(V("c"), kw("c_mktsegment"), V("seg"), V("g")),
+          pat(V("c"), kw("c_name"), V("name"))),
+        Seq(V("c"), V("seg"), V("g"), V("name")))
+        .select(Seq("c", "seg", "g", "name").map(enc): _*)
+    }),
+
     // ---- TriG (Turtle's named-graph superset): the quad store through
     //      the human-authored named-graph form, then a graph-VAR BGP —
     //      completes the interchange matrix (N-Triples/N-Quads bulk,
@@ -2475,6 +2487,12 @@ object SparkEntry {
     "q138_nquads_roundtrip" ->
       """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
+
+    // dict layout is invisible to the answer — q137's oracle verbatim
+    "q142_dict_quad_bgp" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_mktsegment AS seg,
+        |  'u|nation/' || c_nationkey AS g, 's|' || c_name AS name
+        |FROM customer""".stripMargin,
 
     // the TriG round-trip preserves every (customer fact, nation graph)
     "q141_trig_roundtrip" ->

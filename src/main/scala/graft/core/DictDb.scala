@@ -61,7 +61,46 @@ final case class DictDb(triples: DataFrame,
     * the dedup is value-deterministic.
     */
   def decode(df: DataFrame, cols: Seq[String],
-             extraTerms: Seq[Term] = Nil): DataFrame = {
+             extraTerms: Seq[Term] = Nil): DataFrame =
+    DictDb.decodeWith(dict, df, cols, extraTerms)
+
+  def unpersist(): DictDb = { triples.unpersist(); dict.unpersist(); this }
+}
+
+/** Dictionary-encoded QUAD store — the [[DictDb]] layout with the graph
+  * position kept as a fourth 8-byte id, so named-graph BGPs
+  * ([[graft.dsl.QuadPattern]]) run the same long-keyed join fold
+  * ([[graft.engine.BgpCompiler.compileDictQuads]]). Same id scheme,
+  * same LOUD collision check, same decode-at-the-edge contract;
+  * set semantics are per QUAD.
+  */
+final case class DictQuadDb(quads: DataFrame,
+                            dict: DataFrame,
+                            predIndex: Map[String, DataFrame] = Map.empty,
+                            stats: Map[String, Long] = Map.empty) {
+  def decode(df: DataFrame, cols: Seq[String],
+             extraTerms: Seq[Term] = Nil): DataFrame =
+    DictDb.decodeWith(dict, df, cols, extraTerms)
+
+  def unpersist(): DictQuadDb = { quads.unpersist(); dict.unpersist(); this }
+}
+
+object DictDb {
+
+  /** Rehydrate id columns back to term structs: one left join against
+    * the dict per column, at the edge of the plan where the result is
+    * small. NULL ids (unbound optional vars) stay NULL structs.
+    *
+    * `extraTerms`: terms that can reach a solution without living in
+    * the db — a `values` generator binds its collection elements
+    * directly (membero succeeds on coll membership, not db membership,
+    * alpha.clj:175-176) — so the decode dictionary is `dict ∪ extras`.
+    * Terms present in both carry the same id AND the same struct, so
+    * the dedup is value-deterministic.
+    */
+  private[core] def decodeWith(dict: DataFrame, df: DataFrame,
+                               cols: Seq[String],
+                               extraTerms: Seq[Term]): DataFrame = {
     val spark = df.sparkSession
     val d0 =
       if (extraTerms.isEmpty) dict
@@ -81,10 +120,34 @@ final case class DictDb(triples: DataFrame,
     out.select(cols.map(col): _*)
   }
 
-  def unpersist(): DictDb = { triples.unpersist(); dict.unpersist(); this }
-}
-
-object DictDb {
+  /** [[encode]] for a quad store: four id columns, one dict over all
+    * four positions, per-quad set semantics, the same LOUD collision
+    * refusal. */
+  def encodeQuads(db: QuadDb): DictQuadDb = {
+    val df = db.df
+    val encRaw = df.select(idOf(col("s")).as("s"), idOf(col("p")).as("p"),
+      idOf(col("o")).as("o"), idOf(col("g")).as("g"))
+    val enc = (if (db.distinct) encRaw
+               else encRaw.dropDuplicates("s", "p", "o", "g")).persist()
+    val dict = df
+      .select(explode(array(col("s"), col("p"), col("o"), col("g"))).as("term"))
+      .dropDuplicates("term")
+      .select(idOf(col("term")).as("id"), col("term"))
+      .repartition(col("id"))
+      .persist()
+    val collided = dict.groupBy("id").count().where(col("count") > 1).count()
+    if (collided != 0) {
+      enc.unpersist(); dict.unpersist()
+      throw new IllegalStateException(
+        s"xxhash64 term-id collision on $collided id(s) — dictionary " +
+          "encoding would merge distinct terms; use the struct-keyed " +
+          "QuadDb for this data")
+    }
+    val slices = db.predIndex.keys.map { name =>
+      name -> enc.where(col("p") === termId(Term.TKeyword(name)))
+    }.toMap
+    DictQuadDb(enc, dict, slices, db.stats)
+  }
 
   /** ≙ `merge-dbs` (alpha.clj:728-746) for encoded stores: set union of
     * the triple relations (dedup on the three 8-byte ids — ids are pure

@@ -50,6 +50,10 @@ final case class QuadDb(df: DataFrame,
 
   def unpersist(): QuadDb = { df.unpersist(); this }
 
+  /** Dictionary-encode this quad store (≙ [[TripleDb.dictEncode]]) —
+    * the long-keyed scale layout with the graph position kept. */
+  def dictEncode(): DictQuadDb = DictDb.encodeQuads(this)
+
   /** One named graph as a [[TripleDb]] — the graph filter is a pushed
     * predicate on the scan, not a join. Facts within one graph are
     * distinct iff the quad store is. */

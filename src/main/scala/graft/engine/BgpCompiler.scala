@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.core.{DictDb, QuadDb, Term, TripleDb}
+import graft.core.{DictDb, DictQuadDb, QuadDb, Term, TripleDb}
 import graft.dsl._
 import graft.ops.Paths
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions}
@@ -76,6 +76,12 @@ object BgpCompiler {
     */
   def compileQuads(db: QuadDb, rows: Seq[PatternRow]): DataFrame =
     compile(quadInput(db), rows)
+
+  /** Dict-encoded quad path: the same fold over four 8-byte id
+    * columns; decode at the edge via [[DictQuadDb.decode]]. */
+  def compileDictQuads(db: DictQuadDb, rows: Seq[PatternRow]): DataFrame =
+    compile(BgpInput(db.quads, db.predIndex, db.stats,
+      t => functions.lit(DictDb.termId(t)), dictCollDf), rows)
 
   /** Dict path: result columns are LONG ids — decode at the edge via
     * [[DictDb.decode]]. Same solution multiset as the struct path

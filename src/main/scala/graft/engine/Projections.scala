@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.core.{DictDb, QuadDb, Term, TripleDb}
+import graft.core.{DictDb, DictQuadDb, QuadDb, Term, TripleDb}
 import graft.dsl._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -66,6 +66,18 @@ object Projections {
   /** `ask` over a quad store. */
   def ask(db: QuadDb, rows: Seq[PatternRow]): Boolean =
     !BgpCompiler.compileQuads(db, rows).isEmpty
+
+  /** Distributed select over a dict-encoded quad store: long-keyed
+    * fold over four id columns, terms rehydrated at the edge. */
+  def selectDf(db: DictQuadDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame = {
+    val proj = if (vars.nonEmpty) vars else Bgp.allVars(rows)
+    val sol = BgpCompiler.compileDictQuads(db, rows)
+    val missing = proj.filterNot(v => sol.columns.contains(v.name))
+    val padded = missing.foldLeft(sol)((d, v) =>
+      d.withColumn(v.name, lit(null).cast(LongType)))
+    db.decode(padded.select(proj.map(v => col(v.name)): _*),
+      proj.map(_.name), Bgp.valuesTerms(rows))
+  }
 
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of
     * terms; unbound optional vars are `null` (≙ reified `_N`).

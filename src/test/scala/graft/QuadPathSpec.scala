@@ -123,6 +123,34 @@ class QuadPathSpec extends GraftSpec {
     assert(ex.getMessage.contains("malformed N-Quads line"))
   }
 
+  test("dict-encoded quad store: same solutions as the struct path " +
+      "through the long-keyed fold (graph var, ground graph, paths)") {
+    val d = quadFriends
+    val dd = d.dictEncode()
+    try {
+      def dset(rows: Seq[PatternRow], vars: V*): Set[Seq[Term]] =
+        Projections.selectDf(dd, rows, vars).collect().toSeq
+          .map(r => r.toSeq.indices.map(i =>
+            if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))).toSet
+      // graph var binds per containing graph
+      assert(dset(Seq(qpat(T(katie), T(knows), T(julie), ?("g"))), ?("g")) ==
+        Set(Seq(g1), Seq(g2)))
+      // ground-graph scope
+      assert(dset(Seq(qpat(T(rick), T(knows), ?("o"), T(g1))), ?("o")) ==
+        Set(Seq(martin), Seq(katie)))
+      // optional + values compose like the struct path
+      assert(dset(Seq(
+        qpat(T(rick), T(knows), ?("o"), ?("g")),
+        Values(?("g"), Seq(g1)),
+        Optional(Seq(qpat(?("o"), T(knows), ?("x"), ?("g2v"))))),
+        ?("o"), ?("x")) ==
+        Set(Seq(martin, null), Seq(katie, julie)))
+      // a path over the dict-quad store (union-of-graphs edges)
+      assert(dset(Seq(PathPattern(T(rick), PathPlus(knows), ?("o"))), ?("o")) ==
+        Set(Seq(martin), Seq(katie), Seq(julie)))
+    } finally dd.unpersist()
+  }
+
   test("path+: transitive closure as a BGP row — var/var, ground " +
       "source (BFS), ground sink, ground/ground gate, cycles") {
     // chain a→b→c→d plus a side edge x→c
