@@ -1457,6 +1457,68 @@ object SparkEntry {
     // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
     //      the graph position too — the q137 BGP over four 8-byte id
     //      columns, terms rehydrated at the edge ----
+    // ---- path ALGEBRA in the DSL: sequence + inverse composed —
+    //      customer —c_nationkey→ nation ←s_nationkey— supplier, the
+    //      co-located-in-a-nation join written as ONE path row
+    //      (SPARQL 1.1 SequencePath / InversePath) ----
+    "q145_path_seq" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(
+        PathPattern(V("c"), PathSeq(Seq(
+            PathPred(TKeyword("c_nationkey")),
+            PathInv(PathPred(TKeyword("s_nationkey"))))),
+          V("s"))),
+        "c", "s")
+    }),
+
+    // ---- quad-store GDPR: a whole named graph taken down (the
+    //      takedown unit graphs add — a tenant/source graph) PLUS a
+    //      cross-graph subject takedown; masked load ≡ compacted ≡ a
+    //      store never containing either ----
+    "q143_quad_gdpr" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q143").toString
+      graft.core.QuadDb.save(Tables.customerQuads(sp, dir), tmp)
+      graft.core.QuadDb.deleteGraph(sp, tmp, TUri("nation/3"))
+      val gone = Tables.t(sp, dir, "customer")
+        .where(col("c_custkey") % 7 === 2)
+        .select(uriCol(concat(functions.lit("customer/"),
+          col("c_custkey").cast("string"))).as("s"))
+      graft.core.QuadDb.deleteSubjects(sp, tmp, gone)
+      graft.core.QuadDb.compact(sp, tmp)
+      val loaded = graft.core.QuadDb.load(sp, tmp)
+      Projections.selectDf(loaded, Seq(
+          QuadPattern(V("c"), kw("c_name"), V("name"), V("g"))),
+        Seq(V("c"), V("name"), V("g")))
+        .select(Seq("c", "name", "g").map(enc): _*)
+    }),
+
+    // ---- dict-encoded quad store, durable: save/load with the graph
+    //      id as a fourth 8-byte key; encoded-key delete scoped to the
+    //      containing graph; compaction pruned to affected pid dirs ----
+    "q144_dict_quad_store" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q144").toString
+      val built = Tables.customerQuads(sp, dir).dictEncode()
+      val tbl = s"graft_q144_dict_${math.abs(tmp.hashCode)}"
+      graft.core.DictDb.saveQuads(built, tmp, tbl)
+      built.unpersist()
+      val doomed = Tables.t(sp, dir, "customer")
+        .where(col("c_custkey") % 2 === 0)
+        .select(graft.core.DictDb.idOf(uriCol(concat(functions.lit("customer/"),
+          col("c_custkey").cast("string")))).as("s"),
+          functions.lit(graft.core.DictDb.termId(TKeyword("c_mktsegment"))).as("p"),
+          graft.core.DictDb.idOf(Term.fromRaw(col("c_mktsegment"),
+            org.apache.spark.sql.types.StringType)).as("o"),
+          graft.core.DictDb.idOf(uriCol(concat(functions.lit("nation/"),
+            col("c_nationkey").cast("string")))).as("g"))
+      graft.core.DictDb.deleteQuadRows(doomed, tmp)
+      graft.core.DictDb.compactQuads(sp, tmp)
+      val loaded = graft.core.DictDb.loadQuads(sp, tmp, tbl)
+      Projections.selectDf(loaded, Seq(
+          QuadPattern(V("c"), kw("c_mktsegment"), V("seg"), V("g"))),
+        Seq(V("c"), V("seg"), V("g")))
+        .select(Seq("c", "seg", "g").map(enc): _*)
+    }),
+
     "q142_dict_quad_bgp" -> ((sp, dir) => {
       val dd = Tables.customerQuads(sp, dir).dictEncode()
       Projections.selectDf(dd, Seq(
@@ -2489,6 +2551,27 @@ object SparkEntry {
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
 
     // dict layout is invisible to the answer — q137's oracle verbatim
+    // sequence + inverse: customers and suppliers sharing a nation
+    "q145_path_seq" ->
+      """SELECT DISTINCT 'u|customer/' || c_custkey AS c,
+        |  'u|supplier/' || s_suppkey AS s
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey""".stripMargin,
+
+    // graph takedown (nation/3) + subject takedown (custkey ≡ 2 mod 7)
+    // ≡ a store never containing either; compaction changes nothing
+    "q143_quad_gdpr" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  'u|nation/' || c_nationkey AS g
+        |FROM customer
+        |WHERE c_nationkey <> 3 AND c_custkey % 7 <> 2""".stripMargin,
+
+    // even-keyed customers' c_mktsegment facts deleted by encoded quad
+    // ids (graph-scoped keys) + compacted on the durable dict layout
+    "q144_dict_quad_store" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_mktsegment AS seg,
+        |  'u|nation/' || c_nationkey AS g
+        |FROM customer WHERE c_custkey % 2 <> 0""".stripMargin,
+
     "q142_dict_quad_bgp" ->
       """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_mktsegment AS seg,
         |  'u|nation/' || c_nationkey AS g, 's|' || c_name AS name

@@ -342,4 +342,84 @@ object DictDb {
     }
     DictDb(raw.drop("pid"), dict, slices, stats)
   }
+
+  // ---- durable form of the encoded QUAD store: [[save]]/[[load]]/
+  // delete/compact with the graph id riding as a fourth 8-byte key.
+  // Same layout contract — quads partitioned by predicate id, dict
+  // bucketed+sorted on id so decode joins never shuffle the dict. ----
+
+  def saveQuads(db: DictQuadDb, path: String, dictTable: String,
+                buckets: Int = 32): Unit = {
+    db.quads.withColumn("pid", col("p"))
+      .write.mode("overwrite").partitionBy("pid").parquet(s"$path/quads")
+    db.dict.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .option("path", s"$path/dict").saveAsTable(dictTable)
+  }
+
+  /** GDPR takedown on a [[saveQuads]]-durable store: the doomed encoded
+    * quads (long columns s/p/o/g) append to the tombstone set; keys are
+    * the full quad, so the same triple in another graph stays live.
+    * Orphaned dict entries are harmless, as in [[deleteTriples]]. */
+  def deleteQuadRows(quads: DataFrame, path: String): Unit =
+    Tombstones.append(
+      quads.select(col("s"), col("p"), col("o"), col("g"),
+        col("p").as("pid")),
+      s"$path/quads", keyCols = Seq("s", "p", "o", "g"))
+
+  /** Physically drop tombstoned quads, pruned to affected predicate-id
+    * partitions; only files holding a deleted quad are rewritten. */
+  def compactQuads(spark: SparkSession, path: String): Unit =
+    Tombstones.compactPartitioned(spark, s"$path/quads",
+      Seq("s", "p", "o", "g"), "pid")
+
+  def loadQuads(spark: SparkSession, path: String,
+                dictTable: String): DictQuadDb = {
+    val raw0 = spark.read.parquet(s"$path/quads")
+    val raw = Tombstones.mask(spark, s"$path/quads", raw0,
+      Seq("s", "p", "o", "g"))
+    val dict = spark.table(dictTable)
+    val pids = raw0.select("pid").distinct().collect().map(_.getLong(0))
+    val names = dict
+      .where(col("id").isin(pids.toIndexedSeq: _*) &&
+        col("term.kind") === Term.KKeyword)
+      .select(col("id"), col("term.lex"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val slices = names.map { case (pid, name) =>
+      name -> raw.where(col("pid") === pid).drop("pid")
+    }
+    val stats = slices.map { case (name, slice) =>
+      name -> slice.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    }
+    DictQuadDb(raw.drop("pid"), dict, slices, stats)
+  }
+
+  /** [[merge]] for encoded quad stores: set union on the four 8-byte
+    * ids, dict union with the same LOUD cross-store collision check. */
+  def mergeQuads(dbs: DictQuadDb*): DictQuadDb = {
+    val enc = dbs.map(_.quads).reduce(_.unionByName(_))
+      .dropDuplicates("s", "p", "o", "g").persist()
+    val dict = dbs.map(_.dict).reduce(_.unionByName(_))
+      .dropDuplicates("id", "term")
+      .repartition(col("id"))
+      .persist()
+    val collided = dict.groupBy("id").count().where(col("count") > 1).count()
+    if (collided != 0) {
+      enc.unpersist(); dict.unpersist()
+      throw new IllegalStateException(
+        s"cross-store term-id collision on $collided id(s) — merged " +
+          "dictionaries would map one id to two distinct terms")
+    }
+    val slices =
+      if (dbs.exists(_.predIndex.isEmpty)) Map.empty[String, DataFrame]
+      else dbs.flatMap(_.predIndex.keys).distinct.map { name =>
+        name -> enc.where(col("p") === termId(Term.TKeyword(name)))
+      }.toMap
+    val stats =
+      if (dbs.exists(_.stats.isEmpty)) Map.empty[String, Long]
+      else dbs.flatMap(_.stats.toSeq).groupBy(_._1)
+        .map { case (p, xs) => p -> xs.map(_._2).sum }
+    DictQuadDb(enc, dict, slices, stats)
+  }
 }

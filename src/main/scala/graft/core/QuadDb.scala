@@ -142,10 +142,13 @@ object QuadDb {
   }
 
   /** Load a [[save]]d quad store, rebuilding predicate slices from the
-    * partition directories. */
+    * partition directories. Deleted-but-not-yet-compacted quads are
+    * masked at read (same [[Tombstones]] contract as [[TripleDb.load]]). */
   def load(spark: SparkSession, path: String): QuadDb = {
-    val raw = spark.read.parquet(path)
-    val preds = raw.select("pred").distinct().collect()
+    val raw0 = spark.read.parquet(path)
+    val raw = Tombstones.mask(spark, path, raw0, Seq("s", "p", "o", "g"))
+    // metadata-only job: distinct values of a partition column
+    val preds = raw0.select("pred").distinct().collect()
       .map(_.getString(0)).filter(_ != "__other")
     val slices = preds.map { name =>
       name -> raw.where(col("pred") === name).drop("pred")
@@ -156,4 +159,41 @@ object QuadDb {
     }
     QuadDb(raw.drop("pred"), slices, stats)
   }
+
+  /** Append-only GDPR delete on a [[save]]d quad store: the given quads
+    * (s/p/o/g [[Term]] structs) become tombstones — one tiny write,
+    * nothing in the store is rewritten. [[load]] masks tombstoned
+    * quads; [[compact]] reclaims the space physically. Keys are the
+    * full quad: the same triple asserted in another graph is a
+    * different fact and stays live. */
+  def deleteQuads(quads: DataFrame, path: String): Unit = {
+    val predName = when(col("p.kind") === Term.KKeyword, col("p.lex"))
+      .otherwise(lit("__other"))
+    Tombstones.append(
+      quads.select(col("s"), col("p"), col("o"), col("g"),
+        predName.as("pred")),
+      path, keyCols = Seq("s", "p", "o", "g"))
+  }
+
+  /** Delete EVERY fact about the given subjects across ALL graphs (the
+    * takedown unit of [[TripleDb.deleteSubjects]], extended to the
+    * union dataset). `subjects` needs a Term-struct column `s`. */
+  def deleteSubjects(spark: SparkSession, path: String,
+                     subjects: DataFrame): Unit =
+    deleteQuads(
+      load(spark, path).df.join(subjects.select("s"), Seq("s"), "left_semi"),
+      path)
+
+  /** Delete a whole named graph — the takedown unit quads ADD over
+    * triples (a tenant / source / crawl-snapshot graph). One masked
+    * scan finds the graph's live quads, which become the tombstones. */
+  def deleteGraph(spark: SparkSession, path: String, g: Term): Unit =
+    deleteQuads(load(spark, path).df.where(col("g") === Term.lit(g)), path)
+
+  /** Physically drop tombstoned quads: partition-pruned to the affected
+    * `pred=` directories, and only files holding a deleted quad are
+    * rewritten ([[Tombstones.compactPartitioned]]). Load before and
+    * after are equivalent. */
+  def compact(spark: SparkSession, path: String): Unit =
+    Tombstones.compactPartitioned(spark, path, Seq("s", "p", "o", "g"), "pred")
 }

@@ -265,9 +265,16 @@ private[graft] object Tombstones {
       .collect().map(_.getString(0))
     if (affected.nonEmpty) {
       val staging = s"$store/_compact_staging"
-      val basePath = fs.makeQualified(
-        new org.apache.hadoop.fs.Path(store)).toString
-      spark.read.option("basePath", basePath).parquet(affected.toIndexedSeq: _*)
+      // re-read through the store root and filter to the affected files
+      // by the SAME input_file_name() strings the listing produced —
+      // feeding those URI-encoded strings back into spark.read.parquet
+      // would mis-resolve partition values that needed escaping (a pred
+      // lex containing '/' lands on disk as pred=...%2F... and in the
+      // URI as %252F); string-equality against the same function cannot
+      val affectedSet = affected.toSet
+      spark.read.parquet(store)
+        .where(col(partCol).isin(parts.toIndexedSeq: _*))
+        .where(input_file_name().isInCollection(affectedSet))
         .join(keys, keyCols, "left_anti")
         .write.mode("overwrite").partitionBy(partCol).parquet(staging)
       affected.foreach(f =>

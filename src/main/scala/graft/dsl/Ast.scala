@@ -83,6 +83,40 @@ final case class PathAltPlus(alts: Seq[Term]) extends PathExpr {
   require(alts.nonEmpty, "path alternation needs at least one predicate")
   def preds: Seq[Term] = alts
 }
+/** `p`: a single hop over one ground predicate — the elementary path
+  * element (SPARQL 1.1 PredicatePath), useful as a step inside
+  * [[PathSeq]]/[[PathAlt]]/[[PathInv]]. */
+final case class PathPred(pred: Term) extends PathExpr {
+  def preds: Seq[Term] = Seq(pred)
+}
+/** `^elt`: the inverse path — every (s, o) connected by `inner` in
+  * reverse (SPARQL 1.1 InversePath). Composable: `^p` inside a
+  * sequence walks the edge backwards, `^(p1/p2)` reverses the whole
+  * sequence. */
+final case class PathInv(inner: PathExpr) extends PathExpr {
+  def preds: Seq[Term] = inner.preds
+}
+/** `e1/e2/…`: sequence — relational composition of the step paths
+  * (SPARQL 1.1 SequencePath). `customer —c_nationkey→ ^s_nationkey→
+  * supplier` is the co-located-in-a-nation join written as one path. */
+final case class PathSeq(steps: Seq[PathExpr]) extends PathExpr {
+  require(steps.nonEmpty, "path sequence needs at least one step")
+  def preds: Seq[Term] = steps.flatMap(_.preds).distinct
+}
+/** `e1|e2|…`: alternation — union of the alternative paths (SPARQL
+  * 1.1 AlternativePath). The general form of [[PathAltPlus]]'s
+  * predicate list: alternatives may be any path elements. */
+final case class PathAlt(alts: Seq[PathExpr]) extends PathExpr {
+  require(alts.nonEmpty, "path alternation needs at least one element")
+  def preds: Seq[Term] = alts.flatMap(_.preds).distinct
+}
+/** `(elt)+`: one or more hops over an arbitrary inner path element —
+  * the general transitive form ([[PathPlus]]/[[PathAltPlus]] are the
+  * common ground-predicate shorthands, kept for their tighter
+  * edge-scan plans). */
+final case class PathPlusOf(inner: PathExpr) extends PathExpr {
+  def preds: Seq[Term] = inner.preds
+}
 
 /** `(values ?v coll)` — bind ?v to members of a runtime collection
   * (alpha.clj:91-105, 175-176). Bag semantics: duplicates in `coll`

@@ -166,8 +166,7 @@ object BgpCompiler {
       groundOnly.map(pat => scanGround(in, sourceFor(in, pat), pat)) ++
         groundPaths.map { pp =>
           val (s, o) = (groundTerm(pp.s), groundTerm(pp.o))
-          val e = pathEdges(in, pp.path.preds)
-          Paths.closureEdgesFrom(e, e.where(col("src") === in.groundLit(s)))
+          pathRelFrom(in, pushInv(pp.path), srcDf(in, s))
             .where(col("dst") === in.groundLit(o))
         }
     for ((g0, i) <- gates.zipWithIndex) {
@@ -315,28 +314,120 @@ object BgpCompiler {
         .select(col("s").as("src"), col("o").as("dst"))
     }.reduce(_.unionByName(_))
 
+  // ---- path algebra (SPARQL 1.1 §9 property-path elements, minus
+  // zero-length forms): every element denotes a DISTINCT (src, dst)
+  // pair relation; [[pathRel]] materializes the full relation,
+  // [[pathRelFrom]] the frontier form restricted to given sources so
+  // ground endpoints touch only the reachable set. ----
+
+  private def flipRel(r: DataFrame): DataFrame =
+    r.select(col("dst").as("src"), col("src").as("dst"))
+
+  private def composeRel(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("pa").join(b.as("pb"), col("pa.dst") === col("pb.src"))
+      .select(col("pa.src").as("src"), col("pb.dst").as("dst"))
+      .dropDuplicates("src", "dst")
+
+  /** Rewrite so [[PathInv]] wraps only [[PathPred]] leaves (inverse of
+    * a sequence reverses and inverts its steps, etc.) — the frontier
+    * compiler then needs exactly one inverse case: the reversed edge
+    * scan. inv ∘ inv cancels. */
+  private def pushInv(pe: PathExpr): PathExpr = pe match {
+    case PathInv(x)     => invOf(pushInv(x))
+    case PathSeq(s)     => PathSeq(s.map(pushInv))
+    case PathAlt(a)     => PathAlt(a.map(pushInv))
+    case PathPlusOf(x)  => PathPlusOf(pushInv(x))
+    case leaf           => leaf
+  }
+
+  /** Structural inverse of an already-[[pushInv]]-normalized element. */
+  private def invOf(pe: PathExpr): PathExpr = pe match {
+    case PathPred(p)            => PathInv(PathPred(p))
+    case PathInv(PathPred(p))   => PathPred(p)
+    case PathPlus(p)            => PathPlusOf(PathInv(PathPred(p)))
+    case PathAltPlus(ps)        => PathPlusOf(PathAlt(ps.map(p => PathInv(PathPred(p)))))
+    case PathSeq(s)             => PathSeq(s.reverse.map(invOf))
+    case PathAlt(a)             => PathAlt(a.map(invOf))
+    case PathPlusOf(x)          => PathPlusOf(invOf(x))
+    case PathInv(x)             => pushInv(x)
+  }
+
+  /** Full (src, dst) relation of a normalized path element. */
+  private def pathRel(in: BgpInput, pe: PathExpr): DataFrame = pe match {
+    case PathPred(p)          => pathEdges(in, Seq(p)).dropDuplicates("src", "dst")
+    case PathInv(PathPred(p)) => flipRel(pathEdges(in, Seq(p))).dropDuplicates("src", "dst")
+    case PathPlus(p)          => Paths.closureEdges(pathEdges(in, Seq(p)))
+    case PathAltPlus(ps)      => Paths.closureEdges(pathEdges(in, ps))
+    case PathSeq(steps)       => steps.map(pathRel(in, _)).reduce(composeRel)
+    case PathAlt(alts)        => alts.map(pathRel(in, _))
+      .reduce(_.unionByName(_)).dropDuplicates("src", "dst")
+    case PathPlusOf(x)        => Paths.closureEdges(pathRel(in, x))
+    case PathInv(x)           => flipRel(pathRel(in, x)) // non-normalized input
+  }
+
+  /** Frontier form: (src, dst) pairs of `pe` whose src ∈ `srcs` (a
+    * distinct one-column `src` frame). Sequences advance the frontier
+    * step by step, so each step's scan is restricted to nodes actually
+    * reached; transitive steps BFS via [[Paths.closureEdgesFrom]]. */
+  private def pathRelFrom(in: BgpInput, pe: PathExpr,
+                          srcs: DataFrame): DataFrame = pe match {
+    case PathPred(p) =>
+      pathEdges(in, Seq(p)).join(srcs, Seq("src"))
+        .dropDuplicates("src", "dst")
+    case PathInv(PathPred(p)) =>
+      flipRel(pathEdges(in, Seq(p))).join(srcs, Seq("src"))
+        .dropDuplicates("src", "dst")
+    case PathPlus(p) =>
+      val e = pathEdges(in, Seq(p))
+      Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
+    case PathAltPlus(ps) =>
+      val e = pathEdges(in, ps)
+      Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
+    case PathSeq(steps) =>
+      steps.foldLeft(null: DataFrame) { (acc, step) =>
+        if (acc == null) pathRelFrom(in, step, srcs)
+        else composeRel(acc,
+          pathRelFrom(in, step, acc.select(col("dst").as("src")).distinct()))
+      }
+    case PathAlt(alts) =>
+      alts.map(pathRelFrom(in, _, srcs))
+        .reduce(_.unionByName(_)).dropDuplicates("src", "dst")
+    case PathPlusOf(x) =>
+      val e = pathRel(in, x)
+      Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
+    case PathInv(x) => // non-normalized input: invert and retry
+      pathRelFrom(in, invOf(pushInv(x)), srcs)
+  }
+
+  /** A single ground source/sink as a 1-row frame, hinted broadcast so
+    * the frontier restriction never shuffles the edge scan.
+    * Intermediate sequence frontiers are NOT hinted — they can be
+    * arbitrarily large, and AQE picks the join side from runtime
+    * sizes. */
+  private def srcDf(in: BgpInput, t: Term): DataFrame = {
+    val spark = in.full.sparkSession
+    broadcast(spark.range(1).select(in.groundLit(t).as("src")))
+  }
+
   /** A path pattern with ≥1 variable endpoint as a joinable frame with
-    * var-named columns. Ground endpoints pick the frontier-BFS form
-    * (closure FROM one source / INTO one sink — never the whole
-    * relation's closure); two distinct vars take the full pair
-    * closure; a repeated var keeps only cycles.
+    * var-named columns. Ground endpoints pick the frontier form
+    * (pairs FROM one source / INTO one sink via the inverse path —
+    * never the whole relation's closure); two distinct vars take the
+    * full pair relation; a repeated var keeps only cycles.
     */
   private def pathFrame(in: BgpInput, pp: PathPattern): DataFrame = {
-    val e = pathEdges(in, pp.path.preds)
+    val path = pushInv(pp.path)
     (pp.s, pp.o) match {
       case (T(t), v: V) =>
-        Paths.closureEdgesFrom(e, e.where(col("src") === in.groundLit(t)))
-          .select(col("dst").as(v.name))
+        pathRelFrom(in, path, srcDf(in, t)).select(col("dst").as(v.name))
       case (v: V, T(t)) =>
-        // sink-ground: BFS the REVERSED edges from the sink, flip back
-        val rev = e.select(col("dst").as("src"), col("src").as("dst"))
-        Paths.closureEdgesFrom(rev, rev.where(col("src") === in.groundLit(t)))
-          .select(col("dst").as(v.name))
+        // sink-ground: walk the INVERSE path out of the sink
+        pathRelFrom(in, invOf(path), srcDf(in, t)).select(col("dst").as(v.name))
       case (v1: V, v2: V) if v1 == v2 =>
-        Paths.closureEdges(e).where(col("src") === col("dst"))
+        pathRel(in, path).where(col("src") === col("dst"))
           .select(col("src").as(v1.name))
       case (v1: V, v2: V) =>
-        Paths.closureEdges(e)
+        pathRel(in, path)
           .select(col("src").as(v1.name), col("dst").as(v2.name))
       case _ => throw new InvalidBgp(s"ground path belongs in gates: $pp")
     }

@@ -151,6 +151,87 @@ class QuadPathSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("quad-store GDPR: subject delete masks across graphs, graph " +
+      "delete takes down one named graph, compacted ≡ masked") {
+    val d = quadFriends
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qdel").toString
+    QuadDb.save(d, tmp)
+
+    def facts(): Set[Seq[Term]] = {
+      val ld = QuadDb.load(spark, tmp)
+      qset(ld, Seq(?("s"), ?("p"), ?("o"), ?("g")),
+        Seq(qpat(?("s"), ?("p"), ?("o"), ?("g"))))
+    }
+    val before = facts()
+    assert(before.size == 5)
+
+    // graph takedown: g2's single fact goes; the SAME triple stays
+    // live in g1 (keys are the full quad)
+    QuadDb.deleteGraph(spark, tmp, g2)
+    val afterGraph = facts()
+    assert(afterGraph == before.filterNot(_.last == g2))
+    assert(afterGraph.exists(q => q.head == katie && q.last == g1))
+
+    // subject takedown masks across every remaining graph incl. default
+    QuadDb.deleteSubjects(spark, tmp,
+      db((rick, knows, rick)).df.select("s"))
+    val afterSubj = facts()
+    assert(afterSubj == afterGraph.filterNot(_.head == rick))
+    assert(afterSubj == Set(Seq(katie, knows, julie, g1)))
+
+    QuadDb.compact(spark, tmp)
+    assert(facts() == afterSubj, "compacted ≡ tombstone-masked")
+    assert(!graft.core.Tombstones.exist(spark, tmp))
+  }
+
+  test("dict-quad durable store: save/load round-trip, encoded-key " +
+      "delete + compact, merge with cross-store terms") {
+    import graft.core.DictDb
+    val d = quadFriends
+    val built = d.index().dictEncode()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dqdel").toString
+    val tbl = s"quadspec_del_${math.abs(tmp.hashCode)}"
+    DictDb.saveQuads(built, tmp, tbl, buckets = 4)
+    built.unpersist()
+
+    def known(): Set[Seq[Term]] = {
+      val ld = DictDb.loadQuads(spark, tmp, tbl)
+      Projections.selectDf(ld, Seq(qpat(?("s"), T(knows), ?("o"), ?("g"))),
+        Seq(?("s"), ?("o"), ?("g"))).collect().toSeq
+        .map(r => r.toSeq.indices.map(i => Term.fromRow(r.getStruct(i)))).toSet
+    }
+    val before = known()
+    assert(before.size == 4)
+
+    // delete (katie knows julie) ONLY in g1 by encoded ids — the g2
+    // assertion of the same triple must stay live
+    import spark.implicits._
+    val doomed = Seq((DictDb.termId(katie), DictDb.termId(knows),
+      DictDb.termId(julie), DictDb.termId(g1))).toDF("s", "p", "o", "g")
+    DictDb.deleteQuadRows(doomed, tmp)
+    val masked = known()
+    assert(masked == before.filterNot(q => q == Seq(katie, julie, g1)))
+    assert(masked.contains(Seq(katie, julie, g2)))
+
+    DictDb.compactQuads(spark, tmp)
+    assert(known() == masked, "compacted ≡ tombstone-masked")
+    assert(!graft.core.Tombstones.exist(spark, s"$tmp/quads"))
+
+    // merge: cross-store union on the four ids, decode intact
+    val otherQuads = QuadDb.fromQuads(spark, Seq(
+      (julie, knows, rick, g2),
+      (katie, knows, julie, g2))) // overlap collapses
+    val merged = DictDb.mergeQuads(
+      DictDb.loadQuads(spark, tmp, tbl), otherQuads.dictEncode())
+    val got = Projections.selectDf(merged,
+      Seq(qpat(?("s"), T(knows), ?("o"), T(g2))), Seq(?("s"), ?("o")))
+      .collect().toSeq
+      .map(r => (Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(1))))
+      .toSet
+    assert(got == Set((katie, julie), (julie, rick)))
+    merged.unpersist()
+  }
+
   test("path+: transitive closure as a BGP row — var/var, ground " +
       "source (BFS), ground sink, ground/ground gate, cycles") {
     // chain a→b→c→d plus a side edge x→c
@@ -181,6 +262,60 @@ class QuadPathSpec extends GraftSpec {
     assert(resultSet(cyc, Seq(?("n")),
       Seq(PathPattern(?("n"), PathPlus(knows), ?("n")))) ==
       Set(Seq(a), Seq(b)))
+  }
+
+  test("path algebra: sequence, inverse, general alternation, plus-of — " +
+      "ground source, ground sink, whole-sequence inverse, dict store") {
+    val mentors = k("mentors")
+    // rick -knows-> martin -knows-> katie; julie -mentors-> katie
+    val g = db(
+      (rick, knows, martin), (martin, knows, katie),
+      (julie, mentors, katie))
+    def seq2 = PathSeq(Seq(PathPred(knows), PathPred(knows)))
+    // sequence: knows/knows = exactly two hops
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(rick), seq2, ?("o")))) == Set(Seq(katie)))
+    // sequence ending in an inverse step: the 2-hop target's mentor
+    assert(resultSet(g, Seq(?("m")), Seq(PathPattern(T(rick),
+      PathSeq(Seq(PathPred(knows), PathPred(knows), PathInv(PathPred(mentors)))),
+      ?("m")))) == Set(Seq(julie)))
+    // ground sink through a sequence (frontier walks the inverse path)
+    assert(resultSet(g, Seq(?("s")),
+      Seq(PathPattern(?("s"), seq2, T(katie)))) == Set(Seq(rick)))
+    // inverse of a whole sequence reverses and inverts its steps
+    assert(resultSet(g, Seq(?("s")),
+      Seq(PathPattern(T(katie), PathInv(seq2), ?("s")))) == Set(Seq(rick)))
+    // double inverse cancels
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(rick), PathInv(PathInv(seq2)), ?("o")))) ==
+      Set(Seq(katie)))
+    // general alternation over inverse elements
+    assert(resultSet(g, Seq(?("x")), Seq(PathPattern(T(katie),
+      PathAlt(Seq(PathInv(PathPred(knows)), PathInv(PathPred(mentors)))),
+      ?("x")))) == Set(Seq(martin), Seq(julie)))
+    // plus-of over an inverse: all ancestors via ^knows+
+    assert(resultSet(g, Seq(?("x")), Seq(PathPattern(T(katie),
+      PathPlusOf(PathInv(PathPred(knows))), ?("x")))) ==
+      Set(Seq(martin), Seq(rick)))
+    // ground/ground sequence as an existence gate
+    assert(resultSet(g, Seq(?("n")), Seq(
+      pat(T(rick), T(knows), ?("n")),
+      PathPattern(T(rick), seq2, T(katie)))) == Set(Seq(martin)))
+    assert(resultSet(g, Seq(?("n")), Seq(
+      pat(T(rick), T(knows), ?("n")),
+      PathPattern(T(katie), seq2, T(rick)))) == Set.empty[Seq[Term]])
+    // var/var over a sequence
+    assert(resultSet(g, Seq(?("a"), ?("b")),
+      Seq(PathPattern(?("a"), seq2, ?("b")))) == Set(Seq(rick, katie)))
+    // dict-encoded store runs the same algebra over 8-byte keys
+    val dd = g.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(PathPattern(T(rick),
+        PathSeq(Seq(PathPred(knows), PathPred(knows),
+          PathInv(PathPred(mentors)))), ?("m"))), Seq(?("m")))
+        .collect().toSeq.map(r => Term.fromRow(r.getStruct(0))).toSet
+      assert(got == Set(julie))
+    } finally dd.unpersist()
   }
 
   test("path+ composes with patterns, optional, values; alternation " +
