@@ -1457,6 +1457,47 @@ object SparkEntry {
     // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
     //      the graph position too — the q137 BGP over four 8-byte id
     //      columns, terms rehydrated at the edge ----
+    // ---- entailment over NAMED GRAPHS: the ρdf rules run per-graph —
+    //      every entailed fact inherits the graph of the instance fact
+    //      it derives from (a tenant graph's entailments stay in the
+    //      tenant graph), schema lands in the default graph. Query:
+    //      entailed in_geo + entailed type, joined in the SAME graph ----
+    "q147_quad_entail" -> ((sp, dir) => {
+      val ont = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("c_nationkey"), ops.Rdfs.SubPropertyOf, TKeyword("in_geo")),
+        (TKeyword("in_geo"), ops.Rdfs.Domain, TKeyword("geo_thing"))))
+      val ent = ops.Rdfs.materializeQuads(Tables.customerQuads(sp, dir), ont)
+      Projections.selectDf(ent, Seq(
+          QuadPattern(V("c"), kw("in_geo"), V("n"), V("g")),
+          QuadPattern(V("c"), kw("type"), T(TKeyword("geo_thing")), V("g"))),
+        Seq(V("c"), V("n"), V("g")))
+        .select(Seq("c", "n", "g").map(enc): _*)
+    }),
+
+    // ---- per-GRAPH VoID statistics: the W3C property partitions of
+    //      q134, one row per (graph, predicate) — what a named-graph
+    //      warehouse publishes per tenant/source graph ----
+    "q148_graph_void" -> ((sp, dir) =>
+      graft.core.QuadDb.voidStats(Tables.regionQuads(sp, dir))),
+
+    // ---- GRAPH-SCOPED path (SPARQL GRAPH ?g { s path o }): the
+    //      2-hop customer→nation→region sequence where EVERY hop must
+    //      stay inside one named graph, binding ?g per solution. The
+    //      rig plants decoy next-region edges in neighboring graphs —
+    //      a union-graph walk would take them; the scoped walk (over
+    //      (graph, node) composite keys, one pass, never per-graph
+    //      jobs) cannot ----
+    "q146_graph_path" -> ((sp, dir) => {
+      val qdb = Tables.regionQuads(sp, dir)
+      Projections.selectDf(qdb, Seq(
+          QuadPathPattern(V("c"), PathSeq(Seq(
+              PathPred(TKeyword("c_nationkey")),
+              PathPred(TKeyword("n_regionkey")))),
+            V("r"), V("g"))),
+        Seq(V("c"), V("r"), V("g")))
+        .select(Seq("c", "r", "g").map(enc): _*)
+    }),
+
     // ---- path ALGEBRA in the DSL: sequence + inverse composed —
     //      customer —c_nationkey→ nation ←s_nationkey— supplier, the
     //      co-located-in-a-nation join written as ONE path row
@@ -2551,6 +2592,47 @@ object SparkEntry {
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
 
     // dict layout is invisible to the answer — q137's oracle verbatim
+    // per-graph entailment: (c in_geo n) and (c type geo_thing) both
+    // derive from (c c_nationkey n) in graph nation/<nk>, so the
+    // same-graph join is exactly the customer table
+    "q147_quad_entail" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  'u|nation/' || c_nationkey AS n, 'u|nation/' || c_nationkey AS g
+        |FROM customer""".stripMargin,
+
+    // per-(graph, predicate) VoID over the region-graph rig: customer
+    // FK facts grouped by their region graph, plus nation→region facts
+    // where each graph holds its OWN nations' edges and the decoy
+    // edges of the previous region's nations
+    "q148_graph_void" ->
+      """SELECT 'u|region/' || n_regionkey AS graph, 'k|c_nationkey' AS pred,
+        |  CAST(count(*) AS BIGINT) AS n_triples,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_subjects,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_objects
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_regionkey
+        |UNION ALL
+        |SELECT 'u|region/' || g AS graph, 'k|n_regionkey' AS pred,
+        |  CAST(count(*) AS BIGINT) AS n_triples,
+        |  CAST(count(DISTINCT nk) AS BIGINT) AS n_subjects,
+        |  CAST(count(DISTINCT r) AS BIGINT) AS n_objects
+        |FROM (
+        |  SELECT n_regionkey AS g, n_nationkey AS nk, n_regionkey AS r
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT (n_regionkey + 1) % 5 AS g, n_nationkey AS nk,
+        |    (n_regionkey + 1) % 5 AS r
+        |  FROM nation
+        |) GROUP BY g""".stripMargin,
+
+    // scoped 2-hop: only the true region chain survives — the decoy
+    // next-region edges live in a different graph than the customer's
+    // first hop, so a correct scoped walk never reaches them
+    "q146_graph_path" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  'u|region/' || n_regionkey AS r, 'u|region/' || n_regionkey AS g
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
     // sequence + inverse: customers and suppliers sharing a nation
     "q145_path_seq" ->
       """SELECT DISTINCT 'u|customer/' || c_custkey AS c,

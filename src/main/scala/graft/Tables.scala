@@ -66,6 +66,41 @@ object Tables {
     TripleDb.unionDisjoint(customerDb(spark, dir), nationDb(spark, dir),
       regionDb(spark, dir), supplierDb(spark, dir), ordersDb(spark, dir))
 
+  /** A quad store exercising GRAPH-SCOPED path walks: per-REGION named
+    * graphs holding the 2-hop chain customer —c_nationkey→ nation
+    * —n_regionkey→ region, PLUS a decoy edge per nation pointing at
+    * the NEXT region, tagged in THAT region's graph. A scoped walk
+    * (customer's graph = its true region) can never take the decoy —
+    * its first hop and the decoy live in different graphs — while a
+    * union-graph walk would: the decoys make graph scoping observable
+    * in the answer, not just in the plan.
+    */
+  def regionQuads(spark: SparkSession, dir: String): graft.core.QuadDb = {
+    import org.apache.spark.sql.functions._
+    import graft.core.Term
+    val nat = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    def regUri(c: org.apache.spark.sql.Column) =
+      Term.uriCol(concat(lit("region/"), c.cast("string")))
+    val cj = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+    val custQ = cj.select(
+      Term.uriCol(concat(lit("customer/"), col("c_custkey").cast("string"))).as("s"),
+      Term.lit(Term.TKeyword("c_nationkey")).as("p"),
+      Term.uriCol(concat(lit("nation/"), col("c_nationkey").cast("string"))).as("o"),
+      regUri(col("n_regionkey")).as("g"))
+    val natQ = nat.select(
+      Term.uriCol(concat(lit("nation/"), col("n_nationkey").cast("string"))).as("s"),
+      Term.lit(Term.TKeyword("n_regionkey")).as("p"),
+      regUri(col("n_regionkey")).as("o"),
+      regUri(col("n_regionkey")).as("g"))
+    val decoy = nat.select(
+      Term.uriCol(concat(lit("nation/"), col("n_nationkey").cast("string"))).as("s"),
+      Term.lit(Term.TKeyword("n_regionkey")).as("p"),
+      regUri((col("n_regionkey") + 1) % 5).as("o"),
+      regUri((col("n_regionkey") + 1) % 5).as("g"))
+    graft.core.QuadDb(custQ.unionByName(natQ).unionByName(decoy))
+  }
+
   /** Customer facts as a QUAD store: each customer's triples live in
     * the named graph of their nation (`nation/<key>`) — the
     * per-tenant/per-source graph layout real RDF warehouses use. The
@@ -76,10 +111,15 @@ object Tables {
     import org.apache.spark.sql.functions._
     import graft.core.Term
     val cust = t(spark, dir, "customer")
-    val tdb = TripleDb.fromWideTable(cust, "customer",
+    // duplicate the nation key into a raw passenger column: `keep`
+    // EXCLUDES a column from the unpivot, and the graph tag must not
+    // cost the store its c_nationkey facts (the full relation and the
+    // per-predicate slices must describe the SAME store)
+    val custK = cust.withColumn("__nk", col("c_nationkey"))
+    val tdb = TripleDb.fromWideTable(custK, "customer",
       "c_custkey", fks = Map("c_nationkey" -> "nation"),
-      keep = Seq("c_nationkey"))
-    val g = Term.uriCol(concat(lit("nation/"), col("c_nationkey").cast("string")))
+      keep = Seq("__nk"))
+    val g = Term.uriCol(concat(lit("nation/"), col("__nk").cast("string")))
     // per-predicate slices carry g too — a ground-predicate quad scan
     // reads three columns of the ONE table instead of the unpivoted
     // union, exactly like the triple store's slices (PlanSpec-pinned)
@@ -91,8 +131,10 @@ object Tables {
           when(col(c).isNull, Term.lit(Term.TNil))
             .otherwise(Term.uriCol(concat(lit("nation/"), col(c).cast("string"))))
         else Term.fromRaw(col(c), dtypes(c))
+      val gSlice =
+        Term.uriCol(concat(lit("nation/"), col("c_nationkey").cast("string")))
       c -> cust.select(subj.as("s"), Term.lit(Term.TKeyword(c)).as("p"),
-        obj.as("o"), g.as("g"))
+        obj.as("o"), gSlice.as("g"))
     }.toMap
     graft.core.QuadDb(
       tdb.df.withColumn("g", g).select("s", "p", "o", "g"),

@@ -160,6 +160,18 @@ object QuadDb {
     QuadDb(raw.drop("pred"), slices, stats)
   }
 
+  /** Per-GRAPH VoID statistics: the W3C VoID property-partition
+    * counts of [[TripleDb.voidStats]], one row per (graph, predicate)
+    * — the per-dataset description a named-graph warehouse publishes
+    * per tenant/source graph. One map-side-combined groupBy; output
+    * bounded by graphs × predicates. */
+  def voidStats(db: QuadDb): DataFrame =
+    db.df.groupBy(Term.encode(col("g")).as("graph"),
+        Term.encode(col("p")).as("pred"))
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(Term.encode(col("s"))).as("n_subjects"),
+        countDistinct(Term.encode(col("o"))).as("n_objects"))
+
   /** Append-only GDPR delete on a [[save]]d quad store: the given quads
     * (s/p/o/g [[Term]] structs) become tombstones — one tiny write,
     * nothing in the store is rewritten. [[load]] masks tombstoned

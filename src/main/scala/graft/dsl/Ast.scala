@@ -118,6 +118,20 @@ final case class PathPlusOf(inner: PathExpr) extends PathExpr {
   def preds: Seq[Term] = inner.preds
 }
 
+/** `GRAPH g { s path o }` — a graph-scoped path: EVERY hop of the
+  * path walks edges of one named graph (SPARQL 1.1 §13.3 semantics:
+  * the path evaluates inside the graph, it cannot hop across graphs).
+  * Ground `g` scopes the edge scans; a variable `g` binds the
+  * containing graph per solution — internally the walk runs over
+  * (graph, node) composite keys so closure/sequence stay inside each
+  * graph in ONE pass, never one job per graph. Requires a quad store
+  * ([[InvalidBgp]] otherwise). */
+final case class QuadPathPattern(s: TermOrVar, path: PathExpr,
+                                 o: TermOrVar, g: TermOrVar)
+    extends PatternRow {
+  def vars: Seq[V] = Seq(s, o, g).collect { case v: V => v }.distinct
+}
+
 /** `(values ?v coll)` — bind ?v to members of a runtime collection
   * (alpha.clj:91-105, 175-176). Bag semantics: duplicates in `coll`
   * duplicate solutions, exactly like `l/membero`.
@@ -147,7 +161,8 @@ object Bgp {
     */
   def requiredVars(rows: Seq[PatternRow]): Seq[V] =
     rows.collect { case r: TriplePattern => r; case r: QuadPattern => r
-                   case r: PathPattern => r; case r: Values => r }
+                   case r: PathPattern => r; case r: QuadPathPattern => r
+                   case r: Values => r }
       .flatMap(_.vars).distinct
 
   def optionalVars(rows: Seq[PatternRow]): Seq[V] = {

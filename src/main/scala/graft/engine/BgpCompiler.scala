@@ -96,11 +96,13 @@ object BgpCompiler {
 
     val patterns: Seq[PatternRow] =
       rows.collect { case p: TriplePattern => p; case q: QuadPattern => q }
-    val paths = rows.collect { case p: PathPattern => p }
+    val paths: Seq[PatternRow] =
+      rows.collect { case p: PathPattern => p; case q: QuadPathPattern => q }
     val values = rows.collect { case v: Values => v }
     val optionals = rows.collect { case o: Optional => o }
 
-    if (rows.exists(_.isInstanceOf[QuadPattern]) &&
+    if (rows.exists(r => r.isInstanceOf[QuadPattern] ||
+          r.isInstanceOf[QuadPathPattern]) &&
         !in.full.columns.contains("g"))
       throw new InvalidBgp(
         "quad pattern against a store with no graph position — " +
@@ -147,7 +149,11 @@ object BgpCompiler {
     // route count — and enumerating routes would be exponential).
     val (groundPaths, varPaths) = paths.partition(_.vars.isEmpty)
     for (pp <- varPaths) {
-      val frame = pathFrame(in, pp)
+      val frame = pp match {
+        case p: PathPattern     => pathFrame(in, p)
+        case q: QuadPathPattern => quadPathFrame(in, q)
+        case other => throw new InvalidBgp(s"unexpected path row: $other")
+      }
       acc = acc match {
         case None => Some(frame)
         case Some(a) =>
@@ -164,10 +170,19 @@ object BgpCompiler {
     // fully-ground paths gate on single-source reachability
     val gates: Seq[DataFrame] =
       groundOnly.map(pat => scanGround(in, sourceFor(in, pat), pat)) ++
-        groundPaths.map { pp =>
-          val (s, o) = (groundTerm(pp.s), groundTerm(pp.o))
-          pathRelFrom(in, pushInv(pp.path), srcDf(in, s))
-            .where(col("dst") === in.groundLit(o))
+        groundPaths.map {
+          case pp: PathPattern =>
+            val (s, o) = (groundTerm(pp.s), groundTerm(pp.o))
+            pathRelFrom(in, pushInv(pp.path), srcDf(in, s),
+                pathEdges(in, _: Seq[Term]))
+              .where(col("dst") === in.groundLit(o))
+          case qp: QuadPathPattern =>
+            // fully-ground scoped path: reachability inside ONE graph
+            val (s, o) = (groundTerm(qp.s), groundTerm(qp.o))
+            pathRelFrom(in, pushInv(qp.path), srcDf(in, s),
+                scopedEdges(in, groundTerm(qp.g))(_: Seq[Term]))
+              .where(col("dst") === in.groundLit(o))
+          case other => throw new InvalidBgp(s"unexpected path row: $other")
         }
     for ((g0, i) <- gates.zipWithIndex) {
       val gate = g0.limit(1).select(functions.lit(1).as(s"__exists_$i"))
@@ -302,17 +317,41 @@ object BgpCompiler {
   /** The edge relation a path traverses: union of its predicates'
     * slices projected to (src, dst). Against a quad store this is the
     * union across ALL graphs (the same union-default semantics as a
-    * plain TriplePattern; a graph-scoped path is future surface).
+    * plain TriplePattern); [[QuadPathPattern]] scopes it via
+    * [[scopedEdges]] / [[compositeEdges]] instead.
     */
   private def pathEdges(in: BgpInput, preds: Seq[Term]): DataFrame =
+    predSlices(in, preds)
+      .map(_.select(col("s").as("src"), col("o").as("dst")))
+      .reduce(_.unionByName(_))
+
+  private def predSlices(in: BgpInput, preds: Seq[Term]): Seq[DataFrame] =
     preds.map { p =>
       val src = p match {
         case Term.TKeyword(n) => in.predIndex.get(n)
         case _                => None
       }
       src.getOrElse(in.full.where(col("p") === in.groundLit(p)))
-        .select(col("s").as("src"), col("o").as("dst"))
-    }.reduce(_.unionByName(_))
+    }
+
+  /** Edge relation scoped to ONE ground graph — a pushed scan filter
+    * on the quad slices, zero joins. */
+  private def scopedEdges(in: BgpInput, g: Term)(preds: Seq[Term]): DataFrame =
+    predSlices(in, preds)
+      .map(_.where(col("g") === in.groundLit(g))
+        .select(col("s").as("src"), col("o").as("dst")))
+      .reduce(_.unionByName(_))
+
+  /** Edge relation over (graph, node) COMPOSITE keys: every edge's
+    * src/dst carry the edge's own graph, so joins/closures on these
+    * keys cannot cross graphs — a variable graph scope evaluates over
+    * EVERY graph in one pass, never one job per graph. */
+  private def compositeEdges(in: BgpInput, preds: Seq[Term]): DataFrame =
+    predSlices(in, preds)
+      .map(_.select(
+        struct(col("g").as("gg"), col("s").as("n")).as("src"),
+        struct(col("g").as("gg"), col("o").as("n")).as("dst")))
+      .reduce(_.unionByName(_))
 
   // ---- path algebra (SPARQL 1.1 §9 property-path elements, minus
   // zero-length forms): every element denotes a DISTINCT (src, dst)
@@ -352,51 +391,55 @@ object BgpCompiler {
     case PathInv(x)             => pushInv(x)
   }
 
-  /** Full (src, dst) relation of a normalized path element. */
-  private def pathRel(in: BgpInput, pe: PathExpr): DataFrame = pe match {
-    case PathPred(p)          => pathEdges(in, Seq(p)).dropDuplicates("src", "dst")
-    case PathInv(PathPred(p)) => flipRel(pathEdges(in, Seq(p))).dropDuplicates("src", "dst")
-    case PathPlus(p)          => Paths.closureEdges(pathEdges(in, Seq(p)))
-    case PathAltPlus(ps)      => Paths.closureEdges(pathEdges(in, ps))
-    case PathSeq(steps)       => steps.map(pathRel(in, _)).reduce(composeRel)
-    case PathAlt(alts)        => alts.map(pathRel(in, _))
+  /** Full (src, dst) relation of a normalized path element. `ed`
+    * builds the leaf edge relation for a predicate list — the plain
+    * union-of-graphs scan, a ground-graph-scoped scan, or the
+    * (graph, node) composite form for a variable graph scope. */
+  private def pathRel(in: BgpInput, pe: PathExpr,
+                      ed: Seq[Term] => DataFrame): DataFrame = pe match {
+    case PathPred(p)          => ed(Seq(p)).dropDuplicates("src", "dst")
+    case PathInv(PathPred(p)) => flipRel(ed(Seq(p))).dropDuplicates("src", "dst")
+    case PathPlus(p)          => Paths.closureEdges(ed(Seq(p)))
+    case PathAltPlus(ps)      => Paths.closureEdges(ed(ps))
+    case PathSeq(steps)       => steps.map(pathRel(in, _, ed)).reduce(composeRel)
+    case PathAlt(alts)        => alts.map(pathRel(in, _, ed))
       .reduce(_.unionByName(_)).dropDuplicates("src", "dst")
-    case PathPlusOf(x)        => Paths.closureEdges(pathRel(in, x))
-    case PathInv(x)           => flipRel(pathRel(in, x)) // non-normalized input
+    case PathPlusOf(x)        => Paths.closureEdges(pathRel(in, x, ed))
+    case PathInv(x)           => flipRel(pathRel(in, x, ed)) // non-normalized input
   }
 
   /** Frontier form: (src, dst) pairs of `pe` whose src ∈ `srcs` (a
     * distinct one-column `src` frame). Sequences advance the frontier
     * step by step, so each step's scan is restricted to nodes actually
     * reached; transitive steps BFS via [[Paths.closureEdgesFrom]]. */
-  private def pathRelFrom(in: BgpInput, pe: PathExpr,
-                          srcs: DataFrame): DataFrame = pe match {
+  private def pathRelFrom(in: BgpInput, pe: PathExpr, srcs: DataFrame,
+                          ed: Seq[Term] => DataFrame): DataFrame = pe match {
     case PathPred(p) =>
-      pathEdges(in, Seq(p)).join(srcs, Seq("src"))
+      ed(Seq(p)).join(srcs, Seq("src"))
         .dropDuplicates("src", "dst")
     case PathInv(PathPred(p)) =>
-      flipRel(pathEdges(in, Seq(p))).join(srcs, Seq("src"))
+      flipRel(ed(Seq(p))).join(srcs, Seq("src"))
         .dropDuplicates("src", "dst")
     case PathPlus(p) =>
-      val e = pathEdges(in, Seq(p))
+      val e = ed(Seq(p))
       Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
     case PathAltPlus(ps) =>
-      val e = pathEdges(in, ps)
+      val e = ed(ps)
       Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
     case PathSeq(steps) =>
       steps.foldLeft(null: DataFrame) { (acc, step) =>
-        if (acc == null) pathRelFrom(in, step, srcs)
+        if (acc == null) pathRelFrom(in, step, srcs, ed)
         else composeRel(acc,
-          pathRelFrom(in, step, acc.select(col("dst").as("src")).distinct()))
+          pathRelFrom(in, step, acc.select(col("dst").as("src")).distinct(), ed))
       }
     case PathAlt(alts) =>
-      alts.map(pathRelFrom(in, _, srcs))
+      alts.map(pathRelFrom(in, _, srcs, ed))
         .reduce(_.unionByName(_)).dropDuplicates("src", "dst")
     case PathPlusOf(x) =>
-      val e = pathRel(in, x)
+      val e = pathRel(in, x, ed)
       Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
     case PathInv(x) => // non-normalized input: invert and retry
-      pathRelFrom(in, invOf(pushInv(x)), srcs)
+      pathRelFrom(in, invOf(pushInv(x)), srcs, ed)
   }
 
   /** A single ground source/sink as a 1-row frame, hinted broadcast so
@@ -417,19 +460,83 @@ object BgpCompiler {
     */
   private def pathFrame(in: BgpInput, pp: PathPattern): DataFrame = {
     val path = pushInv(pp.path)
+    val ed = pathEdges(in, _: Seq[Term])
     (pp.s, pp.o) match {
       case (T(t), v: V) =>
-        pathRelFrom(in, path, srcDf(in, t)).select(col("dst").as(v.name))
+        pathRelFrom(in, path, srcDf(in, t), ed).select(col("dst").as(v.name))
       case (v: V, T(t)) =>
         // sink-ground: walk the INVERSE path out of the sink
-        pathRelFrom(in, invOf(path), srcDf(in, t)).select(col("dst").as(v.name))
+        pathRelFrom(in, invOf(path), srcDf(in, t), ed).select(col("dst").as(v.name))
       case (v1: V, v2: V) if v1 == v2 =>
-        pathRel(in, path).where(col("src") === col("dst"))
+        pathRel(in, path, ed).where(col("src") === col("dst"))
           .select(col("src").as(v1.name))
       case (v1: V, v2: V) =>
-        pathRel(in, path)
+        pathRel(in, path, ed)
           .select(col("src").as(v1.name), col("dst").as(v2.name))
       case _ => throw new InvalidBgp(s"ground path belongs in gates: $pp")
+    }
+  }
+
+  /** [[QuadPathPattern]] with ≥1 variable: a graph-scoped path frame.
+    * Ground graph = [[pathFrame]]'s shapes over [[scopedEdges]];
+    * variable graph = the same algebra over [[compositeEdges]] (the
+    * walk cannot leave a graph), with the graph bound from the pair's
+    * key and repeated-variable collisions filtered generically. */
+  private def quadPathFrame(in: BgpInput, qp: QuadPathPattern): DataFrame = {
+    val path = pushInv(qp.path)
+    qp.g match {
+      case T(gt) =>
+        val ed = scopedEdges(in, gt)(_: Seq[Term])
+        (qp.s, qp.o) match {
+          case (T(t), v: V) =>
+            pathRelFrom(in, path, srcDf(in, t), ed).select(col("dst").as(v.name))
+          case (v: V, T(t)) =>
+            pathRelFrom(in, invOf(path), srcDf(in, t), ed)
+              .select(col("dst").as(v.name))
+          case (v1: V, v2: V) if v1 == v2 =>
+            pathRel(in, path, ed).where(col("src") === col("dst"))
+              .select(col("src").as(v1.name))
+          case (v1: V, v2: V) =>
+            pathRel(in, path, ed)
+              .select(col("src").as(v1.name), col("dst").as(v2.name))
+          case _ =>
+            throw new InvalidBgp(s"ground quad path belongs in gates: $qp")
+        }
+      case gv: V =>
+        val ed = compositeEdges(in, _: Seq[Term])
+        // ground endpoint → frontier over the (graph, t) composite
+        // nodes present in the path's leaf slices (a node absent from
+        // a graph cannot start a walk there)
+        def compNodes(t: Term): DataFrame = {
+          val e = ed(qp.path.preds)
+          e.select(col("src")).unionByName(e.select(col("dst").as("src")))
+            .where(col("src.n") === in.groundLit(t)).distinct()
+        }
+        val pairs: DataFrame = (qp.s, qp.o) match {
+          case (T(t), _) => pathRelFrom(in, path, compNodes(t), ed)
+          case (_, T(t)) =>
+            flipRel(pathRelFrom(in, invOf(path), compNodes(t), ed))
+          case _ => pathRel(in, path, ed)
+        }
+        var f = pairs
+        qp.s match {
+          case T(t) => f = f.where(col("src.n") === in.groundLit(t))
+          case _    => ()
+        }
+        qp.o match {
+          case T(t) => f = f.where(col("dst.n") === in.groundLit(t))
+          case _    => ()
+        }
+        val bindings: Seq[(V, Column)] = Seq(
+          (qp.s match { case v: V => Some(v -> col("src.n")); case _ => None }),
+          (qp.o match { case v: V => Some(v -> col("dst.n")); case _ => None }),
+          Some(gv -> col("src.gg"))).flatten
+        val first = mutable.LinkedHashMap[String, Column]()
+        for ((v, c) <- bindings) {
+          if (first.contains(v.name)) f = f.where(first(v.name) === c)
+          else first(v.name) = c
+        }
+        f.select(first.toSeq.map { case (n, c) => c.as(n) }: _*)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{Term, TripleDb}
+import graft.core.{QuadDb, Term, TripleDb}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
@@ -78,6 +78,16 @@ object Rdfs {
   def entailRows(inst: DataFrame, ontology: TripleDb): DataFrame =
     entailCore(inst.select("s", "p", "o"), ontTriples(ontology))
 
+  /** [[entailRows]] for QUAD frames (columns s/p/o/g): every entailed
+    * fact inherits the graph of the instance fact it derives from —
+    * per-graph reasoning, so a tenant graph's entailments stay in the
+    * tenant graph and a whole-graph takedown removes them with it.
+    * Stream-safe for the same reason entailRows is (stateless
+    * projections per row). */
+  def entailQuadRows(inst: DataFrame, ontology: TripleDb): DataFrame =
+    entailCore(inst.select("s", "p", "o", "g"), ontTriples(ontology),
+      extra = Seq("g"))
+
   /** Default ceiling for [[ontTriples]] — generous for any real
     * ontology (Wikidata's full property/class schema is ~100k triples)
     * while catching the fatal mix-up early. */
@@ -126,7 +136,8 @@ object Rdfs {
   }
 
   private def entailCore(inst: DataFrame,
-                         ont: Seq[(Term, Term, Term)]): DataFrame = {
+                         ont: Seq[(Term, Term, Term)],
+                         extra: Seq[String] = Nil): DataFrame = {
     val spark = inst.sparkSession
     val (pc, cc, dom, rng) = schemaTables(ont)
     def withSupers(cs: Set[Term]): Seq[Term] =
@@ -179,8 +190,9 @@ object Rdfs {
             c => trip(col("o"), typeL, c)),
           transform(coalesce(col("cc_sups"), emptyT),
             c => trip(col("s"), typeL, c))))
-        .as("t"))
-      .select(col("t.s").as("s"), col("t.p").as("p"), col("t.o").as("o"))
+        .as("t") +: extra.map(col): _*)
+      .select(col("t.s").as("s") +: col("t.p").as("p") +:
+        col("t.o").as("o") +: extra.map(col): _*)
   }
 
   /** Entailed closure of `db` under `ontology` (schema triples using
@@ -218,4 +230,24 @@ object Rdfs {
     */
   def materializeDelta(delta: TripleDb, ontology: TripleDb): TripleDb =
     materialize(delta, ontology)
+
+  /** [[materialize]] for a quad store: instance entailments stay in
+    * their containing graphs ([[entailQuadRows]]); the ontology and
+    * its rdfs5/11 closures land in the DEFAULT (nil) graph — the
+    * schema is dataset-level, not per-tenant. Same one-scan shape,
+    * set semantics per QUAD. */
+  def materializeQuads(db: QuadDb, ontology: TripleDb): QuadDb = {
+    val spark = db.df.sparkSession
+    val ont = ontTriples(ontology)
+    val all = entailCore(db.df.select("s", "p", "o", "g"), ont,
+      extra = Seq("g"))
+    val (pc, cc, _, _) = schemaTables(ont)
+    val schemaTriples = (ont ++
+      pc.toSeq.flatMap { case (a, bs) => bs.map(b => (a, SubPropertyOf, b)) } ++
+      cc.toSeq.flatMap { case (a, bs) => bs.map(b => (a, SubClassOf, b)) }).distinct
+    val schemaDf =
+      QuadDb.fromTripleDb(TripleDb.fromTerms(spark, schemaTriples)).df
+    QuadDb(all.unionByName(schemaDf).dropDuplicates("s", "p", "o", "g"),
+      distinct = true)
+  }
 }

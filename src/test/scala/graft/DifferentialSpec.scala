@@ -43,11 +43,7 @@ object MiniInterp {
     case other => throw new IllegalArgumentException(s"not a pattern: $other")
   }
 
-  /** Distinct transitive-closure pairs of the path's edge relation
-    * (graph position ignored — union-of-graphs, like the engine). */
-  private def closurePairs(db: Seq[(Term, Term, Term, Term)],
-                           preds: Seq[Term]): Set[(Term, Term)] = {
-    val e = db.collect { case (s, p, o, _) if preds.contains(p) => (s, o) }.toSet
+  private def closeSet(e: Set[(Term, Term)]): Set[(Term, Term)] = {
     var all = e
     var grew = true
     while (grew) {
@@ -58,6 +54,37 @@ object MiniInterp {
     all
   }
 
+  /** Distinct pair relation of a path element over the given quads
+    * (graph position ignored — union-of-graphs, like the engine's
+    * plain PathPattern). Direct recursive evaluation of the algebra —
+    * independently of the engine's pushInv/frontier machinery. */
+  private def pathPairs(db: Seq[(Term, Term, Term, Term)],
+                        pe: PathExpr): Set[(Term, Term)] = {
+    def edges(preds: Seq[Term]): Set[(Term, Term)] =
+      db.collect { case (s, p, o, _) if preds.contains(p) => (s, o) }.toSet
+    pe match {
+      case PathPred(p)     => edges(Seq(p))
+      case PathPlus(p)     => closeSet(edges(Seq(p)))
+      case PathAltPlus(ps) => closeSet(edges(ps))
+      case PathInv(x)      => pathPairs(db, x).map(_.swap)
+      case PathSeq(steps)  => steps.map(pathPairs(db, _)).reduce { (a, b) =>
+        for ((x, y) <- a; (y2, z) <- b if y == y2) yield (x, z)
+      }
+      case PathAlt(alts)   => alts.map(pathPairs(db, _)).reduce(_ ++ _)
+      case PathPlusOf(x)   => closeSet(pathPairs(db, x))
+    }
+  }
+
+  /** Graph-scoped path solutions: (src, dst, graph) where the WHOLE
+    * walk stays inside one graph — evaluated the naive way, one graph
+    * at a time, as the semantic reference for the engine's one-pass
+    * composite-key form. */
+  private def scopedPathTriples(db: Seq[(Term, Term, Term, Term)],
+                                pe: PathExpr): Set[(Term, Term, Term)] =
+    db.map(_._4).distinct.toSet.flatMap { (g: Term) =>
+      pathPairs(db.filter(_._4 == g), pe).map(pr => (pr._1, pr._2, g))
+    }
+
   def solve(db: Seq[(Term, Term, Term)], rows: Seq[PatternRow]): Rel =
     solveQuads(db.map(t => (t._1, t._2, t._3, Term.TNil)), rows)
 
@@ -66,6 +93,7 @@ object MiniInterp {
     val patterns: Seq[PatternRow] =
       rows.collect { case p: TriplePattern => p; case q: QuadPattern => q }
     val paths = rows.collect { case p: PathPattern => p }
+    val qpaths = rows.collect { case p: QuadPathPattern => p }
     val values = rows.collect { case v: Values => v }
     val optionals = rows.collect { case o: Optional => o }
     val requiredVarNames = Bgp.requiredVars(rows).map(_.name).toSet
@@ -77,12 +105,19 @@ object MiniInterp {
       val newRows = acc.rows.flatMap(b => db.flatMap(t => unifyPattern(t, pat, b)))
       acc = Rel(acc.cols ++ pat.vars.map(_.name), newRows)
     }
-    // property paths: natural join against the DISTINCT closure pairs
+    // property paths: natural join against the DISTINCT pair relation
     for (pp <- paths) {
-      val pairs = closurePairs(db, pp.path.preds)
+      val pairs = pathPairs(db, pp.path)
       val newRows = acc.rows.flatMap(b => pairs.toSeq.flatMap(pr =>
         unifyPairs(Seq(pp.s -> pr._1, pp.o -> pr._2), b)))
       acc = Rel(acc.cols ++ pp.vars.map(_.name), newRows)
+    }
+    // graph-scoped paths: join against the per-graph (src, dst, g) set
+    for (qp <- qpaths) {
+      val trips = scopedPathTriples(db, qp.path)
+      val newRows = acc.rows.flatMap(b => trips.toSeq.flatMap(tr =>
+        unifyPairs(Seq(qp.s -> tr._1, qp.o -> tr._2, qp.g -> tr._3), b)))
+      acc = Rel(acc.cols ++ qp.vars.map(_.name), newRows)
     }
     for (v <- values) {
       val name = v.v.name
@@ -92,7 +127,8 @@ object MiniInterp {
         else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
       acc = Rel(acc.cols + name, newRows)
     }
-    val noRequired = patterns.isEmpty && values.isEmpty && paths.isEmpty
+    val noRequired = patterns.isEmpty && values.isEmpty && paths.isEmpty &&
+      qpaths.isEmpty
     if (noRequired) acc = Rel(Set.empty, Seq(Map.empty))
 
     // optionals: left join per clause on keys = clauseCols ∩ required ∩ acc;
@@ -309,12 +345,26 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     s <- genTv; p <- Gen.oneOf(preds).map(T(_)); o <- genTv; g <- genGv
   } yield QuadPattern(s, p, o, g)
 
+  val genLeafExpr: Gen[PathExpr] = Gen.oneOf(
+    Gen.oneOf(preds).map(PathPred(_): PathExpr),
+    Gen.oneOf(preds).map(p => PathInv(PathPred(p)): PathExpr),
+    Gen.oneOf(preds).map(PathPlus(_): PathExpr),
+    Gen.const(PathAltPlus(preds): PathExpr))
+  val genPathExpr: Gen[PathExpr] = Gen.frequency(
+    3 -> genLeafExpr,
+    1 -> Gen.listOfN(2, genLeafExpr).map(PathSeq(_): PathExpr),
+    1 -> Gen.listOfN(2, genLeafExpr).map(PathAlt(_): PathExpr),
+    1 -> genLeafExpr.map(PathInv(_): PathExpr),
+    1 -> genLeafExpr.map(PathPlusOf(_): PathExpr))
   val genPath: Gen[PathPattern] = for {
     s <- genTv
     o <- genTv
-    path <- Gen.oneOf(PathPlus(preds.head), PathPlus(preds(1)),
-      PathAltPlus(preds))
+    path <- genPathExpr
   } yield PathPattern(s, path, o)
+  val genQuadPath: Gen[QuadPathPattern] = for {
+    s <- genTv; o <- genTv; g <- genGv
+    path <- genPathExpr
+  } yield QuadPathPattern(s, path, o, g)
 
   val genValues: Gen[Values] = for {
     v <- Gen.oneOf(varNames)
@@ -330,7 +380,7 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     nPat <- Gen.choose(0, 2)
     pats <- Gen.listOfN(nPat, Gen.oneOf(genTriplePat, genQuadPat))
     nPath <- Gen.choose(0, 1)
-    paths <- Gen.listOfN(nPath, genPath)
+    paths <- Gen.listOfN(nPath, Gen.oneOf(genPath, genQuadPath))
     nVal <- Gen.choose(0, 1)
     vals <- Gen.listOfN(nVal, genValues)
     nOpt <- Gen.choose(0, 1)

@@ -1449,6 +1449,47 @@ class OpsSpec extends GraftSpec {
     assert(table("sq8") > table("pq_fixed16"))
   }
 
+  test("rdfs over quads: entailments inherit the instance graph, the " +
+      "schema lands in the default graph; per-graph VoID partitions") {
+    import graft.core.Term._
+    import graft.core.{QuadDb, TripleDb}
+    import graft.ops.Rdfs
+    val gA = TUri("http://data/example/gA"); val gB = TUri("http://data/example/gB")
+    val inst = QuadDb.fromQuads(spark, Seq(
+      (TKeyword("alice"), TKeyword("manages"), TKeyword("bob"), gA),
+      (TKeyword("carol"), TKeyword("manages"), TKeyword("dan"), gB)))
+    val ont = TripleDb.fromTerms(spark, Seq(
+      (TKeyword("manages"), Rdfs.SubPropertyOf, TKeyword("supervises")),
+      (TKeyword("supervises"), Rdfs.Domain, TKeyword("person"))))
+    val ent = Rdfs.materializeQuads(inst, ont)
+    val got = ent.quads.toSet
+    def k(s: String) = TKeyword(s)
+    // rdfs7 emission stays in the fact's own graph, per graph
+    assert(got((k("alice"), k("supervises"), k("bob"), gA)))
+    assert(got((k("carol"), k("supervises"), k("dan"), gB)))
+    assert(!got((k("alice"), k("supervises"), k("bob"), gB)))
+    // rdfs2 type emission inherits the graph too
+    assert(got((k("alice"), Rdfs.TypeP, k("person"), gA)))
+    assert(got((k("carol"), Rdfs.TypeP, k("person"), gB)))
+    // schema facts live in the DEFAULT graph
+    assert(got((k("manages"), Rdfs.SubPropertyOf, k("supervises"),
+      QuadDb.DefaultGraph)))
+    assert(got((k("manages"), Rdfs.SubPropertyOf, k("knows"),
+      QuadDb.DefaultGraph)) == false) // no invented closure
+    // a whole-graph takedown view drops the graph's entailments with it
+    assert(ent.graph(gA).triples.toSet ==
+      Set((k("alice"), k("manages"), k("bob")),
+        (k("alice"), k("supervises"), k("bob")),
+        (k("alice"), Rdfs.TypeP, k("person"))))
+    // per-graph VoID: one row per (graph, predicate), honest counts
+    val vs = QuadDb.voidStats(inst)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(vs == Set(
+      ("u|http://data/example/gA", "k|manages", 1L, 1L, 1L),
+      ("u|http://data/example/gB", "k|manages", 1L, 1L, 1L)))
+  }
+
   test("rdfs: an instance store fed as the ontology fails fast at the " +
       "driver-size cap instead of collecting it") {
     import graft.core.Term._

@@ -264,6 +264,67 @@ class QuadPathSpec extends GraftSpec {
       Set(Seq(a), Seq(b)))
   }
 
+  test("graph-scoped paths: ground graph scopes every hop, var graph " +
+      "binds per containing graph, walks cannot cross graphs") {
+    // g1 holds the chain rick→martin→katie; g2 holds rick→julie and
+    // martin→julie. A scoped walk must NOT chain rick→martin (g1)
+    // with martin→julie (g2).
+    val qdb = QuadDb.fromQuads(spark, Seq(
+      (rick, knows, martin, g1),
+      (martin, knows, katie, g1),
+      (rick, knows, julie, g2),
+      (martin, knows, julie, g2)))
+    def q(rows: Seq[PatternRow], vars: V*): Set[Seq[Term]] =
+      qset(qdb, vars, rows)
+    // ground graph + ground source: transitive within g1 / g2 only
+    assert(q(Seq(QuadPathPattern(T(rick), PathPlus(knows), ?("o"), T(g1))),
+      ?("o")) == Set(Seq(martin), Seq(katie)))
+    assert(q(Seq(QuadPathPattern(T(rick), PathPlus(knows), ?("o"), T(g2))),
+      ?("o")) == Set(Seq(julie)))
+    // var graph: pairs bound per containing graph
+    assert(q(Seq(QuadPathPattern(T(rick), PathPlus(knows), ?("o"), ?("g"))),
+      ?("o"), ?("g")) ==
+      Set(Seq(martin, g1), Seq(katie, g1), Seq(julie, g2)))
+    // the union-graph plain PathPattern DOES cross graphs
+    assert(q(Seq(PathPattern(T(rick), PathPlus(knows), ?("o"))), ?("o")) ==
+      Set(Seq(martin), Seq(katie), Seq(julie)))
+    // a 2-hop sequence exists only inside g1
+    assert(q(Seq(QuadPathPattern(T(rick),
+      PathSeq(Seq(PathPred(knows), PathPred(knows))), ?("o"), ?("g"))),
+      ?("o"), ?("g")) == Set(Seq(katie, g1)))
+    // ground sink, var graph (walks the inverted path per graph)
+    assert(q(Seq(QuadPathPattern(?("s"), PathPlus(knows), T(julie), ?("g"))),
+      ?("s"), ?("g")) == Set(Seq(rick, g2), Seq(martin, g2)))
+    // shared graph var joins the path with a quad pattern
+    assert(q(Seq(
+      QuadPathPattern(T(rick), PathPlus(knows), ?("o"), ?("g")),
+      qpat(T(martin), T(knows), ?("o2"), ?("g"))),
+      ?("o"), ?("o2"), ?("g")) ==
+      Set(Seq(martin, katie, g1), Seq(katie, katie, g1),
+        Seq(julie, julie, g2)))
+    // fully-ground scoped gates
+    assert(q(Seq(qpat(T(rick), T(knows), ?("n"), T(g1)),
+      QuadPathPattern(T(rick), PathPlus(knows), T(katie), T(g1))), ?("n")) ==
+      Set(Seq(martin)))
+    assert(q(Seq(qpat(T(rick), T(knows), ?("n"), T(g1)),
+      QuadPathPattern(T(rick), PathPlus(knows), T(katie), T(g2))), ?("n")) ==
+      Set.empty[Seq[Term]])
+    // against a triple store: loud
+    intercept[InvalidBgp] { Projections.selectDf(friends,
+      Seq(QuadPathPattern(T(rick), PathPlus(knows), ?("o"), ?("g"))),
+      Seq(?("o"))) }
+    // dict-encoded quad store: same solutions over (long, long) keys
+    val dd = qdb.dictEncode()
+    try {
+      val got = Projections.selectDf(dd,
+        Seq(QuadPathPattern(T(rick), PathPlus(knows), ?("o"), ?("g"))),
+        Seq(?("o"), ?("g")))
+        .collect().toSeq.map(r => (Term.fromRow(r.getStruct(0)),
+          Term.fromRow(r.getStruct(1)))).toSet
+      assert(got == Set((martin, g1), (katie, g1), (julie, g2)))
+    } finally dd.unpersist()
+  }
+
   test("path algebra: sequence, inverse, general alternation, plus-of — " +
       "ground source, ground sink, whole-sequence inverse, dict store") {
     val mentors = k("mentors")
