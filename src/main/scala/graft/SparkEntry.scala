@@ -1457,6 +1457,16 @@ object SparkEntry {
     // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
     //      the graph position too — the q137 BGP over four 8-byte id
     //      columns, terms rehydrated at the edge ----
+    // ---- zero-length path form p* (SPARQL ZeroLengthPath): the
+    //      self-pair component ranges over EVERY store node (any term
+    //      in subject or object position — one distinct over two
+    //      columns), plus the transitive pairs ----
+    "q149_path_star" -> ((sp, dir) =>
+      sel(Tables.nationDb(sp, dir), Seq(
+          PathPattern(V("a"), PathStar(PathPred(TKeyword("n_regionkey"))),
+            V("b"))),
+        "a", "b")),
+
     // ---- entailment over NAMED GRAPHS: the ρdf rules run per-graph —
     //      every entailed fact inherits the graph of the instance fact
     //      it derives from (a tenant graph's entailments stay in the
@@ -2592,6 +2602,23 @@ object SparkEntry {
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
 
     // dict layout is invisible to the answer — q137's oracle verbatim
+    // p* = identity over every store node (nation URIs, name strings,
+    // region URIs) plus the single-hop nation→region edges (closure
+    // of a bipartite one-hop relation is itself)
+    "q149_path_star" ->
+      """WITH nodes AS (
+        |  SELECT DISTINCT 'u|nation/' || n_nationkey AS t FROM nation
+        |  UNION
+        |  SELECT DISTINCT 's|' || n_name FROM nation
+        |  UNION
+        |  SELECT DISTINCT 'u|region/' || n_regionkey FROM nation
+        |)
+        |SELECT t AS a, t AS b FROM nodes
+        |UNION ALL
+        |SELECT DISTINCT 'u|nation/' || n_nationkey AS a,
+        |  'u|region/' || n_regionkey AS b
+        |FROM nation""".stripMargin,
+
     // per-graph entailment: (c in_geo n) and (c type geo_thing) both
     // derive from (c c_nationkey n) in graph nation/<nk>, so the
     // same-graph join is exactly the customer table

@@ -117,6 +117,21 @@ final case class PathAlt(alts: Seq[PathExpr]) extends PathExpr {
 final case class PathPlusOf(inner: PathExpr) extends PathExpr {
   def preds: Seq[Term] = inner.preds
 }
+/** `(elt)*`: zero or more hops. The zero-length component follows
+  * SPARQL 1.1 §18.4 ZeroLengthPath: it relates every term OF THE
+  * STORE (any subject or object position, any predicate — not just
+  * the path's own edges) to itself; under a graph scope, every term
+  * of that graph. NOTE the scale cost is explicit: a var/var `p*`
+  * enumerates the store's node set (one distinct over two columns);
+  * ground endpoints only pay an existence probe. */
+final case class PathStar(inner: PathExpr) extends PathExpr {
+  def preds: Seq[Term] = inner.preds
+}
+/** `(elt)?`: zero or one hop — the zero-length component as in
+  * [[PathStar]], plus the single-hop pairs. */
+final case class PathOpt(inner: PathExpr) extends PathExpr {
+  def preds: Seq[Term] = inner.preds
+}
 
 /** `GRAPH g { s path o }` — a graph-scoped path: EVERY hop of the
   * path walks edges of one named graph (SPARQL 1.1 §13.3 semantics:

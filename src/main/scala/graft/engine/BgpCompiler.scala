@@ -174,13 +174,15 @@ object BgpCompiler {
           case pp: PathPattern =>
             val (s, o) = (groundTerm(pp.s), groundTerm(pp.o))
             pathRelFrom(in, pushInv(pp.path), srcDf(in, s),
-                pathEdges(in, _: Seq[Term]))
+                pathEdges(in, _: Seq[Term]), allNodes(in.full))
               .where(col("dst") === in.groundLit(o))
           case qp: QuadPathPattern =>
             // fully-ground scoped path: reachability inside ONE graph
             val (s, o) = (groundTerm(qp.s), groundTerm(qp.o))
+            val gt = groundTerm(qp.g)
             pathRelFrom(in, pushInv(qp.path), srcDf(in, s),
-                scopedEdges(in, groundTerm(qp.g))(_: Seq[Term]))
+                scopedEdges(in, gt)(_: Seq[Term]),
+                allNodes(in.full.where(col("g") === in.groundLit(gt))))
               .where(col("dst") === in.groundLit(o))
           case other => throw new InvalidBgp(s"unexpected path row: $other")
         }
@@ -359,6 +361,16 @@ object BgpCompiler {
   // [[pathRelFrom]] the frontier form restricted to given sources so
   // ground endpoints touch only the reachable set. ----
 
+  /** The store's node universe for SPARQL zero-length paths: every
+    * term in subject or object position (of the given scope's
+    * relation) — ONE distinct over two projected columns. */
+  private def allNodes(rel: DataFrame): DataFrame =
+    rel.select(col("s").as("node"))
+      .unionByName(rel.select(col("o").as("node"))).distinct()
+
+  private def identityPairs(nodes: DataFrame): DataFrame =
+    nodes.select(col("node").as("src"), col("node").as("dst"))
+
   private def flipRel(r: DataFrame): DataFrame =
     r.select(col("dst").as("src"), col("src").as("dst"))
 
@@ -376,6 +388,8 @@ object BgpCompiler {
     case PathSeq(s)     => PathSeq(s.map(pushInv))
     case PathAlt(a)     => PathAlt(a.map(pushInv))
     case PathPlusOf(x)  => PathPlusOf(pushInv(x))
+    case PathStar(x)    => PathStar(pushInv(x))
+    case PathOpt(x)     => PathOpt(pushInv(x))
     case leaf           => leaf
   }
 
@@ -388,6 +402,8 @@ object BgpCompiler {
     case PathSeq(s)             => PathSeq(s.reverse.map(invOf))
     case PathAlt(a)             => PathAlt(a.map(invOf))
     case PathPlusOf(x)          => PathPlusOf(invOf(x))
+    case PathStar(x)            => PathStar(invOf(x))
+    case PathOpt(x)             => PathOpt(invOf(x))
     case PathInv(x)             => pushInv(x)
   }
 
@@ -396,16 +412,22 @@ object BgpCompiler {
     * union-of-graphs scan, a ground-graph-scoped scan, or the
     * (graph, node) composite form for a variable graph scope. */
   private def pathRel(in: BgpInput, pe: PathExpr,
-                      ed: Seq[Term] => DataFrame): DataFrame = pe match {
+                      ed: Seq[Term] => DataFrame,
+                      nodes: => DataFrame): DataFrame = pe match {
     case PathPred(p)          => ed(Seq(p)).dropDuplicates("src", "dst")
     case PathInv(PathPred(p)) => flipRel(ed(Seq(p))).dropDuplicates("src", "dst")
     case PathPlus(p)          => Paths.closureEdges(ed(Seq(p)))
     case PathAltPlus(ps)      => Paths.closureEdges(ed(ps))
-    case PathSeq(steps)       => steps.map(pathRel(in, _, ed)).reduce(composeRel)
-    case PathAlt(alts)        => alts.map(pathRel(in, _, ed))
+    case PathSeq(steps)       => steps.map(pathRel(in, _, ed, nodes)).reduce(composeRel)
+    case PathAlt(alts)        => alts.map(pathRel(in, _, ed, nodes))
       .reduce(_.unionByName(_)).dropDuplicates("src", "dst")
-    case PathPlusOf(x)        => Paths.closureEdges(pathRel(in, x, ed))
-    case PathInv(x)           => flipRel(pathRel(in, x, ed)) // non-normalized input
+    case PathPlusOf(x)        => Paths.closureEdges(pathRel(in, x, ed, nodes))
+    case PathStar(x)          => identityPairs(nodes)
+      .unionByName(Paths.closureEdges(pathRel(in, x, ed, nodes)))
+      .dropDuplicates("src", "dst")
+    case PathOpt(x)           => identityPairs(nodes)
+      .unionByName(pathRel(in, x, ed, nodes)).dropDuplicates("src", "dst")
+    case PathInv(x)           => flipRel(pathRel(in, x, ed, nodes)) // non-normalized input
   }
 
   /** Frontier form: (src, dst) pairs of `pe` whose src ∈ `srcs` (a
@@ -413,7 +435,8 @@ object BgpCompiler {
     * step by step, so each step's scan is restricted to nodes actually
     * reached; transitive steps BFS via [[Paths.closureEdgesFrom]]. */
   private def pathRelFrom(in: BgpInput, pe: PathExpr, srcs: DataFrame,
-                          ed: Seq[Term] => DataFrame): DataFrame = pe match {
+                          ed: Seq[Term] => DataFrame,
+                          nodes: => DataFrame): DataFrame = pe match {
     case PathPred(p) =>
       ed(Seq(p)).join(srcs, Seq("src"))
         .dropDuplicates("src", "dst")
@@ -428,19 +451,34 @@ object BgpCompiler {
       Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
     case PathSeq(steps) =>
       steps.foldLeft(null: DataFrame) { (acc, step) =>
-        if (acc == null) pathRelFrom(in, step, srcs, ed)
+        if (acc == null) pathRelFrom(in, step, srcs, ed, nodes)
         else composeRel(acc,
-          pathRelFrom(in, step, acc.select(col("dst").as("src")).distinct(), ed))
+          pathRelFrom(in, step, acc.select(col("dst").as("src")).distinct(),
+            ed, nodes))
       }
     case PathAlt(alts) =>
-      alts.map(pathRelFrom(in, _, srcs, ed))
+      alts.map(pathRelFrom(in, _, srcs, ed, nodes))
         .reduce(_.unionByName(_)).dropDuplicates("src", "dst")
     case PathPlusOf(x) =>
-      val e = pathRel(in, x, ed)
+      val e = pathRel(in, x, ed, nodes)
       Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
+    case PathStar(x) =>
+      // zero-length: each source that IS a store node pairs with
+      // itself (existence probe, not a node-set enumeration)
+      selfPairs(srcs, nodes)
+        .unionByName(pathRelFrom(in, PathPlusOf(x), srcs, ed, nodes))
+        .dropDuplicates("src", "dst")
+    case PathOpt(x) =>
+      selfPairs(srcs, nodes)
+        .unionByName(pathRelFrom(in, x, srcs, ed, nodes))
+        .dropDuplicates("src", "dst")
     case PathInv(x) => // non-normalized input: invert and retry
-      pathRelFrom(in, invOf(pushInv(x)), srcs, ed)
+      pathRelFrom(in, invOf(pushInv(x)), srcs, ed, nodes)
   }
+
+  private def selfPairs(srcs: DataFrame, nodes: DataFrame): DataFrame =
+    srcs.join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+      .select(col("src"), col("src").as("dst"))
 
   /** A single ground source/sink as a 1-row frame, hinted broadcast so
     * the frontier restriction never shuffles the edge scan.
@@ -461,17 +499,20 @@ object BgpCompiler {
   private def pathFrame(in: BgpInput, pp: PathPattern): DataFrame = {
     val path = pushInv(pp.path)
     val ed = pathEdges(in, _: Seq[Term])
+    def nodes = allNodes(in.full)
     (pp.s, pp.o) match {
       case (T(t), v: V) =>
-        pathRelFrom(in, path, srcDf(in, t), ed).select(col("dst").as(v.name))
+        pathRelFrom(in, path, srcDf(in, t), ed, nodes)
+          .select(col("dst").as(v.name))
       case (v: V, T(t)) =>
         // sink-ground: walk the INVERSE path out of the sink
-        pathRelFrom(in, invOf(path), srcDf(in, t), ed).select(col("dst").as(v.name))
+        pathRelFrom(in, invOf(path), srcDf(in, t), ed, nodes)
+          .select(col("dst").as(v.name))
       case (v1: V, v2: V) if v1 == v2 =>
-        pathRel(in, path, ed).where(col("src") === col("dst"))
+        pathRel(in, path, ed, nodes).where(col("src") === col("dst"))
           .select(col("src").as(v1.name))
       case (v1: V, v2: V) =>
-        pathRel(in, path, ed)
+        pathRel(in, path, ed, nodes)
           .select(col("src").as(v1.name), col("dst").as(v2.name))
       case _ => throw new InvalidBgp(s"ground path belongs in gates: $pp")
     }
@@ -487,36 +528,43 @@ object BgpCompiler {
     qp.g match {
       case T(gt) =>
         val ed = scopedEdges(in, gt)(_: Seq[Term])
+        def nodes = allNodes(in.full.where(col("g") === in.groundLit(gt)))
         (qp.s, qp.o) match {
           case (T(t), v: V) =>
-            pathRelFrom(in, path, srcDf(in, t), ed).select(col("dst").as(v.name))
+            pathRelFrom(in, path, srcDf(in, t), ed, nodes)
+              .select(col("dst").as(v.name))
           case (v: V, T(t)) =>
-            pathRelFrom(in, invOf(path), srcDf(in, t), ed)
+            pathRelFrom(in, invOf(path), srcDf(in, t), ed, nodes)
               .select(col("dst").as(v.name))
           case (v1: V, v2: V) if v1 == v2 =>
-            pathRel(in, path, ed).where(col("src") === col("dst"))
+            pathRel(in, path, ed, nodes).where(col("src") === col("dst"))
               .select(col("src").as(v1.name))
           case (v1: V, v2: V) =>
-            pathRel(in, path, ed)
+            pathRel(in, path, ed, nodes)
               .select(col("src").as(v1.name), col("dst").as(v2.name))
           case _ =>
             throw new InvalidBgp(s"ground quad path belongs in gates: $qp")
         }
       case gv: V =>
         val ed = compositeEdges(in, _: Seq[Term])
+        def nodes = in.full
+          .select(struct(col("g").as("gg"), col("s").as("n")).as("node"))
+          .unionByName(in.full
+            .select(struct(col("g").as("gg"), col("o").as("n")).as("node")))
+          .distinct()
         // ground endpoint → frontier over the (graph, t) composite
-        // nodes present in the path's leaf slices (a node absent from
-        // a graph cannot start a walk there)
-        def compNodes(t: Term): DataFrame = {
-          val e = ed(qp.path.preds)
-          e.select(col("src")).unionByName(e.select(col("dst").as("src")))
-            .where(col("src.n") === in.groundLit(t)).distinct()
-        }
+        // nodes of the FULL store (not just the path's edge slices:
+        // zero-length forms self-pair in any graph where t appears
+        // under ANY predicate; for other forms the extra graphs have
+        // no edges and yield nothing)
+        def compNodes(t: Term): DataFrame =
+          nodes.where(col("node.n") === in.groundLit(t))
+            .select(col("node").as("src")).distinct()
         val pairs: DataFrame = (qp.s, qp.o) match {
-          case (T(t), _) => pathRelFrom(in, path, compNodes(t), ed)
+          case (T(t), _) => pathRelFrom(in, path, compNodes(t), ed, nodes)
           case (_, T(t)) =>
-            flipRel(pathRelFrom(in, invOf(path), compNodes(t), ed))
-          case _ => pathRel(in, path, ed)
+            flipRel(pathRelFrom(in, invOf(path), compNodes(t), ed, nodes))
+          case _ => pathRel(in, path, ed, nodes)
         }
         var f = pairs
         qp.s match {

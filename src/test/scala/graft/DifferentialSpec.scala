@@ -62,6 +62,8 @@ object MiniInterp {
                         pe: PathExpr): Set[(Term, Term)] = {
     def edges(preds: Seq[Term]): Set[(Term, Term)] =
       db.collect { case (s, p, o, _) if preds.contains(p) => (s, o) }.toSet
+    def nodeSelf: Set[(Term, Term)] =
+      db.flatMap(q => Seq(q._1, q._3)).toSet.map((n: Term) => (n, n))
     pe match {
       case PathPred(p)     => edges(Seq(p))
       case PathPlus(p)     => closeSet(edges(Seq(p)))
@@ -72,6 +74,8 @@ object MiniInterp {
       }
       case PathAlt(alts)   => alts.map(pathPairs(db, _)).reduce(_ ++ _)
       case PathPlusOf(x)   => closeSet(pathPairs(db, x))
+      case PathStar(x)     => nodeSelf ++ closeSet(pathPairs(db, x))
+      case PathOpt(x)      => nodeSelf ++ pathPairs(db, x)
     }
   }
 
@@ -355,7 +359,9 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     1 -> Gen.listOfN(2, genLeafExpr).map(PathSeq(_): PathExpr),
     1 -> Gen.listOfN(2, genLeafExpr).map(PathAlt(_): PathExpr),
     1 -> genLeafExpr.map(PathInv(_): PathExpr),
-    1 -> genLeafExpr.map(PathPlusOf(_): PathExpr))
+    1 -> genLeafExpr.map(PathPlusOf(_): PathExpr),
+    1 -> genLeafExpr.map(PathStar(_): PathExpr),
+    1 -> genLeafExpr.map(PathOpt(_): PathExpr))
   val genPath: Gen[PathPattern] = for {
     s <- genTv
     o <- genTv

@@ -114,6 +114,37 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("partial_count"), s"combine must be map-side:\n$p")
   }
 
+  test("ground-graph scoped path hop: graph filter is scan-side, the " +
+      "only join is the broadcast 1-row source frame") {
+    val qdb = Tables.customerQuads(spark, dir)
+    val p = plan(Projections.selectDf(qdb, Seq(
+      QuadPathPattern(T(graft.core.Term.TUri("customer/1")),
+        PathSeq(Seq(PathPred(k("c_nationkey")))),
+        V("n"), T(graft.core.Term.TUri("nation/1")))),
+      Seq(V("n"))))
+    // Catalyst constant-folds the 1-row source frame into scan-side
+    // filters (both ground endpoints land in the FileScan's
+    // DataFilters), leaving at most a 1-row broadcast gate — assert
+    // nothing shuffles and the filters reached the scan
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"scoped hop must not shuffle-join:\n$p")
+    assert(p.contains("= [2,nation/1,null,null,null]") &&
+      p.contains("= [2,customer/1,null,null,null]"),
+      s"graph scope + ground source must land as scan-side filters:\n$p")
+    assert(!p.contains("Generate"), s"slice scan, not the unpivot:\n$p")
+  }
+
+  test("variable-graph scoped path hop: composite (graph, node) keys, " +
+      "no join at all for a single hop") {
+    val qdb = Tables.customerQuads(spark, dir)
+    val p = plan(Projections.selectDf(qdb, Seq(
+      QuadPathPattern(V("c"), PathSeq(Seq(PathPred(k("c_nationkey")))),
+        V("n"), V("g"))),
+      Seq(V("c"), V("n"), V("g"))))
+    assert(!p.contains("Join"),
+      s"single scoped hop is a scan + dedup, never a join:\n$p")
+  }
+
   test("BPE encodeTokens: pure scan projection — no shuffle, no join") {
     val docs = Tables.t(spark, dir, "documents")
     val m = Seq(graft.ops.Bpe.Merge(0, "e", "s"),

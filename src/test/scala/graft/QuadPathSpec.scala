@@ -379,6 +379,54 @@ class QuadPathSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("zero-length forms p* / p?: self-pairs cover every STORE node " +
+      "(SPARQL ZeroLengthPath), ground endpoints pay existence probes, " +
+      "graph scope bounds the node universe per graph") {
+    val a = u("a"); val b = u("b"); val c = u("c")
+    val g = db((a, knows, b), (b, knows, c), (a, label, s("A")))
+    // ground source star: a itself plus everything reachable
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(a), PathStar(PathPred(knows)), ?("o")))) ==
+      Set(Seq(a), Seq(b), Seq(c)))
+    // a term NOT in the store has no zero-length pair
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(u("ghost")), PathStar(PathPred(knows)), ?("o")))) ==
+      Set.empty[Seq[Term]])
+    // a literal node self-pairs (it appears in object position)
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(s("A")), PathStar(PathPred(knows)), ?("o")))) ==
+      Set(Seq(s("A"))))
+    // opt: zero or ONE hop
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(a), PathOpt(PathPred(knows)), ?("o")))) ==
+      Set(Seq(a), Seq(b)))
+    // var/var opt = identity over ALL 4 store nodes + the edges
+    assert(resultSet(g, Seq(?("x"), ?("y")),
+      Seq(PathPattern(?("x"), PathOpt(PathPred(knows)), ?("y")))) ==
+      Set(Seq(a, a), Seq(b, b), Seq(c, c), Seq(s("A"), s("A")),
+        Seq(a, b), Seq(b, c)))
+    // star inside a sequence: knows*/label finds labels at ANY depth
+    assert(resultSet(g, Seq(?("l")),
+      Seq(PathPattern(T(a), PathSeq(Seq(PathStar(PathPred(knows)),
+        PathPred(label))), ?("l")))) == Set(Seq(s("A"))))
+    // ground sink star through the inverse walk
+    assert(resultSet(g, Seq(?("x")),
+      Seq(PathPattern(?("x"), PathStar(PathPred(knows)), T(c)))) ==
+      Set(Seq(a), Seq(b), Seq(c)))
+    // graph scope bounds the zero-length node universe PER GRAPH:
+    // rick self-pairs in both graphs, but reaches julie only in g2
+    val qdb = QuadDb.fromQuads(spark, Seq(
+      (rick, knows, martin, g1),
+      (rick, knows, julie, g2)))
+    assert(qset(qdb, Seq(?("o"), ?("g")), Seq(QuadPathPattern(T(rick),
+      PathStar(PathPred(knows)), ?("o"), ?("g")))) ==
+      Set(Seq(rick, g1), Seq(martin, g1), Seq(rick, g2), Seq(julie, g2)))
+    // ground-graph scope: only that graph's nodes and edges
+    assert(qset(qdb, Seq(?("o")), Seq(QuadPathPattern(T(rick),
+      PathStar(PathPred(knows)), ?("o"), T(g1)))) ==
+      Set(Seq(rick), Seq(martin)))
+  }
+
   test("path+ composes with patterns, optional, values; alternation " +
       "walks any predicate; dict store runs the same fold") {
     val mentors = k("mentors")
