@@ -1457,6 +1457,19 @@ object SparkEntry {
     // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
     //      the graph position too — the q137 BGP over four 8-byte id
     //      columns, terms rehydrated at the edge ----
+    // ---- negation IN the query DSL (SPARQL FILTER NOT EXISTS):
+    //      customers with no URGENT order — a two-pattern inner group
+    //      correlated on the shared var, compiled to ONE left_anti ----
+    "q150_not_exists" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        NotExists(Seq(
+          pat(V("o"), kw("o_custkey"), V("c")),
+          pat(V("o"), kw("o_orderpriority"), T(TString("1-URGENT")))))),
+        "c", "name")
+    }),
+
     // ---- zero-length path form p* (SPARQL ZeroLengthPath): the
     //      self-pair component ranges over EVERY store node (any term
     //      in subject or object position — one distinct over two
@@ -2602,6 +2615,14 @@ object SparkEntry {
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
 
     // dict layout is invisible to the answer — q137's oracle verbatim
+    // customers with no URGENT order — NOT EXISTS ≡ SQL anti-join
+    "q150_not_exists" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')""".stripMargin,
+
     // p* = identity over every store node (nation URIs, name strings,
     // region URIs) plus the single-hop nation→region edges (closure
     // of a bipartite one-hop relation is itself)

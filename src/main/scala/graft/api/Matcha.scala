@@ -55,6 +55,12 @@ object Matcha {
                db: graft.core.QuadDb): DataFrame =
     Projections.selectDf(db, bgps, vars)
 
+  /** Distributed select over the dict-encoded QUAD store — the
+    * long-keyed fold with the graph id as a fourth key. */
+  def selectDf(vars: Seq[V], bgps: Seq[PatternRow],
+               db: graft.core.DictQuadDb): DataFrame =
+    Projections.selectDf(db, bgps, vars)
+
   // ---- ask ----
   def ask(bgps: Seq[PatternRow], db: TripleDb): Boolean = Projections.ask(db, bgps)
   def ask(bgps: Seq[PatternRow]): TripleDb => Boolean = ask(bgps, _)

@@ -164,6 +164,30 @@ final case class Optional(rows: Seq[PatternRow]) extends PatternRow {
   def vars: Seq[V] = rows.flatMap(_.vars).distinct
 }
 
+/** `FILTER NOT EXISTS { ... }` (SPARQL 1.1 §8.1) — drop every
+  * REQUIRED solution for which the inner group matches (correlation =
+  * the variables shared with the required solution set; with no
+  * shared variables the group acts as an inverted existence gate:
+  * any inner match empties the result). Negation is an extension
+  * beyond the reference, which has no negation form. Inner-group
+  * variables do NOT project into the solution. */
+final case class NotExists(rows: Seq[PatternRow]) extends PatternRow {
+  require(rows.nonEmpty, "NOT EXISTS needs at least one inner row")
+  /** Binds nothing: inner vars are scoped to the group. */
+  def vars: Seq[V] = Nil
+  def innerVars: Seq[V] = rows.flatMap(_.vars).distinct
+}
+
+/** `MINUS { ... }` (SPARQL 1.1 §8.2) — remove required solutions that
+  * are join-compatible with some inner solution on their SHARED
+  * variables; with no shared variables nothing is removed (the SPARQL
+  * dom-disjoint rule — the documented divergence from NOT EXISTS). */
+final case class Minus(rows: Seq[PatternRow]) extends PatternRow {
+  require(rows.nonEmpty, "MINUS needs at least one inner row")
+  def vars: Seq[V] = Nil
+  def innerVars: Seq[V] = rows.flatMap(_.vars).distinct
+}
+
 /** ≙ the reference's `::invalid-bgp` (alpha.clj:205-213). */
 final class InvalidBgp(msg: String) extends IllegalArgumentException(msg)
 /** ≙ the reference's `::invalid-values` (alpha.clj:220-228). */

@@ -100,6 +100,8 @@ object BgpCompiler {
       rows.collect { case p: PathPattern => p; case q: QuadPathPattern => q }
     val values = rows.collect { case v: Values => v }
     val optionals = rows.collect { case o: Optional => o }
+    val negations: Seq[PatternRow] =
+      rows.collect { case n: NotExists => n; case m: Minus => m }
 
     if (rows.exists(r => r.isInstanceOf[QuadPattern] ||
           r.isInstanceOf[QuadPathPattern]) &&
@@ -215,6 +217,34 @@ object BgpCompiler {
     }
 
     acc = acc.map(_.drop(gates.indices.map(i => s"__exists_$i"): _*))
+
+    // ---- negation (extension; the reference has no negation form):
+    // the inner group compiles like any BGP against the same store,
+    // then removes required solutions via left_anti. NOT EXISTS with
+    // no shared vars is an inverted existence gate (any inner match
+    // empties the result — a broadcast 1-row anti probe); MINUS with
+    // no shared vars removes nothing (SPARQL dom-disjoint rule). ----
+    if (negations.nonEmpty && acc.isEmpty)
+      throw new InvalidBgp(
+        "negation (NOT EXISTS / MINUS) needs a required group to filter")
+    for (neg <- negations) {
+      val innerRows = neg match {
+        case n: NotExists => n.rows
+        case m: Minus     => m.rows
+        case other => throw new InvalidBgp(s"unexpected negation: $other")
+      }
+      val inner = compile(in, innerRows)
+      acc = acc.map { a =>
+        val shared = inner.columns.toSeq.filter(a.columns.contains)
+        if (shared.nonEmpty)
+          a.join(inner.select(shared.map(col): _*), shared, "left_anti")
+        else neg match {
+          case _: NotExists =>
+            a.join(broadcast(inner.limit(1)), functions.lit(true), "left_anti")
+          case _ => a // MINUS, no shared domain
+        }
+      }
+    }
 
     // ---- optionals: one left join per clause ----
     val noRequired = acc.isEmpty

@@ -103,6 +103,63 @@ object Stress {
       println(s"[stress]   -> $n reachable pairs")
     }
 
+    // 2c. graph-scoped paths at 10×: the customer→nation→region chain
+    // as per-REGION named graphs (each replica's facts in its own
+    // region graphs — nReps × 5 graphs), walked three ways: variable
+    // graph scope (the composite-key one-pass form), the equivalent
+    // union-graph walk (no scope — measures the composite-key
+    // overhead), and a single ground graph (pushed filter). The scoped
+    // walk must scale with |edges|, never with |graphs| (no per-graph
+    // jobs).
+    {
+      import graft.core.Term
+      val cust10 = repKeys(spark.read.parquet(s"$sfDir/customer.parquet"),
+        Map("c_custkey" -> 1000000L, "c_nationkey" -> 1000L))
+      val nat10 = repKeys(spark.read.parquet(s"$sfDir/nation.parquet"),
+        Map("n_nationkey" -> 1000L, "n_regionkey" -> 1000L))
+      def regU(c: org.apache.spark.sql.Column) =
+        Term.uriCol(concat(functions.lit("region/"), c.cast("string")))
+      val cj = cust10.join(nat10, cust10("c_nationkey") === nat10("n_nationkey"))
+      val custQ = cj.select(
+        Term.uriCol(concat(functions.lit("customer/"),
+          col("c_custkey").cast("string"))).as("s"),
+        Term.lit(Term.TKeyword("c_nationkey")).as("p"),
+        Term.uriCol(concat(functions.lit("nation/"),
+          col("c_nationkey").cast("string"))).as("o"),
+        regU(col("n_regionkey")).as("g"))
+      val natQ = nat10.select(
+        Term.uriCol(concat(functions.lit("nation/"),
+          col("n_nationkey").cast("string"))).as("s"),
+        Term.lit(Term.TKeyword("n_regionkey")).as("p"),
+        regU(col("n_regionkey")).as("o"),
+        regU(col("n_regionkey")).as("g"))
+      val qdb = graft.core.QuadDb(custQ.unionByName(natQ)).index()
+      println(s"[stress] ${nReps}x quad store: ${qdb.df.count()} quads, " +
+        s"${nReps * 5} graphs")
+      val seq2 = PathSeq(Seq(PathPred(TKeyword("c_nationkey")),
+        PathPred(TKeyword("n_regionkey"))))
+      time(s"graph-scoped 2-hop path, VAR graph, ${nReps * 5} graphs") {
+        val n = Projections.selectDf(qdb, Seq(
+          QuadPathPattern(V("c"), seq2, V("r"), V("g"))),
+          Seq(V("c"), V("r"), V("g"))).count()
+        println(s"[stress]   -> $n scoped pairs")
+      }
+      time("union-graph 2-hop path (no scope, same edges)") {
+        val n = Projections.selectDf(qdb, Seq(
+          PathPattern(V("c"), seq2, V("r"))),
+          Seq(V("c"), V("r"))).count()
+        println(s"[stress]   -> $n pairs")
+      }
+      time("ground-graph scoped transitive walk (one graph)") {
+        val n = Projections.selectDf(qdb, Seq(
+          QuadPathPattern(V("c"), PathAltPlus(Seq(TKeyword("c_nationkey"),
+            TKeyword("n_regionkey"))), V("x"), T(Term.TUri("region/1")))),
+          Seq(V("c"), V("x"))).count()
+        println(s"[stress]   -> $n pairs")
+      }
+      qdb.unpersist()
+    }
+
     // 2c. ANN + embedding near-dup at 10× vectors: replicas are exact
     // duplicates, so LSH buckets get 10× dense — candidate generation
     // grows quadratically per bucket, which is precisely the behavior

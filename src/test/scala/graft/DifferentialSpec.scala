@@ -100,6 +100,8 @@ object MiniInterp {
     val qpaths = rows.collect { case p: QuadPathPattern => p }
     val values = rows.collect { case v: Values => v }
     val optionals = rows.collect { case o: Optional => o }
+    val negations: Seq[PatternRow] =
+      rows.collect { case n: NotExists => n; case m: Minus => m }
     val requiredVarNames = Bgp.requiredVars(rows).map(_.name).toSet
 
     // required conjunction: fold of natural joins (order-independent on
@@ -131,6 +133,28 @@ object MiniInterp {
         else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
       acc = Rel(acc.cols + name, newRows)
     }
+    // negation (engine: left_anti on shared columns — null keys never
+    // match, so a null-valued shared var keeps the solution)
+    for (neg <- negations) {
+      val (innerRows, isMinus) = neg match {
+        case n: NotExists => (n.rows, false)
+        case m: Minus     => (m.rows, true)
+        case other => throw new IllegalArgumentException(s"not negation: $other")
+      }
+      val inner = solveQuads(db, innerRows)
+      val shared = acc.cols intersect inner.cols
+      def compatible(b: Row): Boolean = inner.rows.exists(ir =>
+        shared.forall(c => b.getOrElse(c, null) != null &&
+          ir.getOrElse(c, null) != null &&
+          b(c) == ir(c)))
+      acc =
+        if (shared.isEmpty) {
+          if (isMinus) acc // SPARQL dom-disjoint: nothing removed
+          else if (inner.rows.nonEmpty) Rel(acc.cols, Seq.empty)
+          else acc
+        } else Rel(acc.cols, acc.rows.filterNot(compatible))
+    }
+
     val noRequired = patterns.isEmpty && values.isEmpty && paths.isEmpty &&
       qpaths.isEmpty
     if (noRequired) acc = Rel(Set.empty, Seq(Map.empty))
@@ -220,6 +244,12 @@ object DifferentialProps extends Properties("differential") {
   // marker-gate paths; nVal up to 2 covers two Values clauses on the
   // SAME var (second must filter, not re-generate — membero
   // conjunction intersects)
+  val genNegation: Gen[PatternRow] = for {
+    n <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(n, genPattern)
+    isMinus <- Gen.oneOf(true, false)
+  } yield if (isMinus) Minus(pats) else NotExists(pats)
+
   val genQuery: Gen[Seq[PatternRow]] = (for {
     nPat <- Gen.choose(0, 3)
     pats <- Gen.listOfN(nPat, genPattern)
@@ -227,7 +257,11 @@ object DifferentialProps extends Properties("differential") {
     vals <- Gen.listOfN(nVal, genValues)
     nOpt <- Gen.choose(0, 2)
     opts <- Gen.listOfN(nOpt, genOptional)
-  } yield pats ++ vals ++ opts).suchThat(_.nonEmpty)
+    // negation only when a required group exists (engine refuses
+    // negation-only queries loudly)
+    nNeg <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
+    negs <- Gen.listOfN(nNeg, genNegation)
+  } yield pats ++ vals ++ opts ++ negs).suchThat(_.nonEmpty)
 
   private[graft] def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {
     val cols = rel.cols.toSeq.sorted

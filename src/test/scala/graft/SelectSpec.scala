@@ -107,6 +107,53 @@ class SelectSpec extends GraftSpec {
     assert(Matcha.ask(Seq(pat(T(rick), T(knows), T(martin))), friends))
   }
 
+  test("negation: NOT EXISTS filters by correlation, MINUS removes " +
+      "join-compatible solutions, no-shared-var divergence (SPARQL §8)") {
+    // labeled people who know NOBODY: martin and julie
+    assert(resultSet(friends, Seq(?("p")), Seq(
+      pat(?("p"), T(label), ?("n")),
+      NotExists(Seq(pat(?("p"), T(knows), ?("x")))))) ==
+      Set(Seq(martin), Seq(julie)))
+    // MINUS with shared var: identical removal here
+    assert(resultSet(friends, Seq(?("p")), Seq(
+      pat(?("p"), T(label), ?("n")),
+      Minus(Seq(pat(?("p"), T(knows), ?("x")))))) ==
+      Set(Seq(martin), Seq(julie)))
+    // the §8.3 divergence: NO shared variables — NOT EXISTS empties
+    // (the inner group matches SOMETHING), MINUS removes nothing
+    assert(resultSet(friends, Seq(?("p")), Seq(
+      pat(?("p"), T(label), ?("n")),
+      NotExists(Seq(pat(?("z"), T(knows), ?("w")))))) ==
+      Set.empty[Seq[graft.core.Term]])
+    assert(resultSet(friends, Seq(?("p")), Seq(
+      pat(?("p"), T(label), ?("n")),
+      Minus(Seq(pat(?("z"), T(knows), ?("w")))))).size == 4)
+    // inner group that matches nothing: both keep everything
+    assert(resultSet(friends, Seq(?("p")), Seq(
+      pat(?("p"), T(label), ?("n")),
+      NotExists(Seq(pat(?("p"), T(k("hates")), ?("x")))))).size == 4)
+    // negation composes with paths: reachable-from-rick people who
+    // know nobody = martin and julie (katie knows julie)
+    assert(resultSet(friends, Seq(?("p")), Seq(
+      PathPattern(T(rick), PathPlus(knows), ?("p")),
+      NotExists(Seq(pat(?("p"), T(knows), ?("x")))))) ==
+      Set(Seq(martin), Seq(julie)))
+    // negation-only queries refuse loudly
+    intercept[InvalidBgp] {
+      Projections.selectDf(friends,
+        Seq(NotExists(Seq(pat(?("a"), T(knows), ?("b"))))), Nil)
+    }
+    // dict store runs the same anti-join fold
+    val dd = friends.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(
+        pat(?("p"), T(label), ?("n")),
+        NotExists(Seq(pat(?("p"), T(knows), ?("x"))))), Seq(?("p")))
+        .collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+      assert(got == Set(martin, julie))
+    } finally dd.unpersist()
+  }
+
   test("100k-triple scale smoke: 2-pattern select (T:253-264)") {
     val big = (0 until 100000).map(i => (u((i - 1).toString), knows, u(i.toString)))
     val d = TripleDb.fromTerms(spark, friends_++(big)).index()
