@@ -1457,6 +1457,18 @@ object SparkEntry {
     // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
     //      the graph position too — the q137 BGP over four 8-byte id
     //      columns, terms rehydrated at the edge ----
+    // ---- value FILTER in the query DSL (SPARQL §17 comparison):
+    //      account balance > 5000 as a codegen'd scan-side predicate
+    //      over the term struct (numeric family; strings would drop) ----
+    "q151_filter_cmp" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_acctbal"), V("b")),
+        FilterCmp(V("b"), Gt, TDouble(5000.0)),
+        pat(V("c"), kw("c_name"), V("name"))),
+        "c", "name", "b")
+    }),
+
     // ---- negation IN the query DSL (SPARQL FILTER NOT EXISTS):
     //      customers with no URGENT order — a two-pattern inner group
     //      correlated on the shared var, compiled to ONE left_anti ----
@@ -2615,6 +2627,12 @@ object SparkEntry {
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
 
     // dict layout is invisible to the answer — q137's oracle verbatim
+    // numeric FILTER ≡ SQL WHERE on the raw column
+    "q151_filter_cmp" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  'd|' || printf('%.2f', c_acctbal) AS b
+        |FROM customer WHERE c_acctbal > 5000.0""".stripMargin,
+
     // customers with no URGENT order — NOT EXISTS ≡ SQL anti-join
     "q150_not_exists" ->
       """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name

@@ -188,6 +188,29 @@ final case class Minus(rows: Seq[PatternRow]) extends PatternRow {
   def innerVars: Seq[V] = rows.flatMap(_.vars).distinct
 }
 
+/** Comparison operator for [[FilterCmp]]. */
+sealed trait CmpOp extends Product with Serializable
+case object Lt extends CmpOp
+case object Le extends CmpOp
+case object Gt extends CmpOp
+case object Ge extends CmpOp
+case object Neq extends CmpOp
+
+/** `FILTER (?v < const)` — a value comparison on a bound variable
+  * (SPARQL 1.1 §17 operator mapping, restricted to the comparable
+  * families: numerics compare numerically with long↔double promotion
+  * — long vs long stays EXACT on the 64-bit lexical value — strings
+  * by binary codepoint order, dates by canonical ISO order; a row
+  * whose term is outside the constant's family is removed, mirroring
+  * SPARQL's type-error-removes-row rule, and `Neq` follows the same
+  * comparable-family restriction — the supported subset, documented).
+  * Applies to the REQUIRED solution set (same scoping as negation);
+  * a filter on a variable no required row binds empties the result
+  * (SPARQL unbound-is-error). Binds nothing. */
+final case class FilterCmp(v: V, op: CmpOp, t: Term) extends PatternRow {
+  def vars: Seq[V] = Nil
+}
+
 /** ≙ the reference's `::invalid-bgp` (alpha.clj:205-213). */
 final class InvalidBgp(msg: String) extends IllegalArgumentException(msg)
 /** ≙ the reference's `::invalid-values` (alpha.clj:220-228). */

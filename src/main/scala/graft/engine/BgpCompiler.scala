@@ -52,14 +52,15 @@ object BgpCompiler {
       predIndex: Map[String, DataFrame],
       stats: Map[String, Long],
       groundLit: Term => Column,
-      mkCollDf: (SparkSession, Values) => DataFrame)
+      mkCollDf: (SparkSession, Values) => DataFrame,
+      dict: Option[DataFrame] = None)
 
   private def structInput(db: TripleDb): BgpInput =
     BgpInput(db.df, db.predIndex, db.stats, Term.lit, structCollDf)
 
   private def dictInput(db: DictDb): BgpInput =
     BgpInput(db.triples, db.predIndex, db.stats,
-      t => functions.lit(DictDb.termId(t)), dictCollDf)
+      t => functions.lit(DictDb.termId(t)), dictCollDf, Some(db.dict))
 
   private def quadInput(db: QuadDb): BgpInput =
     BgpInput(db.df, db.predIndex, db.stats, Term.lit, structCollDf)
@@ -81,7 +82,7 @@ object BgpCompiler {
     * columns; decode at the edge via [[DictQuadDb.decode]]. */
   def compileDictQuads(db: DictQuadDb, rows: Seq[PatternRow]): DataFrame =
     compile(BgpInput(db.quads, db.predIndex, db.stats,
-      t => functions.lit(DictDb.termId(t)), dictCollDf), rows)
+      t => functions.lit(DictDb.termId(t)), dictCollDf, Some(db.dict)), rows)
 
   /** Dict path: result columns are LONG ids — decode at the edge via
     * [[DictDb.decode]]. Same solution multiset as the struct path
@@ -102,6 +103,7 @@ object BgpCompiler {
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
+    val filters = rows.collect { case f: FilterCmp => f }
 
     if (rows.exists(r => r.isInstanceOf[QuadPattern] ||
           r.isInstanceOf[QuadPathPattern]) &&
@@ -224,6 +226,29 @@ object BgpCompiler {
     // no shared vars is an inverted existence gate (any inner match
     // empties the result — a broadcast 1-row anti probe); MINUS with
     // no shared vars removes nothing (SPARQL dom-disjoint rule). ----
+    // ---- value filters (extension; SPARQL §17 comparisons): on the
+    // struct stores a codegen'd scan-side predicate over the term
+    // struct; on dict stores the ids cannot order terms, so the
+    // predicate runs over the DICT (|dictionary| rows, not |store|)
+    // and semi-joins the qualifying ids back. ----
+    if (filters.nonEmpty && acc.isEmpty)
+      throw new InvalidBgp(
+        "FILTER needs a required group to filter")
+    for (f <- filters) {
+      acc = acc.map { a =>
+        if (!a.columns.contains(f.v.name))
+          a.limit(0) // SPARQL: comparing an unbound var is an error
+        else in.dict match {
+          case None =>
+            a.where(cmpTermCol(col(f.v.name), f.op, f.t))
+          case Some(d) =>
+            val ids = d.where(cmpTermCol(col("term"), f.op, f.t))
+              .select(col("id").as(f.v.name))
+            a.join(ids, Seq(f.v.name), "left_semi")
+        }
+      }
+    }
+
     if (negations.nonEmpty && acc.isEmpty)
       throw new InvalidBgp(
         "negation (NOT EXISTS / MINUS) needs a required group to filter")
@@ -297,6 +322,39 @@ object BgpCompiler {
     case TriplePattern(_, p, _)  => p
     case QuadPattern(_, p, _, _) => p
     case other => throw new InvalidBgp(s"not a scan pattern: $other")
+  }
+
+  /** [[FilterCmp]]'s comparison as a Column predicate over a term
+    * struct. Comparable families only (see the DSL doc): numeric with
+    * long↔double promotion (long vs long exact via the lexical int64),
+    * string by binary order, date by canonical ISO order; anything
+    * else is false (row removed). */
+  private def cmpTermCol(c: Column, op: CmpOp, t: Term): Column = {
+    def cmp(a: Column, b: Column): Column = op match {
+      case Lt => a < b
+      case Le => a <= b
+      case Gt => a > b
+      case Ge => a >= b
+      case Neq => a =!= b
+    }
+    t match {
+      case Term.TLong(v) =>
+        (c.getField("kind") === Term.KLong &&
+          cmp(c.getField("lex").cast(LongType), functions.lit(v))) ||
+        (c.getField("kind") === Term.KDouble &&
+          cmp(c.getField("num"), functions.lit(v.toDouble)))
+      case Term.TDouble(v) =>
+        c.getField("kind").isin(Term.KLong, Term.KDouble) &&
+          cmp(c.getField("num"), functions.lit(v))
+      case Term.TString(str) =>
+        c.getField("kind") === Term.KString &&
+          cmp(c.getField("lex"), functions.lit(str))
+      case Term.TDate(iso) =>
+        c.getField("kind") === Term.KDate &&
+          cmp(c.getField("lex"), functions.lit(iso))
+      case other => throw new InvalidBgp(
+        s"FILTER comparison constant must be numeric/string/date, got $other")
+    }
   }
 
   private def groundTerm(tv: TermOrVar): Term = tv match {

@@ -43,6 +43,22 @@ object MiniInterp {
     case other => throw new IllegalArgumentException(s"not a pattern: $other")
   }
 
+  private def cmpTerm(a: Term, op: CmpOp, t: Term): Boolean = {
+    def c(x: Int): Boolean = op match {
+      case Lt => x < 0; case Le => x <= 0; case Gt => x > 0
+      case Ge => x >= 0; case Neq => x != 0
+    }
+    (a, t) match {
+      case (TLong(x), TLong(y))     => c(x.compare(y)) // exact int64
+      case (TLong(x), TDouble(y))   => c(x.toDouble.compare(y))
+      case (TDouble(x), TLong(y))   => c(x.compare(y.toDouble))
+      case (TDouble(x), TDouble(y)) => c(x.compare(y))
+      case (TString(x), TString(y)) => c(x.compareTo(y))
+      case (TDate(x), TDate(y))     => c(x.compareTo(y))
+      case _                        => false
+    }
+  }
+
   private def closeSet(e: Set[(Term, Term)]): Set[(Term, Term)] = {
     var all = e
     var grew = true
@@ -102,6 +118,7 @@ object MiniInterp {
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
+    val filters = rows.collect { case f: FilterCmp => f }
     val requiredVarNames = Bgp.requiredVars(rows).map(_.name).toSet
 
     // required conjunction: fold of natural joins (order-independent on
@@ -133,6 +150,17 @@ object MiniInterp {
         else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
       acc = Rel(acc.cols + name, newRows)
     }
+    // value filters: comparable families only, unbound var = error
+    // (row removed — with no binding at all, everything removed)
+    for (f <- filters) {
+      acc =
+        if (!acc.cols.contains(f.v.name)) Rel(acc.cols, Seq.empty)
+        else Rel(acc.cols, acc.rows.filter { b =>
+          val a = b.getOrElse(f.v.name, null)
+          a != null && cmpTerm(a, f.op, f.t)
+        })
+    }
+
     // negation (engine: left_anti on shared columns — null keys never
     // match, so a null-valued shared var keeps the solution)
     for (neg <- negations) {
@@ -250,6 +278,12 @@ object DifferentialProps extends Properties("differential") {
     isMinus <- Gen.oneOf(true, false)
   } yield if (isMinus) Minus(pats) else NotExists(pats)
 
+  val genFilter: Gen[FilterCmp] = for {
+    v <- Gen.oneOf(varNames)
+    op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+    t <- Gen.oneOf[Term](TLong(1), TDouble(2.5), TString("x"))
+  } yield FilterCmp(V(v), op, t)
+
   val genQuery: Gen[Seq[PatternRow]] = (for {
     nPat <- Gen.choose(0, 3)
     pats <- Gen.listOfN(nPat, genPattern)
@@ -257,11 +291,13 @@ object DifferentialProps extends Properties("differential") {
     vals <- Gen.listOfN(nVal, genValues)
     nOpt <- Gen.choose(0, 2)
     opts <- Gen.listOfN(nOpt, genOptional)
-    // negation only when a required group exists (engine refuses
-    // negation-only queries loudly)
+    // negation/filters only when a required group exists (engine
+    // refuses negation-only / filter-only queries loudly)
     nNeg <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
     negs <- Gen.listOfN(nNeg, genNegation)
-  } yield pats ++ vals ++ opts ++ negs).suchThat(_.nonEmpty)
+    nFil <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
+    fils <- Gen.listOfN(nFil, genFilter)
+  } yield pats ++ vals ++ opts ++ negs ++ fils).suchThat(_.nonEmpty)
 
   private[graft] def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {
     val cols = rel.cols.toSeq.sorted

@@ -145,6 +145,24 @@ class PlanSpec extends GraftSpec {
       s"single scoped hop is a scan + dedup, never a join:\n$p")
   }
 
+  test("FILTER on a slice scan folds to a raw-column predicate pushed " +
+      "into the parquet scan") {
+    val db = Tables.customerDb(spark, dir)
+    val p = plan(Projections.selectDf(db, Seq(
+      pat(V("c"), T(k("c_acctbal")), V("b")),
+      FilterCmp(V("b"), Gt, graft.core.Term.TDouble(5000.0))), Seq(V("c"), V("b"))))
+    // SimplifyExtractValueOps folds getField(named_struct(...)) back to
+    // the RAW column: the predicate lands scan-side (DataFilters,
+    // inside whole-stage codegen) as `c_acctbal > 5000.0` under the
+    // null-guard CASE — one scan, no join, no shuffle. (The CASE
+    // wrapper keeps it out of parquet row-group PushedFilters; the
+    // row-level evaluation is already at the scan.)
+    assert(p.contains("> 5000.0") && p.contains("DataFilters: [CASE WHEN"),
+      s"filter must fold to a raw-column scan-side predicate:\n$p")
+    assert(!p.contains("Join"), s"struct-store filter must not join:\n$p")
+    assert(!p.contains("Exchange"), s"filter must not shuffle:\n$p")
+  }
+
   test("BPE encodeTokens: pure scan projection — no shuffle, no join") {
     val docs = Tables.t(spark, dir, "documents")
     val m = Seq(graft.ops.Bpe.Merge(0, "e", "s"),

@@ -154,6 +154,55 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("FILTER comparisons: numeric promotion, EXACT int64 past 2^53, " +
+      "strings, dates, incomparable-kind removal; dict dict-side filter") {
+    val price = k("price"); val when_ = k("when")
+    val big = 9007199254740993L // 2^53 + 1: double-indistinguishable
+    val d = db(
+      (k("a"), price, TLong(5)),
+      (k("b"), price, TDouble(2.5)),
+      (k("c"), price, TLong(big)),
+      (k("d"), price, s("not-a-number")),
+      (k("a"), when_, TDate("2020-01-05")),
+      (k("b"), when_, TDate("2021-06-01")))
+    def q(rows: PatternRow*): Set[Seq[graft.core.Term]] =
+      resultSet(d, Seq(?("s")), rows)
+    // numeric family: the string row is incomparable and drops
+    assert(q(pat(?("s"), T(price), ?("p")),
+      FilterCmp(?("p"), Gt, TLong(3))) == Set(Seq(k("a")), Seq(k("c"))))
+    // EXACT int64: 2^53+1 > 2^53 is true on longs, false on doubles
+    assert(q(pat(?("s"), T(price), ?("p")),
+      FilterCmp(?("p"), Gt, TLong(big - 1))) == Set(Seq(k("c"))))
+    // double constant compares the numeric family
+    assert(q(pat(?("s"), T(price), ?("p")),
+      FilterCmp(?("p"), Lt, TDouble(3.0))) == Set(Seq(k("b"))))
+    // Neq within the comparable family only
+    assert(q(pat(?("s"), T(price), ?("p")),
+      FilterCmp(?("p"), Neq, TLong(5))) == Set(Seq(k("b")), Seq(k("c"))))
+    // strings by binary order
+    assert(q(pat(?("s"), T(price), ?("p")),
+      FilterCmp(?("p"), Lt, s("zzz"))) == Set(Seq(k("d"))))
+    // dates by canonical ISO order
+    assert(q(pat(?("s"), T(when_), ?("t")),
+      FilterCmp(?("t"), Lt, TDate("2021-01-01"))) == Set(Seq(k("a"))))
+    // unbound-var filter = SPARQL error: everything removed
+    assert(q(pat(?("s"), T(price), ?("p")),
+      FilterCmp(?("nope"), Gt, TLong(0))) == Set.empty[Seq[graft.core.Term]])
+    // filter-only queries refuse loudly
+    intercept[InvalidBgp] {
+      Projections.selectDf(d, Seq(FilterCmp(?("p"), Gt, TLong(0))), Nil)
+    }
+    // dict store: the predicate runs over the DICT and semi-joins ids
+    val dd = d.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(
+        pat(?("s"), T(price), ?("p")),
+        FilterCmp(?("p"), Gt, TLong(big - 1))), Seq(?("s")))
+        .collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+      assert(got == Set(k("c")))
+    } finally dd.unpersist()
+  }
+
   test("100k-triple scale smoke: 2-pattern select (T:253-264)") {
     val big = (0 until 100000).map(i => (u((i - 1).toString), knows, u(i.toString)))
     val d = TripleDb.fromTerms(spark, friends_++(big)).index()
