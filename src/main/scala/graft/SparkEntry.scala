@@ -1457,6 +1457,19 @@ object SparkEntry {
     // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
     //      the graph position too — the q137 BGP over four 8-byte id
     //      columns, terms rehydrated at the edge ----
+    // ---- var-var FILTER: suppliers out-balancing co-located
+    //      customers — the comparison decided per row pair ----
+    "q152_filter_var" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(
+        pat(V("s"), kw("s_nationkey"), V("n")),
+        pat(V("c"), kw("c_nationkey"), V("n")),
+        pat(V("s"), kw("s_acctbal"), V("sb")),
+        pat(V("c"), kw("c_acctbal"), V("cb")),
+        FilterVarCmp(V("sb"), Gt, V("cb"))),
+        "s", "c")
+    }),
+
     // ---- value FILTER in the query DSL (SPARQL §17 comparison):
     //      account balance > 5000 as a codegen'd scan-side predicate
     //      over the term struct (numeric family; strings would drop) ----
@@ -2627,6 +2640,12 @@ object SparkEntry {
         |FROM customer WHERE c_nationkey = 3""".stripMargin,
 
     // dict layout is invisible to the answer — q137's oracle verbatim
+    // var-var FILTER ≡ SQL column-column comparison over the FK join
+    "q152_filter_var" ->
+      """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        |WHERE s_acctbal > c_acctbal""".stripMargin,
+
     // numeric FILTER ≡ SQL WHERE on the raw column
     "q151_filter_cmp" ->
       """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,

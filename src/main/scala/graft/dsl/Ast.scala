@@ -211,6 +211,14 @@ final case class FilterCmp(v: V, op: CmpOp, t: Term) extends PatternRow {
   def vars: Seq[V] = Nil
 }
 
+/** `FILTER (?a < ?b)` — a comparison between two bound variables,
+  * same comparable-family semantics as [[FilterCmp]] decided per ROW
+  * (long vs long exact, numeric promotion otherwise, string/date by
+  * order, cross-family rows removed). Binds nothing. */
+final case class FilterVarCmp(a: V, op: CmpOp, b: V) extends PatternRow {
+  def vars: Seq[V] = Nil
+}
+
 /** ≙ the reference's `::invalid-bgp` (alpha.clj:205-213). */
 final class InvalidBgp(msg: String) extends IllegalArgumentException(msg)
 /** ≙ the reference's `::invalid-values` (alpha.clj:220-228). */

@@ -103,7 +103,8 @@ object BgpCompiler {
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
-    val filters = rows.collect { case f: FilterCmp => f }
+    val filters: Seq[PatternRow] =
+      rows.collect { case f: FilterCmp => f; case f: FilterVarCmp => f }
 
     if (rows.exists(r => r.isInstanceOf[QuadPattern] ||
           r.isInstanceOf[QuadPathPattern]) &&
@@ -236,15 +237,38 @@ object BgpCompiler {
         "FILTER needs a required group to filter")
     for (f <- filters) {
       acc = acc.map { a =>
-        if (!a.columns.contains(f.v.name))
-          a.limit(0) // SPARQL: comparing an unbound var is an error
-        else in.dict match {
-          case None =>
-            a.where(cmpTermCol(col(f.v.name), f.op, f.t))
-          case Some(d) =>
-            val ids = d.where(cmpTermCol(col("term"), f.op, f.t))
-              .select(col("id").as(f.v.name))
-            a.join(ids, Seq(f.v.name), "left_semi")
+        f match {
+          case fc: FilterCmp =>
+            if (!a.columns.contains(fc.v.name))
+              a.limit(0) // SPARQL: comparing an unbound var is an error
+            else in.dict match {
+              case None =>
+                a.where(cmpTermCol(col(fc.v.name), fc.op, fc.t))
+              case Some(d) =>
+                val ids = d.where(cmpTermCol(col("term"), fc.op, fc.t))
+                  .select(col("id").as(fc.v.name))
+                a.join(ids, Seq(fc.v.name), "left_semi")
+            }
+          case fv: FilterVarCmp =>
+            if (!a.columns.contains(fv.a.name) ||
+                !a.columns.contains(fv.b.name)) a.limit(0)
+            else in.dict match {
+              case None =>
+                a.where(cmpVarCol(col(fv.a.name), fv.op, col(fv.b.name)))
+              case Some(d) =>
+                // ids cannot order terms: rehydrate BOTH sides from
+                // the dict (complete by construction — inner joins
+                // preserve cardinality), compare, drop the structs
+                val da = d.select(col("id").as(fv.a.name),
+                  col("term").as("__fva"))
+                val db0 = d.select(col("id").as(fv.b.name),
+                  col("term").as("__fvb"))
+                a.join(da.hint("shuffle_hash"), Seq(fv.a.name))
+                  .join(db0.hint("shuffle_hash"), Seq(fv.b.name))
+                  .where(cmpVarCol(col("__fva"), fv.op, col("__fvb")))
+                  .drop("__fva", "__fvb")
+            }
+          case other => throw new InvalidBgp(s"unexpected filter: $other")
         }
       }
     }
@@ -355,6 +379,32 @@ object BgpCompiler {
       case other => throw new InvalidBgp(
         s"FILTER comparison constant must be numeric/string/date, got $other")
     }
+  }
+
+  /** [[FilterVarCmp]] as a Column predicate over two term structs:
+    * the comparable family is decided per ROW — both longs compare
+    * exactly on the lexical int64, any numeric pair via the double
+    * field, same-kind strings/dates by lexical order, everything else
+    * false (row removed). */
+  private def cmpVarCol(a: Column, op: CmpOp, b: Column): Column = {
+    def cmp(x: Column, y: Column): Column = op match {
+      case Lt => x < y
+      case Le => x <= y
+      case Gt => x > y
+      case Ge => x >= y
+      case Neq => x =!= y
+    }
+    val ak = a.getField("kind"); val bk = b.getField("kind")
+    when(ak === Term.KLong && bk === Term.KLong,
+        cmp(a.getField("lex").cast(LongType), b.getField("lex").cast(LongType)))
+      .when(ak.isin(Term.KLong, Term.KDouble) &&
+          bk.isin(Term.KLong, Term.KDouble),
+        cmp(a.getField("num"), b.getField("num")))
+      .when(ak === Term.KString && bk === Term.KString,
+        cmp(a.getField("lex"), b.getField("lex")))
+      .when(ak === Term.KDate && bk === Term.KDate,
+        cmp(a.getField("lex"), b.getField("lex")))
+      .otherwise(functions.lit(false))
   }
 
   private def groundTerm(tv: TermOrVar): Term = tv match {

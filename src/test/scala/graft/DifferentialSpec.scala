@@ -118,7 +118,8 @@ object MiniInterp {
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
-    val filters = rows.collect { case f: FilterCmp => f }
+    val filters: Seq[PatternRow] =
+      rows.collect { case f: FilterCmp => f; case f: FilterVarCmp => f }
     val requiredVarNames = Bgp.requiredVars(rows).map(_.name).toSet
 
     // required conjunction: fold of natural joins (order-independent on
@@ -153,12 +154,24 @@ object MiniInterp {
     // value filters: comparable families only, unbound var = error
     // (row removed — with no binding at all, everything removed)
     for (f <- filters) {
-      acc =
-        if (!acc.cols.contains(f.v.name)) Rel(acc.cols, Seq.empty)
-        else Rel(acc.cols, acc.rows.filter { b =>
-          val a = b.getOrElse(f.v.name, null)
-          a != null && cmpTerm(a, f.op, f.t)
-        })
+      acc = f match {
+        case fc: FilterCmp =>
+          if (!acc.cols.contains(fc.v.name)) Rel(acc.cols, Seq.empty)
+          else Rel(acc.cols, acc.rows.filter { b =>
+            val a = b.getOrElse(fc.v.name, null)
+            a != null && cmpTerm(a, fc.op, fc.t)
+          })
+        case fv: FilterVarCmp =>
+          if (!acc.cols.contains(fv.a.name) ||
+              !acc.cols.contains(fv.b.name)) Rel(acc.cols, Seq.empty)
+          else Rel(acc.cols, acc.rows.filter { b =>
+            val x = b.getOrElse(fv.a.name, null)
+            val y = b.getOrElse(fv.b.name, null)
+            x != null && y != null && cmpTerm(x, fv.op, y)
+          })
+        case other =>
+          throw new IllegalArgumentException(s"not a filter: $other")
+      }
     }
 
     // negation (engine: left_anti on shared columns — null keys never
@@ -278,11 +291,17 @@ object DifferentialProps extends Properties("differential") {
     isMinus <- Gen.oneOf(true, false)
   } yield if (isMinus) Minus(pats) else NotExists(pats)
 
-  val genFilter: Gen[FilterCmp] = for {
-    v <- Gen.oneOf(varNames)
-    op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
-    t <- Gen.oneOf[Term](TLong(1), TDouble(2.5), TString("x"))
-  } yield FilterCmp(V(v), op, t)
+  val genFilter: Gen[PatternRow] = Gen.frequency(
+    2 -> (for {
+      v <- Gen.oneOf(varNames)
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      t <- Gen.oneOf[Term](TLong(1), TDouble(2.5), TString("x"))
+    } yield FilterCmp(V(v), op, t): PatternRow),
+    1 -> (for {
+      a <- Gen.oneOf(varNames)
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      b <- Gen.oneOf(varNames)
+    } yield FilterVarCmp(V(a), op, V(b)): PatternRow))
 
   val genQuery: Gen[Seq[PatternRow]] = (for {
     nPat <- Gen.choose(0, 3)

@@ -203,6 +203,40 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("FILTER var-var comparisons: per-row family, exact int64 pairs, " +
+      "cross-family removal, dict double-rehydration") {
+    val price = k("price")
+    val big = 9007199254740993L
+    val d = db(
+      (k("a"), price, TLong(5)),
+      (k("b"), price, TDouble(2.5)),
+      (k("c"), price, TLong(big)),
+      (k("e"), price, TLong(big - 1)),
+      (k("d"), price, s("not-a-number")))
+    val got = resultSet(d, Seq(?("x"), ?("y")), Seq(
+      pat(?("x"), T(price), ?("p1")),
+      pat(?("y"), T(price), ?("p2")),
+      FilterVarCmp(?("p1"), Lt, ?("p2"))))
+    // numeric pairs ordered; (e, c) holds ONLY under exact int64
+    // (their doubles are equal); string rows drop from every pair
+    assert(got == Set(
+      Seq(k("b"), k("a")), Seq(k("b"), k("c")), Seq(k("b"), k("e")),
+      Seq(k("a"), k("c")), Seq(k("a"), k("e")), Seq(k("e"), k("c"))))
+    // dict store: both sides rehydrate from the dict, same pairs
+    val dd = d.dictEncode()
+    try {
+      val dictGot = Projections.selectDf(dd, Seq(
+        pat(?("x"), T(price), ?("p1")),
+        pat(?("y"), T(price), ?("p2")),
+        FilterVarCmp(?("p1"), Lt, ?("p2"))), Seq(?("x"), ?("y")))
+        .collect().toSeq
+        .map(r => (fromRow(r.getStruct(0)), fromRow(r.getStruct(1)))).toSet
+      assert(dictGot == Set(
+        (k("b"), k("a")), (k("b"), k("c")), (k("b"), k("e")),
+        (k("a"), k("c")), (k("a"), k("e")), (k("e"), k("c"))))
+    } finally dd.unpersist()
+  }
+
   test("100k-triple scale smoke: 2-pattern select (T:253-264)") {
     val big = (0 until 100000).map(i => (u((i - 1).toString), knows, u(i.toString)))
     val d = TripleDb.fromTerms(spark, friends_++(big)).index()
