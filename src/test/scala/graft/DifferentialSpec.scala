@@ -471,6 +471,17 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     pats <- Gen.listOfN(n, Gen.oneOf(genTriplePat, genQuadPat))
   } yield Optional(pats)
 
+  val genNegFil: Gen[PatternRow] = Gen.frequency(
+    1 -> Gen.listOfN(1, Gen.oneOf(genTriplePat, genQuadPat))
+      .map(NotExists(_): PatternRow),
+    1 -> Gen.listOfN(1, Gen.oneOf(genTriplePat, genQuadPat))
+      .map(Minus(_): PatternRow),
+    1 -> (for {
+      v <- Gen.oneOf(varNames)
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      t <- Gen.oneOf[Term](TLong(1), TString("x"))
+    } yield FilterCmp(V(v), op, t): PatternRow))
+
   val genQuery: Gen[Seq[PatternRow]] = (for {
     nPat <- Gen.choose(0, 2)
     pats <- Gen.listOfN(nPat, Gen.oneOf(genTriplePat, genQuadPat))
@@ -480,7 +491,10 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     vals <- Gen.listOfN(nVal, genValues)
     nOpt <- Gen.choose(0, 1)
     opts <- Gen.listOfN(nOpt, genOptional)
-  } yield pats ++ paths ++ vals ++ opts).suchThat(_.nonEmpty)
+    // negation/filters need a required group (engine refuses otherwise)
+    nNf <- if (nPat + nPath + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
+    nfs <- Gen.listOfN(nNf, genNegFil)
+  } yield pats ++ paths ++ vals ++ opts ++ nfs).suchThat(_.nonEmpty)
 
   property("quad engine (patterns+paths) ≡ in-memory interpreter") =
     forAll(genQuadDb, genQuery) { (quads, query) =>

@@ -143,6 +143,17 @@ class SelectSpec extends GraftSpec {
       Projections.selectDf(friends,
         Seq(NotExists(Seq(pat(?("a"), T(knows), ?("b"))))), Nil)
     }
+    // negation INSIDE an optional group: the group's own required
+    // rows anchor it — "optionally, a friend who knows nobody":
+    // rick keeps martin (not katie — she knows julie), katie keeps
+    // julie; the friendless get NULL
+    assert(resultSet(friends, Seq(?("p"), ?("f")), Seq(
+      pat(?("p"), T(label), ?("n")),
+      Optional(Seq(
+        pat(?("p"), T(knows), ?("f")),
+        NotExists(Seq(pat(?("f"), T(knows), ?("x")))))))) ==
+      Set(Seq(rick, martin), Seq(katie, julie),
+        Seq(martin, null), Seq(julie, null)))
     // dict store runs the same anti-join fold
     val dd = friends.dictEncode()
     try {
