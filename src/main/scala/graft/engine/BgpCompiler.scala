@@ -235,13 +235,22 @@ object BgpCompiler {
     if (filters.nonEmpty && acc.isEmpty)
       throw new InvalidBgp(
         "FILTER needs a required group to filter")
+    // a values GENERATOR can bind terms the store's dictionary has
+    // never issued — the dict-side filter must rehydrate against
+    // dict ∪ the BGP's values terms (the decodeWith extraTerms rule;
+    // ids are pure hashes, so the union is value-consistent)
+    lazy val filterDict: Option[DataFrame] = in.dict.map { d =>
+      val extras = values.flatMap(_.coll.toSeq).distinct
+      if (extras.isEmpty) d
+      else d.unionByName(DictDb.termDf(spark, extras)).dropDuplicates("id")
+    }
     for (f <- filters) {
       acc = acc.map { a =>
         f match {
           case fc: FilterCmp =>
             if (!a.columns.contains(fc.v.name))
               a.limit(0) // SPARQL: comparing an unbound var is an error
-            else in.dict match {
+            else filterDict match {
               case None =>
                 a.where(cmpTermCol(col(fc.v.name), fc.op, fc.t))
               case Some(d) =>
@@ -252,7 +261,7 @@ object BgpCompiler {
           case fv: FilterVarCmp =>
             if (!a.columns.contains(fv.a.name) ||
                 !a.columns.contains(fv.b.name)) a.limit(0)
-            else in.dict match {
+            else filterDict match {
               case None =>
                 a.where(cmpVarCol(col(fv.a.name), fv.op, col(fv.b.name)))
               case Some(d) =>

@@ -248,6 +248,40 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("dict FILTER over values-GENERATED terms: the dictionary never " +
+      "issued their ids, so the filter dict is dict ∪ values terms " +
+      "(fuzzer counterexample, round 10)") {
+    // db contains "y" but NOT 2.5 — both come from the generators
+    val d = db(
+      (k("c"), k("q"), k("a")),
+      (k("a"), k("q"), s("y")))
+    val query = Seq(
+      Values(?("v1"), Seq(TLong(1), s("y"), TDouble(2.5))),
+      Values(?("v2"), Seq(s("y"), TDouble(2.5),
+        graft.core.Term.opaque("blob", Array[Byte](1, 2)))),
+      FilterVarCmp(?("v1"), Ge, ?("v2")))
+    val expected = Set(
+      (s("y"), s("y")), (TDouble(2.5), TDouble(2.5)))
+    // struct path
+    val structGot = resultSet(d, Seq(?("v1"), ?("v2")), query)
+      .map(r => (r.head, r(1)))
+    assert(structGot == expected)
+    // dict path: 2.5's id exists only through the generator
+    val dd = d.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, query, Seq(?("v1"), ?("v2")))
+        .collect().toSeq
+        .map(r => (fromRow(r.getStruct(0)), fromRow(r.getStruct(1)))).toSet
+      assert(got == expected)
+      // constant form too: > 2.0 keeps the generated 2.5
+      val got2 = Projections.selectDf(dd, Seq(
+        Values(?("v1"), Seq(TLong(1), TDouble(2.5))),
+        FilterCmp(?("v1"), Gt, TDouble(2.0))), Seq(?("v1")))
+        .collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+      assert(got2 == Set[graft.core.Term](TDouble(2.5)))
+    } finally dd.unpersist()
+  }
+
   test("100k-triple scale smoke: 2-pattern select (T:253-264)") {
     val big = (0 until 100000).map(i => (u((i - 1).toString), knows, u(i.toString)))
     val d = TripleDb.fromTerms(spark, friends_++(big)).index()
