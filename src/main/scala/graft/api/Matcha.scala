@@ -66,6 +66,8 @@ object Matcha {
   def ask(bgps: Seq[PatternRow]): TripleDb => Boolean = ask(bgps, _)
   def ask(bgps: Seq[PatternRow], db: graft.core.QuadDb): Boolean =
     Projections.ask(db, bgps)
+  def ask(bgps: Seq[PatternRow], db: graft.core.DictQuadDb): Boolean =
+    Projections.ask(db, bgps)
 
   // ---- construct ----
   def construct(template: Any, bgps: Seq[PatternRow], db: TripleDb): Seq[Any] =

@@ -67,6 +67,11 @@ object Projections {
   def ask(db: QuadDb, rows: Seq[PatternRow]): Boolean =
     !BgpCompiler.compileQuads(db, rows).isEmpty
 
+  /** `ask` over a dict-encoded quad store — existence needs no
+    * decode; the four-id fold answers directly. */
+  def ask(db: DictQuadDb, rows: Seq[PatternRow]): Boolean =
+    !BgpCompiler.compileDictQuads(db, rows).isEmpty
+
   /** Distributed select over a dict-encoded quad store: long-keyed
     * fold over four id columns, terms rehydrated at the edge. */
   def selectDf(db: DictQuadDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame = {

@@ -148,6 +148,11 @@ class QuadPathSpec extends GraftSpec {
       // a path over the dict-quad store (union-of-graphs edges)
       assert(dset(Seq(PathPattern(T(rick), PathPlus(knows), ?("o"))), ?("o")) ==
         Set(Seq(martin), Seq(katie), Seq(julie)))
+      // ask on the dict-quad store: graph-scoped existence, no decode
+      assert(graft.engine.Projections.ask(dd,
+        Seq(qpat(T(katie), T(knows), T(julie), T(g2)))))
+      assert(!graft.engine.Projections.ask(dd,
+        Seq(qpat(T(rick), T(knows), T(julie), T(g1)))))
     } finally dd.unpersist()
   }
 
