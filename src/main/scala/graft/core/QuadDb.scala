@@ -19,9 +19,14 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * nil-graph — quads whose `g` is term-nil, which is exactly how an
   * N-Quads line with no graph label loads ([[graft.sources.NTriples]]
   * `parseQuads`). A plain [[graft.dsl.TriplePattern]] run against a
-  * QuadDb matches the UNION of all graphs (the "union default graph"
-  * store configuration — the common warehouse setup, e.g. Jena's
-  * unionDefaultGraph); a [[graft.dsl.QuadPattern]] scopes to a ground
+  * QuadDb matches the UNION of all graphs — with BAG-PER-QUAD
+  * cardinality: a triple asserted in two graphs yields TWO solutions,
+  * one per containing quad (test-pinned, intentional: solutions stay
+  * 1:1 with the quads that produced them, so provenance-style queries
+  * can count assertions). NOTE this diverges from the set-union
+  * semantics of e.g. Jena's unionDefaultGraph, which dedups the
+  * union; dedup explicitly (`.distinct` on the solution frame) for
+  * that behavior. A [[graft.dsl.QuadPattern]] scopes to a ground
   * graph or binds a graph variable per solution.
   *
   * Scale shape is [[TripleDb]]'s: set semantics via one dedup shuffle at

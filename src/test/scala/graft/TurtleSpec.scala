@@ -47,6 +47,21 @@ class TurtleSpec extends GraftSpec {
       (TUri("row/7"), k("label"), s("rel row"))))
   }
 
+  test("turtle: long-string content may end (or begin) with quote " +
+      "chars — only the final three of a quote run terminate") {
+    val q = "\""
+    val got = parseStr(
+      s"""@prefix gk: <urn:graft:kw/> .
+         |gk:a gk:p ${q * 3}abc$q${q * 3} .
+         |gk:b gk:p ${q * 3}x$q$q y${q * 3} .
+         |gk:c gk:p '''ends two''${"'" * 3} .
+         |""".stripMargin)
+    assert(got == Set(
+      (k("a"), k("p"), s("abc\"")),
+      (k("b"), k("p"), s("x\"\" y")),
+      (k("c"), k("p"), s("ends two''"))))
+  }
+
   test("turtle: outside-subset forms fail loudly — blank nodes, " +
       "collections, @base, undeclared prefix, unterminated literal") {
     def err(doc: String): String =
