@@ -1457,6 +1457,68 @@ object SparkEntry {
     // ---- dict-encoded QUAD store: the long-keyed scale layout keeps
     //      the graph position too — the q137 BGP over four 8-byte id
     //      columns, terms rehydrated at the edge ----
+    // ---- GROUP-SCOPED FILTER (SPARQL §18.5): the filter written
+    //      INSIDE the optional restricts which orders extend a
+    //      customer — customers whose orders all fail the threshold
+    //      still appear, with NULLs (vs q154, where the filter sits
+    //      OUTSIDE and removes extended rows) ----
+    "q153_optional_filter" -> ((sp, dir) => {
+      val db = TripleDb.union(Tables.customerDb(sp, dir), Tables.ordersDb(sp, dir))
+      sel(db, Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        Optional(Seq(
+          pat(V("o"), kw("o_custkey"), V("c")),
+          pat(V("o"), kw("o_totalprice"), V("tp")),
+          FilterCmp(V("tp"), Gt, TDouble(200000.0))))),
+        "c", "name", "o", "tp")
+    }),
+
+    // ---- FILTER expression surface: the classic default-value idiom
+    //      `!BOUND(?tp) || ?tp > x` over an optional-bound var —
+    //      evaluated AFTER the optional fold (SPARQL group order),
+    //      per row: unmatched customers stay (tp unbound → !BOUND
+    //      true), matched rows must clear the threshold ----
+    "q154_filter_bool" -> ((sp, dir) => {
+      val db = TripleDb.union(Tables.customerDb(sp, dir), Tables.ordersDb(sp, dir))
+      sel(db, Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        Optional(Seq(
+          pat(V("o"), kw("o_custkey"), V("c")),
+          pat(V("o"), kw("o_orderpriority"), T(TString("1-URGENT"))),
+          pat(V("o"), kw("o_totalprice"), V("tp")))),
+        FilterOr(Seq(
+          FilterNot(FilterBound(V("tp"))),
+          FilterCmp(V("tp"), Gt, TDouble(150000.0))))),
+        "c", "name", "tp")
+    }),
+
+    // ---- REGEX filter (Java-regex find, portable subset so DuckDB
+    //      regexp_matches replays) composed under AND ----
+    "q155_filter_regex" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        pat(V("c"), kw("c_mktsegment"), V("seg")),
+        FilterAnd(Seq(
+          FilterRegex(V("name"), "[13579]$"),
+          FilterRegex(V("seg"), "^(BUI|AUT)")))),
+        "c", "name", "seg")
+    }),
+
+    // ---- q152's var-var FILTER over the DICT store: ids cannot
+    //      order terms, so the engine rehydrates only the DISTINCT
+    //      (sb, cb) id pairs from the dictionary, compares, and
+    //      null-safe-semi-joins qualifying pairs back — dict join
+    //      work bounded by distinct pairs, not solution rows ----
+    "q156_dict_filter" -> ((sp, dir) =>
+      selD(dictGraph(sp, dir), Seq(
+        pat(V("s"), kw("s_nationkey"), V("n")),
+        pat(V("c"), kw("c_nationkey"), V("n")),
+        pat(V("s"), kw("s_acctbal"), V("sb")),
+        pat(V("c"), kw("c_acctbal"), V("cb")),
+        FilterVarCmp(V("sb"), Gt, V("cb"))),
+        "s", "c")),
+
     // ---- var-var FILTER: suppliers out-balancing co-located
     //      customers — the comparison decided per row pair ----
     "q152_filter_var" -> ((sp, dir) => {
@@ -2642,6 +2704,45 @@ object SparkEntry {
     // dict layout is invisible to the answer — q137's oracle verbatim
     // var-var FILTER ≡ SQL column-column comparison over the FK join
     "q152_filter_var" ->
+      """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        |WHERE s_acctbal > c_acctbal""".stripMargin,
+
+    // filter INSIDE the optional ≡ LEFT JOIN against the pre-filtered
+    // order set (customers keep their row when no order qualifies)
+    "q153_optional_filter" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  CASE WHEN o.o_orderkey IS NULL THEN NULL
+        |       ELSE 'u|orders/' || o.o_orderkey END AS o,
+        |  CASE WHEN o.o_orderkey IS NULL THEN NULL
+        |       ELSE 'd|' || printf('%.2f', o.o_totalprice) END AS tp
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_totalprice > 200000.0) o
+        |  ON o.o_custkey = c_custkey""".stripMargin,
+
+    // !BOUND || cmp ≡ IS NULL OR over the left-join result
+    "q154_filter_bool" ->
+      """SELECT c, name, tp FROM (
+        |  SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |    CASE WHEN o.o_orderkey IS NULL THEN NULL
+        |         ELSE 'd|' || printf('%.2f', o.o_totalprice) END AS tp,
+        |    o.o_totalprice AS raw_tp
+        |  FROM customer LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |    ON o.o_custkey = c_custkey)
+        |WHERE raw_tp IS NULL OR raw_tp > 150000.0""".stripMargin,
+
+    // Java-regex find ≡ DuckDB regexp_matches (both unanchored, both
+    // RE2/Java-portable for this pattern subset — the q57 rule)
+    "q155_filter_regex" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  's|' || c_mktsegment AS seg
+        |FROM customer
+        |WHERE regexp_matches(c_name, '[13579]$')
+        |  AND regexp_matches(c_mktsegment, '^(BUI|AUT)')""".stripMargin,
+
+    // the dict layout is invisible to the answer — q152's oracle
+    "q156_dict_filter" ->
       """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |WHERE s_acctbal > c_acctbal""".stripMargin,

@@ -196,27 +196,89 @@ case object Gt extends CmpOp
 case object Ge extends CmpOp
 case object Neq extends CmpOp
 
-/** `FILTER (?v < const)` — a value comparison on a bound variable
-  * (SPARQL 1.1 §17 operator mapping, restricted to the comparable
-  * families: numerics compare numerically with long↔double promotion
-  * — long vs long stays EXACT on the 64-bit lexical value — strings
-  * by binary codepoint order, dates by canonical ISO order; a row
-  * whose term is outside the constant's family is removed, mirroring
-  * SPARQL's type-error-removes-row rule, and `Neq` follows the same
-  * comparable-family restriction — the supported subset, documented).
-  * Applies to the REQUIRED solution set (same scoping as negation);
-  * a filter on a variable no required row binds empties the result
-  * (SPARQL unbound-is-error). Binds nothing. */
-final case class FilterCmp(v: V, op: CmpOp, t: Term) extends PatternRow {
-  def vars: Seq[V] = Nil
+/** A FILTER expression row (SPARQL 1.1 §17 expression subset).
+  *
+  * Evaluation semantics (SPARQL §17.2, exactly the SQL three-valued
+  * model): each atom yields true, false, or ERROR (SQL NULL) —
+  * comparing an UNBOUND variable or terms of incomparable families is
+  * an error. [[FilterAnd]]/[[FilterOr]]/[[FilterNot]] combine with
+  * SQL NULL logic, which IS SPARQL's error table (error AND false =
+  * false, error OR true = true, NOT error = error); a solution
+  * survives only when the whole expression is true (errors remove
+  * the row). Filters are evaluated against the solutions of the
+  * GROUP they are written in, AFTER that group's optional clauses
+  * extend them (SPARQL §18.5 evaluation order) — so a filter naming
+  * an optional-bound variable tests it per row (unbound = error =
+  * row removed), and a filter written INSIDE an `optional` group
+  * scopes to that group: it restricts which optional rows match,
+  * never discarding the required solution. Filter rows bind nothing.
+  */
+sealed trait FilterExpr extends PatternRow {
+  final def vars: Seq[V] = Nil
+  /** Variables the expression reads (not bound — read). */
+  def refs: Seq[V]
 }
 
-/** `FILTER (?a < ?b)` — a comparison between two bound variables,
-  * same comparable-family semantics as [[FilterCmp]] decided per ROW
+object FilterExpr {
+  /** Distinct variables read anywhere in a filter tree. */
+  def referencedVars(f: FilterExpr): Seq[V] = f.refs.distinct
+}
+
+/** `FILTER (?v < const)` — a value comparison against a constant,
+  * restricted to the comparable families: numerics compare
+  * numerically with long↔double promotion — long vs long stays EXACT
+  * on the 64-bit lexical value — strings by binary codepoint order,
+  * dates by canonical ISO order. A term outside the constant's family
+  * is a type ERROR (removes the row unless rescued by OR), and `Neq`
+  * follows the same comparable-family restriction — the supported
+  * subset, documented. */
+final case class FilterCmp(v: V, op: CmpOp, t: Term) extends FilterExpr {
+  def refs: Seq[V] = Seq(v)
+}
+
+/** `FILTER (?a < ?b)` — a comparison between two variables, same
+  * comparable-family semantics as [[FilterCmp]] decided per ROW
   * (long vs long exact, numeric promotion otherwise, string/date by
-  * order, cross-family rows removed). Binds nothing. */
-final case class FilterVarCmp(a: V, op: CmpOp, b: V) extends PatternRow {
-  def vars: Seq[V] = Nil
+  * order, cross-family = error). */
+final case class FilterVarCmp(a: V, op: CmpOp, b: V) extends FilterExpr {
+  def refs: Seq[V] = Seq(a, b)
+}
+
+/** `BOUND(?v)` — true iff the solution binds `?v` (SPARQL §17.4.1.1).
+  * Never errors: unbound is plain `false`, so `!BOUND(?v)` /
+  * `!BOUND(?v) || ?v > x` express the classic negation-as-failure and
+  * default-value idioms over optional-bound variables. */
+final case class FilterBound(v: V) extends FilterExpr {
+  def refs: Seq[V] = Seq(v)
+}
+
+/** `REGEX(?v, pattern)` — Java-regex match (unanchored find, like
+  * SPARQL/XPath fn:matches) over STRING terms; non-string terms and
+  * unbound variables are type errors. Patterns restricted to the
+  * Java⇄RE2-portable subset keep DuckDB `regexp_matches` oracles
+  * replayable (the q57 PII precedent). */
+final case class FilterRegex(v: V, pattern: String) extends FilterExpr {
+  require(pattern.nonEmpty, "regex pattern must be non-empty")
+  def refs: Seq[V] = Seq(v)
+}
+
+/** `expr && expr && …` (SPARQL §17.4.1.5 logical-and error table =
+  * SQL three-valued AND). */
+final case class FilterAnd(exprs: Seq[FilterExpr]) extends FilterExpr {
+  require(exprs.nonEmpty, "AND needs at least one operand")
+  def refs: Seq[V] = exprs.flatMap(_.refs)
+}
+
+/** `expr || expr || …` (SPARQL §17.4.1.4 logical-or error table =
+  * SQL three-valued OR). */
+final case class FilterOr(exprs: Seq[FilterExpr]) extends FilterExpr {
+  require(exprs.nonEmpty, "OR needs at least one operand")
+  def refs: Seq[V] = exprs.flatMap(_.refs)
+}
+
+/** `!expr` (SPARQL §17.4.1.7 — NOT error = error). */
+final case class FilterNot(expr: FilterExpr) extends FilterExpr {
+  def refs: Seq[V] = expr.refs
 }
 
 /** ≙ the reference's `::invalid-bgp` (alpha.clj:205-213). */

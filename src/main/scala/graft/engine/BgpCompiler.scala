@@ -103,8 +103,7 @@ object BgpCompiler {
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
-    val filters: Seq[PatternRow] =
-      rows.collect { case f: FilterCmp => f; case f: FilterVarCmp => f }
+    val filters: Seq[FilterExpr] = rows.collect { case f: FilterExpr => f }
 
     if (rows.exists(r => r.isInstanceOf[QuadPattern] ||
           r.isInstanceOf[QuadPathPattern]) &&
@@ -227,60 +226,33 @@ object BgpCompiler {
     // no shared vars is an inverted existence gate (any inner match
     // empties the result — a broadcast 1-row anti probe); MINUS with
     // no shared vars removes nothing (SPARQL dom-disjoint rule). ----
-    // ---- value filters (extension; SPARQL §17 comparisons): on the
-    // struct stores a codegen'd scan-side predicate over the term
-    // struct; on dict stores the ids cannot order terms, so the
-    // predicate runs over the DICT (|dictionary| rows, not |store|)
-    // and semi-joins the qualifying ids back. ----
+    // ---- value filters (extension; SPARQL §17 expression subset):
+    // evaluated with SPARQL's three-valued error semantics (= SQL
+    // NULL logic — the two error tables coincide; see FilterExpr's
+    // scaladoc). SPARQL §18.5 evaluates a group's filters AFTER its
+    // optional clauses extend the solutions, so filters referencing a
+    // variable the required fold does not bind wait for the optional
+    // fold (lateFilters); filters over required-bound vars commute
+    // with the left joins and apply early, keeping the struct store's
+    // scan-side constant-fold plan (PlanSpec-pinned). ----
     if (filters.nonEmpty && acc.isEmpty)
       throw new InvalidBgp(
         "FILTER needs a required group to filter")
     // a values GENERATOR can bind terms the store's dictionary has
     // never issued — the dict-side filter must rehydrate against
-    // dict ∪ the BGP's values terms (the decodeWith extraTerms rule;
-    // ids are pure hashes, so the union is value-consistent)
+    // dict ∪ the BGP's values terms, optional-nested clauses included
+    // (the decodeWith extraTerms rule; ids are pure hashes, so the
+    // union is value-consistent)
     lazy val filterDict: Option[DataFrame] = in.dict.map { d =>
-      val extras = values.flatMap(_.coll.toSeq).distinct
+      val extras = Bgp.valuesTerms(rows).distinct
       if (extras.isEmpty) d
       else d.unionByName(DictDb.termDf(spark, extras)).dropDuplicates("id")
     }
-    for (f <- filters) {
-      acc = acc.map { a =>
-        f match {
-          case fc: FilterCmp =>
-            if (!a.columns.contains(fc.v.name))
-              a.limit(0) // SPARQL: comparing an unbound var is an error
-            else filterDict match {
-              case None =>
-                a.where(cmpTermCol(col(fc.v.name), fc.op, fc.t))
-              case Some(d) =>
-                val ids = d.where(cmpTermCol(col("term"), fc.op, fc.t))
-                  .select(col("id").as(fc.v.name))
-                a.join(ids, Seq(fc.v.name), "left_semi")
-            }
-          case fv: FilterVarCmp =>
-            if (!a.columns.contains(fv.a.name) ||
-                !a.columns.contains(fv.b.name)) a.limit(0)
-            else filterDict match {
-              case None =>
-                a.where(cmpVarCol(col(fv.a.name), fv.op, col(fv.b.name)))
-              case Some(d) =>
-                // ids cannot order terms: rehydrate BOTH sides from
-                // the dict (complete by construction — inner joins
-                // preserve cardinality), compare, drop the structs
-                val da = d.select(col("id").as(fv.a.name),
-                  col("term").as("__fva"))
-                val db0 = d.select(col("id").as(fv.b.name),
-                  col("term").as("__fvb"))
-                a.join(da.hint("shuffle_hash"), Seq(fv.a.name))
-                  .join(db0.hint("shuffle_hash"), Seq(fv.b.name))
-                  .where(cmpVarCol(col("__fva"), fv.op, col("__fvb")))
-                  .drop("__fva", "__fvb")
-            }
-          case other => throw new InvalidBgp(s"unexpected filter: $other")
-        }
-      }
-    }
+    val (earlyFilters, lateFilters) = filters.partition(f =>
+      FilterExpr.referencedVars(f).forall(v =>
+        acc.exists(_.columns.contains(v.name))))
+    for (f <- earlyFilters)
+      acc = acc.map(applyFilter(_, f, filterDict))
 
     if (negations.nonEmpty && acc.isEmpty)
       throw new InvalidBgp(
@@ -338,6 +310,14 @@ object BgpCompiler {
       val markers = optionals.indices.map(i => col(s"__m_$i"))
       result = result.where(markers.map(_.isNotNull).reduce(_ || _))
     }
+
+    // filters referencing optional-bound (or nowhere-bound) vars run
+    // HERE, per SPARQL's group evaluation order — an unbound var in a
+    // comparison errors that ROW away (never the whole result), and
+    // BOUND/!BOUND test the extension per row
+    for (f <- lateFilters)
+      result = applyFilter(result, f, filterDict)
+
     result
       .drop(optionals.indices.map(i => s"__m_$i"): _*)
       .drop("__base")
@@ -357,11 +337,17 @@ object BgpCompiler {
     case other => throw new InvalidBgp(s"not a scan pattern: $other")
   }
 
-  /** [[FilterCmp]]'s comparison as a Column predicate over a term
-    * struct. Comparable families only (see the DSL doc): numeric with
-    * long↔double promotion (long vs long exact via the lexical int64),
-    * string by binary order, date by canonical ISO order; anything
-    * else is false (row removed). */
+  private val nullBool =
+    functions.lit(null).cast(org.apache.spark.sql.types.BooleanType)
+
+  /** [[FilterCmp]]'s comparison as a THREE-VALUED Column predicate
+    * over a term struct. Comparable families only (see the DSL doc):
+    * numeric with long↔double promotion (long vs long exact via the
+    * lexical int64), string by binary order, date by canonical ISO
+    * order; a term outside the constant's family — or an UNBOUND
+    * variable (NULL struct) — is a SPARQL type error = SQL NULL, so
+    * it removes the row at the top level but composes correctly
+    * under NOT/OR/AND (the two error tables coincide). */
   private def cmpTermCol(c: Column, op: CmpOp, t: Term): Column = {
     def cmp(a: Column, b: Column): Column = op match {
       case Lt => a < b
@@ -370,31 +356,34 @@ object BgpCompiler {
       case Ge => a >= b
       case Neq => a =!= b
     }
+    val kind = c.getField("kind")
     t match {
       case Term.TLong(v) =>
-        (c.getField("kind") === Term.KLong &&
-          cmp(c.getField("lex").cast(LongType), functions.lit(v))) ||
-        (c.getField("kind") === Term.KDouble &&
-          cmp(c.getField("num"), functions.lit(v.toDouble)))
+        when(kind === Term.KLong,
+            cmp(c.getField("lex").cast(LongType), functions.lit(v)))
+          .when(kind === Term.KDouble,
+            cmp(c.getField("num"), functions.lit(v.toDouble)))
+          .otherwise(nullBool)
       case Term.TDouble(v) =>
-        c.getField("kind").isin(Term.KLong, Term.KDouble) &&
-          cmp(c.getField("num"), functions.lit(v))
+        when(kind.isin(Term.KLong, Term.KDouble),
+            cmp(c.getField("num"), functions.lit(v)))
+          .otherwise(nullBool)
       case Term.TString(str) =>
-        c.getField("kind") === Term.KString &&
-          cmp(c.getField("lex"), functions.lit(str))
+        when(kind === Term.KString, cmp(c.getField("lex"), functions.lit(str)))
+          .otherwise(nullBool)
       case Term.TDate(iso) =>
-        c.getField("kind") === Term.KDate &&
-          cmp(c.getField("lex"), functions.lit(iso))
+        when(kind === Term.KDate, cmp(c.getField("lex"), functions.lit(iso)))
+          .otherwise(nullBool)
       case other => throw new InvalidBgp(
         s"FILTER comparison constant must be numeric/string/date, got $other")
     }
   }
 
-  /** [[FilterVarCmp]] as a Column predicate over two term structs:
-    * the comparable family is decided per ROW — both longs compare
-    * exactly on the lexical int64, any numeric pair via the double
-    * field, same-kind strings/dates by lexical order, everything else
-    * false (row removed). */
+  /** [[FilterVarCmp]] as a three-valued Column predicate over two term
+    * structs: the comparable family is decided per ROW — both longs
+    * compare exactly on the lexical int64, any numeric pair via the
+    * double field, same-kind strings/dates by lexical order; a
+    * cross-family pair or an unbound side is a type error (NULL). */
   private def cmpVarCol(a: Column, op: CmpOp, b: Column): Column = {
     def cmp(x: Column, y: Column): Column = op match {
       case Lt => x < y
@@ -413,7 +402,100 @@ object BgpCompiler {
         cmp(a.getField("lex"), b.getField("lex")))
       .when(ak === Term.KDate && bk === Term.KDate,
         cmp(a.getField("lex"), b.getField("lex")))
-      .otherwise(functions.lit(false))
+      .otherwise(nullBool)
+  }
+
+  /** [[FilterRegex]]: Java-regex unanchored find (`rlike`) over the
+    * lexical form of STRING terms; any other kind — or unbound — is a
+    * type error (NULL). */
+  private def regexCol(c: Column, pattern: String): Column =
+    when(c.getField("kind") === Term.KString,
+      c.getField("lex").rlike(pattern)).otherwise(nullBool)
+
+  /** A [[FilterExpr]] tree as one three-valued Column predicate.
+    * `termOf` resolves a var name to its term-struct column (NULL
+    * literal when the frame never binds it); `boundOf` resolves
+    * BOUND(?v) — separated because on dict stores boundness is the ID
+    * column's nullness, not the rehydrated struct's. SQL's NULL
+    * logic in `&&`/`||`/`!` is exactly SPARQL §17.2's error table, so
+    * the composition needs no special-casing. */
+  private def filterCol(f: FilterExpr, termOf: String => Column,
+                        boundOf: String => Column): Column = f match {
+    case FilterCmp(v, op, t)    => cmpTermCol(termOf(v.name), op, t)
+    case FilterVarCmp(x, op, y) => cmpVarCol(termOf(x.name), op, termOf(y.name))
+    case FilterBound(v)         => boundOf(v.name)
+    case FilterRegex(v, p)      => regexCol(termOf(v.name), p)
+    case FilterAnd(es)          => es.map(filterCol(_, termOf, boundOf)).reduce(_ && _)
+    case FilterOr(es)           => es.map(filterCol(_, termOf, boundOf)).reduce(_ || _)
+    case FilterNot(e)           => !filterCol(e, termOf, boundOf)
+  }
+
+  private def containsBound(f: FilterExpr): Boolean = f match {
+    case _: FilterBound => true
+    case FilterAnd(es)  => es.exists(containsBound)
+    case FilterOr(es)   => es.exists(containsBound)
+    case FilterNot(e)   => containsBound(e)
+    case _              => false
+  }
+
+  /** Apply one filter expression to a solution frame, keeping rows
+    * where it is TRUE (errors/false drop the row). Struct stores
+    * evaluate a codegen'd predicate in place — Catalyst pushes it
+    * through the plan (scan-side when the vars trace to one scan).
+    * Dict stores cannot compare ids, so terms rehydrate from the
+    * dictionary first:
+    *   - a single-var expression with no BOUND atom cannot be true on
+    *     an unbound term, so it evaluates over the DICTIONARY
+    *     (|dictionary| rows, not |store|) and semi-joins qualifying
+    *     ids back (an unbound id never equals a semi key — exactly
+    *     the error-removes-row outcome);
+    *   - anything else rehydrates only the DISTINCT referenced-var id
+    *     tuples of the frame (left_outer dict joins keep unbound ids
+    *     as NULL terms), evaluates the predicate over the tuples, and
+    *     null-safe left-semi-joins the qualifying tuples back — dict
+    *     join work is bounded by distinct tuples, never by solution
+    *     rows (the 100 TB shape; PlanSpec pins the semi-join).
+    */
+  private def applyFilter(a: DataFrame, f: FilterExpr,
+                          dict: Option[DataFrame]): DataFrame = {
+    val refs = FilterExpr.referencedVars(f).map(_.name)
+    val nullTerm = functions.lit(null).cast(Term.schema)
+    dict match {
+      case None =>
+        def termOf(name: String): Column =
+          if (a.columns.contains(name)) col(name) else nullTerm
+        a.where(filterCol(f, termOf, termOf(_).isNotNull))
+      case Some(d) =>
+        val present = refs.filter(a.columns.contains)
+        if (present.isEmpty) {
+          // no referenced var bound anywhere: constant-fold — only a
+          // BOUND-free-true expression (e.g. !BOUND) can keep rows
+          a.where(filterCol(f, _ => nullTerm, _ => functions.lit(false)))
+        } else if (present.size == 1 && refs.distinct.size == 1 &&
+            !containsBound(f)) {
+          val ids = d.where(filterCol(f, _ => col("term"),
+              _ => functions.lit(true)))
+            .select(col("id").as(present.head))
+          a.join(ids, Seq(present.head), "left_semi")
+        } else {
+          val tuples = a.select(present.map(col): _*).distinct()
+          var t = tuples
+          for (v <- present)
+            t = t.join(d.select(col("id").as(v), col("term").as(s"__f_$v")),
+              Seq(v), "left_outer")
+          def termOfT(name: String): Column =
+            if (present.contains(name)) col(s"__f_$name") else nullTerm
+          def boundOfT(name: String): Column =
+            if (present.contains(name)) col(name).isNotNull
+            else functions.lit(false)
+          val ok = t.where(filterCol(f, termOfT, boundOfT))
+          val okKeys = present.foldLeft(ok.select(present.map(col): _*))(
+            (d0, v) => d0.withColumnRenamed(v, s"__k_$v"))
+          a.join(okKeys,
+            present.map(v => col(v) <=> col(s"__k_$v")).reduce(_ && _),
+            "left_semi")
+        }
+    }
   }
 
   private def groundTerm(tv: TermOrVar): Term = tv match {

@@ -43,20 +43,46 @@ object MiniInterp {
     case other => throw new IllegalArgumentException(s"not a pattern: $other")
   }
 
-  private def cmpTerm(a: Term, op: CmpOp, t: Term): Boolean = {
+  /** Three-valued comparison: None = SPARQL type error (unbound side
+    * or incomparable families). */
+  private def cmpTerm(a: Term, op: CmpOp, t: Term): Option[Boolean] = {
     def c(x: Int): Boolean = op match {
       case Lt => x < 0; case Le => x <= 0; case Gt => x > 0
       case Ge => x >= 0; case Neq => x != 0
     }
     (a, t) match {
-      case (TLong(x), TLong(y))     => c(x.compare(y)) // exact int64
-      case (TLong(x), TDouble(y))   => c(x.toDouble.compare(y))
-      case (TDouble(x), TLong(y))   => c(x.compare(y.toDouble))
-      case (TDouble(x), TDouble(y)) => c(x.compare(y))
-      case (TString(x), TString(y)) => c(x.compareTo(y))
-      case (TDate(x), TDate(y))     => c(x.compareTo(y))
-      case _                        => false
+      case (null, _) | (_, null)    => None
+      case (TLong(x), TLong(y))     => Some(c(x.compare(y))) // exact int64
+      case (TLong(x), TDouble(y))   => Some(c(x.toDouble.compare(y)))
+      case (TDouble(x), TLong(y))   => Some(c(x.compare(y.toDouble)))
+      case (TDouble(x), TDouble(y)) => Some(c(x.compare(y)))
+      case (TString(x), TString(y)) => Some(c(x.compareTo(y)))
+      case (TDate(x), TDate(y))     => Some(c(x.compareTo(y)))
+      case _                        => None
     }
+  }
+
+  /** [[FilterExpr]] evaluation against one solution row — SPARQL
+    * §17.2 three-valued semantics, the independent model the Spark
+    * engine's SQL-NULL formulation is checked against. */
+  private def evalFilter(f: FilterExpr, b: Row): Option[Boolean] = f match {
+    case FilterCmp(v, op, t) => cmpTerm(b.getOrElse(v.name, null), op, t)
+    case FilterVarCmp(x, op, y) =>
+      cmpTerm(b.getOrElse(x.name, null), op, b.getOrElse(y.name, null))
+    case FilterBound(v) => Some(b.getOrElse(v.name, null) != null)
+    case FilterRegex(v, p) => b.getOrElse(v.name, null) match {
+      case TString(s) => Some(p.r.findFirstIn(s).isDefined)
+      case _          => None
+    }
+    case FilterAnd(es) =>
+      val vs = es.map(evalFilter(_, b))
+      if (vs.contains(Some(false))) Some(false)
+      else if (vs.contains(None)) None else Some(true)
+    case FilterOr(es) =>
+      val vs = es.map(evalFilter(_, b))
+      if (vs.contains(Some(true))) Some(true)
+      else if (vs.contains(None)) None else Some(false)
+    case FilterNot(e) => evalFilter(e, b).map(!_)
   }
 
   private def closeSet(e: Set[(Term, Term)]): Set[(Term, Term)] = {
@@ -118,8 +144,7 @@ object MiniInterp {
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
-    val filters: Seq[PatternRow] =
-      rows.collect { case f: FilterCmp => f; case f: FilterVarCmp => f }
+    val filters: Seq[FilterExpr] = rows.collect { case f: FilterExpr => f }
     val requiredVarNames = Bgp.requiredVars(rows).map(_.name).toSet
 
     // required conjunction: fold of natural joins (order-independent on
@@ -151,29 +176,6 @@ object MiniInterp {
         else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
       acc = Rel(acc.cols + name, newRows)
     }
-    // value filters: comparable families only, unbound var = error
-    // (row removed — with no binding at all, everything removed)
-    for (f <- filters) {
-      acc = f match {
-        case fc: FilterCmp =>
-          if (!acc.cols.contains(fc.v.name)) Rel(acc.cols, Seq.empty)
-          else Rel(acc.cols, acc.rows.filter { b =>
-            val a = b.getOrElse(fc.v.name, null)
-            a != null && cmpTerm(a, fc.op, fc.t)
-          })
-        case fv: FilterVarCmp =>
-          if (!acc.cols.contains(fv.a.name) ||
-              !acc.cols.contains(fv.b.name)) Rel(acc.cols, Seq.empty)
-          else Rel(acc.cols, acc.rows.filter { b =>
-            val x = b.getOrElse(fv.a.name, null)
-            val y = b.getOrElse(fv.b.name, null)
-            x != null && y != null && cmpTerm(x, fv.op, y)
-          })
-        case other =>
-          throw new IllegalArgumentException(s"not a filter: $other")
-      }
-    }
-
     // negation (engine: left_anti on shared columns — null keys never
     // match, so a null-valued shared var keeps the solution)
     for (neg <- negations) {
@@ -230,6 +232,13 @@ object MiniInterp {
     }
     if (noRequired && optionals.nonEmpty)
       acc = Rel(acc.cols, acc.rows.filter(r => markers.exists(m => r.getOrElse(m, null) != null)))
+
+    // value filters run AFTER the group's optional fold (SPARQL §18.5
+    // evaluation order): per-row three-valued evaluation, only TRUE
+    // keeps the row (errors — unbound/cross-family — drop it)
+    for (f <- filters)
+      acc = Rel(acc.cols, acc.rows.filter(b => evalFilter(f, b) == Some(true)))
+
     Rel(acc.cols -- markers, acc.rows.map(_ -- markers))
   }
 }
@@ -269,15 +278,60 @@ object DifferentialProps extends Properties("differential") {
     coll <- Gen.nonEmptyListOf(Gen.oneOf(objs)).map(_.take(3))
   } yield Values(V(v), coll)
 
-  // optional clauses may themselves contain values and nested optionals
-  // (the reference nests arbitrarily) — both engines recurse
+  // the full filter-expression surface: comparison atoms plus BOUND /
+  // REGEX and one level of AND/OR/NOT composition (error semantics
+  // only show under composition — !cmp on a cross-family row, BOUND
+  // rescued by OR). Regex patterns stay in the Java⇄everything
+  // portable subset; objs include "x"/"y" so they both hit and miss.
+  val genFilterAtom: Gen[FilterExpr] = Gen.frequency(
+    3 -> (for {
+      v <- Gen.oneOf(varNames)
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      t <- Gen.oneOf[Term](TLong(1), TDouble(2.5), TString("x"))
+    } yield FilterCmp(V(v), op, t): FilterExpr),
+    2 -> (for {
+      a <- Gen.oneOf(varNames)
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      b <- Gen.oneOf(varNames)
+    } yield FilterVarCmp(V(a), op, V(b)): FilterExpr),
+    2 -> Gen.oneOf(varNames).map(v => FilterBound(V(v)): FilterExpr),
+    1 -> (for {
+      v <- Gen.oneOf(varNames)
+      p <- Gen.oneOf("^x", "y$", "[ab]", "x|z")
+    } yield FilterRegex(V(v), p): FilterExpr))
+
+  val genFilterExpr: Gen[FilterExpr] = Gen.frequency(
+    3 -> genFilterAtom,
+    1 -> Gen.listOfN(2, genFilterAtom).map(FilterAnd(_): FilterExpr),
+    1 -> Gen.listOfN(2, genFilterAtom).map(FilterOr(_): FilterExpr),
+    1 -> genFilterAtom.map(FilterNot(_): FilterExpr))
+
+  val genFilter: Gen[PatternRow] = genFilterExpr.map(f => f: PatternRow)
+
+  // negation inner groups may carry their own filters (group-scoped:
+  // the inner compile evaluates them against the inner solutions)
+  val genNegation: Gen[PatternRow] = for {
+    n <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(n, genPattern)
+    fil <- Gen.frequency(
+      3 -> Gen.const(Seq.empty[PatternRow]),
+      1 -> genFilter.map(Seq(_)))
+    isMinus <- Gen.oneOf(true, false)
+  } yield if (isMinus) Minus(pats ++ fil) else NotExists(pats ++ fil)
+
+  // optional clauses may themselves contain values, nested optionals,
+  // FILTERs (scoped to the clause: they restrict which optional rows
+  // match, never discarding the required solution), and negations —
+  // both engines recurse
   val genOptional: Gen[Optional] = for {
     n <- Gen.choose(1, 2)
     pats <- Gen.listOfN(n, genPattern)
     extra <- Gen.frequency(
       4 -> Gen.const(Seq.empty[PatternRow]),
       1 -> genValues.map(Seq(_)),
-      1 -> genPattern.map(p => Seq(Optional(Seq(p)))))
+      1 -> genPattern.map(p => Seq(Optional(Seq(p)))),
+      2 -> genFilter.map(Seq(_)),
+      1 -> genNegation.map(Seq(_)))
   } yield Optional(pats ++ extra)
 
   // nPat may be 0: values-only and optional-only queries are legal
@@ -285,23 +339,6 @@ object DifferentialProps extends Properties("differential") {
   // marker-gate paths; nVal up to 2 covers two Values clauses on the
   // SAME var (second must filter, not re-generate — membero
   // conjunction intersects)
-  val genNegation: Gen[PatternRow] = for {
-    n <- Gen.choose(1, 2)
-    pats <- Gen.listOfN(n, genPattern)
-    isMinus <- Gen.oneOf(true, false)
-  } yield if (isMinus) Minus(pats) else NotExists(pats)
-
-  val genFilter: Gen[PatternRow] = Gen.frequency(
-    2 -> (for {
-      v <- Gen.oneOf(varNames)
-      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
-      t <- Gen.oneOf[Term](TLong(1), TDouble(2.5), TString("x"))
-    } yield FilterCmp(V(v), op, t): PatternRow),
-    1 -> (for {
-      a <- Gen.oneOf(varNames)
-      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
-      b <- Gen.oneOf(varNames)
-    } yield FilterVarCmp(V(a), op, V(b)): PatternRow))
 
   val genQuery: Gen[Seq[PatternRow]] = (for {
     nPat <- Gen.choose(0, 3)
@@ -314,7 +351,7 @@ object DifferentialProps extends Properties("differential") {
     // refuses negation-only / filter-only queries loudly)
     nNeg <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
     negs <- Gen.listOfN(nNeg, genNegation)
-    nFil <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
+    nFil <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 2)
     fils <- Gen.listOfN(nFil, genFilter)
   } yield pats ++ vals ++ opts ++ negs ++ fils).suchThat(_.nonEmpty)
 
@@ -466,10 +503,13 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     coll <- Gen.nonEmptyListOf(Gen.oneOf(objs ++ graphs)).map(_.take(3))
   } yield Values(V(v), coll)
 
-  val genOptional: Gen[Optional] = for {
+  lazy val genOptional: Gen[Optional] = for {
     n <- Gen.choose(1, 2)
     pats <- Gen.listOfN(n, Gen.oneOf(genTriplePat, genQuadPat))
-  } yield Optional(pats)
+    extra <- Gen.frequency(
+      3 -> Gen.const(Seq.empty[PatternRow]),
+      1 -> genNegFil.map(Seq(_))) // clause-scoped filter or negation
+  } yield Optional(pats ++ extra)
 
   val genNegFil: Gen[PatternRow] = Gen.frequency(
     1 -> Gen.listOfN(1, Gen.oneOf(genTriplePat, genQuadPat))
@@ -480,7 +520,21 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
       v <- Gen.oneOf(varNames)
       op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
       t <- Gen.oneOf[Term](TLong(1), TString("x"))
-    } yield FilterCmp(V(v), op, t): PatternRow))
+    } yield FilterCmp(V(v), op, t): PatternRow),
+    1 -> (for {
+      v <- Gen.oneOf(varNames)
+      inner <- Gen.oneOf(
+        Gen.const(FilterBound(V(v)): FilterExpr),
+        Gen.const(FilterRegex(V(v), "^x"): FilterExpr),
+        (for {
+          op <- Gen.oneOf(Lt, Gt, Neq)
+          t <- Gen.oneOf[Term](TLong(1), TString("x"))
+        } yield FilterCmp(V(v), op, t): FilterExpr))
+      f <- Gen.oneOf(
+        Gen.const(FilterNot(inner): PatternRow),
+        Gen.const(FilterOr(Seq(inner,
+          FilterBound(V("gv")))): PatternRow))
+    } yield f))
 
   val genQuery: Gen[Seq[PatternRow]] = (for {
     nPat <- Gen.choose(0, 2)
