@@ -163,6 +163,25 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Exchange"), s"filter must not shuffle:\n$p")
   }
 
+  test("dict var-var FILTER rehydrates DISTINCT id pairs, not solution " +
+      "rows: dict joins feed from an aggregate, result re-enters via " +
+      "left_semi (the 100 TB shape — dict work bounded by distinct pairs)") {
+    val db = Tables.customerDb(spark, dir)
+    val dd = db.dictEncode()
+    try {
+      val df = Projections.selectDf(dd, Seq(
+        pat(V("c"), T(k("c_acctbal")), V("a")),
+        pat(V("d"), T(k("c_acctbal")), V("b")),
+        FilterVarCmp(V("a"), Gt, V("b"))), Seq(V("c"), V("d")))
+      df.collect() // finalize the adaptive plan on THIS frame
+      val p = plan(df)
+      assert(p.contains("LeftSemi"),
+        s"qualifying pairs must re-enter via a semi join:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"dict rehydration must read the DISTINCT pair set:\n$p")
+    } finally dd.unpersist()
+  }
+
   test("BPE encodeTokens: pure scan projection — no shuffle, no join") {
     val docs = Tables.t(spark, dir, "documents")
     val m = Seq(graft.ops.Bpe.Merge(0, "e", "s"),

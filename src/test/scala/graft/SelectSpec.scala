@@ -282,6 +282,129 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("FILTER scoping (SPARQL §18.5): inside an optional it restricts " +
+      "which rows EXTEND; outside it removes extended solutions per row") {
+    val price = k("price"); val has = k("has")
+    val d = db(
+      (k("a"), label, s("A")), (k("b"), label, s("B")),
+      (k("c"), label, s("C")),
+      (k("a"), has, k("i1")), (k("i1"), price, TLong(10)),
+      (k("b"), has, k("i2")), (k("i2"), price, TLong(1)))
+    // inside: a keeps its match, b's item fails the filter so b stays
+    // with NULLs, c never matched — stays with NULLs
+    val inside = resultSet(d, Seq(?("s"), ?("p")), Seq(
+      pat(?("s"), T(label), ?("n")),
+      Optional(Seq(
+        pat(?("s"), T(has), ?("i")),
+        pat(?("i"), T(price), ?("p")),
+        FilterCmp(?("p"), Gt, TLong(5))))))
+    assert(inside == Set(
+      Seq(k("a"), TLong(10)), Seq(k("b"), null), Seq(k("c"), null)))
+    // outside: evaluated AFTER the optional fold per row — b's bound 1
+    // fails, c's UNBOUND p is a type error; both rows removed
+    val outside = resultSet(d, Seq(?("s"), ?("p")), Seq(
+      pat(?("s"), T(label), ?("n")),
+      Optional(Seq(
+        pat(?("s"), T(has), ?("i")),
+        pat(?("i"), T(price), ?("p")))),
+      FilterCmp(?("p"), Gt, TLong(5))))
+    assert(outside == Set(Seq(k("a"), TLong(10))))
+    // dict store: identical scoping through the same compiler
+    val dd = d.dictEncode()
+    try {
+      def run(rows: Seq[PatternRow]) =
+        Projections.selectDf(dd, rows, Seq(?("s"), ?("p"))).collect().toSeq
+          .map(r => (fromRow(r.getStruct(0)),
+            if (r.isNullAt(1)) null else fromRow(r.getStruct(1)))).toSet
+      assert(run(Seq(
+        pat(?("s"), T(label), ?("n")),
+        Optional(Seq(
+          pat(?("s"), T(has), ?("i")),
+          pat(?("i"), T(price), ?("p")),
+          FilterCmp(?("p"), Gt, TLong(5)))))) == Set(
+        (k("a"), TLong(10)), (k("b"), null), (k("c"), null)))
+      assert(run(Seq(
+        pat(?("s"), T(label), ?("n")),
+        Optional(Seq(
+          pat(?("s"), T(has), ?("i")),
+          pat(?("i"), T(price), ?("p")))),
+        FilterCmp(?("p"), Gt, TLong(5)))) == Set(
+        (k("a"), TLong(10))))
+    } finally dd.unpersist()
+  }
+
+  test("BOUND / boolean composition: !BOUND negation-as-failure, " +
+      "!BOUND||cmp default-value idiom, OR rescues a type error, " +
+      "NOT propagates it") {
+    val price = k("price"); val has = k("has")
+    val d = db(
+      (k("a"), label, s("A")), (k("b"), label, s("B")),
+      (k("c"), label, s("C")), (k("e"), label, s("E")),
+      (k("a"), has, k("i1")), (k("i1"), price, TLong(10)),
+      (k("b"), has, k("i2")), (k("i2"), price, TLong(1)),
+      (k("e"), has, k("i3")), (k("i3"), price, s("NaN")))
+    val base: Seq[PatternRow] = Seq(
+      pat(?("s"), T(label), ?("n")),
+      Optional(Seq(
+        pat(?("s"), T(has), ?("i")),
+        pat(?("i"), T(price), ?("p")))))
+    def q(extra: PatternRow*) =
+      resultSet(d, Seq(?("s")), base ++ extra)
+    // negation-as-failure: only the subject with NO price row
+    assert(q(FilterNot(FilterBound(?("p")))) == Set(Seq(k("c"))))
+    // default-value idiom: unmatched OR clears threshold; e's string
+    // price is an error on the cmp side but BOUND(p)=true, so
+    // !BOUND=false OR error = error → removed (correct §17.2 table)
+    assert(q(FilterOr(Seq(
+      FilterNot(FilterBound(?("p"))),
+      FilterCmp(?("p"), Gt, TLong(5))))) == Set(Seq(k("c")), Seq(k("a"))))
+    // NOT of a cross-family comparison stays an error: e removed, not
+    // rescued (NOT error = error)
+    assert(q(FilterNot(FilterCmp(?("p"), Gt, TLong(5)))) == Set(Seq(k("b"))))
+    // AND: false AND error = false — but false still removes; only a
+    // true AND true survives
+    assert(q(FilterAnd(Seq(
+      FilterBound(?("p")),
+      FilterCmp(?("p"), Gt, TLong(5))))) == Set(Seq(k("a"))))
+    // dict store mirrors all four
+    val dd = d.dictEncode()
+    try {
+      def qd(extra: PatternRow*) =
+        Projections.selectDf(dd, base ++ extra, Seq(?("s"))).collect()
+          .toSeq.map(r => fromRow(r.getStruct(0))).toSet
+      assert(qd(FilterNot(FilterBound(?("p")))) == Set(k("c")))
+      assert(qd(FilterOr(Seq(
+        FilterNot(FilterBound(?("p"))),
+        FilterCmp(?("p"), Gt, TLong(5))))) == Set(k("c"), k("a")))
+      assert(qd(FilterNot(FilterCmp(?("p"), Gt, TLong(5)))) == Set(k("b")))
+      assert(qd(FilterAnd(Seq(
+        FilterBound(?("p")),
+        FilterCmp(?("p"), Gt, TLong(5))))) == Set(k("a")))
+    } finally dd.unpersist()
+  }
+
+  test("FILTER regex: unanchored Java find over string terms; " +
+      "non-string kinds are type errors; dict dictionary-side eval") {
+    val d = db(
+      (k("a"), label, s("Rick Sanchez")),
+      (k("b"), label, s("Morty")),
+      (k("c"), label, TLong(42)))
+    def q(p: String) = resultSet(d, Seq(?("s")), Seq(
+      pat(?("s"), T(label), ?("n")),
+      FilterRegex(?("n"), p)))
+    assert(q("^Rick") == Set(Seq(k("a"))))
+    assert(q("o") == Set(Seq(k("b"))))     // unanchored find
+    assert(q("[0-9]") == Set.empty[Seq[graft.core.Term]]) // 42 is KLong: error
+    val dd = d.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(
+        pat(?("s"), T(label), ?("n")),
+        FilterRegex(?("n"), "t")), Seq(?("s")))
+        .collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+      assert(got == Set(k("b"))) // "Morty"; "Rick Sanchez" has no t? — has none
+    } finally dd.unpersist()
+  }
+
   test("100k-triple scale smoke: 2-pattern select (T:253-264)") {
     val big = (0 until 100000).map(i => (u((i - 1).toString), knows, u(i.toString)))
     val d = TripleDb.fromTerms(spark, friends_++(big)).index()
