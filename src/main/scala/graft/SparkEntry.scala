@@ -1519,6 +1519,25 @@ object SparkEntry {
         FilterVarCmp(V("sb"), Gt, V("cb"))),
         "s", "c")),
 
+    // ---- NEGATED PROPERTY SET (SPARQL 1.1 §9.1): a two-step path
+    //      where each hop is a predicate COMPLEMENT. The excluded
+    //      sets are the decoys: without the first exclusion the walk
+    //      would leave via every customer attribute, without the
+    //      second the answer would contain nation names/comments —
+    //      only the complements' sole survivors (c_nationkey,
+    //      n_regionkey) chain customer → nation → region ----
+    "q157_path_negset" -> ((sp, dir) => {
+      val db = TripleDb.union(Tables.customerDb(sp, dir), Tables.nationDb(sp, dir))
+      sel(db, Seq(
+        PathPattern(V("c"), PathSeq(Seq(
+            PathNeg(Seq(TKeyword("c_name"), TKeyword("c_address"),
+              TKeyword("c_phone"), TKeyword("c_acctbal"),
+              TKeyword("c_mktsegment"), TKeyword("c_comment"))),
+            PathNeg(Seq(TKeyword("n_name"), TKeyword("n_comment"))))),
+          V("r"))),
+        "c", "r")
+    }),
+
     // ---- var-var FILTER: suppliers out-balancing co-located
     //      customers — the comparison decided per row pair ----
     "q152_filter_var" -> ((sp, dir) => {
@@ -2746,6 +2765,14 @@ object SparkEntry {
       """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |WHERE s_acctbal > c_acctbal""".stripMargin,
+
+    // the complements' sole survivors chain customer→nation→region;
+    // any exclusion failure would surface extra rows (attribute
+    // strings as ?r) or extra paths — the join IS the proof
+    "q157_path_negset" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  'u|region/' || n_regionkey AS r
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
 
     // numeric FILTER ≡ SQL WHERE on the raw column
     "q151_filter_cmp" ->

@@ -96,6 +96,23 @@ final case class PathPred(pred: Term) extends PathExpr {
 final case class PathInv(inner: PathExpr) extends PathExpr {
   def preds: Seq[Term] = inner.preds
 }
+/** `!(p1|p2|…)`: negated property set (SPARQL 1.1 §9.1
+  * PathNegatedPropertySet, forward members) — one hop over ANY edge
+  * whose predicate is NOT in `excluded`. The grammar's inverse
+  * members compose from the existing algebra instead of widening the
+  * leaf: `!(^p)` ≡ [[PathInv]]([[PathNeg]](Seq(p))), and a mixed set
+  * `!(p1|^p2)` ≡ [[PathAlt]](Seq(PathNeg(Seq(p1)),
+  * PathInv(PathNeg(Seq(p2))))) — SPARQL defines the mixed form as
+  * exactly that union. `preds` is empty: the traversed predicates are
+  * the store-dependent complement, so no slice pruning applies (the
+  * scan is the full relation minus the excluded slices — a pushed
+  * scan-side inequality, zero joins; an id inequality on dict
+  * stores). */
+final case class PathNeg(excluded: Seq[Term]) extends PathExpr {
+  require(excluded.nonEmpty, "negated property set needs at least one predicate")
+  def preds: Seq[Term] = Nil
+}
+
 /** `e1/e2/…`: sequence — relational composition of the step paths
   * (SPARQL 1.1 SequencePath). `customer —c_nationkey→ ^s_nationkey→
   * supplier` is the co-located-in-a-nation join written as one path. */

@@ -178,14 +178,14 @@ object BgpCompiler {
           case pp: PathPattern =>
             val (s, o) = (groundTerm(pp.s), groundTerm(pp.o))
             pathRelFrom(in, pushInv(pp.path), srcDf(in, s),
-                pathEdges(in, _: Seq[Term]), allNodes(in.full))
+                edgeBuilders(in), allNodes(in.full))
               .where(col("dst") === in.groundLit(o))
           case qp: QuadPathPattern =>
             // fully-ground scoped path: reachability inside ONE graph
             val (s, o) = (groundTerm(qp.s), groundTerm(qp.o))
             val gt = groundTerm(qp.g)
             pathRelFrom(in, pushInv(qp.path), srcDf(in, s),
-                scopedEdges(in, gt)(_: Seq[Term]),
+                scopedEdgeBuilders(in, gt),
                 allNodes(in.full.where(col("g") === in.groundLit(gt))))
               .where(col("dst") === in.groundLit(o))
           case other => throw new InvalidBgp(s"unexpected path row: $other")
@@ -556,6 +556,46 @@ object BgpCompiler {
       .map(_.select(col("s").as("src"), col("o").as("dst")))
       .reduce(_.unionByName(_))
 
+  /** The leaf edge builders a path walk threads through its algebra:
+    * `pos` is the union of the given predicates' slices, `neg` the
+    * COMPLEMENT — every edge whose predicate is none of the given
+    * ones ([[PathNeg]]). The complement cannot prune by slice, so it
+    * scans the full relation with a pushed scan-side inequality
+    * conjunction (an 8-byte id inequality on dict stores) — zero
+    * joins either way. */
+  private final case class EdgeBuilders(pos: Seq[Term] => DataFrame,
+                                        neg: Seq[Term] => DataFrame)
+
+  /** `p NOT IN (excluded)` as a scan predicate over the store's
+    * predicate column (term struct or dict id — groundLit encodes for
+    * the layout). */
+  private def notIn(in: BgpInput, excluded: Seq[Term]): Column =
+    excluded.map(e => col("p") =!= in.groundLit(e)).reduce(_ && _)
+
+  private def edgeBuilders(in: BgpInput): EdgeBuilders = EdgeBuilders(
+    pathEdges(in, _),
+    ex => in.full.where(notIn(in, ex))
+      .select(col("s").as("src"), col("o").as("dst")))
+
+  /** [[EdgeBuilders]] scoped to ONE ground graph — pushed scan
+    * filters on the quad slices / full quad relation, zero joins. */
+  private def scopedEdgeBuilders(in: BgpInput, g: Term): EdgeBuilders =
+    EdgeBuilders(
+      scopedEdges(in, g),
+      ex => in.full
+        .where(col("g") === in.groundLit(g) && notIn(in, ex))
+        .select(col("s").as("src"), col("o").as("dst")))
+
+  /** [[EdgeBuilders]] over (graph, node) composite keys (variable
+    * graph scope — see [[compositeEdges]]). */
+  private def compositeEdgeBuilders(in: BgpInput): EdgeBuilders =
+    EdgeBuilders(
+      compositeEdges(in, _),
+      ex => in.full.where(notIn(in, ex))
+        .select(
+          struct(col("g").as("gg"), col("s").as("n")).as("src"),
+          struct(col("g").as("gg"), col("o").as("n")).as("dst")))
+
   private def predSlices(in: BgpInput, preds: Seq[Term]): Seq[DataFrame] =
     preds.map { p =>
       val src = p match {
@@ -626,6 +666,8 @@ object BgpCompiler {
   private def invOf(pe: PathExpr): PathExpr = pe match {
     case PathPred(p)            => PathInv(PathPred(p))
     case PathInv(PathPred(p))   => PathPred(p)
+    case PathNeg(ex)            => PathInv(PathNeg(ex))
+    case PathInv(PathNeg(ex))   => PathNeg(ex)
     case PathPlus(p)            => PathPlusOf(PathInv(PathPred(p)))
     case PathAltPlus(ps)        => PathPlusOf(PathAlt(ps.map(p => PathInv(PathPred(p)))))
     case PathSeq(s)             => PathSeq(s.reverse.map(invOf))
@@ -641,12 +683,14 @@ object BgpCompiler {
     * union-of-graphs scan, a ground-graph-scoped scan, or the
     * (graph, node) composite form for a variable graph scope. */
   private def pathRel(in: BgpInput, pe: PathExpr,
-                      ed: Seq[Term] => DataFrame,
+                      ed: EdgeBuilders,
                       nodes: => DataFrame): DataFrame = pe match {
-    case PathPred(p)          => ed(Seq(p)).dropDuplicates("src", "dst")
-    case PathInv(PathPred(p)) => flipRel(ed(Seq(p))).dropDuplicates("src", "dst")
-    case PathPlus(p)          => Paths.closureEdges(ed(Seq(p)))
-    case PathAltPlus(ps)      => Paths.closureEdges(ed(ps))
+    case PathPred(p)          => ed.pos(Seq(p)).dropDuplicates("src", "dst")
+    case PathInv(PathPred(p)) => flipRel(ed.pos(Seq(p))).dropDuplicates("src", "dst")
+    case PathNeg(ex)          => ed.neg(ex).dropDuplicates("src", "dst")
+    case PathInv(PathNeg(ex)) => flipRel(ed.neg(ex)).dropDuplicates("src", "dst")
+    case PathPlus(p)          => Paths.closureEdges(ed.pos(Seq(p)))
+    case PathAltPlus(ps)      => Paths.closureEdges(ed.pos(ps))
     case PathSeq(steps)       => steps.map(pathRel(in, _, ed, nodes)).reduce(composeRel)
     case PathAlt(alts)        => alts.map(pathRel(in, _, ed, nodes))
       .reduce(_.unionByName(_)).dropDuplicates("src", "dst")
@@ -664,19 +708,25 @@ object BgpCompiler {
     * step by step, so each step's scan is restricted to nodes actually
     * reached; transitive steps BFS via [[Paths.closureEdgesFrom]]. */
   private def pathRelFrom(in: BgpInput, pe: PathExpr, srcs: DataFrame,
-                          ed: Seq[Term] => DataFrame,
+                          ed: EdgeBuilders,
                           nodes: => DataFrame): DataFrame = pe match {
     case PathPred(p) =>
-      ed(Seq(p)).join(srcs, Seq("src"))
+      ed.pos(Seq(p)).join(srcs, Seq("src"))
         .dropDuplicates("src", "dst")
     case PathInv(PathPred(p)) =>
-      flipRel(ed(Seq(p))).join(srcs, Seq("src"))
+      flipRel(ed.pos(Seq(p))).join(srcs, Seq("src"))
+        .dropDuplicates("src", "dst")
+    case PathNeg(ex) =>
+      ed.neg(ex).join(srcs, Seq("src"))
+        .dropDuplicates("src", "dst")
+    case PathInv(PathNeg(ex)) =>
+      flipRel(ed.neg(ex)).join(srcs, Seq("src"))
         .dropDuplicates("src", "dst")
     case PathPlus(p) =>
-      val e = ed(Seq(p))
+      val e = ed.pos(Seq(p))
       Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
     case PathAltPlus(ps) =>
-      val e = ed(ps)
+      val e = ed.pos(ps)
       Paths.closureEdgesFrom(e, e.join(srcs, Seq("src")))
     case PathSeq(steps) =>
       steps.foldLeft(null: DataFrame) { (acc, step) =>
@@ -727,7 +777,7 @@ object BgpCompiler {
     */
   private def pathFrame(in: BgpInput, pp: PathPattern): DataFrame = {
     val path = pushInv(pp.path)
-    val ed = pathEdges(in, _: Seq[Term])
+    val ed = edgeBuilders(in)
     def nodes = allNodes(in.full)
     (pp.s, pp.o) match {
       case (T(t), v: V) =>
@@ -756,7 +806,7 @@ object BgpCompiler {
     val path = pushInv(qp.path)
     qp.g match {
       case T(gt) =>
-        val ed = scopedEdges(in, gt)(_: Seq[Term])
+        val ed = scopedEdgeBuilders(in, gt)
         def nodes = allNodes(in.full.where(col("g") === in.groundLit(gt)))
         (qp.s, qp.o) match {
           case (T(t), v: V) =>
@@ -775,7 +825,7 @@ object BgpCompiler {
             throw new InvalidBgp(s"ground quad path belongs in gates: $qp")
         }
       case gv: V =>
-        val ed = compositeEdges(in, _: Seq[Term])
+        val ed = compositeEdgeBuilders(in)
         def nodes = in.full
           .select(struct(col("g").as("gg"), col("s").as("n")).as("node"))
           .unionByName(in.full

@@ -108,6 +108,8 @@ object MiniInterp {
       db.flatMap(q => Seq(q._1, q._3)).toSet.map((n: Term) => (n, n))
     pe match {
       case PathPred(p)     => edges(Seq(p))
+      case PathNeg(ex)     =>
+        db.collect { case (s, p, o, _) if !ex.contains(p) => (s, o) }.toSet
       case PathPlus(p)     => closeSet(edges(Seq(p)))
       case PathAltPlus(ps) => closeSet(edges(ps))
       case PathInv(x)      => pathPairs(db, x).map(_.swap)
@@ -479,7 +481,11 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     Gen.oneOf(preds).map(PathPred(_): PathExpr),
     Gen.oneOf(preds).map(p => PathInv(PathPred(p)): PathExpr),
     Gen.oneOf(preds).map(PathPlus(_): PathExpr),
-    Gen.const(PathAltPlus(preds): PathExpr))
+    Gen.const(PathAltPlus(preds): PathExpr),
+    // negated property sets: 1-pred and 2-pred exclusions, forward
+    // and (via the composing PathInv wrapper below) inverse
+    Gen.oneOf(preds).map(p => PathNeg(Seq(p)): PathExpr),
+    Gen.pick(2, preds).map(ps => PathNeg(ps.toSeq): PathExpr))
   val genPathExpr: Gen[PathExpr] = Gen.frequency(
     3 -> genLeafExpr,
     1 -> Gen.listOfN(2, genLeafExpr).map(PathSeq(_): PathExpr),

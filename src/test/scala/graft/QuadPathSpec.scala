@@ -384,6 +384,64 @@ class QuadPathSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("negated property sets !(p1|...): forward complement, inverse " +
+      "via ^!p, mixed set as the SPARQL union, composition, graph " +
+      "scoping, dict store") {
+    val mentors = k("mentors"); val hates = k("hates")
+    val g = db(
+      (rick, knows, martin), (rick, hates, katie),
+      (julie, mentors, katie))
+    // forward: anything rick relates to EXCEPT via knows
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(rick), PathNeg(Seq(knows)), ?("o")))) ==
+      Set(Seq(katie)))
+    // 2-pred exclusion: nothing left from rick
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(rick), PathNeg(Seq(knows, hates)), ?("o")))) ==
+      Set.empty[Seq[Term]])
+    // inverse members compose as ^(!p): who reaches katie by any
+    // predicate except hates
+    assert(resultSet(g, Seq(?("s")),
+      Seq(PathPattern(T(katie), PathInv(PathNeg(Seq(hates))), ?("s")))) ==
+      Set(Seq(julie)))
+    // mixed set !(knows|^mentors) = SPARQL union of the two parts:
+    // forward non-knows edges ∪ reversed non-mentors edges
+    val mixed = PathAlt(Seq(
+      PathNeg(Seq(knows)), PathInv(PathNeg(Seq(mentors)))))
+    assert(resultSet(g, Seq(?("o")),
+      Seq(PathPattern(T(katie), mixed, ?("o")))) == Set(Seq(rick)))
+    // composes inside sequences: a knows-hop then a non-knows hop
+    assert(resultSet(g, Seq(?("a"), ?("b")), Seq(PathPattern(?("a"),
+      PathSeq(Seq(PathNeg(Seq(mentors)), PathInv(PathNeg(Seq(knows))))),
+      ?("b")))) == Set(Seq(rick, rick), Seq(rick, julie)))
+    // ground/ground gate
+    assert(resultSet(g, Seq(?("n")), Seq(
+      pat(T(rick), T(knows), ?("n")),
+      PathPattern(T(rick), PathNeg(Seq(knows)), T(katie)))) ==
+      Set(Seq(martin)))
+    // graph scoping: the complement scan stays inside the graph
+    val qd = QuadDb.fromQuads(spark, Seq(
+      (rick, knows, martin, g1),
+      (rick, hates, katie, g1),
+      (rick, mentors, julie, g2)))
+    // ground graph g1: non-knows edge from rick is only the hates one
+    assert(qset(qd, Seq(?("o")), Seq(
+      QuadPathPattern(T(rick), PathNeg(Seq(knows)), ?("o"), T(g1)))) ==
+      Set(Seq(katie)))
+    // var graph: each graph's own complement, graph bound per pair
+    assert(qset(qd, Seq(?("o"), ?("g")), Seq(
+      QuadPathPattern(T(rick), PathNeg(Seq(knows)), ?("o"), ?("g")))) ==
+      Set(Seq(katie, g1), Seq(julie, g2)))
+    // dict store: the exclusion is an 8-byte id inequality
+    val dd = g.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(PathPattern(T(rick),
+        PathNeg(Seq(knows)), ?("o"))), Seq(?("o")))
+        .collect().toSeq.map(r => Term.fromRow(r.getStruct(0))).toSet
+      assert(got == Set(katie))
+    } finally dd.unpersist()
+  }
+
   test("zero-length forms p* / p?: self-pairs cover every STORE node " +
       "(SPARQL ZeroLengthPath), ground endpoints pay existence probes, " +
       "graph scope bounds the node universe per graph") {
