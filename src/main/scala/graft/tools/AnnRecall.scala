@@ -64,8 +64,35 @@ object AnnRecall {
           raw = emb, k = k, rerank = 50))
       },
       "sq8" -> recall(Similarity.sq8SearchTopK(emb, q, k)))
+
+    // ---- production-sized IVF-PQ rows (round-11 sizing-rule audit,
+    // SURVEY §8.3): nClusters ≈ √n coarse cells, a 256-codeword
+    // PER-SUBSPACE codebook (Similarity.trainPqCodebooks — sliced
+    // full-vector centroids were measured to cap the ADC ceiling),
+    // codebook capped by corpus size so the same rows run on the
+    // tiny spec fixture. Two probe dials on the SAME index:
+    //   prod    = the originally documented probe ≈ √nClusters —
+    //             committed honestly; containment-bound on this
+    //             near-isotropic fixture;
+    //   prod90  = the measured ≥0.9-recall operating point
+    //             (probe ≈ 2·nClusters/3, rerank 400). ----
+    val n = emb.count()
+    val nc = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    val book = math.min(256, math.max(16, (n / 4).toInt))
+    val coarse = trainCentroids(emb, nc)
+    val pqC = Similarity.trainPqCodebooks(emb, book)
+    val prodIdx = Similarity.ivfPqIndex(emb, coarse, pqC).persist()
+    val prodRows = Seq(
+      "ivfpq_prod" -> recall(Similarity.ivfPqSearchTopKRefined(
+        prodIdx, coarse, pqC, q, raw = emb, k = k, rerank = 200,
+        nProbe = math.max(4, math.round(math.sqrt(nc.toDouble)).toInt))),
+      "ivfpq_prod90" -> recall(Similarity.ivfPqSearchTopKRefined(
+        prodIdx, coarse, pqC, q, raw = emb, k = k, rerank = 400,
+        nProbe = math.max(4, (2 * nc) / 3))))
+    prodIdx.unpersist()
+    val all = out ++ prodRows
     truth.unpersist()
-    out
+    all
   }
 
   /** Deterministic KMeans centroids (seed 42) over the embedding
