@@ -1519,6 +1519,34 @@ object SparkEntry {
         FilterVarCmp(V("sb"), Gt, V("cb"))),
         "s", "c")),
 
+    // ---- BNODE-SKOLEMIZING INTERCHANGE: a public-shaped N-Triples
+    //      dump whose orders are ANONYMOUS nodes (_:oK, two facts
+    //      each — the shape most real RDF dumps have) loads under
+    //      bnodes="skolem" (per-file urn:graft:bnode IRIs); the BGP
+    //      joins THROUGH the bnode and projects only stable terms,
+    //      proving within-file label identity survives ----
+    "q158_bnode_skolem" -> ((sp, dir) => {
+      import org.apache.spark.sql.functions.{array, explode => fExplode, lit => fLit}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q158").toString
+      val xsdD = "http://www.w3.org/2001/XMLSchema#double"
+      // explode keeps an order's two lines in one task = one part
+      // file, so the per-file skolem scope never splits an order
+      Tables.t(sp, dir, "orders").select(fExplode(array(
+          concat(fLit("_:o"), col("o_orderkey"),
+            fLit(" <urn:graft:kw/o_custkey> <urn:graft:rel/customer/"),
+            col("o_custkey"), fLit("> .")),
+          concat(fLit("_:o"), col("o_orderkey"),
+            fLit(" <urn:graft:kw/o_totalprice> \""),
+            col("o_totalprice").cast("string"),
+            fLit(s""""^^<$xsdD> .""")))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val db = graft.sources.NTriples.load(sp, tmp, "skolem")
+      sel(db, Seq(
+        pat(V("b"), kw("o_custkey"), V("c")),
+        pat(V("b"), kw("o_totalprice"), V("p"))),
+        "c", "p")
+    }),
+
     // ---- NEGATED PROPERTY SET (SPARQL 1.1 §9.1): a two-step path
     //      where each hop is a predicate COMPLEMENT. The excluded
     //      sets are the decoys: without the first exclusion the walk
@@ -2765,6 +2793,15 @@ object SparkEntry {
       """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |WHERE s_acctbal > c_acctbal""".stripMargin,
+
+    // the bnode subject is dropped from the projection, so the answer
+    // is exactly the (customer, price) pairs — one per order; a
+    // broken within-file skolem scope would break the join and drop
+    // rows, a broken cross-file scope cannot add any (labels unique)
+    "q158_bnode_skolem" ->
+      """SELECT 'u|customer/' || o_custkey AS c,
+        |  'd|' || printf('%.2f', o_totalprice) AS p
+        |FROM orders""".stripMargin,
 
     // the complements' sole survivors chain customer→nation→region;
     // any exclusion failure would surface extra rows (attribute

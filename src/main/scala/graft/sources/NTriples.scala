@@ -37,8 +37,12 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   *
   * Documented normalizations: a TTyped whose datatype is one of the
   * xsd types above parses back as the native kind (e.g.
-  * `"5"^^xsd:long` → TLong(5)); blank nodes are rejected (the Term
-  * model has no bnodes, and none are ever written).
+  * `"5"^^xsd:long` → TLong(5)); blank nodes are rejected by default
+  * (the Term model has no bnodes, and none are ever written) — pass
+  * `bnodes = "skolem"` to load them as per-file skolem IRIs
+  * ([[BnodeBase]]), which is what makes most real public dumps
+  * loadable; the writer optionally restores them
+  * ([[termTokenRestore]]).
   */
 object NTriples {
 
@@ -47,6 +51,40 @@ object NTriples {
   private val RelBase = "urn:graft:rel/"
   private val NilIri = "urn:graft:nil"
   private val OpaqueBase = "urn:graft:opaque/"
+
+  /** Reserved base for skolemized blank nodes:
+    * `urn:graft:bnode/<doc-id>/<label>`. The doc-id is a per-FILE
+    * hash (xxhash64 of the file URI), because bnode labels are
+    * document-scoped in every RDF syntax — the same `_:b0` in two
+    * files MUST NOT unify, while within one file it must. The
+    * skolem IRI is an ordinary [[Term.TUri]] (RDF 1.1 §3.5
+    * skolemization), so joins/GDPR/entailment treat it like any
+    * other node; [[termTokenRestore]] optionally writes it back as
+    * `_:<doc-id>.<label>` (a legal BLANK_NODE_LABEL — the re-export
+    * stays bnode-valued, modulo the documented label mapping). */
+  private[sources] val BnodeBase = "urn:graft:bnode/"
+
+  // practical BLANK_NODE_LABEL subset (word chars, mid dots/dashes)
+  private val BnodeTok = """_:[A-Za-z0-9_][A-Za-z0-9_.-]*"""
+
+  /** Per-file skolem document id — stable for a given file path. */
+  private def docIdCol: Column = lower(hex(xxhash64(input_file_name())))
+
+  private def bnodeTerm(tok: Column, docId: Column): Column = {
+    val nullS = lit(null).cast(StringType)
+    Term.mk(lit(Term.KUri),
+      concat(lit(BnodeBase), docId, lit("/"),
+        tok.substr(lit(3), length(tok))),
+      lit(null).cast(DoubleType), nullS, nullS)
+  }
+
+  private[sources] def requireBnodeMode(bnodes: String): Boolean =
+    bnodes match {
+      case "reject" => false
+      case "skolem" => true
+      case other => throw new IllegalArgumentException(
+        s"bnodes mode must be 'reject' or 'skolem', got '$other'")
+    }
 
   private def escLit(c: Column): Column =
     GraftSqlBridge.column(NtStringCodec(GraftSqlBridge.expression(c),
@@ -96,10 +134,33 @@ object NTriples {
         lit("cannot serialize term kind "), kind.cast(StringType))))
   }
 
+  /** [[termToken]] that writes skolemized blank nodes BACK as blank
+    * nodes: a `urn:graft:bnode/<doc-id>/<label>` IRI serializes as
+    * `_:<doc-id>.<label>` (the '/' → '.' fold keeps the label
+    * grammar-legal; doc-id prefix keeps labels from different source
+    * files distinct in one merged export). Every other term is
+    * [[termToken]] unchanged. */
+  def termTokenRestore(c: Column): Column =
+    when(c.getField("kind") === Term.KUri &&
+        c.getField("lex").startsWith(BnodeBase),
+      concat(lit("_:"), translate(
+        c.getField("lex").substr(lit(BnodeBase.length + 1),
+          length(c.getField("lex"))), "/", ".")))
+      .otherwise(termToken(c))
+
   /** Serialize a triple DB to N-Triples text files. */
   def save(db: TripleDb, path: String): Unit =
     db.df.select(concat_ws(" ", termToken(col("s")), termToken(col("p")),
         termToken(col("o")), lit(".")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** As [[save]]; `restoreBnodes = true` writes skolem IRIs back as
+    * blank-node labels (see [[termTokenRestore]]). */
+  def save(db: TripleDb, path: String, restoreBnodes: Boolean): Unit =
+    if (!restoreBnodes) save(db, path)
+    else db.df.select(concat_ws(" ",
+        termTokenRestore(col("s")), termToken(col("p")),
+        termTokenRestore(col("o")), lit(".")).as("value"))
       .write.mode("overwrite").text(path)
 
   /** An IRI body (the text between `<` and `>`) back to a term struct. */
@@ -145,6 +206,13 @@ object NTriples {
   // separate `lex` capture keeps escaped quotes inside the body.
   private val LineRe =
     """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)\s*\.\s*$"""
+  // same productions with BLANK_NODE_LABEL alternatives at subject and
+  // object (capture-group count unchanged — alternation stays inside
+  // the group), used only under bnodes = "skolem"
+  private val SkolemLineRe =
+    """^\s*(<[^>]*>|""" + BnodeTok + """)\s+(<[^>]*>)\s+(<[^>]*>|""" +
+      BnodeTok +
+      """|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)\s*\.\s*$"""
   private val ObjLitRe =
     """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$"""
 
@@ -156,30 +224,45 @@ object NTriples {
     * STREAMING frame (`spark.readStream.text(dir)` — see
     * [[readStream]]) for live interchange ingest.
     */
-  def parse(lines0: DataFrame): DataFrame = {
+  def parse(lines0: DataFrame): DataFrame = parse(lines0, "reject")
+
+  /** As [[parse]], with a blank-node mode: `"reject"` (default —
+    * strict grammar, bnode lines raise) or `"skolem"` — `_:label`
+    * becomes the IRI `urn:graft:bnode/<doc-id>/label` ([[BnodeBase]];
+    * per-file doc-id, so labels never unify across files but always
+    * within one), which makes most real public dumps loadable without
+    * touching term identity. */
+  def parse(lines0: DataFrame, bnodes: String): DataFrame = {
+    val skolem = requireBnodeMode(bnodes)
+    val re = if (skolem) SkolemLineRe else LineRe
     val lines = lines0
       .where(!(col("value").rlike("^\\s*(#.*)?$")))
     val m = lines.select(
-      regexp_extract(col("value"), LineRe, 1).as("st"),
-      regexp_extract(col("value"), LineRe, 2).as("pt"),
-      regexp_extract(col("value"), LineRe, 3).as("ot"),
+      regexp_extract(col("value"), re, 1).as("st"),
+      regexp_extract(col("value"), re, 2).as("pt"),
+      regexp_extract(col("value"), re, 3).as("ot"),
+      docIdCol.as("__doc"),
       col("value"))
     val checked = m.select(
       when(col("st") === "", raise_error(concat(
           lit("malformed N-Triples line: "), col("value"))))
         .otherwise(col("st")).as("st"),
-      col("pt"), col("ot"))
+      col("pt"), col("ot"), col("__doc"))
     def iriBody(c: Column): Column = c.substr(lit(2), length(c) - 2)
+    def node(c: Column): Column =
+      if (skolem) when(c.startsWith("_:"), bnodeTerm(c, col("__doc")))
+        .otherwise(iriToTerm(iriBody(c)))
+      else iriToTerm(iriBody(c))
     val obj = {
       val ot = col("ot")
       val lex = unescLit(regexp_extract(ot, ObjLitRe, 1))
       val lang = regexp_extract(ot, ObjLitRe, 2)
       val dt = regexp_extract(ot, ObjLitRe, 3)
-      when(ot.startsWith("<"), iriToTerm(iriBody(ot)))
+      when(ot.startsWith("<") || ot.startsWith("_:"), node(ot))
         .otherwise(literalToTerm(lex, lang, dt))
     }
     checked.select(
-      iriToTerm(iriBody(col("st"))).as("s"),
+      node(col("st")).as("s"),
       iriToTerm(iriBody(col("pt"))).as("p"),
       obj.as("o"))
   }
@@ -187,6 +270,10 @@ object NTriples {
   /** Load an N-Triples export back into a [[TripleDb]]. */
   def load(spark: SparkSession, path: String): TripleDb =
     TripleDb(parse(spark.read.text(path)))
+
+  /** [[load]] with a blank-node mode (see [[parse]]). */
+  def load(spark: SparkSession, path: String, bnodes: String): TripleDb =
+    TripleDb(parse(spark.read.text(path), bnodes))
 
   /** Streaming N-Triples ingest: tail a directory of .nt files as a
     * stream of parsed `(s, p, o)` term-struct rows — drop new export
@@ -196,6 +283,12 @@ object NTriples {
     */
   def readStream(spark: SparkSession, path: String): DataFrame =
     parse(spark.readStream.text(path))
+
+  /** [[readStream]] with a blank-node mode (see [[parse]]) — the
+    * skolem doc-id rides `input_file_name()`, which the file stream
+    * source populates per ingested file. */
+  def readStream(spark: SparkSession, path: String, bnodes: String): DataFrame =
+    parse(spark.readStream.text(path), bnodes)
 
   // ---------------------------------------------------------------
   // N-Quads 1.1 — the named-graph interchange form (W3C N-Quads 1.1:
@@ -220,46 +313,68 @@ object NTriples {
   // are rejected — the Term model has none.)
   private val QuadLineRe =
     """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)(?:\s+(<[^>]*>))?\s*\.\s*$"""
+  // bnode alternatives at subject/object/graph-label, skolem mode only
+  private val SkolemQuadLineRe =
+    """^\s*(<[^>]*>|""" + BnodeTok + """)\s+(<[^>]*>)\s+(<[^>]*>|""" +
+      BnodeTok +
+      """|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)(?:\s+(<[^>]*>|""" +
+      BnodeTok + """))?\s*\.\s*$"""
 
   /** Parse raw N-Quads lines (a `value` string column) into
     * `(s, p, o, g)` term-struct rows. Same grammar discipline as
     * [[parse]]: comments/blanks skip, anything else malformed raises;
     * stateless projections, so it runs unchanged on a streaming frame.
     */
-  def parseQuads(lines0: DataFrame): DataFrame = {
+  def parseQuads(lines0: DataFrame): DataFrame = parseQuads(lines0, "reject")
+
+  /** As [[parseQuads]], with a blank-node mode (see [[parse]]) —
+    * under `"skolem"` bnodes are legal at subject, object, AND graph
+    * label (N-Quads 1.1 allows blank-node graph labels). */
+  def parseQuads(lines0: DataFrame, bnodes: String): DataFrame = {
+    val skolem = requireBnodeMode(bnodes)
+    val re = if (skolem) SkolemQuadLineRe else QuadLineRe
     val lines = lines0
       .where(!(col("value").rlike("^\\s*(#.*)?$")))
     val m = lines.select(
-      regexp_extract(col("value"), QuadLineRe, 1).as("st"),
-      regexp_extract(col("value"), QuadLineRe, 2).as("pt"),
-      regexp_extract(col("value"), QuadLineRe, 3).as("ot"),
-      regexp_extract(col("value"), QuadLineRe, 4).as("gt"),
+      regexp_extract(col("value"), re, 1).as("st"),
+      regexp_extract(col("value"), re, 2).as("pt"),
+      regexp_extract(col("value"), re, 3).as("ot"),
+      regexp_extract(col("value"), re, 4).as("gt"),
+      docIdCol.as("__doc"),
       col("value"))
     val checked = m.select(
       when(col("st") === "", raise_error(concat(
           lit("malformed N-Quads line: "), col("value"))))
         .otherwise(col("st")).as("st"),
-      col("pt"), col("ot"), col("gt"))
+      col("pt"), col("ot"), col("gt"), col("__doc"))
     def iriBody(c: Column): Column = c.substr(lit(2), length(c) - 2)
+    def node(c: Column): Column =
+      if (skolem) when(c.startsWith("_:"), bnodeTerm(c, col("__doc")))
+        .otherwise(iriToTerm(iriBody(c)))
+      else iriToTerm(iriBody(c))
     val obj = {
       val ot = col("ot")
       val lex = unescLit(regexp_extract(ot, ObjLitRe, 1))
       val lang = regexp_extract(ot, ObjLitRe, 2)
       val dt = regexp_extract(ot, ObjLitRe, 3)
-      when(ot.startsWith("<"), iriToTerm(iriBody(ot)))
+      when(ot.startsWith("<") || ot.startsWith("_:"), node(ot))
         .otherwise(literalToTerm(lex, lang, dt))
     }
     checked.select(
-      iriToTerm(iriBody(col("st"))).as("s"),
+      node(col("st")).as("s"),
       iriToTerm(iriBody(col("pt"))).as("p"),
       obj.as("o"),
       when(col("gt") === "", Term.lit(QuadDb.DefaultGraph))
-        .otherwise(iriToTerm(iriBody(col("gt")))).as("g"))
+        .otherwise(node(col("gt"))).as("g"))
   }
 
   /** Load an N-Quads export into a [[QuadDb]]. */
   def loadQuads(spark: SparkSession, path: String): QuadDb =
     QuadDb(parseQuads(spark.read.text(path)))
+
+  /** [[loadQuads]] with a blank-node mode (see [[parse]]). */
+  def loadQuads(spark: SparkSession, path: String, bnodes: String): QuadDb =
+    QuadDb(parseQuads(spark.read.text(path), bnodes))
 
   /** Streaming N-Quads ingest (≙ [[readStream]], plus the graph
     * column). */

@@ -81,15 +81,29 @@ object Turtle {
   /** Parse one Turtle document. Fails loudly with an offset diagnostic
     * on anything outside the documented subset. */
   private[sources] def parseDoc(doc: String): Seq[(Term, Term, Term)] =
-    new Parser(doc, trig = false).parseAll().map(q => (q._1, q._2, q._3))
+    parseDoc(doc, None)
+
+  /** `bnodeDoc = Some(docId)` enables skolemization: `_:label` (and
+    * `[]`-free anonymous forms stay rejected) parses as the IRI
+    * `urn:graft:bnode/<docId>/label` — the same mapping and per-file
+    * scoping as [[NTriples.parse]]'s skolem mode. */
+  private[sources] def parseDoc(doc: String,
+      bnodeDoc: Option[String]): Seq[(Term, Term, Term)] =
+    new Parser(doc, trig = false, bnodeDoc).parseAll()
+      .map(q => (q._1, q._2, q._3))
 
   /** Parse one TriG document (Turtle + named-graph blocks:
     * `GRAPH <g> { … }`, label-only `<g> { … }`, bare `{ … }` for the
     * default graph, plus top-level default-graph statements). */
   private[sources] def parseDocTrig(doc: String): Seq[(Term, Term, Term, Term)] =
-    new Parser(doc, trig = true).parseAll()
+    parseDocTrig(doc, None)
 
-  private final class Parser(doc: String, trig: Boolean) {
+  private[sources] def parseDocTrig(doc: String,
+      bnodeDoc: Option[String]): Seq[(Term, Term, Term, Term)] =
+    new Parser(doc, trig = true, bnodeDoc).parseAll()
+
+  private final class Parser(doc: String, trig: Boolean,
+                             bnodeDoc: Option[String] = None) {
     private var i = 0
     private val n = doc.length
     private val prefixes = mutable.Map.empty[String, String]
@@ -247,8 +261,28 @@ object Turtle {
         case '"' | '\'' =>
           if (subjectPos) fail("literal in subject/predicate position")
           literal()
-        case '_' => fail("blank nodes are outside the Term model — " +
-          "skolemize to IRIs before import")
+        case '_' => bnodeDoc match {
+          case Some(id) =>
+            // _:label → skolem IRI (same practical label subset as
+            // NTriples.BnodeTok; per-file id keeps doc scoping)
+            i += 1; expect(':')
+            def word(c: Char) = (c >= 'A' && c <= 'Z') ||
+              (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+            val start = i
+            if (i < n && word(doc.charAt(i))) i += 1
+            else fail("malformed blank-node label")
+            while (i < n && {
+              val c = doc.charAt(i)
+              word(c) || c == '.' || c == '-'
+            }) i += 1
+            // a label cannot END with '.': trailing dots are the
+            // statement terminator (BLANK_NODE_LABEL grammar)
+            while (doc.charAt(i - 1) == '.') i -= 1
+            Term.TUri(NTriples.BnodeBase + id + "/" + doc.substring(start, i))
+          case None => fail("blank nodes are outside the Term model — " +
+            "load with bnodes = \"skolem\" or skolemize to IRIs before " +
+            "import")
+        }
         case '[' => fail("anonymous blank nodes ([...]) are outside the " +
           "Term model")
         case '(' => fail("RDF collections ((...)) are outside the " +
@@ -371,13 +405,23 @@ object Turtle {
 
   /** Parse a DataFrame of whole Turtle documents (a `value` string
     * column, one document per row — the [[load]] wholetext shape). */
-  def parse(files: DataFrame): DataFrame = {
+  def parse(files: DataFrame): DataFrame = parse(files, "reject")
+
+  /** As [[parse]] with a blank-node mode (`"reject"` / `"skolem"` —
+    * see [[NTriples.parse]]; identical skolem IRI mapping and
+    * per-file doc-id, so a dataset split across .nt and .ttl files
+    * skolemizes consistently). */
+  def parse(files: DataFrame, bnodes: String): DataFrame = {
+    val skolem = NTriples.requireBnodeMode(bnodes)
     implicit val enc = Encoders.row(TripleDb.schema)
-    files.select("value").flatMap { r =>
-      parseDoc(r.getString(0)).iterator.map { case (s, p, o) =>
-        Row(Term.toRow(s), Term.toRow(p), Term.toRow(o))
-      }
-    }.toDF("s", "p", "o")
+    files.select(col("value"),
+        lower(hex(xxhash64(input_file_name()))).as("__doc"))
+      .flatMap { r =>
+        val docId = if (skolem) Some(r.getString(1)) else None
+        parseDoc(r.getString(0), docId).iterator.map { case (s, p, o) =>
+          Row(Term.toRow(s), Term.toRow(p), Term.toRow(o))
+        }
+      }.toDF("s", "p", "o")
   }
 
   /** Load a directory (or glob) of .ttl files into a [[TripleDb]] —
@@ -386,6 +430,10 @@ object Turtle {
     * codecs, like .nt.gz. */
   def load(spark: SparkSession, path: String): TripleDb =
     TripleDb(parse(spark.read.option("wholetext", "true").text(path)))
+
+  /** [[load]] with a blank-node mode (see [[parse]]). */
+  def load(spark: SparkSession, path: String, bnodes: String): TripleDb =
+    TripleDb(parse(spark.read.option("wholetext", "true").text(path), bnodes))
 
   // ---------------------------------------------------------------
   // Writer
@@ -423,13 +471,21 @@ object Turtle {
   // ---------------------------------------------------------------
 
   /** Parse whole TriG documents (one per row) into (s, p, o, g) rows. */
-  def parseTrig(files: DataFrame): DataFrame = {
+  def parseTrig(files: DataFrame): DataFrame = parseTrig(files, "reject")
+
+  /** As [[parseTrig]] with a blank-node mode (see [[parse]]); under
+    * `"skolem"` bnodes are legal as graph labels too. */
+  def parseTrig(files: DataFrame, bnodes: String): DataFrame = {
+    val skolem = NTriples.requireBnodeMode(bnodes)
     implicit val enc = Encoders.row(QuadDb.schema)
-    files.select("value").flatMap { r =>
-      parseDocTrig(r.getString(0)).iterator.map { case (s, p, o, g) =>
-        Row(Term.toRow(s), Term.toRow(p), Term.toRow(o), Term.toRow(g))
-      }
-    }.toDF("s", "p", "o", "g")
+    files.select(col("value"),
+        lower(hex(xxhash64(input_file_name()))).as("__doc"))
+      .flatMap { r =>
+        val docId = if (skolem) Some(r.getString(1)) else None
+        parseDocTrig(r.getString(0), docId).iterator.map { case (s, p, o, g) =>
+          Row(Term.toRow(s), Term.toRow(p), Term.toRow(o), Term.toRow(g))
+        }
+      }.toDF("s", "p", "o", "g")
   }
 
   /** Load .trig files into a [[QuadDb]] — same per-file
@@ -437,6 +493,11 @@ object Turtle {
   def loadTrig(spark: SparkSession, path: String): QuadDb =
     QuadDb(parseTrig(
       spark.read.option("wholetext", "true").text(path)))
+
+  /** [[loadTrig]] with a blank-node mode (see [[parse]]). */
+  def loadTrig(spark: SparkSession, path: String, bnodes: String): QuadDb =
+    QuadDb(parseTrig(
+      spark.read.option("wholetext", "true").text(path), bnodes))
 
   /** Serialize a quad store to TriG: default-graph quads as plain
     * Turtle lines, named-graph quads as one-statement `<g> { … }`

@@ -81,6 +81,74 @@ class TurtleSpec extends GraftSpec {
     assert(err("<http://s> <http://p> 5").contains("expected '.'"))
   }
 
+  test("blank-node skolemization: rejected by default; skolem mode " +
+      "scopes labels per FILE (join within, never across); Turtle, " +
+      "TriG graph labels, N-Quads; restore-writer round-trip") {
+    val xsdLong = "http://www.w3.org/2001/XMLSchema#long"
+    val dir = java.nio.file.Files.createTempDirectory("graft_bnode")
+    java.nio.file.Files.write(dir.resolve("a.nt"),
+      (s"""_:x <urn:graft:kw/p> "1"^^<$xsdLong> .""" + "\n" +
+        """_:x <urn:graft:kw/linked> _:y .""" + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.nt"),
+      (s"""_:x <urn:graft:kw/p> "2"^^<$xsdLong> .""" + "\n").getBytes("UTF-8"))
+    // strict default: the grammar still rejects bnode lines
+    intercept[Exception] { NTriples.load(spark, dir.toString).triples }
+    val d = graft.core.TripleDb(
+      NTriples.load(spark, dir.toString, "skolem").df.coalesce(1))
+    val tr = d.triples
+    assert(tr.size == 3)
+    val s1 = tr.collectFirst { case (s, _, o) if o == l(1L) => s }.get
+    val s2 = tr.collectFirst { case (s, _, o) if o == l(2L) => s }.get
+    val sL = tr.collectFirst { case (s, p, _) if p == k("linked") => s }.get
+    assert(s1 == sL, "one file's _:x must unify within that file")
+    assert(s1 != s2, "_:x in two files must stay distinct")
+    assert(Seq(s1, s2).forall {
+      case TUri(u0) => u0.startsWith("urn:graft:bnode/"); case _ => false })
+    // restore writer: bnode-valued re-export, no skolem IRIs on disk,
+    // and the reloaded store keeps the join structure
+    val out = dir.resolve("out").toString
+    NTriples.save(d, out, restoreBnodes = true)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.forall(!_.contains("urn:graft:bnode")))
+    assert(lines.count(_.startsWith("_:")) == 3)
+    val tr2 = NTriples.load(spark, out, "skolem").triples
+    assert(tr2.size == 3)
+    val t1 = tr2.collectFirst { case (s, _, o) if o == l(1L) => s }.get
+    val t2 = tr2.collectFirst { case (s, _, o) if o == l(2L) => s }.get
+    val tL = tr2.collectFirst { case (s, p, _) if p == k("linked") => s }.get
+    assert(t1 == tL && t1 != t2)
+    // Turtle leg: same mapping, document-scoped
+    val tdir = java.nio.file.Files.createTempDirectory("graft_bnode_ttl")
+    java.nio.file.Files.write(tdir.resolve("c.ttl"),
+      """@prefix gk: <urn:graft:kw/> .
+        |_:b1 gk:p 5 ; gk:linked _:b2 .
+        |_:b2 gk:p 6 .
+        |""".stripMargin.getBytes("UTF-8"))
+    intercept[Exception] { Turtle.load(spark, tdir.toString).triples }
+    val ttr = Turtle.load(spark, tdir.toString, "skolem").triples
+    assert(ttr.size == 3)
+    val viaLink = ttr.collectFirst { case (_, p, o) if p == k("linked") => o }.get
+    val asSubj = ttr.collectFirst { case (s, _, o) if o == l(6L) => s }.get
+    assert(viaLink == asSubj)
+    // N-Quads + TriG: bnode GRAPH labels skolemize too
+    val qdir = java.nio.file.Files.createTempDirectory("graft_bnode_nq")
+    java.nio.file.Files.write(qdir.resolve("e.nq"),
+      (s"""<http://s> <urn:graft:kw/p> "1"^^<$xsdLong> _:g .""" + "\n")
+        .getBytes("UTF-8"))
+    val qd = NTriples.loadQuads(spark, qdir.toString, "skolem")
+    val g = qd.quads.head._4
+    assert(g match {
+      case TUri(u0) => u0.startsWith("urn:graft:bnode/"); case _ => false })
+    val gdir = java.nio.file.Files.createTempDirectory("graft_bnode_trig")
+    java.nio.file.Files.write(gdir.resolve("f.trig"),
+      """@prefix gk: <urn:graft:kw/> .
+        |_:g { <http://s> gk:p 1 . _:inner gk:p 2 . }
+        |""".stripMargin.getBytes("UTF-8"))
+    val gq = Turtle.loadTrig(spark, gdir.toString, "skolem").quads
+    assert(gq.size == 2 && gq.forall(_._4 match {
+      case TUri(u0) => u0.startsWith("urn:graft:bnode/"); case _ => false }))
+  }
+
   test("turtle round-trip: save emits self-contained per-partition docs " +
       "with gk: compression; load ≡ original; term mapping ≡ N-Triples") {
     val exotic = db(
