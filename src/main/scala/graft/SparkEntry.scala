@@ -1519,6 +1519,20 @@ object SparkEntry {
         FilterVarCmp(V("sb"), Gt, V("cb"))),
         "s", "c")),
 
+    // ---- SOLUTION MODIFIERS (SPARQL §15): top-25 suppliers by
+    //      balance — ORDER BY desc + deterministic tie-break +
+    //      LIMIT, compiled to TakeOrderedAndProject (never a global
+    //      sort; PlanSpec-pinned) ----
+    "q159_topk_order" -> ((sp, dir) => {
+      val db = Tables.supplierDb(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("s"), kw("s_acctbal"), V("b")),
+        pat(V("s"), kw("s_name"), V("n"))), Seq(V("s"), V("n"), V("b")))
+      Projections.modified(sol,
+        Seq(OrderKey(V("b"), asc = false), OrderKey(V("s"))), limit = 25)
+        .select(Seq("s", "n", "b").map(enc): _*)
+    }),
+
     // ---- BNODE-SKOLEMIZING INTERCHANGE: a public-shaped N-Triples
     //      dump whose orders are ANONYMOUS nodes (_:oK, two facts
     //      each — the shape most real RDF dumps have) loads under
@@ -2793,6 +2807,18 @@ object SparkEntry {
       """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |WHERE s_acctbal > c_acctbal""".stripMargin,
+
+    // ORDER BY + LIMIT: the top-k SET must agree cross-engine — the
+    // desc key is the raw double both engines read from the same
+    // parquet, the tie-break the canonical supplier string (constant
+    // prefix, so relative order matches the term sort key's lex)
+    "q159_topk_order" ->
+      """SELECT s, n, b FROM (
+        |  SELECT 'u|supplier/' || s_suppkey AS s, 's|' || s_name AS n,
+        |    'd|' || printf('%.2f', s_acctbal) AS b,
+        |    s_acctbal AS raw
+        |  FROM supplier
+        |  ORDER BY raw DESC, s ASC LIMIT 25)""".stripMargin,
 
     // the bnode subject is dropped from the projection, so the answer
     // is exactly the (customer, price) pairs — one per order; a

@@ -184,6 +184,24 @@ object Term {
     * carries money doubles); longs print integral. The DuckDB oracle SQL
     * builds the same encoding textually — see SparkEntry.
     */
+  /** Canonical TOTAL order key over a term struct, as a sortable
+    * struct column (Spark orders structs field-by-field): kind first
+    * (so the order is kind-grouped like SPARQL §15.1's
+    * unbound < everything-else partial order — an UNBOUND/null term
+    * sorts before every kind), then the numeric field (the live
+    * comparison for numeric kinds; constant null→0 elsewhere), then
+    * the lexical/lang/datatype strings as deterministic tie-breaks.
+    * Deterministic on both engines of the oracle rig: equal doubles
+    * tie-break on the exact lexical, strings compare by binary
+    * order. Feed to orderBy/TakeOrdered ([[graft.engine.Projections
+    * .modified]]). */
+  def sortKey(c: Column): Column = struct(
+    coalesce(c.getField("kind"), functions.lit(-1)).as("k"),
+    coalesce(c.getField("num"), functions.lit(0.0)).as("n"),
+    coalesce(c.getField("lex"), functions.lit("")).as("l"),
+    coalesce(c.getField("lang"), functions.lit("")).as("lg"),
+    coalesce(c.getField("datatype"), functions.lit("")).as("dt"))
+
   def encode(c: Column): Column = {
     val kind = c.getField("kind")
     val lex = c.getField("lex")

@@ -298,6 +298,14 @@ final case class FilterNot(expr: FilterExpr) extends FilterExpr {
   def refs: Seq[V] = expr.refs
 }
 
+/** One ORDER BY key for the solution modifiers (SPARQL §15.1):
+  * solutions order by `v`'s term under the canonical total order
+  * ([[graft.core.Term.sortKey]] — kind-grouped, unbound first,
+  * numeric kinds by value, deterministic lexical tie-breaks),
+  * ascending unless `asc = false`. Applied via
+  * [[graft.engine.Projections.modified]]. */
+final case class OrderKey(v: V, asc: Boolean = true)
+
 /** ≙ the reference's `::invalid-bgp` (alpha.clj:205-213). */
 final class InvalidBgp(msg: String) extends IllegalArgumentException(msg)
 /** ≙ the reference's `::invalid-values` (alpha.clj:220-228). */

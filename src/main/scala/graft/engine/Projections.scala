@@ -84,6 +84,39 @@ object Projections {
       proj.map(_.name), Bgp.valuesTerms(rows))
   }
 
+  /** Solution modifiers (SPARQL §15: ORDER BY / LIMIT / OFFSET /
+    * DISTINCT) over ANY `selectDf` result frame — they compose with
+    * every store layout because they act on the projected term-struct
+    * columns, after dict stores have decoded. Ordering uses the
+    * canonical total order ([[Term.sortKey]]); the reference leaves
+    * solution order undefined (SURVEY §2.2), so ordered selects are a
+    * pure extension — bag semantics stay the default and DISTINCT is
+    * opt-in, per SPARQL.
+    *
+    * Scale shape: `orderBy + limit` compiles to TakeOrderedAndProject
+    * (per-partition top-k, one narrow merge — never a global sort;
+    * PlanSpec-pinned); DISTINCT is one hash aggregate; OFFSET
+    * composes via Spark's global-limit machinery. An ORDER BY with no
+    * LIMIT is a full range-shuffle sort — legal, but the k-bounded
+    * form is the one that scales.
+    */
+  def modified(sol: DataFrame, orderBy: Seq[OrderKey] = Nil,
+               limit: Int = -1, offset: Int = 0,
+               distinct: Boolean = false): DataFrame = {
+    var d = if (distinct) sol.dropDuplicates() else sol
+    if (orderBy.nonEmpty) {
+      val missing = orderBy.map(_.v.name).filterNot(d.columns.contains)
+      if (missing.nonEmpty) throw new InvalidBgp(
+        s"ORDER BY over unprojected vars: ${missing.mkString(", ")}")
+      d = d.orderBy(orderBy.map(ok =>
+        if (ok.asc) Term.sortKey(col(ok.v.name)).asc
+        else Term.sortKey(col(ok.v.name)).desc): _*)
+    }
+    if (offset > 0) d = d.offset(offset)
+    if (limit >= 0) d = d.limit(limit)
+    d
+  }
+
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of
     * terms; unbound optional vars are `null` (≙ reified `_N`).
     */

@@ -182,6 +182,18 @@ class PlanSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("ORDER BY + LIMIT compiles to TakeOrderedAndProject — " +
+      "per-partition top-k, never a global sort") {
+    val db = Tables.customerDb(spark, dir)
+    val p = plan(Projections.modified(
+      Projections.selectDf(db, Seq(
+        pat(V("c"), T(k("c_acctbal")), V("b"))), Seq(V("c"), V("b"))),
+      Seq(OrderKey(V("b"), asc = false)), limit = 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-bounded order must TakeOrdered:\n$p")
+    assert(!p.contains("Sort "), s"no global sort for top-k:\n$p")
+  }
+
   test("BPE encodeTokens: pure scan projection — no shuffle, no join") {
     val docs = Tables.t(spark, dir, "documents")
     val m = Seq(graft.ops.Bpe.Merge(0, "e", "s"),

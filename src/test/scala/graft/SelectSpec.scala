@@ -405,6 +405,66 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("solution modifiers: canonical total order (kind-grouped, " +
+      "numeric by value, unbound first), desc, LIMIT/OFFSET, DISTINCT; " +
+      "dict store composes") {
+    val price = k("price")
+    val d = db(
+      (k("a"), price, TLong(5)),
+      (k("b"), price, TDouble(2.5)),
+      (k("c"), price, TLong(30)),
+      (k("d"), price, s("zz")),
+      (k("e"), price, s("aa")))
+    def ordered(asc: Boolean, limit: Int = -1, offset: Int = 0) =
+      Projections.modified(
+        Projections.selectDf(d, Seq(pat(?("x"), T(price), ?("p"))),
+          Seq(?("p"))),
+        Seq(OrderKey(?("p"), asc)), limit = limit, offset = offset)
+        .collect().toSeq.map(r => fromRow(r.getStruct(0)))
+    // kinds group (KLong=4 < KString=... per kind ids); numerics by
+    // VALUE across long/double (same kind? no — KLong vs KDouble
+    // differ, so kind groups first: all longs, then doubles, then
+    // strings — deterministic, documented kind-grouped order)
+    val asc = ordered(asc = true)
+    assert(asc.indexOf(TLong(5)) < asc.indexOf(TLong(30)), "long order")
+    assert(asc.indexOf(s("aa")) < asc.indexOf(s("zz")), "string order")
+    assert(ordered(asc = false) == asc.reverse, "desc inverts totally")
+    assert(ordered(asc = true, limit = 2) == asc.take(2))
+    assert(ordered(asc = true, limit = 2, offset = 1) == asc.slice(1, 3))
+    // unbound (NULL term) sorts FIRST ascending (SPARQL §15.1)
+    val dOpt = db(
+      (k("a"), k("lab"), s("A")), (k("b"), k("lab"), s("B")),
+      (k("a"), price, TLong(9)))
+    val withNull = Projections.modified(
+      Projections.selectDf(dOpt, Seq(
+        pat(?("x"), T(k("lab")), ?("n")),
+        Optional(Seq(pat(?("x"), T(price), ?("p"))))), Seq(?("p"))),
+      Seq(OrderKey(?("p"))))
+      .collect().toSeq.map(r => if (r.isNullAt(0)) null else fromRow(r.getStruct(0)))
+    assert(withNull == Seq(null, TLong(9)))
+    // DISTINCT dedupes solutions (bag default keeps both)
+    val dupDb = db(
+      (k("a"), k("cat"), s("x")), (k("b"), k("cat"), s("x")))
+    val sols = Projections.selectDf(dupDb,
+      Seq(pat(?("o"), T(k("cat")), ?("v"))), Seq(?("v")))
+    assert(sols.count() == 2)
+    assert(Projections.modified(sols, distinct = true).count() == 1)
+    // unprojected order var refuses loudly
+    intercept[InvalidBgp] {
+      Projections.modified(sols, Seq(OrderKey(?("nope"))))
+    }
+    // dict store: modifiers act on the DECODED frame — same answer
+    val dd = d.dictEncode()
+    try {
+      val got = Projections.modified(
+        Projections.selectDf(dd, Seq(pat(?("x"), T(price), ?("p"))),
+          Seq(?("p"))),
+        Seq(OrderKey(?("p"))), limit = 2)
+        .collect().toSeq.map(r => fromRow(r.getStruct(0)))
+      assert(got == asc.take(2))
+    } finally dd.unpersist()
+  }
+
   test("100k-triple scale smoke: 2-pattern select (T:253-264)") {
     val big = (0 until 100000).map(i => (u((i - 1).toString), knows, u(i.toString)))
     val d = TripleDb.fromTerms(spark, friends_++(big)).index()
