@@ -175,6 +175,38 @@ object SparkEntry {
     evicted.foreach(d => try d.unpersist() catch { case _: Throwable => () })
   }
 
+  /** Phase names of [[q143Phases]], fixed so Bench's min-of-N merge
+    * sees identical key sequences even when a run errors. */
+  val q143PhaseNames: Seq[String] = Seq(
+    "q143_phase_save", "q143_phase_graph_takedown",
+    "q143_phase_subject_takedown", "q143_phase_compact",
+    "q143_phase_masked_load")
+
+  /** The q143 GDPR lifecycle timed PER PHASE for the bench record
+    * (verdict-r10 wrong#3: the composed entry sums five store passes,
+    * hiding which maintenance op regressed). Same ops, same order,
+    * same data as the q143_quad_gdpr correctness entry — that entry
+    * remains the lifecycle contract; these rows exist only so a
+    * save/takedown/compaction/masked-load regression surfaces as its
+    * own number. Bench appends them as pseudo-queries. */
+  def q143Phases(sp: SparkSession, dir: String): Seq[(String, Double)] = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q143p").toString
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tSave = timed(graft.core.QuadDb.save(Tables.customerQuads(sp, dir), tmp))
+    val tGraph = timed(
+      graft.core.QuadDb.deleteGraph(sp, tmp, TUri("nation/3")))
+    val gone = Tables.t(sp, dir, "customer")
+      .where(col("c_custkey") % 7 === 2)
+      .select(uriCol(concat(functions.lit("customer/"),
+        col("c_custkey").cast("string"))).as("s"))
+    val tSubj = timed(graft.core.QuadDb.deleteSubjects(sp, tmp, gone))
+    val tCompact = timed(graft.core.QuadDb.compact(sp, tmp))
+    val tLoad = timed { graft.core.QuadDb.load(sp, tmp).df.count(); () }
+    q143PhaseNames.zip(Seq(tSave, tGraph, tSubj, tCompact, tLoad))
+  }
+
   /** Warm every materialize-once rig for an sf-dir so no timed query
     * pays a rig build — Bench calls this from its warmup probe. */
   def warmRigs(sp: SparkSession, dir: String): Unit = {
