@@ -1551,6 +1551,64 @@ object SparkEntry {
         FilterVarCmp(V("sb"), Gt, V("cb"))),
         "s", "c")),
 
+    // ---- AGGREGATES (SPARQL §11): orders per priority — COUNT(*)
+    //      solutions + COUNT(DISTINCT) customers per group ----
+    "q160_agg_count" -> ((sp, dir) => {
+      val db = Tables.ordersDb(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("o"), kw("o_orderpriority"), V("pr")),
+        pat(V("o"), kw("o_custkey"), V("c"))), Seq(V("pr"), V("c")))
+      Projections.aggregated(sol, Seq(V("pr")), Seq(
+        Agg(AggCount, None, V("n")),
+        Agg(AggCount, Some(V("c")), V("nc"), distinct = true)))
+        .select(Seq("pr", "n", "nc").map(enc): _*)
+    }),
+
+    // ---- AGGREGATES: exact int64 SUM/MIN/MAX of balance CENTS per
+    //      nation — long sums are merge-order-deterministic, the
+    //      property the oracle hash needs (never sum raw doubles) ----
+    "q161_agg_sum" -> ((sp, dir) => {
+      val cust = Tables.t(sp, dir, "customer").withColumn("c_bal_cents",
+        functions.round(col("c_acctbal") * 100).cast("long"))
+      val db = TripleDb.fromWideTable(cust, "customer", "c_custkey",
+        fks = Map("c_nationkey" -> "nation"))
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("c"), kw("c_nationkey"), V("n")),
+        pat(V("c"), kw("c_bal_cents"), V("b"))), Seq(V("n"), V("b")))
+      Projections.aggregated(sol, Seq(V("n")), Seq(
+        Agg(AggSum, Some(V("b")), V("bs")),
+        Agg(AggMin, Some(V("b")), V("bmin")),
+        Agg(AggMax, Some(V("b")), V("bmax"))))
+        .select(Seq("n", "bs", "bmin", "bmax").map(enc): _*)
+    }),
+
+    // ---- AGGREGATES: GROUP_CONCAT (pinned sorted order — the
+    //      deterministic choice within §11.4.7's freedom) + string
+    //      MIN, nation names per region ----
+    "q162_agg_concat" -> ((sp, dir) => {
+      val db = Tables.nationDb(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("na"), kw("n_regionkey"), V("r")),
+        pat(V("na"), kw("n_name"), V("nm"))), Seq(V("r"), V("nm")))
+      Projections.aggregated(sol, Seq(V("r")), Seq(
+        Agg(AggGroupConcat(";"), Some(V("nm")), V("cc")),
+        Agg(AggMin, Some(V("nm")), V("alpha"))))
+        .select(Seq("r", "cc", "alpha").map(enc): _*)
+    }),
+
+    // ---- the classic composed shape: GROUP BY → ORDER BY count
+    //      DESC → LIMIT, aggregates feeding the modifiers ----
+    "q163_agg_topk" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("c"), kw("c_mktsegment"), V("seg"))), Seq(V("seg")))
+      val agg = Projections.aggregated(sol, Seq(V("seg")),
+        Seq(Agg(AggCount, None, V("n"))))
+      Projections.modified(agg,
+        Seq(OrderKey(V("n"), asc = false), OrderKey(V("seg"))), limit = 2)
+        .select(Seq("seg", "n").map(enc): _*)
+    }),
+
     // ---- SOLUTION MODIFIERS (SPARQL §15): top-25 suppliers by
     //      balance — ORDER BY desc + deterministic tie-break +
     //      LIMIT, compiled to TakeOrderedAndProject (never a global
@@ -2839,6 +2897,41 @@ object SparkEntry {
       """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |WHERE s_acctbal > c_acctbal""".stripMargin,
+
+    // counts encode as exact int64 terms ('l|N')
+    "q160_agg_count" ->
+      """SELECT 's|' || o_orderpriority AS pr,
+        |  'l|' || CAST(count(*) AS VARCHAR) AS n,
+        |  'l|' || CAST(count(DISTINCT o_custkey) AS VARCHAR) AS nc
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // integer-cents sums replay exactly (DuckDB sum(BIGINT) is
+    // HUGEINT — cast before the concat)
+    "q161_agg_sum" ->
+      """SELECT 'u|nation/' || c_nationkey AS n,
+        |  'l|' || CAST(sum(cents) AS VARCHAR) AS bs,
+        |  'l|' || CAST(min(cents) AS VARCHAR) AS bmin,
+        |  'l|' || CAST(max(cents) AS VARCHAR) AS bmax
+        |FROM (SELECT c_nationkey,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |      FROM customer)
+        |GROUP BY c_nationkey""".stripMargin,
+
+    // string_agg ORDER BY = the engine's pinned sorted order; min on
+    // ASCII names = binary order both engines
+    "q162_agg_concat" ->
+      """SELECT 'u|region/' || n_regionkey AS r,
+        |  's|' || string_agg(n_name, ';' ORDER BY n_name) AS cc,
+        |  's|' || min(n_name) AS alpha
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    // group → order by count desc → limit: the top-k SET agrees via
+    // exact counts + segment-string tie-break
+    "q163_agg_topk" ->
+      """SELECT 's|' || seg AS seg, 'l|' || CAST(cnt AS VARCHAR) AS n
+        |FROM (SELECT c_mktsegment AS seg, count(*) AS cnt
+        |      FROM customer GROUP BY c_mktsegment
+        |      ORDER BY cnt DESC, seg ASC LIMIT 2)""".stripMargin,
 
     // ORDER BY + LIMIT: the top-k SET must agree cross-engine — the
     // desc key is the raw double both engines read from the same

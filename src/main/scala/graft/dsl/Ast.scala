@@ -298,6 +298,48 @@ final case class FilterNot(expr: FilterExpr) extends FilterExpr {
   def refs: Seq[V] = expr.refs
 }
 
+/** Aggregate function tags (SPARQL 1.1 §11). Semantics notes on
+  * [[graft.engine.Projections.aggregated]]. */
+sealed trait AggFn extends Product with Serializable
+/** COUNT — `v = None` in [[Agg]] is `COUNT(*)` (solutions), bound `v`
+  * counts that var's BOUND values (§11.4.1). */
+case object AggCount extends AggFn
+/** SUM over numerics: exact int64 while every value is a long, double
+  * otherwise; a bound NON-numeric makes the group's value an error
+  * (unbound result), `SUM({}) = 0` (§11.4.2 + XPath op:numeric-add). */
+case object AggSum extends AggFn
+/** AVG = SUM/COUNT (exact-long sum divided once while all values are
+  * long — deterministic under any merge order); `AVG({}) = 0`
+  * (§11.4.3). */
+case object AggAvg extends AggFn
+/** MIN under the engine's canonical TOTAL term order
+  * ([[graft.core.Term.sortKey]]) — a documented extension of §11.4.4's
+  * comparison-error semantics (mixed-kind groups order by kind instead
+  * of erroring); empty group → unbound. */
+case object AggMin extends AggFn
+/** MAX — dual of [[AggMin]] (§11.4.5). */
+case object AggMax extends AggFn
+/** SAMPLE — some bound value of the group (§11.4.6; which one is
+  * implementation-defined, here whichever Spark's `first` meets). */
+case object AggSample extends AggFn
+/** GROUP_CONCAT over STRING values with the given separator; the
+  * concatenation order — implementation-defined in §11.4.7 — is
+  * PINNED to sorted order here so results are deterministic and
+  * oracle-replayable; a bound non-string value is an error (unbound
+  * result). */
+final case class AggGroupConcat(sep: String) extends AggFn
+
+/** One aggregate: `fn` over `v` (None only for COUNT(*)), result
+  * bound to `as`. `distinct` is supported for COUNT (§11's
+  * DISTINCT set-conversion; other functions refuse loudly — the
+  * supported subset, documented). */
+final case class Agg(fn: AggFn, v: Option[V], as: V,
+                     distinct: Boolean = false) {
+  require(v.nonEmpty || fn == AggCount, s"$fn needs a variable")
+  require(!distinct || fn == AggCount,
+    "DISTINCT is supported for COUNT only")
+}
+
 /** One ORDER BY key for the solution modifiers (SPARQL §15.1):
   * solutions order by `v`'s term under the canonical total order
   * ([[graft.core.Term.sortKey]] — kind-grouped, unbound first,

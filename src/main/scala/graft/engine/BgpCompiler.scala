@@ -477,6 +477,23 @@ object BgpCompiler {
               _ => functions.lit(true)))
             .select(col("id").as(present.head))
           a.join(ids, Seq(present.head), "left_semi")
+        } else if (a.sparkSession.conf.getOption(
+            "graft.filter.dictRehydration").contains("frame")) {
+          // measured escape hatch (Stress A/B, round 11): at bench
+          // scale the pairs plan pays the solution lineage twice
+          // (~1.3× slower on a 600k-solution frame); this flag
+          // restores the full-frame double dict join for workloads
+          // where solutions are modest and the dict is the small side
+          var t = a
+          for (v <- present)
+            t = t.join(d.select(col("id").as(v), col("term").as(s"__f_$v"))
+              .hint("shuffle_hash"), Seq(v), "left_outer")
+          def termOfF(name: String): Column =
+            if (present.contains(name)) col(s"__f_$name") else nullTerm
+          t.where(filterCol(f, termOfF,
+              n => if (present.contains(n)) col(n).isNotNull
+                else functions.lit(false)))
+            .drop(present.map(v => s"__f_$v"): _*)
         } else {
           val tuples = a.select(present.map(col): _*).distinct()
           var t = tuples

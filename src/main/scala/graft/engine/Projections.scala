@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.core.{DictDb, DictQuadDb, QuadDb, Term, TripleDb}
 import graft.dsl._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -115,6 +115,101 @@ object Projections {
     if (offset > 0) d = d.offset(offset)
     if (limit >= 0) d = d.limit(limit)
     d
+  }
+
+  /** Aggregation (SPARQL 1.1 §11: GROUP BY + COUNT / SUM / AVG /
+    * MIN / MAX / SAMPLE / GROUP_CONCAT) over ANY `selectDf` result
+    * frame — like [[modified]], it acts on projected term-struct
+    * columns so every store layout composes, and it returns a frame
+    * of term-struct columns (group keys + one column per aggregate),
+    * so [[modified]]'s ORDER BY/LIMIT stack on top for the classic
+    * `GROUP BY … ORDER BY count DESC LIMIT k` shape.
+    *
+    * Semantics (tags documented on the [[graft.dsl.AggFn]] ADT):
+    * unbound values are ignored by every aggregate except COUNT(*);
+    * SUM/AVG are EXACT while every value is a long (int64 lexical
+    * sum — deterministic under any partial-aggregation merge order,
+    * the property the oracle gate needs; doubles degrade to float
+    * summing, documented), a bound non-numeric (non-string for
+    * GROUP_CONCAT) makes the group's value an error = unbound
+    * result; MIN/MAX use the canonical total term order; empty
+    * groups follow §11.4 (SUM/AVG 0, MIN/MAX/SAMPLE unbound).
+    * No GROUP BY vars = one global group (§11.1).
+    *
+    * Scale shape: ONE hash aggregate with map-side partial
+    * aggregation — every function here reduces to Spark's native
+    * partial/merge aggregates over narrow projections of the term
+    * struct (no collect, no window); COUNT(DISTINCT) adds the usual
+    * expand-based two-phase plan; GROUP_CONCAT's collect_list is
+    * bounded by the group's string payload, the one per-group memory
+    * term to size for.
+    */
+  def aggregated(sol: DataFrame, groupBy: Seq[V], aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "aggregated needs at least one aggregate")
+    val needed = groupBy.map(_.name) ++
+      aggs.flatMap(_.v).map(_.name)
+    val missing = needed.distinct.filterNot(sol.columns.contains)
+    if (missing.nonEmpty) throw new InvalidBgp(
+      s"aggregate over unprojected vars: ${missing.mkString(", ")}")
+    val dup = (groupBy.map(_.name) ++ aggs.map(_.as.name))
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    if (dup.nonEmpty) throw new InvalidBgp(
+      s"duplicate result columns: ${dup.mkString(", ")}")
+
+    val nullS = lit(null).cast(org.apache.spark.sql.types.StringType)
+    val nullD = lit(null).cast(org.apache.spark.sql.types.DoubleType)
+    val nullTerm = lit(null).cast(Term.schema)
+    def longTerm(n: Column): Column =
+      Term.mk(lit(Term.KLong), n.cast("string"), n.cast("double"), nullS, nullS)
+    def doubleTerm(d: Column): Column =
+      Term.mk(lit(Term.KDouble), nullS, d, nullS, nullS)
+    def stringTerm(s: Column): Column =
+      Term.mk(lit(Term.KString), s, nullD, nullS, nullS)
+
+    def exprOf(a: Agg): Column = {
+      lazy val c = col(a.v.get.name)
+      lazy val kind = c.getField("kind")
+      lazy val isNum = kind.isin(Term.KLong, Term.KDouble)
+      // per-group facts the numeric aggregates branch on
+      lazy val anyBad = max(when(c.isNotNull && !isNum, 1).otherwise(0))
+      lazy val anyDouble = max(when(kind === Term.KDouble, 1).otherwise(0))
+      lazy val nVals = count(c)
+      lazy val sumL = sum(when(kind === Term.KLong,
+        c.getField("lex").cast("long")).otherwise(lit(0L)))
+      lazy val sumD = sum(when(isNum, c.getField("num")).otherwise(lit(0.0)))
+      (a.fn match {
+        case AggCount => longTerm(a.v match {
+          case None => count(lit(1))
+          case Some(v) => if (a.distinct) count_distinct(col(v.name))
+            else count(col(v.name))
+        })
+        case AggSum =>
+          when(anyBad === 1, nullTerm)
+            .when(anyDouble === 0, longTerm(sumL)) // incl. SUM({}) = 0
+            .otherwise(doubleTerm(sumD))
+        case AggAvg =>
+          when(anyBad === 1, nullTerm)
+            .when(nVals === 0, longTerm(lit(0L))) // AVG({}) = 0
+            .when(anyDouble === 0,
+              doubleTerm(sumL.cast("double") / nVals))
+            .otherwise(doubleTerm(sumD / nVals))
+        case AggMin =>
+          min_by(c, when(c.isNull, lit(null)).otherwise(Term.sortKey(c)))
+        case AggMax =>
+          max_by(c, when(c.isNull, lit(null)).otherwise(Term.sortKey(c)))
+        case AggSample => first(c, ignoreNulls = true)
+        case AggGroupConcat(sep) =>
+          val bad = max(when(c.isNotNull && kind =!= Term.KString, 1)
+            .otherwise(0))
+          when(bad === 1, nullTerm).otherwise(stringTerm(
+            array_join(array_sort(collect_list(c.getField("lex"))), sep)))
+      }).as(a.as.name)
+    }
+    val exprs = aggs.map(exprOf)
+    val grouped =
+      if (groupBy.nonEmpty) sol.groupBy(groupBy.map(v => col(v.name)): _*)
+      else sol.groupBy()
+    grouped.agg(exprs.head, exprs.tail: _*)
   }
 
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of

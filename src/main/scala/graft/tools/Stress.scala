@@ -474,6 +474,25 @@ object Stress {
         runs(graft.engine.BgpCompiler.compileDict(dict, selective)
           .select("o", "p"))
       }
+      // round-11 A/B (verdict-r10 wrong#2): dict var-var FILTER. The
+      // shipped plan rehydrates only the DISTINCT referenced-id pairs
+      // (quantity 1-50 × linenumber 1-7 → ≤350 pairs) and semi-joins
+      // back; the round-10 plan it replaced shuffle-hash-joined the
+      // dictionary into the FULL 600k-solution frame twice. Same
+      // decode-included end-to-end shape for both.
+      val fvvPats = Seq(
+        TriplePattern(V("l"), T(TKeyword("l_quantity")), V("q")),
+        TriplePattern(V("l"), T(TKeyword("l_linenumber")), V("m")))
+      time("5x var-var FILTER, dict (distinct-pair rehydration)") {
+        runs(Projections.selectDf(dict,
+          fvvPats :+ FilterVarCmp(V("q"), Gt, V("m")), Seq(V("l"))))
+      }
+      time("5x var-var FILTER, dict (A/B: full-frame rehydration)") {
+        spark.conf.set("graft.filter.dictRehydration", "frame")
+        try runs(Projections.selectDf(dict,
+          fvvPats :+ FilterVarCmp(V("q"), Gt, V("m")), Seq(V("l"))))
+        finally spark.conf.unset("graft.filter.dictRehydration")
+      }
       dict.unpersist(); dbIdx.unpersist()
     }
 

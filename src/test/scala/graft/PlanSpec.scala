@@ -194,6 +194,24 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Sort "), s"no global sort for top-k:\n$p")
   }
 
+  test("aggregated: ONE hash-aggregate pair with map-side partial " +
+      "aggregation — a single group-key exchange, no join, no window") {
+    val db = Tables.customerDb(spark, dir)
+    val df = Projections.aggregated(
+      Projections.selectDf(db, Seq(
+        pat(V("c"), T(k("c_mktsegment")), V("seg"))), Seq(V("seg"))),
+      Seq(V("seg")), Seq(Agg(AggCount, None, V("n"))))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), s"hash agg expected:\n$p")
+    // partial_count marks the map-side combine (pre-shuffle)
+    assert(p.contains("partial_count"), s"map-side partial expected:\n$p")
+    assert(!p.contains("Join"), s"aggregation must not join:\n$p")
+    assert(!p.contains("Window"), s"aggregation must not window:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one group-key exchange (plus AQE read) at most:\n$p")
+  }
+
   test("BPE encodeTokens: pure scan projection — no shuffle, no join") {
     val docs = Tables.t(spark, dir, "documents")
     val m = Seq(graft.ops.Bpe.Merge(0, "e", "s"),

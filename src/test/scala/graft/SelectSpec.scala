@@ -465,6 +465,119 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("dict filter rehydration flag: 'frame' plan ≡ default pairs " +
+      "plan (measured escape hatch, Stress A/B round 11)") {
+    val price = k("price")
+    val d = db(
+      (k("a"), price, TLong(5)), (k("b"), price, TDouble(2.5)),
+      (k("c"), price, TLong(9)), (k("d"), price, s("x")))
+    val q = Seq(
+      pat(?("x"), T(price), ?("p1")),
+      pat(?("y"), T(price), ?("p2")),
+      FilterVarCmp(?("p1"), Lt, ?("p2")))
+    val dd = d.dictEncode()
+    try {
+      def run() = Projections.selectDf(dd, q, Seq(?("x"), ?("y")))
+        .collect().toSeq
+        .map(r => (fromRow(r.getStruct(0)), fromRow(r.getStruct(1)))).toSet
+      val pairsPlan = run()
+      spark.conf.set("graft.filter.dictRehydration", "frame")
+      val framePlan = try run()
+        finally spark.conf.unset("graft.filter.dictRehydration")
+      assert(pairsPlan == framePlan && pairsPlan.nonEmpty)
+    } finally dd.unpersist()
+  }
+
+  test("aggregates (SPARQL §11): COUNT(*)/COUNT(?v)/DISTINCT, exact " +
+      "int64 SUM/AVG, error-to-unbound, MIN/MAX canonical order, " +
+      "sorted GROUP_CONCAT, empty/global groups, loud refusals") {
+    val cat = k("cat"); val amt = k("amt"); val tag = k("tag")
+    val big = 9007199254740993L // 2^53 + 1
+    val d = db(
+      (k("a"), cat, s("g1")), (k("a"), amt, TLong(big)),
+      (k("a"), amt, TLong(1)), (k("a"), tag, s("zz")),
+      (k("b"), cat, s("g1")), (k("b"), amt, TLong(2)),
+      (k("b"), tag, s("aa")),
+      (k("c"), cat, s("g2")), (k("c"), amt, TDouble(0.5)),
+      (k("c"), amt, TLong(2)),
+      (k("d"), cat, s("g3")), (k("d"), amt, s("NaN")),
+      (k("e"), cat, s("g4")))
+    // per-entity frame: ?x cat ?g, optional amt/tag
+    val sol = Projections.selectDf(d, Seq(
+      pat(?("x"), T(cat), ?("g")),
+      Optional(Seq(pat(?("x"), T(amt), ?("v")))),
+      Optional(Seq(pat(?("x"), T(tag), ?("t"))))), Seq(?("g"), ?("v"), ?("t")))
+    def terms(df: org.apache.spark.sql.DataFrame): Map[graft.core.Term, Seq[graft.core.Term]] =
+      df.collect().toSeq.map(r => fromRow(r.getStruct(0)) ->
+        (1 until r.size).map(i =>
+          if (r.isNullAt(i)) null else fromRow(r.getStruct(i)))).toMap
+    val got = terms(Projections.aggregated(sol, Seq(?("g")), Seq(
+      Agg(AggCount, None, ?("n")),             // solutions per group
+      Agg(AggCount, Some(?("v")), ?("nv")),    // bound amts only
+      Agg(AggSum, Some(?("v")), ?("sum")),
+      Agg(AggAvg, Some(?("v")), ?("avg")),
+      Agg(AggMin, Some(?("v")), ?("min")),
+      Agg(AggMax, Some(?("v")), ?("max")),
+      Agg(AggGroupConcat("|"), Some(?("t")), ?("cc")))))
+    // g1: a has 2 amts × 1 tag = 2 solutions for a, b 1 → 3 solutions
+    assert(got(s("g1")) == Seq(TLong(3), TLong(3),
+      // EXACT int64: big + 1 + 2 survives past 2^53
+      TLong(big + 3),
+      TDouble((big + 3).toDouble / 3),
+      TLong(1), TLong(big),
+      s("aa|zz|zz"))) // sorted lexicals, a's tag twice (bag semantics)
+    // g2: mixed long/double → double sum; no tags → empty concat.
+    // MIN/MAX group by KIND first (KLong=4 < KDouble=5 — the
+    // documented canonical order), so the long is min, double max
+    assert(got(s("g2")) == Seq(TLong(2), TLong(2), TDouble(2.5),
+      TDouble(1.25), TLong(2), TDouble(0.5), s("")))
+    // g3: a bound NON-numeric amt = error → SUM/AVG unbound; MIN/MAX
+    // still defined under the canonical total order
+    assert(got(s("g3")) == Seq(TLong(1), TLong(1), null, null,
+      s("NaN"), s("NaN"), s("")))
+    // g4: no amt at all → SUM 0, AVG 0 (§11.4), MIN/MAX unbound
+    assert(got(s("g4")) == Seq(TLong(1), TLong(0), TLong(0), TLong(0),
+      null, null, s("")))
+    // COUNT DISTINCT vs plain over a duplicated value
+    val dup = Projections.selectDf(d, Seq(
+      pat(?("x"), T(cat), T(s("g1")))), Seq(?("x")))
+    val cd = Projections.aggregated(
+      Projections.selectDf(d, Seq(pat(?("x"), T(cat), ?("g"))), Seq(?("g"))),
+      Nil, Seq(
+        Agg(AggCount, Some(?("g")), ?("n")),
+        Agg(AggCount, Some(?("g")), ?("nd"), distinct = true),
+        Agg(AggSample, Some(?("g")), ?("any"))))
+      .collect()(0)
+    assert(fromRow(cd.getStruct(0)) == TLong(5))
+    assert(fromRow(cd.getStruct(1)) == TLong(4)) // g1 ×2
+    assert(Set[graft.core.Term](s("g1"), s("g2"), s("g3"), s("g4"))
+      .contains(fromRow(cd.getStruct(2))))
+    assert(dup.count() == 2)
+    // refusals: unprojected var, duplicate result names, DISTINCT SUM
+    intercept[InvalidBgp] {
+      Projections.aggregated(sol, Seq(?("g")),
+        Seq(Agg(AggCount, Some(?("nope")), ?("n"))))
+    }
+    intercept[InvalidBgp] {
+      Projections.aggregated(sol, Seq(?("g")),
+        Seq(Agg(AggCount, None, ?("g"))))
+    }
+    intercept[IllegalArgumentException] {
+      Agg(AggSum, Some(?("v")), ?("s"), distinct = true)
+    }
+    // dict store: aggregates act on the decoded frame — same numbers
+    val dd = d.dictEncode()
+    try {
+      val gotD = terms(Projections.aggregated(
+        Projections.selectDf(dd, Seq(
+          pat(?("x"), T(cat), ?("g")),
+          Optional(Seq(pat(?("x"), T(amt), ?("v"))))), Seq(?("g"), ?("v"))),
+        Seq(?("g")), Seq(Agg(AggSum, Some(?("v")), ?("sum")))))
+      assert(gotD(s("g1")) == Seq(TLong(big + 3)))
+      assert(gotD(s("g3")) == Seq(null))
+    } finally dd.unpersist()
+  }
+
   test("100k-triple scale smoke: 2-pattern select (T:253-264)") {
     val big = (0 until 100000).map(i => (u((i - 1).toString), knows, u(i.toString)))
     val d = TripleDb.fromTerms(spark, friends_++(big)).index()
