@@ -1596,6 +1596,24 @@ object SparkEntry {
         .select(Seq("r", "cc", "alpha").map(enc): _*)
     }),
 
+    // ---- HAVING: nations whose summed customer balance clears a
+    //      threshold — the filter reads the AGGREGATE value (exact
+    //      int64 cents, so the cross-engine comparison is exact) ----
+    "q164_agg_having" -> ((sp, dir) => {
+      val cust = Tables.t(sp, dir, "customer").withColumn("c_bal_cents",
+        functions.round(col("c_acctbal") * 100).cast("long"))
+      val db = TripleDb.fromWideTable(cust, "customer", "c_custkey",
+        fks = Map("c_nationkey" -> "nation"))
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("c"), kw("c_nationkey"), V("n")),
+        pat(V("c"), kw("c_bal_cents"), V("b"))), Seq(V("n"), V("b")))
+      val agg = Projections.aggregated(sol, Seq(V("n")), Seq(
+        Agg(AggSum, Some(V("b")), V("bs")),
+        Agg(AggCount, None, V("nc"))))
+      Projections.having(agg, FilterCmp(V("bs"), Gt, TLong(27000000L)))
+        .select(Seq("n", "bs", "nc").map(enc): _*)
+    }),
+
     // ---- the classic composed shape: GROUP BY → ORDER BY count
     //      DESC → LIMIT, aggregates feeding the modifiers ----
     "q163_agg_topk" -> ((sp, dir) => {
@@ -2924,6 +2942,18 @@ object SparkEntry {
         |  's|' || string_agg(n_name, ';' ORDER BY n_name) AS cc,
         |  's|' || min(n_name) AS alpha
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    // HAVING over the exact integer sum — threshold comparison can't
+    // diverge cross-engine
+    "q164_agg_having" ->
+      """SELECT 'u|nation/' || c_nationkey AS n,
+        |  'l|' || CAST(sum(cents) AS VARCHAR) AS bs,
+        |  'l|' || CAST(count(*) AS VARCHAR) AS nc
+        |FROM (SELECT c_nationkey,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |      FROM customer)
+        |GROUP BY c_nationkey
+        |HAVING sum(cents) > 27000000""".stripMargin,
 
     // group → order by count desc → limit: the top-k SET agrees via
     // exact counts + segment-string tie-break

@@ -438,6 +438,12 @@ object BgpCompiler {
     case _              => false
   }
 
+  /** [[Projections.having]]'s seam: evaluate a [[FilterExpr]] over a
+    * frame of TERM-STRUCT columns (no dictionary — aggregated frames
+    * are always decoded). */
+  private[engine] def filterFrame(a: DataFrame, f: FilterExpr): DataFrame =
+    applyFilter(a, f, None)
+
   /** Apply one filter expression to a solution frame, keeping rows
     * where it is TRUE (errors/false drop the row). Struct stores
     * evaluate a codegen'd predicate in place — Catalyst pushes it

@@ -170,13 +170,21 @@ object Projections {
       lazy val c = col(a.v.get.name)
       lazy val kind = c.getField("kind")
       lazy val isNum = kind.isin(Term.KLong, Term.KDouble)
-      // per-group facts the numeric aggregates branch on
-      lazy val anyBad = max(when(c.isNotNull && !isNum, 1).otherwise(0))
-      lazy val anyDouble = max(when(kind === Term.KDouble, 1).otherwise(0))
+      // per-group facts the numeric aggregates branch on (coalesced:
+      // max() over the zero-solution global group is SQL NULL, which
+      // would skip every `when` branch)
+      lazy val anyBad = coalesce(
+        max(when(c.isNotNull && !isNum, 1).otherwise(0)), lit(0))
+      lazy val anyDouble = coalesce(
+        max(when(kind === Term.KDouble, 1).otherwise(0)), lit(0))
       lazy val nVals = count(c)
-      lazy val sumL = sum(when(kind === Term.KLong,
-        c.getField("lex").cast("long")).otherwise(lit(0L)))
-      lazy val sumD = sum(when(isNum, c.getField("num")).otherwise(lit(0.0)))
+      // coalesce: a GLOBAL aggregate over ZERO solutions still emits
+      // one row (SPARQL §11.1), where sum() is SQL NULL — SUM({})
+      // must be the term 0, not a malformed null-lexical long
+      lazy val sumL = coalesce(sum(when(kind === Term.KLong,
+        c.getField("lex").cast("long")).otherwise(lit(0L))), lit(0L))
+      lazy val sumD = coalesce(
+        sum(when(isNum, c.getField("num")).otherwise(lit(0.0))), lit(0.0))
       (a.fn match {
         case AggCount => longTerm(a.v match {
           case None => count(lit(1))
@@ -211,6 +219,15 @@ object Projections {
       else sol.groupBy()
     grouped.agg(exprs.head, exprs.tail: _*)
   }
+
+  /** HAVING (SPARQL §11.1/§15.5): a three-valued [[FilterExpr]]
+    * evaluated over an [[aggregated]] result frame — atoms reference
+    * group keys or aggregate results by their `as` names; the same
+    * §17.2 error table as group filters (an unbound aggregate value —
+    * an error group — compares as error, removing the row, while
+    * `BOUND` tests it directly). One codegen'd predicate, no joins. */
+  def having(agg: DataFrame, f: FilterExpr): DataFrame =
+    BgpCompiler.filterFrame(agg, f)
 
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of
     * terms; unbound optional vars are `null` (≙ reified `_N`).

@@ -578,3 +578,125 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
       ok
     }
 }
+
+/** Fifth leg (round 11): aggregation + HAVING over random BGP
+  * solutions — an independent Scala fold of SPARQL §11's per-group
+  * semantics against the engine's single hash-aggregate plan. The
+  * numeric value pool is dyadic (1, 2.5), so float sums are exact
+  * under ANY partial-aggregation merge order, and AVG divides once in
+  * both models — double results compare exactly, not approximately.
+  */
+object AggDifferentialProps extends Properties("agg-differential") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  import DifferentialProps.{genDb, genQuery, canon, spark}
+  import graft.engine.Projections
+  import org.apache.spark.sql.DataFrame
+
+  private def isNum(t: Term) =
+    t.isInstanceOf[TLong] || t.isInstanceOf[TDouble]
+  private def numOf(t: Term): Double = t match {
+    case TLong(x) => x.toDouble
+    case TDouble(d) => d
+    case other => sys.error(s"not numeric: $other")
+  }
+  // mirror of Term.sortKey's (kind, num, lex, lang, datatype) order
+  private def key5(t: Term): (Byte, Double, String, String, String) = {
+    val r = Term.toRow(t)
+    def s(i: Int) = if (r.isNullAt(i)) "" else r.getString(i)
+    (r.getByte(0), if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+      s(1), s(3), s(4))
+  }
+  private val termOrd: Ordering[Term] = Ordering.by(key5)
+
+  /** One SPARQL §11 aggregate over one group — the independent model
+    * (mirrors the semantics documented on the AggFn tags). */
+  private def evalAgg(a: Agg, rows: Seq[Map[String, Term]]): Term = {
+    def bound: Seq[Term] =
+      rows.flatMap(b => Option(b.getOrElse(a.v.get.name, null)))
+    a.fn match {
+      case AggCount => a.v match {
+        case None => TLong(rows.size)
+        case Some(_) =>
+          TLong((if (a.distinct) bound.distinct else bound).size)
+      }
+      case AggSum =>
+        val vs = bound
+        if (vs.exists(v => !isNum(v))) null
+        else if (vs.forall(_.isInstanceOf[TLong]))
+          TLong(vs.collect { case TLong(x) => x }.sum)
+        else TDouble(vs.map(numOf).sum)
+      case AggAvg =>
+        val vs = bound
+        if (vs.exists(v => !isNum(v))) null
+        else if (vs.isEmpty) TLong(0)
+        else if (vs.forall(_.isInstanceOf[TLong]))
+          TDouble(vs.collect { case TLong(x) => x }.sum.toDouble / vs.size)
+        else TDouble(vs.map(numOf).sum / vs.size)
+      case AggMin => if (bound.isEmpty) null else bound.min(termOrd)
+      case AggMax => if (bound.isEmpty) null else bound.max(termOrd)
+      case AggGroupConcat(sep) =>
+        if (bound.exists(v => !v.isInstanceOf[TString])) null
+        else TString(bound.collect { case TString(x) => x }
+          .sorted.mkString(sep))
+      case AggSample => sys.error("SAMPLE not fuzzed (nondeterministic)")
+    }
+  }
+
+  property("aggregates + HAVING ≡ independent group fold") =
+    forAll(genDb, genQuery, Gen.choose(0, 11)) { (dbTriples, query, seed) =>
+      val sol = MiniInterp.solve(dbTriples, query)
+      val cols = sol.cols.toSeq.sorted
+      (cols.isEmpty: Boolean) || {
+        val groupBy = Seq(V(cols(seed % cols.size)))
+        val fns: Seq[AggFn] = Seq(AggCount, AggSum, AggAvg, AggMin,
+          AggMax, AggGroupConcat("|"))
+        val aggs = Agg(AggCount, None, V("a_n")) +:
+          cols.zipWithIndex.map { case (c, i) =>
+            val fn = fns((i + seed) % fns.size)
+            Agg(fn, Some(V(c)), V(s"a_$i"),
+              distinct = fn == AggCount && (i + seed) % 2 == 0)
+          }
+        // engine projects every col; pad the interp rel to match
+        val paddedRows = sol.rows.map(r =>
+          cols.map(c => c -> r.getOrElse(c, null)).toMap)
+        val groups = paddedRows.groupBy(b => groupBy.map(v => b(v.name)))
+        val expRows = groups.map { case (key, rows) =>
+          (groupBy.map(_.name).zip(key) ++
+            aggs.map(a => a.as.name -> evalAgg(a, rows))).toMap
+        }.toSeq
+        val outCols = (groupBy.map(_.name) ++ aggs.map(_.as.name)).toSet
+        val expected = MiniInterp.Rel(outCols, expRows)
+        val expectedHaving = MiniInterp.Rel(outCols, expRows.filter(r =>
+          r("a_n") match { case TLong(n) => n > 1; case _ => false }))
+
+        val db = TripleDb.fromTerms(spark, dbTriples)
+        val aggDf = Projections.aggregated(
+          Projections.selectDf(db, query, cols.map(V(_))), groupBy, aggs)
+        def rel(df: DataFrame): MiniInterp.Rel = {
+          val cs = df.columns
+          MiniInterp.Rel(cs.toSet, df.collect().toSeq.map { r =>
+            cs.zipWithIndex.map { case (c, i) =>
+              c -> (if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))
+            }.toMap
+          })
+        }
+        val got = rel(aggDf)
+        val gotHaving = rel(Projections.having(aggDf,
+          FilterCmp(V("a_n"), Gt, TLong(1))))
+        val ok = canon(got) == canon(expected) &&
+          canon(gotHaving) == canon(expectedHaving)
+        if (!ok) {
+          println(s"AGG DB: $dbTriples")
+          println(s"AGG QUERY: $query  groupBy=$groupBy seed=$seed")
+          println(s"AGG SPEC: $aggs")
+          println(s"expected ${canon(expected)}")
+          println(s"got      ${canon(got)}")
+          println(s"expected-having ${canon(expectedHaving)}")
+          println(s"got-having      ${canon(gotHaving)}")
+        }
+        ok
+      }
+    }
+}

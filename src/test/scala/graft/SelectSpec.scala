@@ -565,6 +565,29 @@ class SelectSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       Agg(AggSum, Some(?("v")), ?("s"), distinct = true)
     }
+    // GLOBAL aggregate over ZERO solutions: still one row (§11.1),
+    // SUM/COUNT 0, MIN unbound — not malformed terms
+    val emptySol = Projections.selectDf(d, Seq(
+      pat(?("x"), T(k("nope")), ?("v"))), Seq(?("v")))
+    val emptyAgg = Projections.aggregated(emptySol, Nil, Seq(
+      Agg(AggCount, None, ?("n")),
+      Agg(AggSum, Some(?("v")), ?("su")),
+      Agg(AggMin, Some(?("v")), ?("mn")))).collect()
+    assert(emptyAgg.length == 1)
+    assert(fromRow(emptyAgg(0).getStruct(0)) == TLong(0))
+    assert(fromRow(emptyAgg(0).getStruct(1)) == TLong(0))
+    assert(emptyAgg(0).isNullAt(2))
+
+    // HAVING: reads aggregate values; an ERROR group (unbound sum,
+    // g3) errors out of a comparison but is selectable via !BOUND
+    val aggSum = Projections.aggregated(sol, Seq(?("g")),
+      Seq(Agg(AggSum, Some(?("v")), ?("sum"))))
+    def gset(df: org.apache.spark.sql.DataFrame) =
+      df.select("g").collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+    assert(gset(Projections.having(aggSum,
+      FilterCmp(?("sum"), Gt, TLong(1)))) == Set(s("g1"), s("g2")))
+    assert(gset(Projections.having(aggSum,
+      FilterNot(FilterBound(?("sum"))))) == Set(s("g3")))
     // dict store: aggregates act on the decoded frame — same numbers
     val dd = d.dictEncode()
     try {
