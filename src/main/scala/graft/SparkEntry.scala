@@ -1551,6 +1551,19 @@ object SparkEntry {
         FilterVarCmp(V("sb"), Gt, V("cb"))),
         "s", "c")),
 
+    // ---- BIND + ARITHMETIC (SPARQL §10.1 + §17.3): a computed
+    //      column (?b2 = ?b * 2) filtered by an arithmetic
+    //      comparison whose right side is itself an expression ----
+    "q165_bind_arith" -> ((sp, dir) => {
+      val db = Tables.supplierDb(sp, dir)
+      sel(db, Seq(
+        pat(V("s"), kw("s_acctbal"), V("b")),
+        Bind(NMul(NVar(V("b")), NConst(TLong(2))), V("b2")),
+        FilterArith(NVar(V("b2")), Gt,
+          NAdd(NConst(TLong(5000)), NConst(TLong(2500))))),
+        "s", "b2")
+    }),
+
     // ---- AGGREGATES (SPARQL §11): orders per priority — COUNT(*)
     //      solutions + COUNT(DISTINCT) customers per group ----
     "q160_agg_count" -> ((sp, dir) => {
@@ -2915,6 +2928,13 @@ object SparkEntry {
       """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |WHERE s_acctbal > c_acctbal""".stripMargin,
+
+    // doubling a 2-decimal double is exact, so both engines format
+    // the identical double; the threshold folds to 7500
+    "q165_bind_arith" ->
+      """SELECT 'u|supplier/' || s_suppkey AS s,
+        |  'd|' || printf('%.2f', s_acctbal * 2) AS b2
+        |FROM supplier WHERE s_acctbal * 2 > 7500""".stripMargin,
 
     // counts encode as exact int64 terms ('l|N')
     "q160_agg_count" ->

@@ -298,6 +298,63 @@ final case class FilterNot(expr: FilterExpr) extends FilterExpr {
   def refs: Seq[V] = expr.refs
 }
 
+/** Numeric value expressions (SPARQL §17.3's XPath operator mapping,
+  * numeric subset): operands are numeric TERMS — an unbound variable
+  * or a non-numeric term makes the whole expression an ERROR (the
+  * §17.2 table then applies: in a FILTER the row drops, in a BIND the
+  * var stays unbound for that row). Promotion: long op long stays
+  * EXACT int64 (Java wrap semantics on overflow, documented) except
+  * `/`, which is always a double (SPARQL: integer ÷ integer is
+  * decimal); any double operand promotes to double. Division by an
+  * exact-zero divisor is an error (the deterministic subset — no
+  * INF/NaN terms reach results). */
+sealed trait NumExpr extends Product with Serializable {
+  def refs: Seq[V]
+}
+final case class NVar(v: V) extends NumExpr { def refs: Seq[V] = Seq(v) }
+final case class NConst(t: Term) extends NumExpr {
+  require(t.isInstanceOf[Term.TLong] || t.isInstanceOf[Term.TDouble],
+    s"numeric constant required, got $t")
+  def refs: Seq[V] = Nil
+}
+final case class NAdd(a: NumExpr, b: NumExpr) extends NumExpr {
+  def refs: Seq[V] = a.refs ++ b.refs
+}
+final case class NSub(a: NumExpr, b: NumExpr) extends NumExpr {
+  def refs: Seq[V] = a.refs ++ b.refs
+}
+final case class NMul(a: NumExpr, b: NumExpr) extends NumExpr {
+  def refs: Seq[V] = a.refs ++ b.refs
+}
+final case class NDiv(a: NumExpr, b: NumExpr) extends NumExpr {
+  def refs: Seq[V] = a.refs ++ b.refs
+}
+
+/** `FILTER (expr op expr)` over numeric expressions — the arithmetic
+  * comparison form (`?a * 2 < ?b + 1`). Both sides evaluate under
+  * [[NumExpr]]'s rules; the comparison itself follows
+  * [[FilterVarCmp]]'s per-row family semantics (long/long exact). */
+final case class FilterArith(a: NumExpr, op: CmpOp, b: NumExpr)
+    extends FilterExpr {
+  def refs: Seq[V] = a.refs ++ b.refs
+}
+
+/** `BIND (expr AS ?v)` (SPARQL §10.1), numeric-expression subset:
+  * extends each solution of its group with `?v` = the expression's
+  * value; an ERROR (unbound operand, non-numeric, ÷0) leaves `?v`
+  * UNBOUND for that row — the row itself is kept (§10.1's Extend
+  * semantics, unlike a FILTER). Evaluation order within the group:
+  * after the pattern/optional folds, before the group's filters —
+  * so filters can read bound vars; binds evaluate in written order,
+  * so a later bind may reference an earlier one. `?v` must be fresh
+  * in the group (InvalidBgp otherwise, per the SPARQL grammar
+  * restriction). Struct/quad stores only — a dict-store group
+  * refuses loudly (8-byte id frames cannot carry computed terms;
+  * bind after decode via [[graft.engine.Projections.extend]]). */
+final case class Bind(expr: NumExpr, as: V) extends PatternRow {
+  def vars: Seq[V] = Seq(as)
+}
+
 /** Aggregate function tags (SPARQL 1.1 §11). Semantics notes on
   * [[graft.engine.Projections.aggregated]]. */
 sealed trait AggFn extends Product with Serializable

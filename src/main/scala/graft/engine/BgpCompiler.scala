@@ -104,6 +104,12 @@ object BgpCompiler {
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
     val filters: Seq[FilterExpr] = rows.collect { case f: FilterExpr => f }
+    val binds = rows.collect { case b: Bind => b }
+
+    if (binds.nonEmpty && in.dict.nonEmpty)
+      throw new InvalidBgp(
+        "BIND over a dict store — 8-byte id frames cannot carry " +
+          "computed terms; bind after decode via Projections.extend")
 
     if (rows.exists(r => r.isInstanceOf[QuadPattern] ||
           r.isInstanceOf[QuadPathPattern]) &&
@@ -311,6 +317,12 @@ object BgpCompiler {
       result = result.where(markers.map(_.isNotNull).reduce(_ || _))
     }
 
+    // BIND (§10.1 Extend): after the group's folds, before its late
+    // filters — filters can read bound vars; binds evaluate in
+    // written order (a later bind may read an earlier one); an ERROR
+    // leaves the var unbound, the row STAYS (unlike a filter)
+    result = applyBinds(result, binds)
+
     // filters referencing optional-bound (or nowhere-bound) vars run
     // HERE, per SPARQL's group evaluation order — an unbound var in a
     // comparison errors that ROW away (never the whole result), and
@@ -423,11 +435,73 @@ object BgpCompiler {
                         boundOf: String => Column): Column = f match {
     case FilterCmp(v, op, t)    => cmpTermCol(termOf(v.name), op, t)
     case FilterVarCmp(x, op, y) => cmpVarCol(termOf(x.name), op, termOf(y.name))
+    case FilterArith(a, op, b)  =>
+      cmpVarCol(numTermCol(a, termOf), op, numTermCol(b, termOf))
     case FilterBound(v)         => boundOf(v.name)
     case FilterRegex(v, p)      => regexCol(termOf(v.name), p)
     case FilterAnd(es)          => es.map(filterCol(_, termOf, boundOf)).reduce(_ && _)
     case FilterOr(es)           => es.map(filterCol(_, termOf, boundOf)).reduce(_ || _)
     case FilterNot(e)           => !filterCol(e, termOf, boundOf)
+  }
+
+  /** A [[NumExpr]] as a term-struct Column (KLong/KDouble); NULL =
+    * SPARQL error (unbound/non-numeric operand, exact-zero divisor).
+    * Long op long stays EXACT on the int64 lexical except `/`
+    * (always double per SPARQL's integer-÷-integer-is-decimal rule);
+    * any double operand promotes. All codegen'd when-chains — no
+    * UDF, no join. */
+  private[engine] def numTermCol(e: NumExpr,
+                                 termOf: String => Column): Column = {
+    val nullTerm = functions.lit(null).cast(Term.schema)
+    val nullS = functions.lit(null).cast(org.apache.spark.sql.types.StringType)
+    def longT(n: Column) = Term.mk(functions.lit(Term.KLong),
+      n.cast("string"), n.cast("double"), nullS, nullS)
+    def dblT(d: Column) = Term.mk(functions.lit(Term.KDouble),
+      nullS, d, nullS, nullS)
+    e match {
+      case NVar(v) =>
+        val c = termOf(v.name)
+        when(c.getField("kind").isin(Term.KLong, Term.KDouble), c)
+          .otherwise(nullTerm)
+      case NConst(t) => Term.lit(t)
+      case NDiv(a, b) =>
+        val ac = numTermCol(a, termOf); val bc = numTermCol(b, termOf)
+        when(ac.isNull || bc.isNull || bc.getField("num") === 0.0, nullTerm)
+          .otherwise(dblT(ac.getField("num") / bc.getField("num")))
+      case op2 =>
+        val (a, b) = op2 match {
+          case NAdd(x, y) => (x, y); case NSub(x, y) => (x, y)
+          case NMul(x, y) => (x, y)
+          case other => throw new InvalidBgp(s"not a numeric op: $other")
+        }
+        def opC(x: Column, y: Column): Column = op2 match {
+          case _: NAdd => x + y; case _: NSub => x - y; case _ => x * y
+        }
+        val ac = numTermCol(a, termOf); val bc = numTermCol(b, termOf)
+        val bothLong = ac.getField("kind") === Term.KLong &&
+          bc.getField("kind") === Term.KLong
+        when(ac.isNull || bc.isNull, nullTerm)
+          .when(bothLong, longT(opC(ac.getField("lex").cast(LongType),
+            bc.getField("lex").cast(LongType))))
+          .otherwise(dblT(opC(ac.getField("num"), bc.getField("num"))))
+    }
+  }
+
+  /** [[Bind]] rows over a term-struct solution frame (written order;
+    * fresh-var check; errors leave the var unbound). Shared by the
+    * in-group compile and [[Projections.extend]]. */
+  private[engine] def applyBinds(frame: DataFrame, binds: Seq[Bind]): DataFrame = {
+    var result = frame
+    for (b <- binds) {
+      if (result.columns.contains(b.as.name))
+        throw new InvalidBgp(s"BIND target ?${b.as.name} is already bound")
+      val cols = result.columns.toSet
+      val termOf: String => Column = n =>
+        if (cols.contains(n)) col(n)
+        else functions.lit(null).cast(Term.schema)
+      result = result.withColumn(b.as.name, numTermCol(b.expr, termOf))
+    }
+    result
   }
 
   private def containsBound(f: FilterExpr): Boolean = f match {

@@ -220,6 +220,15 @@ object Projections {
     grouped.agg(exprs.head, exprs.tail: _*)
   }
 
+  /** BIND over ANY term-struct frame (a `selectDf` output — incl.
+    * dict stores, which are decoded by then — or an [[aggregated]]
+    * result): extends each row with the numeric expression's value,
+    * errors leaving the var unbound (§10.1 Extend). The in-group
+    * [[graft.dsl.Bind]] row is the struct-store form; this is the
+    * layout-agnostic post-projection form. */
+  def extend(sol: DataFrame, binds: Seq[Bind]): DataFrame =
+    BgpCompiler.applyBinds(sol, binds)
+
   /** HAVING (SPARQL §11.1/§15.5): a three-valued [[FilterExpr]]
     * evaluated over an [[aggregated]] result frame — atoms reference
     * group keys or aggregate results by their `as` names; the same

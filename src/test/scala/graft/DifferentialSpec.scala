@@ -62,11 +62,52 @@ object MiniInterp {
     }
   }
 
+  /** [[NumExpr]] evaluation — None = error (unbound/non-numeric
+    * operand, exact-zero divisor). Mirrors the engine's promotion:
+    * long op long exact int64 (wrap), ÷ always double. */
+  private def evalNum(e: NumExpr, b: Row): Option[Term] = {
+    def num(t: Term): Double = t match {
+      case TLong(x) => x.toDouble; case TDouble(d) => d
+      case other => sys.error(s"not numeric: $other")
+    }
+    e match {
+      case NVar(v) => b.getOrElse(v.name, null) match {
+        case t @ (TLong(_) | TDouble(_)) => Some(t)
+        case _ => None
+      }
+      case NConst(t) => Some(t)
+      case NDiv(x, y) =>
+        for (a <- evalNum(x, b); c <- evalNum(y, b) if num(c) != 0.0)
+          yield TDouble(num(a) / num(c))
+      case op2 =>
+        val (x, y) = op2 match {
+          case NAdd(p, q) => (p, q); case NSub(p, q) => (p, q)
+          case NMul(p, q) => (p, q)
+          case other => sys.error(s"not an op: $other")
+        }
+        def opL(p: Long, q: Long): Long = op2 match {
+          case _: NAdd => p + q; case _: NSub => p - q; case _ => p * q
+        }
+        def opD(p: Double, q: Double): Double = op2 match {
+          case _: NAdd => p + q; case _: NSub => p - q; case _ => p * q
+        }
+        for (a <- evalNum(x, b); c <- evalNum(y, b)) yield (a, c) match {
+          case (TLong(p), TLong(q)) => TLong(opL(p, q))
+          case _ => TDouble(opD(num(a), num(c)))
+        }
+    }
+  }
+
   /** [[FilterExpr]] evaluation against one solution row — SPARQL
     * §17.2 three-valued semantics, the independent model the Spark
     * engine's SQL-NULL formulation is checked against. */
   private def evalFilter(f: FilterExpr, b: Row): Option[Boolean] = f match {
     case FilterCmp(v, op, t) => cmpTerm(b.getOrElse(v.name, null), op, t)
+    case FilterArith(x, op, y) =>
+      (evalNum(x, b), evalNum(y, b)) match {
+        case (Some(a), Some(c)) => cmpTerm(a, op, c)
+        case _ => None
+      }
     case FilterVarCmp(x, op, y) =>
       cmpTerm(b.getOrElse(x.name, null), op, b.getOrElse(y.name, null))
     case FilterBound(v) => Some(b.getOrElse(v.name, null) != null)
@@ -235,6 +276,12 @@ object MiniInterp {
     if (noRequired && optionals.nonEmpty)
       acc = Rel(acc.cols, acc.rows.filter(r => markers.exists(m => r.getOrElse(m, null) != null)))
 
+    // BIND: extend after the optional fold, before filters (written
+    // order; errors leave the var unbound, the row stays)
+    for (bd <- rows.collect { case b: Bind => b })
+      acc = Rel(acc.cols + bd.as.name,
+        acc.rows.map(r => r + (bd.as.name -> evalNum(bd.expr, r).orNull)))
+
     // value filters run AFTER the group's optional fold (SPARQL §18.5
     // evaluation order): per-row three-valued evaluation, only TRUE
     // keeps the row (errors — unbound/cross-family — drop it)
@@ -285,12 +332,32 @@ object DifferentialProps extends Properties("differential") {
   // only show under composition — !cmp on a cross-family row, BOUND
   // rescued by OR). Regex patterns stay in the Java⇄everything
   // portable subset; objs include "x"/"y" so they both hit and miss.
+  // numeric expressions: dyadic constants (exact float arithmetic in
+  // any order), a zero constant so the ÷0-is-error path fires, vars
+  // that may be unbound / non-numeric (error propagation)
+  val genNumLeaf: Gen[NumExpr] = Gen.frequency(
+    3 -> Gen.oneOf(varNames).map(v => NVar(V(v)): NumExpr),
+    2 -> Gen.oneOf[NumExpr](NConst(TLong(2)), NConst(TDouble(0.5)),
+      NConst(TLong(0))))
+  val genNumExpr: Gen[NumExpr] = Gen.frequency(
+    1 -> genNumLeaf,
+    2 -> (for {
+      a <- genNumLeaf; b <- genNumLeaf
+      f <- Gen.oneOf(Seq[(NumExpr, NumExpr) => NumExpr](
+        NAdd(_, _), NSub(_, _), NMul(_, _), NDiv(_, _)))
+    } yield f(a, b)))
+
   val genFilterAtom: Gen[FilterExpr] = Gen.frequency(
     3 -> (for {
       v <- Gen.oneOf(varNames)
       op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
       t <- Gen.oneOf[Term](TLong(1), TDouble(2.5), TString("x"))
     } yield FilterCmp(V(v), op, t): FilterExpr),
+    2 -> (for {
+      a <- genNumExpr
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      b <- genNumExpr
+    } yield FilterArith(a, op, b): FilterExpr),
     2 -> (for {
       a <- Gen.oneOf(varNames)
       op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
@@ -357,6 +424,17 @@ object DifferentialProps extends Properties("differential") {
     fils <- Gen.listOfN(nFil, genFilter)
   } yield pats ++ vals ++ opts ++ negs ++ fils).suchThat(_.nonEmpty)
 
+  // leg-1 superset: BIND rows (struct stores only — the dict leg
+  // keeps the bind-free genQuery, dict groups refuse BIND loudly).
+  // Fresh target "vb" (outside varNames) + one bind max = no
+  // duplicate-target conflicts; filters over ?vb arrive via the
+  // nowhere-bound var paths of genFilter.
+  val genQueryBind: Gen[Seq[PatternRow]] = for {
+    q <- genQuery
+    nBind <- Gen.choose(0, 1)
+    bs <- Gen.listOfN(nBind, genNumExpr.map(e => Bind(e, V("vb")): PatternRow))
+  } yield q ++ bs
+
   private[graft] def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {
     val cols = rel.cols.toSeq.sorted
     rel.rows.map(r => cols.map(c =>
@@ -365,7 +443,7 @@ object DifferentialProps extends Properties("differential") {
   }
 
   property("Spark engine ≡ in-memory interpreter on random BGPs") =
-    forAll(genDb, genQuery) { (dbTriples, query) =>
+    forAll(genDb, genQueryBind) { (dbTriples, query) =>
       val expected = MiniInterp.solve(dbTriples, query)
       val db = TripleDb.fromTerms(spark, dbTriples)
       val compiled = BgpCompiler.compile(db, query)

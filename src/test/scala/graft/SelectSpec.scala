@@ -488,6 +488,70 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("BIND + arithmetic: exact int64 ops past 2^53, promotion, " +
+      "error leaves the bind var unbound (row kept) but drops the " +
+      "filter row, div-by-zero, chained binds, loud refusals") {
+    val amt = k("amt")
+    val big = 9007199254740993L // 2^53 + 1
+    val d = db(
+      (k("a"), amt, TLong(big)),
+      (k("b"), amt, TDouble(2.5)),
+      (k("c"), amt, s("NaN")),
+      (k("e"), amt, TLong(0)))
+    def q(rows: PatternRow*): Set[(graft.core.Term, graft.core.Term)] =
+      Projections.selectDf(d, pat(?("x"), T(amt), ?("v")) +: rows,
+        Seq(?("x"), ?("r"))).collect().toSeq
+        .map(r => (fromRow(r.getStruct(0)),
+          if (r.isNullAt(1)) null else fromRow(r.getStruct(1)))).toSet
+    // exact int64: big - 1 stays exact (doubles can't tell big from
+    // big-1); string value = error → ?r unbound, row KEPT
+    assert(q(Bind(NSub(NVar(?("v")), NConst(TLong(1))), ?("r"))) == Set(
+      (k("a"), TLong(big - 1)),
+      (k("b"), TDouble(1.5)),
+      (k("c"), null),
+      (k("e"), TLong(-1))))
+    // mixed promotion + division is always double; ÷0 = error
+    assert(q(Bind(NDiv(NConst(TLong(5)), NVar(?("v"))), ?("r"))) == Set(
+      (k("a"), TDouble(5.0 / big.toDouble)),
+      (k("b"), TDouble(2.0)),
+      (k("c"), null),
+      (k("e"), null))) // ÷0
+    // chained binds: second reads the first
+    assert(q(
+      Bind(NMul(NVar(?("v")), NConst(TLong(2))), ?("t")),
+      Bind(NAdd(NVar(?("t")), NConst(TLong(1))), ?("r"))).collect {
+        case (s0, r0) if s0 == k("b") => r0 }.head == TDouble(6.0))
+    // FilterArith: error DROPS the row (unlike bind); exact compare
+    val fa = Projections.selectDf(d, Seq(
+      pat(?("x"), T(amt), ?("v")),
+      FilterArith(NMul(NVar(?("v")), NConst(TLong(1))), Ge,
+        NConst(TLong(big)))), Seq(?("x"))).collect().toSeq
+      .map(r => fromRow(r.getStruct(0))).toSet
+    assert(fa == Set(k("a")))
+    // rebinding refuses; dict stores refuse in-group BIND but extend
+    // works on the decoded frame
+    intercept[InvalidBgp] {
+      Projections.selectDf(d, Seq(pat(?("x"), T(amt), ?("v")),
+        Bind(NConst(TLong(1)), ?("v"))), Nil)
+    }
+    val dd = d.dictEncode()
+    try {
+      intercept[InvalidBgp] {
+        Projections.selectDf(dd, Seq(pat(?("x"), T(amt), ?("v")),
+          Bind(NConst(TLong(1)), ?("r"))), Seq(?("x")))
+      }
+      val ext = Projections.extend(
+        Projections.selectDf(dd, Seq(pat(?("x"), T(amt), ?("v"))),
+          Seq(?("x"), ?("v"))),
+        Seq(Bind(NSub(NVar(?("v")), NConst(TLong(1))), ?("r"))))
+        .collect().toSeq.map(r => (fromRow(r.getStruct(0)),
+          if (r.isNullAt(2)) null else fromRow(r.getStruct(2)))).toSet
+      assert(ext == Set(
+        (k("a"), TLong(big - 1)), (k("b"), TDouble(1.5)),
+        (k("c"), null), (k("e"), TLong(-1))))
+    } finally dd.unpersist()
+  }
+
   test("aggregates (SPARQL §11): COUNT(*)/COUNT(?v)/DISTINCT, exact " +
       "int64 SUM/AVG, error-to-unbound, MIN/MAX canonical order, " +
       "sorted GROUP_CONCAT, empty/global groups, loud refusals") {
