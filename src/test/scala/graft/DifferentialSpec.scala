@@ -400,7 +400,12 @@ object DifferentialProps extends Properties("differential") {
       1 -> genValues.map(Seq(_)),
       1 -> genPattern.map(p => Seq(Optional(Seq(p)))),
       2 -> genFilter.map(Seq(_)),
-      1 -> genNegation.map(Seq(_)))
+      1 -> genNegation.map(Seq(_)),
+      // BIND inside the clause: group-scoped — binds only when the
+      // clause matches, NULL rides the left join otherwise; a fixed
+      // fresh name ("vo") also exercises the same-var-alternatives
+      // coalesce when two clauses both carry a bind
+      1 -> genNumExpr.map(e => Seq(Bind(e, V("vo")): PatternRow)))
   } yield Optional(pats ++ extra)
 
   // nPat may be 0: values-only and optional-only queries are legal
