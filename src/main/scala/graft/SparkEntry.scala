@@ -1551,6 +1551,22 @@ object SparkEntry {
         FilterVarCmp(V("sb"), Gt, V("cb"))),
         "s", "c")),
 
+    // ---- MULTI-VAR VALUES (SPARQL §10.2): an inline (segment,
+    //      nation) table with an UNDEF cell — the third row admits
+    //      MACHINERY customers of ANY nation, the defined rows pin
+    //      exact pairs; compatibility join, no OR-rewrite ----
+    "q166_values_table" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_mktsegment"), V("seg")),
+        pat(V("c"), kw("c_nationkey"), V("n")),
+        ValuesTable(Seq(V("seg"), V("n")), Seq(
+          Seq(Some(TString("BUILDING")), Some(TUri("nation/3"))),
+          Seq(Some(TString("AUTOMOBILE")), Some(TUri("nation/7"))),
+          Seq(Some(TString("MACHINERY")), None)))),
+        "c", "seg", "n")
+    }),
+
     // ---- BIND + ARITHMETIC (SPARQL §10.1 + §17.3): a computed
     //      column (?b2 = ?b * 2) filtered by an arithmetic
     //      comparison whose right side is itself an expression ----
@@ -2928,6 +2944,16 @@ object SparkEntry {
       """SELECT 'u|supplier/' || s_suppkey AS s, 'u|customer/' || c_custkey AS c
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey
         |WHERE s_acctbal > c_acctbal""".stripMargin,
+
+    // the table rows are disjoint predicates, so the compatibility
+    // join ≡ the OR of the three conditions, one row per match
+    "q166_values_table" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  's|' || c_mktsegment AS seg, 'u|nation/' || c_nationkey AS n
+        |FROM customer
+        |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
+        |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
+        |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
 
     // doubling a 2-decimal double is exact, so both engines format
     // the identical double; the threshold folds to 7500

@@ -174,6 +174,26 @@ final case class Values(v: V, coll: Iterable[Term]) extends PatternRow {
   def vars: Seq[V] = Seq(v)
 }
 
+/** `VALUES (?a ?b …) { (t …) (UNDEF …) … }` (SPARQL §10.2): an inline
+  * solution MULTISET over several variables, joined into the group by
+  * solution compatibility — a table row matches a solution when they
+  * agree on every shared var whose cell is DEFINED; an UNDEF cell
+  * (None) constrains nothing, and binds nothing when the var is new
+  * (the var stays unbound for that row). Duplicate table rows
+  * multiply (bag semantics, like [[Values]]). The single-var
+  * [[Values]] remains the reference-parity membero form with its
+  * tuned OR-chain/semi-join plans; this is the general table form. */
+final case class ValuesTable(vs: Seq[V], rows: Seq[Seq[Option[Term]]])
+    extends PatternRow {
+  if (vs.isEmpty) throw new InvalidValues("VALUES needs at least one var")
+  if (vs.distinct.size != vs.size)
+    throw new InvalidValues(s"VALUES vars must be distinct: $vs")
+  for (r <- rows if r.size != vs.size)
+    throw new InvalidValues(
+      s"VALUES row arity ${r.size} != ${vs.size} vars: $r")
+  def vars: Seq[V] = vs
+}
+
 /** `(optional [...])` (alpha.clj:107-124) — group may fail without
   * discarding the solution; nestable.
   */
@@ -418,7 +438,7 @@ object Bgp {
   def requiredVars(rows: Seq[PatternRow]): Seq[V] =
     rows.collect { case r: TriplePattern => r; case r: QuadPattern => r
                    case r: PathPattern => r; case r: QuadPathPattern => r
-                   case r: Values => r }
+                   case r: Values => r; case r: ValuesTable => r }
       .flatMap(_.vars).distinct
 
   def optionalVars(rows: Seq[PatternRow]): Seq[V] = {
@@ -435,8 +455,9 @@ object Bgp {
     * exist in the db's dictionary.
     */
   def valuesTerms(rows: Seq[PatternRow]): Seq[Term] = rows.flatMap {
-    case Values(_, coll) => coll.toSeq
-    case Optional(inner) => valuesTerms(inner)
-    case _               => Nil
+    case Values(_, coll)      => coll.toSeq
+    case ValuesTable(_, trs)  => trs.flatten.flatten
+    case Optional(inner)      => valuesTerms(inner)
+    case _                    => Nil
   }
 }

@@ -100,6 +100,7 @@ object BgpCompiler {
     val paths: Seq[PatternRow] =
       rows.collect { case p: PathPattern => p; case q: QuadPathPattern => q }
     val values = rows.collect { case v: Values => v }
+    val valuesTables = rows.collect { case vt: ValuesTable => vt }
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
@@ -123,14 +124,26 @@ object BgpCompiler {
     // ---- required conjunction: ordered join fold over pattern scans ----
     var acc: Option[DataFrame] = None
     var bound: Set[String] = Set.empty
+    // vars a ValuesTable UNDEF cell introduced: their column may be
+    // NULL per row, so a pending single-var Values must use the
+    // compatibility JOIN (null row binds each coll element) instead
+    // of the filter — the filter would silently drop the UNDEF rows
+    // (fuzzer counterexample, round 11)
+    var maybeNullVals: Set[String] = Set.empty
     val pendingValues = mutable.ArrayBuffer(values: _*)
+
+    def applyValues(a: DataFrame, v: Values): DataFrame =
+      if (maybeNullVals.contains(v.v.name)) {
+        maybeNullVals -= v.v.name // the join binds every null row
+        nullCompatValuesJoin(in, a, v)
+      } else valuesFilter(in, a, v)
 
     def applyBoundValues(): Unit = {
       var i = 0
       while (i < pendingValues.length) {
         val v = pendingValues(i)
         if (bound.contains(v.v.name)) {
-          acc = acc.map(valuesFilter(in, _, v))
+          acc = acc.map(applyValues(_, v))
           pendingValues.remove(i)
         } else i += 1
       }
@@ -175,6 +188,40 @@ object BgpCompiler {
       applyBoundValues()
     }
 
+    // ---- multi-var VALUES tables (SPARQL §10.2): the literal
+    // solution multiset joins by COMPATIBILITY — shared vars must
+    // agree unless the cell is UNDEF (null), new vars take the cell
+    // value (null = stays unbound). The table is a caller literal, so
+    // it broadcasts; bag semantics ride the inner join. ----
+    for (vt <- valuesTables) {
+      val tbl = valuesTableDf(in, spark, vt)
+      // a NEW var with any UNDEF cell yields a nullable column —
+      // downstream single-var Values must compatibility-join it
+      val idx = vt.vs.map(_.name).zipWithIndex.toMap
+      maybeNullVals ++= vt.vs.map(_.name)
+        .filterNot(n => acc.exists(_.columns.contains(n)))
+        .filter(n => vt.rows.exists(r => r(idx(n)).isEmpty))
+      acc = acc match {
+        case None => Some(tbl)
+        case Some(a) =>
+          val shared = vt.vs.map(_.name).filter(a.columns.contains)
+          val newVars = vt.vs.map(_.name).filterNot(a.columns.contains)
+          if (shared.isEmpty) Some(a.crossJoin(broadcast(tbl)))
+          else {
+            var t = tbl
+            for (v <- shared) t = t.withColumnRenamed(v, s"__vt_$v")
+            val cond = shared.map(v =>
+              col(s"__vt_$v").isNull || col(s"__vt_$v") === col(v))
+              .reduce(_ && _)
+            Some(a.join(broadcast(t), cond, "inner")
+              .drop(shared.map(v => s"__vt_$v"): _*)
+              .select((a.columns.toSeq ++ newVars).map(col): _*))
+          }
+      }
+      bound ++= vt.vs.map(_.name)
+      applyBoundValues()
+    }
+
     // fully-ground patterns = existence gates (facts are deduped at
     // index time, so each contributes a 0-or-1-row cross join);
     // fully-ground paths gate on single-source reachability
@@ -211,7 +258,7 @@ object BgpCompiler {
     while (pendingValues.nonEmpty) {
       val v = pendingValues.remove(0)
       if (bound.contains(v.v.name)) {
-        acc = acc.map(valuesFilter(in, _, v))
+        acc = acc.map(applyValues(_, v))
       } else {
         val gen = in.mkCollDf(spark, v)
         val hinted =
@@ -961,6 +1008,49 @@ object BgpCompiler {
           else first(v.name) = c
         }
         f.select(first.toSeq.map { case (n, c) => c.as(n) }: _*)
+    }
+  }
+
+  /** A single-var [[Values]] against a column that may be NULL per
+    * row (a [[ValuesTable]] UNDEF introduced it): SPARQL
+    * compatibility-join semantics — a null row is compatible with
+    * EVERY coll element and BINDS it (one result per element, bag),
+    * a bound row keeps one copy per EQUAL element. */
+  private def nullCompatValuesJoin(in: BgpInput, a: DataFrame,
+                                   v: Values): DataFrame = {
+    val spark = a.sparkSession
+    val name = v.v.name
+    val coll = in.mkCollDf(spark, v).withColumnRenamed(name, s"__vc_$name")
+    val hinted =
+      if (v.coll.size <= valuesBroadcastLimit(spark)) broadcast(coll) else coll
+    a.join(hinted, col(name).isNull || col(name) === col(s"__vc_$name"),
+        "inner")
+      .withColumn(name, coalesce(col(name), col(s"__vc_$name")))
+      .drop(s"__vc_$name")
+  }
+
+  /** A [[ValuesTable]] as a literal frame in the store's key
+    * representation: term-struct columns (struct/quad stores) or
+    * 8-byte id columns (dict stores — ids are pure hashes, so literal
+    * cells encode WITHOUT consulting the dictionary; the decode-side
+    * extraTerms rule rehydrates them, [[Bgp.valuesTerms]]). UNDEF
+    * cells are NULL. */
+  private def valuesTableDf(in: BgpInput, spark: SparkSession,
+                            vt: ValuesTable): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    if (in.dict.isEmpty) {
+      val schema = StructType(vt.vs.map(v =>
+        StructField(v.name, Term.schema, nullable = true)))
+      spark.createDataFrame(
+        vt.rows.map(r => Row.fromSeq(r.map(_.map(Term.toRow).orNull))).asJava,
+        schema)
+    } else {
+      val schema = StructType(vt.vs.map(v =>
+        StructField(v.name, LongType, nullable = true)))
+      spark.createDataFrame(
+        vt.rows.map(r => Row.fromSeq(r.map(
+          _.map(t => java.lang.Long.valueOf(DictDb.termId(t))).orNull))).asJava,
+        schema)
     }
   }
 

@@ -219,6 +219,26 @@ object MiniInterp {
         else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
       acc = Rel(acc.cols + name, newRows)
     }
+    // multi-var VALUES tables (required fold, like the engine):
+    // compatibility join — shared DEFINED cells must agree, UNDEF
+    // constrains nothing, new vars take the cell (null for UNDEF);
+    // duplicate table rows multiply (bag semantics)
+    for (vt <- rows.collect { case v: ValuesTable => v }) {
+      val newRows = acc.rows.flatMap { b =>
+        vt.rows.flatMap { tr =>
+          vt.vs.map(_.name).zip(tr).foldLeft(Option(b)) {
+            case (None, _) => None
+            case (Some(m), (n, cell)) =>
+              if (acc.cols.contains(n)) cell match {
+                case Some(t) =>
+                  if (m.getOrElse(n, null) == t) Some(m) else None
+                case None => Some(m)
+              } else Some(m + (n -> cell.orNull))
+          }
+        }
+      }
+      acc = Rel(acc.cols ++ vt.vs.map(_.name), newRows)
+    }
     // negation (engine: left_anti on shared columns — null keys never
     // match, so a null-valued shared var keeps the solution)
     for (neg <- negations) {
@@ -242,7 +262,7 @@ object MiniInterp {
     }
 
     val noRequired = patterns.isEmpty && values.isEmpty && paths.isEmpty &&
-      qpaths.isEmpty
+      qpaths.isEmpty && !rows.exists(_.isInstanceOf[ValuesTable])
     if (noRequired) acc = Rel(Set.empty, Seq(Map.empty))
 
     // optionals: left join per clause on keys = clauseCols ∩ required ∩ acc;
@@ -326,6 +346,17 @@ object DifferentialProps extends Properties("differential") {
     v <- Gen.oneOf(varNames)
     coll <- Gen.nonEmptyListOf(Gen.oneOf(objs)).map(_.take(3))
   } yield Values(V(v), coll)
+
+  // multi-var VALUES table: 2 vars, 1-3 rows, cells from the object
+  // pool with UNDEF mixed in (shared-agree / UNDEF-passes / new-var
+  // binding / duplicate-row bag paths all reachable)
+  val genValuesTable: Gen[PatternRow] = for {
+    vs <- Gen.pick(2, varNames)
+    n <- Gen.choose(1, 3)
+    trs <- Gen.listOfN(n, Gen.listOfN(2, Gen.frequency(
+      4 -> Gen.oneOf(objs).map(t => Some(t): Option[Term]),
+      1 -> Gen.const(None: Option[Term]))))
+  } yield ValuesTable(vs.toSeq.map(V(_)), trs)
 
   // the full filter-expression surface: comparison atoms plus BOUND /
   // REGEX and one level of AND/OR/NOT composition (error semantics
@@ -419,6 +450,8 @@ object DifferentialProps extends Properties("differential") {
     pats <- Gen.listOfN(nPat, genPattern)
     nVal <- Gen.choose(0, 2)
     vals <- Gen.listOfN(nVal, genValues)
+    nTbl <- Gen.choose(0, 1)
+    tbls <- Gen.listOfN(nTbl, genValuesTable)
     nOpt <- Gen.choose(0, 2)
     opts <- Gen.listOfN(nOpt, genOptional)
     // negation/filters only when a required group exists (engine
@@ -427,7 +460,7 @@ object DifferentialProps extends Properties("differential") {
     negs <- Gen.listOfN(nNeg, genNegation)
     nFil <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 2)
     fils <- Gen.listOfN(nFil, genFilter)
-  } yield pats ++ vals ++ opts ++ negs ++ fils).suchThat(_.nonEmpty)
+  } yield pats ++ vals ++ tbls ++ opts ++ negs ++ fils).suchThat(_.nonEmpty)
 
   // leg-1 superset: BIND rows (struct stores only — the dict leg
   // keeps the bind-free genQuery, dict groups refuse BIND loudly).
@@ -482,8 +515,22 @@ object DictDifferentialProps extends Properties("dict-differential") {
 
   import DifferentialProps.{genDb, genQuery, canon, spark}
 
+  /** Dict groups refuse BIND loudly (computed terms cannot ride id
+    * frames) — strip any bind the shared optional generator placed,
+    * dropping an optional clause that would become empty. */
+  private def stripBinds(rows: Seq[PatternRow]): Seq[PatternRow] =
+    rows.flatMap {
+      case _: Bind => None
+      case Optional(inner) =>
+        val kept = stripBinds(inner)
+        if (kept.isEmpty) None else Some(Optional(kept))
+      case other => Some(other)
+    }
+
   property("dict-encoded engine ≡ in-memory interpreter") =
-    forAll(genDb, genQuery) { (dbTriples, query) =>
+    forAll(genDb, genQuery.map(stripBinds)) { (dbTriples, query) =>
+      if (query.isEmpty) true // shrinker can bypass suchThat(nonEmpty)
+      else {
       val expected = MiniInterp.solve(dbTriples, query)
       val db = TripleDb.fromTerms(spark, dbTriples).index()
       val dd = db.dictEncode()
@@ -510,6 +557,7 @@ object DictDifferentialProps extends Properties("dict-differential") {
         }
         ok
       } finally { dd.unpersist(); db.unpersist() }
+      }
     }
 }
 

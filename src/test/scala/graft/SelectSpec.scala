@@ -488,6 +488,65 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("multi-var VALUES (SPARQL §10.2): inline multiset, UNDEF " +
+      "compatibility, bag duplicates, UNDEF × single-var Values " +
+      "join (fuzzer counterexample), dict leg") {
+    val price = k("price")
+    val d = db(
+      (k("a"), price, TLong(5)),
+      (k("b"), price, TLong(7)),
+      (k("c"), price, TLong(9)))
+    // table constrains a pattern: (a,5) matches row1; UNDEF price
+    // row matches c with ANY price; b matches nothing
+    val got = resultSet(d, Seq(?("x"), ?("p")), Seq(
+      pat(?("x"), T(price), ?("p")),
+      ValuesTable(Seq(?("x"), ?("p")), Seq(
+        Seq(Some(k("a")), Some(TLong(5))),
+        Seq(Some(k("c")), None)))))
+    assert(got == Set(Seq(k("a"), TLong(5)), Seq(k("c"), TLong(9))))
+    // table-only query IS the inline multiset; UNDEF stays unbound;
+    // duplicate rows keep bag multiplicity
+    val bagGot = bag(d, Seq(?("u"), ?("w")), Seq(
+      ValuesTable(Seq(?("u"), ?("w")), Seq(
+        Seq(Some(s("m")), None),
+        Seq(Some(s("m")), None),
+        Seq(Some(s("n")), Some(TLong(1)))))))
+    assert(bagGot == Map(
+      Seq(s("m"), null) -> 2, Seq(s("n"), TLong(1)) -> 1))
+    // the round-11 fuzzer catch: an UNDEF cell leaves the column NULL
+    // per row, and a single-var Values on that var must
+    // compatibility-JOIN (null row binds each element), never filter
+    // the null away
+    val undefJoin = bag(d, Seq(?("u"), ?("w")), Seq(
+      ValuesTable(Seq(?("u"), ?("w")), Seq(
+        Seq(Some(s("m")), None),
+        Seq(Some(s("n")), Some(TLong(1))))),
+      Values(?("w"), Seq(TLong(1), TLong(2), TLong(1)))))
+    assert(undefJoin == Map(
+      Seq(s("m"), TLong(1)) -> 2, // null row × each coll copy
+      Seq(s("m"), TLong(2)) -> 1,
+      Seq(s("n"), TLong(1)) -> 2)) // bound row × two equal copies
+    // dict store: cells encode as ids, decode rehydrates (extraTerms)
+    val dd = d.dictEncode()
+    try {
+      val dictGot = Projections.selectDf(dd, Seq(
+        pat(?("x"), T(price), ?("p")),
+        ValuesTable(Seq(?("x"), ?("p")), Seq(
+          Seq(Some(k("a")), Some(TLong(5))),
+          Seq(Some(k("c")), None)))), Seq(?("x"), ?("p")))
+        .collect().toSeq
+        .map(r => (fromRow(r.getStruct(0)), fromRow(r.getStruct(1)))).toSet
+      assert(dictGot == Set((k("a"), TLong(5)), (k("c"), TLong(9))))
+    } finally dd.unpersist()
+    // arity/distinct validation is loud
+    intercept[InvalidValues] {
+      ValuesTable(Seq(?("x"), ?("x")), Seq(Seq(Some(TLong(1)), None)))
+    }
+    intercept[InvalidValues] {
+      ValuesTable(Seq(?("x")), Seq(Seq(Some(TLong(1)), Some(TLong(2)))))
+    }
+  }
+
   test("BIND + arithmetic: exact int64 ops past 2^53, promotion, " +
       "error leaves the bind var unbound (row kept) but drops the " +
       "filter row, div-by-zero, chained binds, loud refusals") {
