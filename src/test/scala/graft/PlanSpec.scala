@@ -194,6 +194,25 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Sort "), s"no global sort for top-k:\n$p")
   }
 
+  test("multi-var VALUES: the literal table BROADCASTS into the " +
+      "compatibility join — the solution side never shuffles for it") {
+    val db = Tables.customerDb(spark, dir)
+    val df = Projections.selectDf(db, Seq(
+      pat(V("c"), T(k("c_mktsegment")), V("seg")),
+      pat(V("c"), T(k("c_nationkey")), V("n")),
+      ValuesTable(Seq(V("seg"), V("n")), Seq(
+        Seq(Some(graft.core.Term.TString("BUILDING")), None),
+        Seq(Some(graft.core.Term.TString("MACHINERY")),
+          Some(graft.core.Term.TUri("nation/3")))))),
+      Seq(V("c"), V("seg"), V("n")))
+    df.collect()
+    val p = plan(df)
+    // the UNDEF-guarded condition is non-equi, so the tiny literal
+    // side rides a broadcast nested-loop join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"table join must broadcast the literal side:\n$p")
+  }
+
   test("aggregated: ONE hash-aggregate pair with map-side partial " +
       "aggregation — a single group-key exchange, no join, no window") {
     val db = Tables.customerDb(spark, dir)
