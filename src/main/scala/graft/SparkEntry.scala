@@ -752,12 +752,20 @@ object SparkEntry {
         "a", "b", "v")
     }),
 
-    // ---- embedding near-dup pairs at scale: LSH candidates + exact
-    //      cosine verify (the 100 TB path complementing q23's bounded
-    //      exact block; md5-sign planes → oracle-reproducible) ----
+    // ---- embedding near-dup pairs at scale: OCCUPANCY-SCALED LSH
+    //      candidates + exact cosine verify (the 100 TB path
+    //      complementing q23's bounded exact block). Plane count
+    //      derives from the corpus count by pure integer math and the
+    //      table count from the hardcoded recall lookup, so the DuckDB
+    //      oracle re-derives the SAME dials at ANY sf; md5-sign planes
+    //      → bucket contents oracle-reproducible. At sf0.01 the sizing
+    //      floors at the old fixed 8×4 dials (result unchanged); at
+    //      sf1 it picks 9×9 and candidates stay ~occupancy-bounded
+    //      instead of growing quadratically (the round-11 scale
+    //      finding: fixed dials hit 111 s at sf1). ----
     "q41_embed_neardup_lsh" -> ((sp, dir) =>
-      ops.Similarity.cosinePairsLsh(Tables.t(sp, dir, "embeddings"), 0.45,
-        planes = ops.Similarity.md5SignPlanes(8, 4, 64))),
+      ops.Similarity.cosinePairsLshScaled(Tables.t(sp, dir, "embeddings"),
+        0.45, planeGen = (l, b, d) => ops.Similarity.md5SignPlanes(l, b, d))),
 
     // ---- streaming windowed aggregation end-to-end: events arrive on
     //      a MemoryStream, watermark + 1h window, complete-mode sink —
@@ -3563,19 +3571,46 @@ object SparkEntry {
     // identical to q33's
     "q77_ivf_index" -> IvfOracleSql,
 
+    // Occupancy-scaled sizing, derived the same way the Scala side
+    // does it: b = clamp(4..24, ceil-log2 of the bucket count needed
+    // for ~64/bucket) via pure INTEGER bit-length (no float boundary
+    // can diverge cross-engine), L = the hardcoded recall lookup
+    // (Similarity.lshTablesByPlanes — SketchSpec re-derives it from
+    // the 1-(1-p^b)^L >= 0.9 @ cosine 0.9 formula). Plane weights are
+    // precomputed once per (table, plane) as a 64-weight list
+    // (MATERIALIZED: 5k md5 calls total instead of one per corpus row
+    // per dim), then each vector folds them in the same sequential
+    // double order as the Scala loop expression.
     "q41_embed_neardup_lsh" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |             FROM embeddings),
+        |dims AS (
+        |  SELECT b, CASE b WHEN 4 THEN 8 WHEN 5 THEN 8 WHEN 6 THEN 8
+        |    WHEN 7 THEN 8 WHEN 8 THEN 8 WHEN 9 THEN 9 WHEN 10 THEN 10
+        |    WHEN 11 THEN 12 WHEN 12 THEN 14 WHEN 13 THEN 17 WHEN 14 THEN 19
+        |    WHEN 15 THEN 23 WHEN 16 THEN 27 WHEN 17 THEN 31 WHEN 18 THEN 37
+        |    WHEN 19 THEN 43 WHEN 20 THEN 50 WHEN 21 THEN 59 WHEN 22 THEN 69
+        |    WHEN 23 THEN 81 ELSE 94 END AS nt
+        |  FROM (SELECT GREATEST(4, LEAST(24, length(format('{:b}',
+        |          CAST(GREATEST(1, (count(*) + 63) // 64 - 1) AS BIGINT))))) AS b
+        |        FROM emb)
+        |),
+        |pw AS MATERIALIZED (
+        |  SELECT t.t, p.p,
+        |    list(CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(concat(t.t, '_', p.p, '_', j.j)), 1, 1)) - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END ORDER BY j.j) AS w
+        |  FROM dims d, range(94) t(t), range(24) p(p), range(64) j(j)
+        |  WHERE t.t < d.nt AND p.p < d.b
+        |  GROUP BY t.t, p.p
+        |),
         |bk AS (
-        |  SELECT e.vec_id, t.t,
+        |  SELECT e.vec_id, pw.t,
         |    CAST(sum(CASE WHEN list_sum(list_transform(range(64), j ->
-        |          e.v[CAST(j + 1 AS INTEGER)] *
-        |          CASE WHEN (strpos('0123456789abcdef',
-        |              substr(md5(concat(t.t, '_', p.p, '_', j)), 1, 1)) - 1) % 2 = 0
-        |            THEN 1.0 ELSE -1.0 END)) > 0
-        |        THEN (1::BIGINT << CAST(p.p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM emb e, range(8) t(t), range(4) p(p)
-        |  GROUP BY e.vec_id, t.t
+        |          e.v[CAST(j + 1 AS INTEGER)] * pw.w[CAST(j + 1 AS INTEGER)])) > 0
+        |        THEN (1::BIGINT << CAST(pw.p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM emb e, pw
+        |  GROUP BY e.vec_id, pw.t
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
         |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket

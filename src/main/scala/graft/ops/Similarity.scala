@@ -118,6 +118,89 @@ object Similarity {
       when(dot(vec, typedlit(p.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** All tables' buckets of a vector as (tbl, bucket) rows — one
+    * tight-loop expression (VectorExpressions.LshBuckets) instead of
+    * tables × planes inlined dot-product when-chains, which blow the
+    * 64 KB codegen method limit at occupancy-scaled dials. Buckets are
+    * bit-identical to [[lshBucket]]'s. */
+  private def bucketFrame(df: DataFrame, planes: Seq[Array[Array[Float]]],
+                          idCol: String, vecCol: String,
+                          idAlias: String): DataFrame =
+    df.select(col(idCol).as(idAlias),
+      posexplode(graft.functions.VectorExpressions.lshBucketsAll(
+        col(vecCol), planes)).as(Seq("tbl", "bucket")))
+
+  /** Occupancy-scaled planes-per-table: the smallest b in [4, 24] with
+    * `occupancy · 2^b ≥ n` — i.e. each table's 2^b buckets hold
+    * ~`occupancy` vectors on average, so per-bucket candidate pairs
+    * stay ~occupancy²/2 REGARDLESS of corpus size instead of growing
+    * as (n/2^b)² at a fixed b (the measured q41 cliff: 8×4 planes at
+    * 20k vectors → ~1250/bucket → ~100M raw candidates, 111 s at sf1
+    * — 24% of the whole suite). Pure integer math (bit length of the
+    * needed bucket count) so an external SQL oracle derives the SAME b
+    * with no float-boundary risk. */
+  def lshPlanesFor(n: Long, occupancy: Long = 64): Int = {
+    val m = (n + occupancy - 1) / occupancy // buckets needed per table
+    val bits =
+      if (m <= 1) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1) // ceil(log2 m)
+    math.max(4, math.min(24, bits))
+  }
+
+  /** Tables needed to hold recall as planes rise: more planes cut
+    * candidates AND per-table match probability, so L must rise with
+    * b. Derivation (the lshKnn s-curve): a pair at design cosine c
+    * agrees on one plane with p = 1 − acos(c)/π, on a table with p^b,
+    * over L tables with 1 − (1−p^b)^L ≥ R ⇒ L = ⌈ln(1−R)/ln(1−p^b)⌉.
+    * Pinned at the NEAR-DUP operating point c = 0.9, R = 0.9 (the op
+    * detects near-duplicates; recall decays along the s-curve toward
+    * the exact-verify threshold — lower-cosine pairs are found with
+    * s-curve probability, exactly like MinHash banding). The values
+    * are HARDCODED — identically in the SQL oracle — so cross-engine
+    * sizing can never diverge on a transcendental boundary; SketchSpec
+    * re-derives them from the formula. Growth is the published LSH
+    * bound: L ~ n^ρ, ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.22 at c = 0.9 — total
+    * candidate work ~n^1.22, sublinear per vector, vs the fixed-dial
+    * n² degeneration. */
+  val lshTablesByPlanes: Map[Int, Int] = Map(
+    4 -> 8, 5 -> 8, 6 -> 8, 7 -> 8, 8 -> 8, 9 -> 9, 10 -> 10, 11 -> 12,
+    12 -> 14, 13 -> 17, 14 -> 19, 15 -> 23, 16 -> 27, 17 -> 31, 18 -> 37,
+    19 -> 43, 20 -> 50, 21 -> 59, 22 -> 69, 23 -> 81, 24 -> 94)
+
+  def lshTablesFor(planesPerTable: Int): Int =
+    lshTablesByPlanes.getOrElse(planesPerTable,
+      throw new IllegalArgumentException(
+        s"planesPerTable must be in [4, 24], got $planesPerTable"))
+
+  /** [[lshTablesFor]] generalized to any (designCosine, targetRecall)
+    * operating point: L = ⌈ln(1−R)/ln(1−p^b)⌉, p = 1 − acos(c)/π,
+    * floored at 8 tables and capped LOUDLY at 4096 (a low design
+    * cosine at a high plane count needs L ~ (1/p)^b tables — the
+    * published LSH exponent; past the cap the ask is "recall at a
+    * non-near-dup cosine over a huge corpus", which is a different
+    * algorithm, not a bigger dial). Only the default (0.9, 0.9) point
+    * is SQL-oracle-replayable — it reads the hardcoded table; other
+    * points compute the formula in-JVM (deterministic there, but a
+    * transcendental boundary could round differently in another
+    * engine). */
+  def lshTablesFor(planesPerTable: Int, designCosine: Double,
+                   targetRecall: Double): Int = {
+    if (designCosine == 0.9 && targetRecall == 0.9)
+      return lshTablesFor(planesPerTable)
+    require(designCosine > 0 && designCosine < 1, "designCosine in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0,1)")
+    val p = 1.0 - math.acos(designCosine) / math.Pi
+    val l = math.max(8.0, math.ceil(
+      math.log(1 - targetRecall) /
+        math.log(1 - math.pow(p, planesPerTable))))
+    require(l <= 4096,
+      f"LSH needs $l%.0f tables for recall $targetRecall at cosine " +
+        f"$designCosine with $planesPerTable planes — past the 4096 cap; " +
+        "use a higher design cosine, fewer planes (smaller occupancy " +
+        "corpus), or an exact/IVF method")
+    l.toInt
+  }
+
   /** Approximate top-k: multi-table random-hyperplane LSH. Each of
     * `tables` hash tables buckets every vector by `planesPerTable`
     * sign bits; candidates are vectors sharing ANY table's bucket with
@@ -138,10 +221,8 @@ object Similarity {
     if (checkDim) requireDim(corpus, vecCol, dim)
     val allPlanes = Option(planes).getOrElse(
       (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed = 42L + t)))
-    def buckets(df: DataFrame, id: String): DataFrame = df.select(
-      col(idCol).as(id),
-      posexplode(array(allPlanes.map(hp => lshBucket(col(vecCol), hp)): _*))
-        .as(Seq("tbl", "bucket")))
+    def buckets(df: DataFrame, id: String): DataFrame =
+      bucketFrame(df, allPlanes, idCol, vecCol, id)
     // persist the (small) corpus bucket frame: the 32 hyperplane dot
     // products per row run once, not once per downstream consumer
     val nb = buckets(corpus, "nid").persist()
@@ -332,12 +413,9 @@ object Similarity {
     if (checkDim) requireDim(corpus, vecCol, dim)
     val allPlanes = Option(planes).getOrElse(
       (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed = 42L + t)))
-    // persist before the self-join: otherwise every row pays the 32
-    // hyperplane dot products twice (once per join side)
-    val buckets = corpus.select(
-      col(idCol).as("id"),
-      posexplode(array(allPlanes.map(hp => lshBucket(col(vecCol), hp)): _*))
-        .as(Seq("tbl", "bucket"))).persist()
+    // persist before the self-join: otherwise every row pays the
+    // tables × planes hyperplane dot products twice (once per side)
+    val buckets = bucketFrame(corpus, allPlanes, idCol, vecCol, "id").persist()
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -354,6 +432,57 @@ object Similarity {
     result.count() // materialize, then release the bucket cache
     buckets.unpersist()
     result
+  }
+
+  /** [[cosinePairsLsh]] with OCCUPANCY-SCALED banding — the 100 TB
+    * default. Fixed dials make candidate pairs quadratic in corpus
+    * size (each table's bucket population grows as n/2^b, pairs as its
+    * square); this derives planes-per-table from the corpus count so
+    * average bucket occupancy stays ~`occupancy`, and takes the table
+    * count from [[lshTablesFor]] so near-dup recall holds as planes
+    * rise. Total candidate work follows the published LSH bound
+    * (~n^1.22 at the c = 0.9 design point) instead of n².
+    *
+    * THE CONTRACT: recall is engineered at `designCosine` (default
+    * 0.9 — true near-duplicates), where 1−(1−p^b)^L ≥ `targetRecall`
+    * holds at every corpus size; pairs between `threshold` and the
+    * design point are found with s-curve probability that DECAYS
+    * toward the threshold. Callers who need recall AT a low threshold
+    * set `designCosine = threshold` and pay the published L ~ n^ρ
+    * table growth (ρ ≈ 0.625 at cosine 0.45 — tens of millions of
+    * candidates at ANY dial; for bulk mining there, prefer the exact
+    * [[cosinePairs]] on bounded blocks). Measured at sf1 (20k
+    * vectors, threshold 0.45, every true pair in [0.45, 0.7) —
+    * tools/AnnRecall `pairs` mode re-measures):
+    *   fixed 8×4 (old default)        recall 0.81, 119.7 s
+    *   scaled, design c=0.9 (default) recall 0.19,   6.2 s
+    *   scaled, design c=threshold     recall 0.92,  81.6 s (9×112)
+    * — at the SAME design point the occupancy scaling dominates the
+    * fixed dials on both axes; the near-dup default trades s-curve
+    * recall on these mid-similarity pairs for ~20× the speed.
+    *
+    * `corpusCount` skips the sizing count() when the caller already
+    * knows n (at 100 TB the catalog does). `planeGen(tables, planes,
+    * dim)` supplies the hyperplane family — seeded Gaussians by
+    * default; pass [[md5SignPlanes]] for SQL-oracle-replayable runs.
+    * At small n the sizing floors at 4 planes × 8 tables = exactly the
+    * fixed-dial default, so small-corpus results are unchanged. */
+  def cosinePairsLshScaled(corpus: DataFrame, threshold: Double,
+                           dim: Int = 64, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           corpusCount: Long = -1L, occupancy: Long = 64,
+                           designCosine: Double = 0.9,
+                           targetRecall: Double = 0.9,
+                           planeGen: (Int, Int, Int) => Seq[Array[Array[Float]]] =
+                             (l, b, d) => (0 until l)
+                               .map(t => hyperplanes(b, d, seed = 42L + t)),
+                           checkDim: Boolean = true): DataFrame = {
+    val n = if (corpusCount >= 0L) corpusCount else corpus.count()
+    val b = lshPlanesFor(n, occupancy)
+    val l = lshTablesFor(b, designCosine, targetRecall)
+    cosinePairsLsh(corpus, threshold, tables = l, planesPerTable = b,
+      dim = dim, idCol = idCol, vecCol = vecCol,
+      planes = planeGen(l, b, dim), checkDim = checkDim)
   }
 
   /** Product-quantization codes (Jégou et al. 2011, the IVF-PQ
@@ -578,8 +707,17 @@ object Similarity {
           .clusterCenters.map((v: MlVector) => v.toArray.map(_.toFloat))
       }
       // KMeans can return < k centers on tiny/degenerate slices — zip
-      // to the shortest book so every subspace indexes safely
+      // to the shortest book so every subspace indexes safely, and say
+      // so LOUDLY: a silently shrunk book quietly caps quantizer
+      // resolution, and recall floors (AnnRecall/OpsSpec) are the only
+      // tests that can attribute the drop (the SQ8/PQ lesson)
       val m = math.min(nCodes, books.map(_.length).min)
+      if (m < nCodes)
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          s"trainPqCodebooks: effective codebook size $m < requested " +
+            s"$nCodes (a degenerate subspace returned fewer KMeans " +
+            s"centers: ${books.map(_.length).mkString(",")}) — " +
+            "quantizer resolution is reduced; expect a recall drop")
       (0 until m).map(j =>
         (0 until subspaces).flatMap(s =>
           books(s)(j).toIndexedSeq).toArray)

@@ -108,18 +108,79 @@ object AnnRecall {
       .clusterCenters.map((v: MlVector) => v.toArray.map(_.toFloat)).toSeq
   }
 
+  /** Pair recall of the near-dup LSH dials vs the exact quadratic scan
+    * at `threshold` — the round-12 audit of occupancy-scaled banding
+    * (more planes cut candidates AND per-pair match probability; this
+    * measures what that costs in found pairs, per the s-curve). The
+    * exact scan is quadratic (one bounded block) — an audit cost, paid
+    * once per fixture, never a production path. */
+  def pairRecallTable(emb: DataFrame,
+                      threshold: Double): Seq[(String, Long, String)] = {
+    // exact pairs WITH their cosine, so recall reports per band: the
+    // near-dup contract is recall >= 0.9 at the DESIGN cosine (0.9),
+    // decaying along the s-curve toward the verify threshold
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      Similarity.norm(col("embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+      Similarity.norm(col("embedding")).as("nb"))
+    val exact = a.join(b, col("ia") < col("ib"))
+      .withColumn("sim", Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
+      .where(col("sim") >= threshold)
+      .select("ia", "ib", "sim").persist()
+    val bands = Seq(threshold, 0.7, 0.9)
+    val nBand = bands.map(t => exact.where(col("sim") >= t).count().toDouble)
+    def rec(res: => DataFrame): (Long, String) = {
+      val t0 = System.nanoTime()
+      val r = res.persist()
+      val n = r.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val hits = r.join(exact, Seq("ia", "ib")).persist()
+      val line = bands.zip(nBand).map { case (t, tot) =>
+        val h = hits.where(col("sim") >= t).count()
+        f"r@>=$t%.2f=${if (tot == 0) 1.0 else h / tot}%.4f"
+      }.mkString(" ")
+      hits.unpersist(); r.unpersist()
+      (n, f"$line t=$secs%.1fs")
+    }
+    val (nFixed, rFixed) = rec(Similarity.cosinePairsLsh(emb, threshold,
+      planes = Similarity.md5SignPlanes(8, 4, 64)))
+    val (nScaled, rScaled) = rec(Similarity.cosinePairsLshScaled(emb,
+      threshold, planeGen = (l, b2, d) => Similarity.md5SignPlanes(l, b2, d)))
+    val (nGauss, rGauss) = rec(Similarity.cosinePairsLshScaled(emb, threshold))
+    val (nAtT, rAtT) = rec(Similarity.cosinePairsLshScaled(emb, threshold,
+      designCosine = threshold))
+    val out = Seq(
+      ("exact", nBand.head.toLong,
+        bands.zip(nBand).map { case (t, n) => f"n@>=$t%.2f=${n.toLong}" }
+          .mkString(" ")),
+      ("lsh_fixed_8x4", nFixed, rFixed),
+      ("lsh_scaled_md5", nScaled, rScaled),
+      ("lsh_scaled_gauss", nGauss, rGauss),
+      ("lsh_design_at_t", nAtT, rAtT))
+    exact.unpersist()
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val k = if (args.length > 1) args(1).toInt else 10
-    val nQ = if (args.length > 2) args(2).toInt else 50
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    println(s"[recall] corpus=${emb.count()} queries=$nQ k=$k sf=$sfDir")
-    for ((fam, r) <- recallTable(emb, k, nQ))
-      println(f"[recall] $fam%-16s recall@$k = $r%.4f")
+    if (args.length > 1 && args(1) == "pairs") {
+      val threshold = if (args.length > 2) args(2).toDouble else 0.45
+      println(s"[recall] corpus=${emb.count()} pair-recall at >= $threshold sf=$sfDir")
+      for ((fam, n, r) <- pairRecallTable(emb, threshold))
+        println(f"[recall] $fam%-18s pairs=$n%-8d $r")
+    } else {
+      val k = if (args.length > 1) args(1).toInt else 10
+      val nQ = if (args.length > 2) args(2).toInt else 50
+      println(s"[recall] corpus=${emb.count()} queries=$nQ k=$k sf=$sfDir")
+      for ((fam, r) <- recallTable(emb, k, nQ))
+        println(f"[recall] $fam%-16s recall@$k = $r%.4f")
+    }
     spark.stop()
   }
 }

@@ -191,6 +191,19 @@ object Stress {
         planes = graft.ops.Similarity.md5SignPlanes(8, 4, 64)).count()
       println(s"[stress]   -> $n verified pairs")
     }
+    time(s"embedding near-dup OCCUPANCY-SCALED at ${nReps}x") {
+      // the 100 TB default: planes derive from the corpus count so
+      // per-bucket candidates stay ~occupancy-bounded — the A/B
+      // against the fixed-dial run above is the round-12 scale record
+      val input = if (nReps <= 10) emb10
+        else emb10.groupBy(col("embedding"))
+          .agg(functions.min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+      val n = graft.ops.Similarity.cosinePairsLshScaled(input, 0.45,
+        planeGen = (l, b, d) =>
+          graft.ops.Similarity.md5SignPlanes(l, b, d)).count()
+      println(s"[stress]   -> $n verified pairs (scaled dials)")
+    }
 
     // 2d. multimodal decode at 10×: 10 id-shifted copies of documents →
     // real PNG encode once (test rig), then timed real decode of the

@@ -101,6 +101,44 @@ class OpsSpec extends GraftSpec {
     assert(recall >= 0.5)
   }
 
+  test("occupancy-scaled LSH sizing: integer planes, recall-held tables") {
+    // planes: smallest b in [4,24] with 64·2^b >= n — floors at the
+    // fixed dials for small corpora, so existing results are unchanged
+    assert(Similarity.lshPlanesFor(0) == 4)
+    assert(Similarity.lshPlanesFor(1) == 4)
+    assert(Similarity.lshPlanesFor(500) == 4)     // sf0.01 — old 8×4 exactly
+    assert(Similarity.lshPlanesFor(1024) == 4)    // 64·2^4 boundary
+    assert(Similarity.lshPlanesFor(1025) == 5)
+    assert(Similarity.lshPlanesFor(2000) == 5)    // sf0.1
+    assert(Similarity.lshPlanesFor(20000) == 9)   // sf1
+    assert(Similarity.lshPlanesFor(1000000000L) == 24) // the 1e9 clamp
+    // the hardcoded table lookup (mirrored literally in the q41 SQL
+    // oracle) must equal its own derivation: L = ceil(ln(1-R)/ln(1-p^b))
+    // at design cosine 0.9, target recall 0.9, floored at 8 tables
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    for (b <- 4 to 24) {
+      val derived = math.max(8,
+        math.ceil(math.log(1 - 0.9) / math.log(1 - math.pow(p, b))).toInt)
+      assert(Similarity.lshTablesFor(b) == derived,
+        s"lshTablesByPlanes($b) drifted from the recall formula")
+    }
+    intercept[IllegalArgumentException](Similarity.lshTablesFor(3))
+  }
+
+  test("cosinePairsLshScaled at small n == fixed-dial result exactly") {
+    // below the first occupancy boundary the sizing lands on 4 planes ×
+    // 8 tables — the old fixed dials — so the scaled default changes
+    // NOTHING at oracle scale (q41's hash stays put), while large
+    // corpora get occupancy-bounded buckets
+    val planes = Similarity.md5SignPlanes(8, 4, 64)
+    val fixed = Similarity.cosinePairsLsh(emb, 0.45, planes = planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = Similarity.cosinePairsLshScaled(emb, 0.45,
+        planeGen = (l, b, d) => Similarity.md5SignPlanes(l, b, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scaled == fixed)
+  }
+
   test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
     import spark.implicits._
     val df = Seq(
