@@ -198,6 +198,13 @@ object Term {
   def sortKey(c: Column): Column = struct(
     coalesce(c.getField("kind"), functions.lit(-1)).as("k"),
     coalesce(c.getField("num"), functions.lit(0.0)).as("n"),
+    // int64 tie-break: longs with |v| > 2^53 collide on the double
+    // `num` and the raw lexical string mis-orders same-sign values
+    // (adjacent huge negatives sort reversed) — the exact int64 from
+    // `lex` restores numeric order within the collision class; 0 for
+    // every other kind (no effect, they tie and fall to `l`)
+    coalesce(when(c.getField("kind") === KLong,
+      c.getField("lex").cast(LongType)), functions.lit(0L)).as("i"),
     coalesce(c.getField("lex"), functions.lit("")).as("l"),
     coalesce(c.getField("lang"), functions.lit("")).as("lg"),
     coalesce(c.getField("datatype"), functions.lit("")).as("dt"))

@@ -190,34 +190,47 @@ object BgpCompiler {
 
     // ---- multi-var VALUES tables (SPARQL §10.2): the literal
     // solution multiset joins by COMPATIBILITY — shared vars must
-    // agree unless the cell is UNDEF (null), new vars take the cell
-    // value (null = stays unbound). The table is a caller literal, so
-    // it broadcasts; bag semantics ride the inner join. ----
+    // agree when DEFINED ON BOTH SIDES; an UNDEF cell OR an unbound
+    // (NULL) solution var constrains nothing, and the merged solution
+    // takes whichever side is defined (round-12 advice: the
+    // table-side-only null check silently dropped solutions whose
+    // frame var was UNDEF-nullable, and never merged the cell). The
+    // table is a caller literal, so it broadcasts; bag semantics ride
+    // the inner join. ----
     for (vt <- valuesTables) {
       val tbl = valuesTableDf(in, spark, vt)
-      // a NEW var with any UNDEF cell yields a nullable column —
-      // downstream single-var Values must compatibility-join it
       val idx = vt.vs.map(_.name).zipWithIndex.toMap
-      maybeNullVals ++= vt.vs.map(_.name)
-        .filterNot(n => acc.exists(_.columns.contains(n)))
-        .filter(n => vt.rows.exists(r => r(idx(n)).isEmpty))
+      def undefIn(n: String): Boolean = vt.rows.exists(r => r(idx(n)).isEmpty)
+      val preCols: Set[String] = acc.map(_.columns.toSet).getOrElse(Set.empty)
+      val newVars = vt.vs.map(_.name).filterNot(preCols.contains)
+      val sharedVars = vt.vs.map(_.name).filter(preCols.contains)
       acc = acc match {
         case None => Some(tbl)
         case Some(a) =>
-          val shared = vt.vs.map(_.name).filter(a.columns.contains)
-          val newVars = vt.vs.map(_.name).filterNot(a.columns.contains)
-          if (shared.isEmpty) Some(a.crossJoin(broadcast(tbl)))
+          if (sharedVars.isEmpty) Some(a.crossJoin(broadcast(tbl)))
           else {
             var t = tbl
-            for (v <- shared) t = t.withColumnRenamed(v, s"__vt_$v")
-            val cond = shared.map(v =>
-              col(s"__vt_$v").isNull || col(s"__vt_$v") === col(v))
+            for (v <- sharedVars) t = t.withColumnRenamed(v, s"__vt_$v")
+            val cond = sharedVars.map(v =>
+              col(s"__vt_$v").isNull || col(v).isNull ||
+                col(s"__vt_$v") === col(v))
               .reduce(_ && _)
-            Some(a.join(broadcast(t), cond, "inner")
-              .drop(shared.map(v => s"__vt_$v"): _*)
+            var joined = a.join(broadcast(t), cond, "inner")
+            for (v <- sharedVars)
+              joined = joined.withColumn(v,
+                coalesce(col(v), col(s"__vt_$v")))
+            Some(joined
+              .drop(sharedVars.map(v => s"__vt_$v"): _*)
               .select((a.columns.toSeq ++ newVars).map(col): _*))
           }
       }
+      // a NEW var with any UNDEF cell yields a nullable column —
+      // downstream joins must compatibility-join it; a SHARED
+      // maybe-null var becomes NON-null when every cell of this
+      // table defines it (the compat merge coalesces a defined value
+      // into every surviving row)
+      maybeNullVals ++= newVars.filter(undefIn)
+      maybeNullVals --= sharedVars.filterNot(undefIn)
       bound ++= vt.vs.map(_.name)
       applyBoundValues()
     }
@@ -317,14 +330,41 @@ object BgpCompiler {
         case other => throw new InvalidBgp(s"unexpected negation: $other")
       }
       val inner = compile(in, innerRows)
+      val innerMaybeNull = staticMaybeNull(innerRows)
       acc = acc.map { a =>
         val shared = inner.columns.toSeq.filter(a.columns.contains)
-        if (shared.nonEmpty)
-          a.join(inner.select(shared.map(col): _*), shared, "left_anti")
-        else neg match {
+        val anyNullable = shared.exists(c =>
+          maybeNullVals.contains(c) || innerMaybeNull.contains(c))
+        if (shared.isEmpty) neg match {
           case _: NotExists =>
             a.join(broadcast(inner.limit(1)), functions.lit(true), "left_anti")
           case _ => a // MINUS, no shared domain
+        }
+        else if (!anyNullable)
+          // both sides always bound on every shared var: §10.2
+          // compatibility degenerates to equality — the columnar
+          // left_anti fast path (plan-identical to prior rounds)
+          a.join(inner.select(shared.map(col): _*), shared, "left_anti")
+        else {
+          // a shared var may be UNBOUND on either side (ValuesTable
+          // UNDEF / optional-only / bind target): full §10.2
+          // compatibility — agree where both sides are bound; MINUS
+          // additionally needs a per-ROW bound-domain overlap (§8.2's
+          // dom-disjoint rule — a row whose shared vars are all
+          // unbound on one side survives MINUS but not NOT EXISTS).
+          // Existence only needs distinct probe tuples; the non-equi
+          // anti join is taken ONLY when nullable vars are in play.
+          val probe =
+            inner.select(shared.map(c => col(c).as(s"__n_$c")): _*).distinct()
+          val agree = shared.map(c =>
+            col(c).isNull || col(s"__n_$c").isNull ||
+              col(c) === col(s"__n_$c")).reduce(_ && _)
+          val cond = neg match {
+            case _: Minus => agree && shared.map(c =>
+              col(c).isNotNull && col(s"__n_$c").isNotNull).reduce(_ || _)
+            case _ => agree
+          }
+          a.join(probe, cond, "left_anti")
         }
       }
     }
@@ -335,10 +375,28 @@ object BgpCompiler {
       spark.range(1).select(functions.lit(1).as("__base")))
 
     for ((opt, i) <- optionals.zipWithIndex) {
+      // §18.2.2.2: a FILTER inside the optional group whose vars the
+      // clause itself cannot bind becomes the LeftJoin CONDITION,
+      // evaluated over the MERGED row — per-row conditional extension
+      // (round-12 advice: compiling it standalone errored every
+      // clause row away, so the optional silently extended NOTHING).
+      // Inner-only filters stay in the clause compile — equivalent by
+      // §18.2.2.2 (F sees only clause bindings), and they keep the
+      // scan-side constant-fold plan.
+      val clauseVars = Bgp.allVars(opt.rows.filterNot(_.isInstanceOf[FilterExpr]))
+        .map(_.name).toSet
+      val (outerFilterRows, innerRows) = opt.rows.partition {
+        case f: FilterExpr =>
+          !FilterExpr.referencedVars(f).forall(v => clauseVars.contains(v.name))
+        case _ => false
+      }
+      val outerFilters = outerFilterRows.collect { case f: FilterExpr => f }
       // marker column: non-null iff this clause matched — needed because a
       // clause of only ground patterns compiles to zero var columns
       // (alpha_test.clj:477-501)
-      val clause = compile(in, opt.rows).withColumn(s"__m_$i", functions.lit(1))
+      var clause = compile(in, innerRows).withColumn(s"__m_$i", functions.lit(1))
+      val clauseColNames = clause.columns.toSet
+      val clauseMaybeNull = staticMaybeNull(innerRows)
       val accCols = result.columns.toSet
       val keys = clause.columns.toSeq
         .filter(c => requiredVarNames.contains(c) && accCols.contains(c))
@@ -346,14 +404,95 @@ object BgpCompiler {
       // optional clause → rename + coalesce after the join
       val overlap = clause.columns.toSeq
         .filter(c => accCols.contains(c) && !keys.contains(c))
-      var right = clause
-      for (c <- overlap) right = right.withColumnRenamed(c, s"__alt_$c")
-      result =
-        if (keys.nonEmpty) result.join(right, keys, "left_outer")
-        else result.join(right, functions.lit(true), "left_outer")
-      for (c <- overlap)
-        result = result.withColumn(c, coalesce(col(c), col(s"__alt_$c")))
-          .drop(s"__alt_$c")
+      // a key that may be UNBOUND on either side joins by §10.2
+      // compatibility (null constrains nothing) and the merged value
+      // coalesces — the plain name-equality join never extends a
+      // NULL-keyed row (round-12 advice)
+      val compatKeys = keys.filter(c =>
+        maybeNullVals.contains(c) || clauseMaybeNull.contains(c))
+      if (compatKeys.isEmpty && outerFilters.isEmpty) {
+        // fast path — plan-identical to prior rounds
+        var right = clause
+        for (c <- overlap) right = right.withColumnRenamed(c, s"__alt_$c")
+        result =
+          if (keys.nonEmpty) result.join(right, keys, "left_outer")
+          else result.join(right, functions.lit(true), "left_outer")
+        for (c <- overlap)
+          result = result.withColumn(c, coalesce(col(c), col(s"__alt_$c")))
+            .drop(s"__alt_$c")
+      } else {
+        // dict stores: the join condition cannot consult the
+        // dictionary mid-evaluation, so every filter-referenced var
+        // rehydrates as a term-struct sidecar on the side(s) that
+        // carry it BEFORE the join (full-frame dict joins — the
+        // documented frame-shape cost, taken only for this rare
+        // combination)
+        val refs = outerFilters.flatMap(FilterExpr.referencedVars)
+          .map(_.name).distinct
+        val leftRefs = refs.filter(accCols.contains)
+        val rightRefs = refs.filter(clauseColNames.contains)
+        if (in.dict.nonEmpty && refs.nonEmpty) {
+          val d = filterDict.get
+          for (v <- leftRefs)
+            result = result.join(
+              d.select(col("id").as(v), col("term").as(s"__ftl_$v")),
+              Seq(v), "left_outer")
+          for (v <- rightRefs)
+            clause = clause.join(
+              d.select(col("id").as(v), col("term").as(s"__ftr_$v")),
+              Seq(v), "left_outer")
+        }
+        var right = clause
+        for (c <- overlap) right = right.withColumnRenamed(c, s"__alt_$c")
+        for (c <- keys) right = right.withColumnRenamed(c, s"__k_$c")
+        val nullTerm = functions.lit(null).cast(Term.schema)
+        // the MERGED view of a var for the LeftJoin condition: keys
+        // and overlaps coalesce left-then-right, one-sided vars read
+        // their side, everything else is unbound
+        def mergedKeyCol(n: String): Column =
+          if (keys.contains(n)) coalesce(col(n), col(s"__k_$n"))
+          else if (overlap.contains(n)) coalesce(col(n), col(s"__alt_$n"))
+          else if (accCols.contains(n) || clauseColNames.contains(n)) col(n)
+          else functions.lit(null)
+        val termOf: String => Column =
+          if (in.dict.isEmpty) n =>
+            if (accCols.contains(n) || clauseColNames.contains(n))
+              mergedKeyCol(n)
+            else nullTerm
+          else n => {
+            val l = if (leftRefs.contains(n)) Some(col(s"__ftl_$n")) else None
+            val r = if (rightRefs.contains(n)) Some(col(s"__ftr_$n")) else None
+            (l, r) match {
+              case (Some(a), Some(b)) => coalesce(a, b)
+              case (Some(a), None)    => a
+              case (None, Some(b))    => b
+              case _                  => nullTerm
+            }
+          }
+        val boundOf: String => Column =
+          if (in.dict.isEmpty) n => termOf(n).isNotNull
+          else n =>
+            if (accCols.contains(n) || clauseColNames.contains(n))
+              mergedKeyCol(n).isNotNull
+            else functions.lit(false)
+        val keyCond: Seq[Column] = keys.map { k =>
+          if (compatKeys.contains(k))
+            col(k).isNull || col(s"__k_$k").isNull || col(k) === col(s"__k_$k")
+          else col(k) === col(s"__k_$k")
+        }
+        val filterConds = outerFilters.map(f => filterCol(f, termOf, boundOf))
+        val cond = (keyCond ++ filterConds)
+          .foldLeft(functions.lit(true))(_ && _)
+        result = result.join(right, cond, "left_outer")
+        for (c <- keys)
+          result = result.withColumn(c, coalesce(col(c), col(s"__k_$c")))
+            .drop(s"__k_$c")
+        for (c <- overlap)
+          result = result.withColumn(c, coalesce(col(c), col(s"__alt_$c")))
+            .drop(s"__alt_$c")
+        result = result.drop(
+          leftRefs.map(v => s"__ftl_$v") ++ rightRefs.map(v => s"__ftr_$v"): _*)
+      }
     }
 
     if (noRequired && optionals.nonEmpty) {
@@ -1108,6 +1247,38 @@ object BgpCompiler {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)),
       StructType(Seq(StructField(v.v.name, LongType, nullable = false))))
+  }
+
+  /** Vars whose column may be NULL (= unbound per row) in the
+    * compiled frame of `rows`: introduced by a ValuesTable UNDEF cell
+    * (unless a scan/path/values row also binds them — those fold
+    * first and bind every row), bound only inside Optional clauses
+    * (unmatched rows ride NULL, recursively), or BIND targets (an
+    * expression error leaves the var unbound). CONSERVATIVE by
+    * design: listing a never-null var only routes a join through the
+    * §10.2 compatibility form — semantically identical, just a
+    * different plan — while missing a nullable var would silently
+    * restore the equality-join bug this analysis exists to prevent.
+    */
+  private def staticMaybeNull(rows: Seq[PatternRow]): Set[String] = {
+    val scanBound: Set[String] = rows.collect {
+      case p: TriplePattern   => p.vars
+      case q: QuadPattern     => q.vars
+      case p: PathPattern     => p.vars
+      case q: QuadPathPattern => q.vars
+      case v: Values          => v.vars
+    }.flatten.map(_.name).toSet
+    val undef: Set[String] = rows.collect { case vt: ValuesTable =>
+      vt.vs.map(_.name).zipWithIndex.collect {
+        case (n, i) if vt.rows.exists(r => r(i).isEmpty) => n
+      }
+    }.flatten.toSet
+    val optVars: Set[String] = rows.collect { case o: Optional =>
+      o.rows.flatMap(_.vars).map(_.name).toSet ++ staticMaybeNull(o.rows)
+    }.flatten.toSet
+    val bindVars: Set[String] =
+      rows.collect { case b: Bind => b.as.name }.toSet
+    (undef ++ optVars ++ bindVars) -- scanBound
   }
 
   /** Greedy selectivity ordering: start from the most-ground pattern, then

@@ -220,27 +220,32 @@ object MiniInterp {
       acc = Rel(acc.cols + name, newRows)
     }
     // multi-var VALUES tables (required fold, like the engine):
-    // compatibility join — shared DEFINED cells must agree, UNDEF
-    // constrains nothing, new vars take the cell (null for UNDEF);
-    // duplicate table rows multiply (bag semantics)
+    // SPARQL §10.2 solution compatibility — agree on every var bound
+    // on BOTH sides; an UNDEF cell or an UNBOUND (null) solution var
+    // constrains nothing; the merged row takes the DEFINED value from
+    // either side; duplicate table rows multiply (bag semantics)
     for (vt <- rows.collect { case v: ValuesTable => v }) {
       val newRows = acc.rows.flatMap { b =>
         vt.rows.flatMap { tr =>
           vt.vs.map(_.name).zip(tr).foldLeft(Option(b)) {
             case (None, _) => None
             case (Some(m), (n, cell)) =>
-              if (acc.cols.contains(n)) cell match {
-                case Some(t) =>
-                  if (m.getOrElse(n, null) == t) Some(m) else None
-                case None => Some(m)
+              if (acc.cols.contains(n)) (m.getOrElse(n, null), cell) match {
+                case (null, Some(t)) => Some(m + (n -> t)) // merge the cell
+                case (x, Some(t))    => if (x == t) Some(m) else None
+                case (_, None)       => Some(m) // UNDEF constrains nothing
               } else Some(m + (n -> cell.orNull))
           }
         }
       }
       acc = Rel(acc.cols ++ vt.vs.map(_.name), newRows)
     }
-    // negation (engine: left_anti on shared columns — null keys never
-    // match, so a null-valued shared var keeps the solution)
+    // negation: remove required solutions COMPATIBLE (§10.2: shared
+    // vars bound on both sides must agree; an unbound side constrains
+    // nothing) with some inner solution; MINUS additionally requires
+    // a non-empty bound-domain overlap (§8.2's dom-disjoint rule —
+    // per SOLUTION, not per schema: a row whose only shared var is
+    // unbound on either side is dom-disjoint and survives)
     for (neg <- negations) {
       val (innerRows, isMinus) = neg match {
         case n: NotExists => (n.rows, false)
@@ -249,10 +254,15 @@ object MiniInterp {
       }
       val inner = solveQuads(db, innerRows)
       val shared = acc.cols intersect inner.cols
-      def compatible(b: Row): Boolean = inner.rows.exists(ir =>
-        shared.forall(c => b.getOrElse(c, null) != null &&
-          ir.getOrElse(c, null) != null &&
-          b(c) == ir(c)))
+      def compatible(b: Row): Boolean = inner.rows.exists { ir =>
+        val agree = shared.forall { c =>
+          val x = b.getOrElse(c, null); val y = ir.getOrElse(c, null)
+          x == null || y == null || x == y
+        }
+        val domOverlap = shared.exists(c =>
+          b.getOrElse(c, null) != null && ir.getOrElse(c, null) != null)
+        agree && (!isMinus || domOverlap)
+      }
       acc =
         if (shared.isEmpty) {
           if (isMinus) acc // SPARQL dom-disjoint: nothing removed
@@ -265,31 +275,49 @@ object MiniInterp {
       qpaths.isEmpty && !rows.exists(_.isInstanceOf[ValuesTable])
     if (noRequired) acc = Rel(Set.empty, Seq(Map.empty))
 
-    // optionals: left join per clause on keys = clauseCols ∩ required ∩ acc;
-    // same-var overlap coalesces; match markers for the optional-only rule
+    // optionals: left join per clause on keys = clauseCols ∩ required ∩
+    // acc, under §10.2 COMPATIBILITY (an unbound side of a key
+    // constrains nothing; the merged row takes whichever side is
+    // bound). Shared non-key vars coalesce (same-var alternatives);
+    // match markers support the optional-only rule. FILTERs written
+    // inside the optional that reference vars the clause cannot bind
+    // become the LeftJoin CONDITION, evaluated per MERGED row (SPARQL
+    // §18.2.2.2's LeftJoin(P1, P2, F)) — a false/error merge keeps the
+    // required row bare, it never empties the clause for every row.
     var markers = Vector.empty[String]
     for ((opt, i) <- optionals.zipWithIndex) {
       val m = s"__m_$i"
       markers :+= m
-      val clause0 = solveQuads(db, opt.rows)
+      val clauseVars = Bgp.allVars(opt.rows.filterNot(_.isInstanceOf[FilterExpr]))
+        .map(_.name).toSet
+      val (outerFilters, innerRows) = opt.rows.partition {
+        case f: FilterExpr => !f.refs.forall(v => clauseVars.contains(v.name))
+        case _             => false
+      }
+      val clause0 = solveQuads(db, innerRows)
       val clause = Rel(clause0.cols + m,
         clause0.rows.map(_ + (m -> TBool(true))))
       val keys = clause.cols.intersect(requiredVarNames).intersect(acc.cols)
-      val overlap = (clause.cols - m).intersect(acc.cols) -- keys
+      def merged(b: Row, c: Row): Row =
+        (acc.cols ++ clause.cols).map { n =>
+          val bv = b.getOrElse(n, null)
+          n -> (if (bv != null) bv else c.getOrElse(n, null))
+        }.toMap
       val joined = acc.rows.flatMap { b =>
-        val matches = clause.rows.filter(c =>
-          keys.forall(k => b(k) != null && c.getOrElse(k, null) == b(k)))
+        val matches = clause.rows
+          .filter(c => keys.forall { k =>
+            val x = b.getOrElse(k, null); val y = c.getOrElse(k, null)
+            x == null || y == null || x == y
+          })
+          .map(c => merged(b, c))
+          .filter(mr => outerFilters.forall {
+            case f: FilterExpr => evalFilter(f, mr).contains(true)
+            case _             => true
+          })
         if (matches.isEmpty)
-          Seq(b ++ (clause.cols -- keys -- overlap).map(_ -> (null: Term)) ++
-            overlap.flatMap(o => if (b.getOrElse(o, null) == null) Seq(o -> (null: Term)) else Seq(o -> b(o))))
-        else matches.map { c =>
-          val added = (clause.cols -- keys -- overlap).map(n => n -> c.getOrElse(n, null))
-          val co = overlap.map { o =>
-            val accV = b.getOrElse(o, null)
-            o -> (if (accV != null) accV else c.getOrElse(o, null))
-          }
-          b ++ added ++ co
-        }
+          Seq((acc.cols ++ clause.cols)
+            .map(n => n -> b.getOrElse(n, null)).toMap)
+        else matches
       }
       acc = Rel(acc.cols ++ clause.cols, joined)
     }
@@ -450,7 +478,11 @@ object DifferentialProps extends Properties("differential") {
     pats <- Gen.listOfN(nPat, genPattern)
     nVal <- Gen.choose(0, 2)
     vals <- Gen.listOfN(nVal, genValues)
-    nTbl <- Gen.choose(0, 1)
+    // up to TWO tables: a shared var introduced UNDEF-nullable by the
+    // first and constrained by the second exercises the §10.2
+    // compatibility-merge path (round-12 advice: the equality-form
+    // join silently dropped those solutions)
+    nTbl <- Gen.choose(0, 2)
     tbls <- Gen.listOfN(nTbl, genValuesTable)
     nOpt <- Gen.choose(0, 2)
     opts <- Gen.listOfN(nOpt, genOptional)
@@ -732,14 +764,17 @@ object AggDifferentialProps extends Properties("agg-differential") {
     case TDouble(d) => d
     case other => sys.error(s"not numeric: $other")
   }
-  // mirror of Term.sortKey's (kind, num, lex, lang, datatype) order
-  private def key5(t: Term): (Byte, Double, String, String, String) = {
+  // mirror of Term.sortKey's (kind, num, int64-tie, lex, lang,
+  // datatype) order — the long tie-break keeps |v| > 2^53 longs in
+  // numeric order where the double num collides
+  private def key6(t: Term): (Byte, Double, Long, String, String, String) = {
     val r = Term.toRow(t)
     def s(i: Int) = if (r.isNullAt(i)) "" else r.getString(i)
+    val i64 = t match { case TLong(x) => x; case _ => 0L }
     (r.getByte(0), if (r.isNullAt(2)) 0.0 else r.getDouble(2),
-      s(1), s(3), s(4))
+      i64, s(1), s(3), s(4))
   }
-  private val termOrd: Ordering[Term] = Ordering.by(key5)
+  private val termOrd: Ordering[Term] = Ordering.by(key6)
 
   /** One SPARQL §11 aggregate over one group — the independent model
     * (mirrors the semantics documented on the AggFn tags). */

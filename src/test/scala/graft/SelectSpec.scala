@@ -453,6 +453,21 @@ class SelectSpec extends GraftSpec {
     intercept[InvalidBgp] {
       Projections.modified(sols, Seq(OrderKey(?("nope"))))
     }
+    // |v| > 2^53: the double num collides, and the raw lexical
+    // tie-break mis-ordered same-sign values (round-12 advice) — the
+    // int64 tie field restores exact numeric order
+    val big = db(
+      (k("h1"), price, TLong(-9007199254740995L)),
+      (k("h2"), price, TLong(-9007199254740993L)),
+      (k("h3"), price, TLong(9007199254740993L)),
+      (k("h4"), price, TLong(9007199254740995L)))
+    val bigAsc = Projections.modified(
+      Projections.selectDf(big, Seq(pat(?("x"), T(price), ?("p"))),
+        Seq(?("p"))),
+      Seq(OrderKey(?("p"))))
+      .collect().toSeq.map(r => fromRow(r.getStruct(0)))
+    assert(bigAsc == Seq(TLong(-9007199254740995L), TLong(-9007199254740993L),
+      TLong(9007199254740993L), TLong(9007199254740995L)))
     // dict store: modifiers act on the DECODED frame — same answer
     val dd = d.dictEncode()
     try {
@@ -545,6 +560,120 @@ class SelectSpec extends GraftSpec {
     intercept[InvalidValues] {
       ValuesTable(Seq(?("x")), Seq(Seq(Some(TLong(1)), Some(TLong(2)))))
     }
+  }
+
+  test("§10.2 compatibility on UNDEF-nullable vars (round-12 advice): " +
+      "second VALUES table merges, optional keys extend, NOT EXISTS " +
+      "removes, MINUS keeps dom-disjoint rows") {
+    val price = k("price")
+    val d = db(
+      (k("a"), price, TLong(5)),
+      (k("b"), price, TLong(7)))
+    // (1) a var introduced UNDEF-nullable by one table and constrained
+    // by a SECOND table: the null side constrains nothing and the
+    // merged solution takes the defined cell (the equality-form join
+    // silently dropped these and never merged)
+    val twoTables = bag(d, Seq(?("u"), ?("w"), ?("z")), Seq(
+      ValuesTable(Seq(?("u"), ?("w")), Seq(
+        Seq(Some(s("m")), None),
+        Seq(Some(s("n")), Some(TLong(1))))),
+      ValuesTable(Seq(?("w"), ?("z")), Seq(
+        Seq(Some(TLong(1)), Some(TLong(10))),
+        Seq(Some(TLong(2)), Some(TLong(20)))))))
+    assert(twoTables == Map(
+      Seq(s("m"), TLong(1), TLong(10)) -> 1,
+      Seq(s("m"), TLong(2), TLong(20)) -> 1,
+      Seq(s("n"), TLong(1), TLong(10)) -> 1))
+    // (2) an UNDEF-nullable REQUIRED var as an optional join key: a
+    // null-keyed row is compatible with EVERY clause row and the
+    // merged solution takes the clause value (the name-equality left
+    // join never extended it)
+    val optKey = bag(d, Seq(?("x"), ?("p")), Seq(
+      ValuesTable(Seq(?("x")), Seq(Seq(Some(k("a"))), Seq(None))),
+      Optional(Seq(pat(?("x"), T(price), ?("p"))))))
+    assert(optKey == Map(
+      Seq(k("a"), TLong(5)) -> 2, // bound row + null row both match a
+      Seq(k("b"), TLong(7)) -> 1)) // null row extends to b as well
+    // (3) NOT EXISTS with a nullable shared var: a null side
+    // constrains nothing, so the inner match removes BOTH rows;
+    // MINUS keeps the null row (per-ROW dom-disjoint rule, §8.2)
+    val notEx = bag(d, Seq(?("x")), Seq(
+      ValuesTable(Seq(?("x")), Seq(Seq(Some(k("a"))), Seq(None))),
+      NotExists(Seq(pat(?("x"), T(price), ?("p"))))))
+    assert(notEx.isEmpty)
+    val minusQ = bag(d, Seq(?("x")), Seq(
+      ValuesTable(Seq(?("x")), Seq(Seq(Some(k("a"))), Seq(None))),
+      Minus(Seq(pat(?("x"), T(price), ?("p"))))))
+    assert(minusQ == Map(Seq(null) -> 1))
+    // dict leg of (1): ids carry the same compatibility semantics
+    val dd = d.dictEncode()
+    try {
+      val dictGot = Projections.selectDf(dd, Seq(
+        ValuesTable(Seq(?("u"), ?("w")), Seq(
+          Seq(Some(s("m")), None),
+          Seq(Some(s("n")), Some(TLong(1))))),
+        ValuesTable(Seq(?("w"), ?("z")), Seq(
+          Seq(Some(TLong(1)), Some(TLong(10))),
+          Seq(Some(TLong(2)), Some(TLong(20)))))), Seq(?("u"), ?("w"), ?("z")))
+        .collect().toSeq.map(r => (0 to 2).map(i =>
+          if (r.isNullAt(i)) null else fromRow(r.getStruct(i)))).toSet
+      assert(dictGot == Set(
+        Seq(s("m"), TLong(1), TLong(10)),
+        Seq(s("m"), TLong(2), TLong(20)),
+        Seq(s("n"), TLong(1), TLong(10))))
+    } finally dd.unpersist()
+  }
+
+  test("FILTER inside OPTIONAL referencing outer vars is the LeftJoin " +
+      "condition (§18.2.2.2): per-row conditional extension, never an " +
+      "emptied clause; dict leg rehydrates") {
+    val amt = k("amt"); val lim = k("lim")
+    val d = db(
+      (k("a"), amt, TLong(5)),
+      (k("b"), amt, TLong(7)),
+      (k("a"), lim, TLong(6)),
+      (k("b"), lim, TLong(6)))
+    val rows = Seq(
+      pat(?("x"), T(amt), ?("v")),
+      Optional(Seq(
+        pat(?("x"), T(lim), ?("l")),
+        FilterVarCmp(?("l"), Gt, ?("v")))))
+    // a: lim 6 > amt 5 → extends; b: 6 > 7 false → kept BARE (the old
+    // standalone compile errored every clause row, so NOTHING extended)
+    val got = bag(d, Seq(?("x"), ?("v"), ?("l")), rows)
+    assert(got == Map(
+      Seq(k("a"), TLong(5), TLong(6)) -> 1,
+      Seq(k("b"), TLong(7), null) -> 1))
+    // unbound-anywhere ref inside the condition: errors → no extension
+    val gotErr = bag(d, Seq(?("x"), ?("v"), ?("l")), Seq(
+      pat(?("x"), T(amt), ?("v")),
+      Optional(Seq(
+        pat(?("x"), T(lim), ?("l")),
+        FilterVarCmp(?("l"), Gt, ?("nowhere"))))))
+    assert(gotErr == Map(
+      Seq(k("a"), TLong(5), null) -> 1,
+      Seq(k("b"), TLong(7), null) -> 1))
+    // BOUND(outer) composes: extension gated on the merged row
+    val gotBound = bag(d, Seq(?("x"), ?("v"), ?("l")), Seq(
+      pat(?("x"), T(amt), ?("v")),
+      Optional(Seq(
+        pat(?("x"), T(lim), ?("l")),
+        FilterAnd(Seq(FilterBound(?("v")),
+          FilterCmp(?("v"), Lt, TLong(6))))))))
+    assert(gotBound == Map(
+      Seq(k("a"), TLong(5), TLong(6)) -> 1,
+      Seq(k("b"), TLong(7), null) -> 1))
+    // dict leg: the condition's vars rehydrate as term sidecars
+    val dd = d.dictEncode()
+    try {
+      val dictGot = Projections.selectDf(dd, rows,
+        Seq(?("x"), ?("v"), ?("l")))
+        .collect().toSeq.map(r => (0 to 2).map(i =>
+          if (r.isNullAt(i)) null else fromRow(r.getStruct(i)))).toSet
+      assert(dictGot == Set(
+        Seq(k("a"), TLong(5), TLong(6)),
+        Seq(k("b"), TLong(7), null)))
+    } finally dd.unpersist()
   }
 
   test("BIND + arithmetic: exact int64 ops past 2^53, promotion, " +
