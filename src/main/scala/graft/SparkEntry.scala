@@ -1575,6 +1575,75 @@ object SparkEntry {
         "c", "seg", "n")
     }),
 
+    // ---- EXISTS as a FILTER-expression LEAF (§17.4.1.4), composing
+    //      under OR/NOT — inexpressible with the row-level NotExists:
+    //      customers with NO urgent order OR at least one open one.
+    //      Each leaf is one marker join (distinct probe, bag kept) ----
+    "q170_filter_exists" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        FilterOr(Seq(
+          FilterNot(FilterExists(Seq(
+            pat(V("o"), kw("o_custkey"), V("c")),
+            pat(V("o"), kw("o_orderpriority"), T(TString("1-URGENT")))))),
+          FilterExists(Seq(
+            pat(V("o2"), kw("o_custkey"), V("c")),
+            pat(V("o2"), kw("o_orderstatus"), T(TString("O")))))))),
+        "c", "name")
+    }),
+
+    // ---- §17.4 STRING FILTER FUNCTIONS: STRSTARTS / STRENDS /
+    //      CONTAINS with LCASE composition — the most-used FILTER
+    //      forms in real SPARQL; all codegen'd scan-side predicates ----
+    "q167_filter_strfn" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        pat(V("c"), kw("c_mktsegment"), V("seg")),
+        FilterAnd(Seq(
+          FilterStrEnds(TVar(V("name")), TConst(TString("1"))),
+          FilterOr(Seq(
+            FilterStrStarts(TLcase(TVar(V("seg"))), TConst(TString("bui"))),
+            FilterContains(TVar(V("seg")), TConst(TString("MACH")))))))),
+        "c", "name", "seg")
+    }),
+
+    // ---- §17.4 STRING/BRANCH FUNCTIONS IN BIND: CONCAT + SUBSTR +
+    //      UCASE + IF(cmp) + STRLEN — computed columns from string
+    //      expressions, one narrow projection, no UDF ----
+    "q168_bind_strfn" -> ((sp, dir) => {
+      val db = Tables.supplierDb(sp, dir)
+      sel(db, Seq(
+        pat(V("s"), kw("s_name"), V("name")),
+        pat(V("s"), kw("s_acctbal"), V("b")),
+        Bind(TConcat(Seq(TUcase(TSubstr(TVar(V("name")), 1, Some(8))),
+          TConst(TString("/")),
+          TIf(FilterCmp(V("b"), Ge, TDouble(0.0)),
+            TConst(TString("POS")), TConst(TString("NEG"))))), V("tag")),
+        Bind(TStrlen(TVar(V("name"))), V("len"))),
+        "s", "tag", "len")
+    }),
+
+    // ---- §17.4 ACCESSORS over lang-tagged/typed literals: LANG /
+    //      STR / DATATYPE dispatch by term kind + a LANG-based FILTER
+    //      (inline db — the TPC-H fixture has no lang-strings) ----
+    "q169_lang_functions" -> ((sp, dir) => {
+      val db = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("x1"), TKeyword("label"), TLangString("Hello", "en")),
+        (TKeyword("x1"), TKeyword("label"), TLangString("Hallo", "de")),
+        (TKeyword("x2"), TKeyword("label"), TString("plain")),
+        (TKeyword("x3"), TKeyword("label"),
+          TTyped("7", "http://www.w3.org/2001/XMLSchema#byte"))))
+      sel(db, Seq(
+        pat(V("x"), kw("label"), V("l")),
+        Bind(TLang(TVar(V("l"))), V("lg")),
+        Bind(TStr(TVar(V("l"))), V("str")),
+        Bind(TDatatype(TVar(V("l"))), V("dt")),
+        FilterArith(TLang(TVar(V("l"))), Neq, TConst(TString("de")))),
+        "x", "l", "lg", "str", "dt")
+    }),
+
     // ---- BIND + ARITHMETIC (SPARQL §10.1 + §17.3): a computed
     //      column (?b2 = ?b * 2) filtered by an arithmetic
     //      comparison whose right side is itself an expression ----
@@ -2962,6 +3031,48 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // EXISTS-in-expression ≡ SQL EXISTS in WHERE, same composition
+    "q170_filter_exists" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |  OR EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderstatus = 'O')""".stripMargin,
+
+    // string predicates replay directly: LIKE-suffix / starts_with /
+    // contains over the raw columns (ASCII data — no collation drift)
+    "q167_filter_strfn" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  's|' || c_mktsegment AS seg
+        |FROM customer
+        |WHERE c_name LIKE '%1'
+        |  AND (lower(c_mktsegment) LIKE 'bui%'
+        |       OR contains(c_mktsegment, 'MACH'))""".stripMargin,
+
+    // upper/substr/length are codepoint-identical on the ASCII
+    // supplier names; the IF replays as CASE on the same raw double
+    "q168_bind_strfn" ->
+      """SELECT 'u|supplier/' || s_suppkey AS s,
+        |  's|' || upper(substr(s_name, 1, 8)) || '/' ||
+        |    CASE WHEN s_acctbal >= 0.0 THEN 'POS' ELSE 'NEG' END AS tag,
+        |  'l|' || CAST(length(s_name) AS VARCHAR) AS len
+        |FROM supplier""".stripMargin,
+
+    // inline fixture → literal expected rows (the q44/q13 convention);
+    // the de row is filtered by LANG(?l) != 'de'
+    "q169_lang_functions" ->
+      """SELECT 'k|x1' AS x, 'ls|Hello@en' AS l, 's|en' AS lg,
+        |  's|Hello' AS str,
+        |  'u|http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dt
+        |UNION ALL SELECT 'k|x2', 's|plain', 's|', 's|plain',
+        |  'u|http://www.w3.org/2001/XMLSchema#string'
+        |UNION ALL SELECT 'k|x3',
+        |  'lit|7^^http://www.w3.org/2001/XMLSchema#byte', 's|', 's|7',
+        |  'u|http://www.w3.org/2001/XMLSchema#byte'""".stripMargin,
 
     // doubling a 2-decimal double is exact, so both engines format
     // the identical double; the threshold folds to 7500

@@ -232,6 +232,11 @@ case object Le extends CmpOp
 case object Gt extends CmpOp
 case object Ge extends CmpOp
 case object Neq extends CmpOp
+/** `=` — value equality within the comparable families (the §17.4.1.9
+  * `IN` operator expands to an OR of these; like [[Neq]], a
+  * cross-family pair is a type error rather than RDFterm-unequal —
+  * the documented subset). */
+case object Eq extends CmpOp
 
 /** A FILTER expression row (SPARQL 1.1 §17 expression subset).
   *
@@ -318,6 +323,17 @@ final case class FilterNot(expr: FilterExpr) extends FilterExpr {
   def refs: Seq[V] = expr.refs
 }
 
+/** TERM-valued expressions (SPARQL §17.3/§17.4 subset): every node
+  * evaluates per solution row to a term or an ERROR (§17.2 — in a
+  * FILTER an error drops the row, in a BIND it leaves the target
+  * unbound). [[NumExpr]] is the numeric sub-family; the string /
+  * accessor / branch functions below extend the same tree, so they
+  * compose anywhere a numeric expression already could (BIND,
+  * FilterArith comparisons, IF branches). */
+sealed trait TermExpr extends Product with Serializable {
+  def refs: Seq[V]
+}
+
 /** Numeric value expressions (SPARQL §17.3's XPath operator mapping,
   * numeric subset): operands are numeric TERMS — an unbound variable
   * or a non-numeric term makes the whole expression an ERROR (the
@@ -328,9 +344,7 @@ final case class FilterNot(expr: FilterExpr) extends FilterExpr {
   * decimal); any double operand promotes to double. Division by an
   * exact-zero divisor is an error (the deterministic subset — no
   * INF/NaN terms reach results). */
-sealed trait NumExpr extends Product with Serializable {
-  def refs: Seq[V]
-}
+sealed trait NumExpr extends TermExpr
 final case class NVar(v: V) extends NumExpr { def refs: Seq[V] = Seq(v) }
 final case class NConst(t: Term) extends NumExpr {
   require(t.isInstanceOf[Term.TLong] || t.isInstanceOf[Term.TDouble],
@@ -350,13 +364,126 @@ final case class NDiv(a: NumExpr, b: NumExpr) extends NumExpr {
   def refs: Seq[V] = a.refs ++ b.refs
 }
 
-/** `FILTER (expr op expr)` over numeric expressions — the arithmetic
-  * comparison form (`?a * 2 < ?b + 1`). Both sides evaluate under
-  * [[NumExpr]]'s rules; the comparison itself follows
-  * [[FilterVarCmp]]'s per-row family semantics (long/long exact). */
-final case class FilterArith(a: NumExpr, op: CmpOp, b: NumExpr)
+// ---- SPARQL §17.4 function library (term-valued leaves; every
+// function follows the documented deterministic subset — precise
+// domains on each node, anything outside is a type ERROR) ----
+
+/** A variable as a general term expression (any kind — unlike
+  * [[NVar]], which errors on non-numerics; use NVar inside numeric
+  * ops, TVar inside string/accessor functions). */
+final case class TVar(v: V) extends TermExpr { def refs: Seq[V] = Seq(v) }
+/** A ground term constant (any kind). */
+final case class TConst(t: Term) extends TermExpr { def refs: Seq[V] = Nil }
+
+/** `STR(e)` (§17.4.2.5): the lexical form as a plain string — defined
+  * for the kinds that CARRY a lexical form (string, lang-string,
+  * typed literal, long, date, keyword, URI); doubles/booleans store
+  * no canonical lexical in this engine's term encoding, so they are
+  * errors (deterministic-subset rule: no engine-specific float
+  * formatting can leak into results). */
+final case class TStr(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `LANG(e)` (§17.4.2.6): the language tag of a lang-string, `""` for
+  * any other literal kind (string/typed/long/double/bool/date);
+  * keywords, URIs, nil, opaques are errors. */
+final case class TLang(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `DATATYPE(e)` (§17.4.2.7) as a URI term: xsd:string for plain
+  * strings, rdf:langString for lang-strings, the carried datatype for
+  * typed literals, xsd:integer/double/boolean/date for the value
+  * kinds; non-literals error. */
+final case class TDatatype(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `STRLEN(e)` (§17.4.3.1): character length of a string or
+  * lang-string. */
+final case class TStrlen(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `SUBSTR(e, start[, len])` (§17.4.3.3): 1-based (XPath), over a
+  * string or lang-string — the language tag rides along per spec. */
+final case class TSubstr(e: TermExpr, start: Int, len: Option[Int] = None)
+    extends TermExpr {
+  require(start >= 1, "SUBSTR start is 1-based (XPath fn:substring)")
+  require(len.forall(_ >= 0), "SUBSTR length must be non-negative")
+  def refs: Seq[V] = e.refs
+}
+/** `UCASE(e)` (§17.4.3.4) — string/lang-string, tag preserved. */
+final case class TUcase(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `LCASE(e)` (§17.4.3.5) — string/lang-string, tag preserved. */
+final case class TLcase(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `CONCAT(e…)` (§17.4.3.12), plain-string subset: every argument
+  * must evaluate to a plain string (mixed lang-tag propagation is out
+  * of the deterministic subset — documented). */
+final case class TConcat(es: Seq[TermExpr]) extends TermExpr {
+  require(es.nonEmpty, "CONCAT needs at least one argument")
+  def refs: Seq[V] = es.flatMap(_.refs)
+}
+/** `IF(cond, then, else)` (§17.4.1.2): the condition evaluates with
+  * full three-valued semantics — a condition ERROR is an expression
+  * error (not the else branch). */
+final case class TIf(cond: FilterExpr, t: TermExpr, f: TermExpr)
+    extends TermExpr {
+  def refs: Seq[V] = cond.refs ++ t.refs ++ f.refs
+}
+/** `COALESCE(e…)` (§17.4.1.3): the first argument that evaluates
+  * without error; error iff all do. The classic default-value idiom
+  * over optional-bound vars: `COALESCE(?maybe, 0)`. */
+final case class TCoalesce(es: Seq[TermExpr]) extends TermExpr {
+  require(es.nonEmpty, "COALESCE needs at least one argument")
+  def refs: Seq[V] = es.flatMap(_.refs)
+}
+
+/** `FILTER (expr op expr)` — comparison of two general term
+  * expressions (`?a * 2 < ?b + 1`, `UCASE(?n) = "X"`). Both sides
+  * evaluate under [[TermExpr]] rules; the comparison itself follows
+  * [[FilterVarCmp]]'s per-row family semantics (long/long exact,
+  * numeric promotion, string/date by order, cross-family = error). */
+final case class FilterArith(a: TermExpr, op: CmpOp, b: TermExpr)
     extends FilterExpr {
   def refs: Seq[V] = a.refs ++ b.refs
+}
+
+/** `STRSTARTS(e1, e2)` (§17.4.3.2 argument-compatibility subset):
+  * arg1 a string or lang-string, arg2 a plain string — else error. */
+final case class FilterStrStarts(e: TermExpr, prefix: TermExpr)
+    extends FilterExpr {
+  def refs: Seq[V] = e.refs ++ prefix.refs
+}
+/** `STRENDS(e1, e2)` — domain as [[FilterStrStarts]]. */
+final case class FilterStrEnds(e: TermExpr, suffix: TermExpr)
+    extends FilterExpr {
+  def refs: Seq[V] = e.refs ++ suffix.refs
+}
+/** `CONTAINS(e1, e2)` — domain as [[FilterStrStarts]]. */
+final case class FilterContains(e: TermExpr, needle: TermExpr)
+    extends FilterExpr {
+  def refs: Seq[V] = e.refs ++ needle.refs
+}
+
+/** `EXISTS { … }` as a FILTER-expression LEAF (§17.4.1.4): true iff
+  * the inner group has at least one solution COMPATIBLE (§10.2:
+  * shared vars bound on both sides must agree; an unbound side
+  * constrains nothing) with the current row; never errors, so it
+  * composes under `&&`/`||`/`!` per the SPARQL grammar — e.g.
+  * `FILTER(EXISTS{A} || !EXISTS{B})` — which the row-level
+  * [[NotExists]] cannot express (it only negates at the top).
+  * `!EXISTS{…}` as the whole filter ≡ the [[NotExists]] row
+  * (spec-pinned). Inner-group vars do NOT project; `refs` reports
+  * the inner vars so the filter schedules after anything that could
+  * bind them (correlation is decided per frame at evaluation time).
+  * Restrictions (loud InvalidBgp): not inside an optional's
+  * outer-referencing condition filter, not inside BIND/HAVING
+  * expressions — existence needs the store, which those evaluation
+  * points don't carry. */
+final case class FilterExists(rows: Seq[PatternRow]) extends FilterExpr {
+  require(rows.nonEmpty, "EXISTS needs at least one inner row")
+  def refs: Seq[V] = rows.flatMap(_.vars).distinct
+}
+
+/** `expr IN (t1, …, tn)` (§17.4.1.9): defined as the equality
+  * OR-chain, so it IS one — built, not stored (same error semantics:
+  * `2 IN (1, "a")` is an error-rescued-by-nothing → false… per the
+  * §17.2 table `false || error = error`, which removes the row). */
+object FilterIn {
+  def apply(v: V, terms: Seq[Term]): FilterExpr = {
+    require(terms.nonEmpty, "IN needs at least one term")
+    FilterOr(terms.map(t => FilterCmp(v, Eq, t)))
+  }
 }
 
 /** `BIND (expr AS ?v)` (SPARQL §10.1), numeric-expression subset:
@@ -371,7 +498,7 @@ final case class FilterArith(a: NumExpr, op: CmpOp, b: NumExpr)
   * restriction). Struct/quad stores only — a dict-store group
   * refuses loudly (8-byte id frames cannot carry computed terms;
   * bind after decode via [[graft.engine.Projections.extend]]). */
-final case class Bind(expr: NumExpr, as: V) extends PatternRow {
+final case class Bind(expr: TermExpr, as: V) extends PatternRow {
   def vars: Seq[V] = Seq(as)
 }
 

@@ -317,8 +317,11 @@ object BgpCompiler {
     val (earlyFilters, lateFilters) = filters.partition(f =>
       FilterExpr.referencedVars(f).forall(v =>
         acc.exists(_.columns.contains(v.name))))
+    // maybe-null vars of THIS group's final frame — EXISTS correlation
+    // joins need to know whether a shared var can be unbound per row
+    lazy val groupMaybeNull: Set[String] = staticMaybeNull(rows)
     for (f <- earlyFilters)
-      acc = acc.map(applyFilter(_, f, filterDict))
+      acc = acc.map(applyFilterExists(in, _, f, filterDict, groupMaybeNull))
 
     if (negations.nonEmpty && acc.isEmpty)
       throw new InvalidBgp(
@@ -391,6 +394,11 @@ object BgpCompiler {
         case _ => false
       }
       val outerFilters = outerFilterRows.collect { case f: FilterExpr => f }
+      if (outerFilters.exists(containsExists))
+        throw new InvalidBgp(
+          "EXISTS inside an OPTIONAL filter that references vars outside " +
+            "the clause is not supported — lift it to a group-level " +
+            "FILTER or correlate it within the clause")
       // marker column: non-null iff this clause matched — needed because a
       // clause of only ground patterns compiles to zero var columns
       // (alpha_test.clj:477-501)
@@ -514,7 +522,7 @@ object BgpCompiler {
     // comparison errors that ROW away (never the whole result), and
     // BOUND/!BOUND test the extension per row
     for (f <- lateFilters)
-      result = applyFilter(result, f, filterDict)
+      result = applyFilterExists(in, result, f, filterDict, groupMaybeNull)
 
     result
       .drop(optionals.indices.map(i => s"__m_$i"): _*)
@@ -553,6 +561,7 @@ object BgpCompiler {
       case Gt => a > b
       case Ge => a >= b
       case Neq => a =!= b
+      case Eq => a === b
     }
     val kind = c.getField("kind")
     t match {
@@ -589,6 +598,7 @@ object BgpCompiler {
       case Gt => x > y
       case Ge => x >= y
       case Neq => x =!= y
+      case Eq => x === y
     }
     val ak = a.getField("kind"); val bk = b.getField("kind")
     when(ak === Term.KLong && bk === Term.KLong,
@@ -622,28 +632,75 @@ object BgpCompiler {
     case FilterCmp(v, op, t)    => cmpTermCol(termOf(v.name), op, t)
     case FilterVarCmp(x, op, y) => cmpVarCol(termOf(x.name), op, termOf(y.name))
     case FilterArith(a, op, b)  =>
-      cmpVarCol(numTermCol(a, termOf), op, numTermCol(b, termOf))
+      cmpVarCol(termExprCol(a, termOf, boundOf), op,
+        termExprCol(b, termOf, boundOf))
     case FilterBound(v)         => boundOf(v.name)
     case FilterRegex(v, p)      => regexCol(termOf(v.name), p)
+    case FilterStrStarts(e, p)  =>
+      strArgs2(e, p, termOf, boundOf)((a, b) => a.startsWith(b))
+    case FilterStrEnds(e, p)    =>
+      strArgs2(e, p, termOf, boundOf)((a, b) => a.endsWith(b))
+    case FilterContains(e, p)   =>
+      strArgs2(e, p, termOf, boundOf)((a, b) => a.contains(b))
     case FilterAnd(es)          => es.map(filterCol(_, termOf, boundOf)).reduce(_ && _)
     case FilterOr(es)           => es.map(filterCol(_, termOf, boundOf)).reduce(_ || _)
     case FilterNot(e)           => !filterCol(e, termOf, boundOf)
+    case _: FilterExists        => throw new InvalidBgp(
+      "EXISTS is not available at this evaluation point (HAVING, BIND " +
+        "expressions, an optional's outer-referencing condition, or " +
+        "inside IF conditions) — existence needs the store; lift the " +
+        "EXISTS to a group-level FILTER")
   }
 
-  /** A [[NumExpr]] as a term-struct Column (KLong/KDouble); NULL =
-    * SPARQL error (unbound/non-numeric operand, exact-zero divisor).
-    * Long op long stays EXACT on the int64 lexical except `/`
-    * (always double per SPARQL's integer-÷-integer-is-decimal rule);
-    * any double operand promotes. All codegen'd when-chains — no
-    * UDF, no join. */
-  private[engine] def numTermCol(e: NumExpr,
-                                 termOf: String => Column): Column = {
+  /** §17.4.3.2 argument-compatibility subset shared by STRSTARTS /
+    * STRENDS / CONTAINS: arg1 string or lang-string, arg2 a plain
+    * string — the predicate runs on the lexical forms; anything else
+    * (unbound included) is a type error (NULL). */
+  private def strArgs2(e: TermExpr, arg: TermExpr,
+                       termOf: String => Column,
+                       boundOf: String => Column)(
+                       p: (Column, Column) => Column): Column = {
+    val a = termExprCol(e, termOf, boundOf)
+    val b = termExprCol(arg, termOf, boundOf)
+    when(a.getField("kind").isin(Term.KString, Term.KLangString) &&
+        b.getField("kind") === Term.KString,
+      p(a.getField("lex"), b.getField("lex"))).otherwise(nullBool)
+  }
+
+  /** A [[TermExpr]] as a term-struct Column; NULL = SPARQL error
+    * (unbound operand, out-of-domain kind, exact-zero divisor).
+    * Numeric ops: long op long stays EXACT on the int64 lexical
+    * except `/` (always double per SPARQL's
+    * integer-÷-integer-is-decimal rule); any double operand promotes.
+    * String/accessor/branch functions follow the domains documented
+    * on their DSL nodes. All codegen'd when-chains — no UDF, no
+    * join. `boundOf` serves BOUND atoms inside IF conditions (on dict
+    * paths boundness is the ID column's nullness, not the rehydrated
+    * struct's). */
+  private[engine] def termExprCol(e: TermExpr, termOf: String => Column,
+                                  boundOf: String => Column): Column = {
     val nullTerm = functions.lit(null).cast(Term.schema)
     val nullS = functions.lit(null).cast(org.apache.spark.sql.types.StringType)
+    val nullD = functions.lit(null).cast(org.apache.spark.sql.types.DoubleType)
     def longT(n: Column) = Term.mk(functions.lit(Term.KLong),
       n.cast("string"), n.cast("double"), nullS, nullS)
     def dblT(d: Column) = Term.mk(functions.lit(Term.KDouble),
       nullS, d, nullS, nullS)
+    def strT(s: Column) = Term.mk(functions.lit(Term.KString),
+      s, nullD, nullS, nullS)
+    def uriT(s: Column) = Term.mk(functions.lit(Term.KUri),
+      s, nullD, nullS, nullS)
+    def rec(x: TermExpr): Column = termExprCol(x, termOf, boundOf)
+    // string or lang-string in, same kind (tag preserved) out — the
+    // §17.4.3 casing/substring domain rule
+    def strFn(x: TermExpr)(f: Column => Column): Column = {
+      val c = rec(x)
+      val kind = c.getField("kind")
+      when(kind.isin(Term.KString, Term.KLangString),
+        Term.mk(kind, f(c.getField("lex")), nullD,
+          c.getField("lang"), nullS))
+        .otherwise(nullTerm)
+    }
     e match {
       case NVar(v) =>
         val c = termOf(v.name)
@@ -651,10 +708,10 @@ object BgpCompiler {
           .otherwise(nullTerm)
       case NConst(t) => Term.lit(t)
       case NDiv(a, b) =>
-        val ac = numTermCol(a, termOf); val bc = numTermCol(b, termOf)
+        val ac = rec(a); val bc = rec(b)
         when(ac.isNull || bc.isNull || bc.getField("num") === 0.0, nullTerm)
           .otherwise(dblT(ac.getField("num") / bc.getField("num")))
-      case op2 =>
+      case op2: NumExpr =>
         val (a, b) = op2 match {
           case NAdd(x, y) => (x, y); case NSub(x, y) => (x, y)
           case NMul(x, y) => (x, y)
@@ -663,13 +720,65 @@ object BgpCompiler {
         def opC(x: Column, y: Column): Column = op2 match {
           case _: NAdd => x + y; case _: NSub => x - y; case _ => x * y
         }
-        val ac = numTermCol(a, termOf); val bc = numTermCol(b, termOf)
+        val ac = rec(a); val bc = rec(b)
         val bothLong = ac.getField("kind") === Term.KLong &&
           bc.getField("kind") === Term.KLong
         when(ac.isNull || bc.isNull, nullTerm)
           .when(bothLong, longT(opC(ac.getField("lex").cast(LongType),
             bc.getField("lex").cast(LongType))))
           .otherwise(dblT(opC(ac.getField("num"), bc.getField("num"))))
+      case TVar(v)   => termOf(v.name)
+      case TConst(t) => Term.lit(t)
+      case TStr(x) =>
+        val c = rec(x)
+        when(c.getField("kind").isin(Term.KString, Term.KLangString,
+            Term.KTyped, Term.KLong, Term.KDate, Term.KKeyword, Term.KUri),
+          strT(c.getField("lex"))).otherwise(nullTerm)
+      case TLang(x) =>
+        val c = rec(x)
+        when(c.getField("kind") === Term.KLangString,
+            strT(c.getField("lang")))
+          .when(c.getField("kind").isin(Term.KString, Term.KTyped,
+            Term.KLong, Term.KDouble, Term.KBool, Term.KDate),
+            strT(functions.lit("")))
+          .otherwise(nullTerm)
+      case TDatatype(x) =>
+        val c = rec(x)
+        val xsd = "http://www.w3.org/2001/XMLSchema#"
+        when(c.getField("kind") === Term.KString,
+            uriT(functions.lit(xsd + "string")))
+          .when(c.getField("kind") === Term.KLangString, uriT(functions.lit(
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")))
+          .when(c.getField("kind") === Term.KTyped, uriT(c.getField("datatype")))
+          .when(c.getField("kind") === Term.KLong,
+            uriT(functions.lit(xsd + "integer")))
+          .when(c.getField("kind") === Term.KDouble,
+            uriT(functions.lit(xsd + "double")))
+          .when(c.getField("kind") === Term.KBool,
+            uriT(functions.lit(xsd + "boolean")))
+          .when(c.getField("kind") === Term.KDate,
+            uriT(functions.lit(xsd + "date")))
+          .otherwise(nullTerm)
+      case TStrlen(x) =>
+        val c = rec(x)
+        when(c.getField("kind").isin(Term.KString, Term.KLangString),
+          longT(length(c.getField("lex")).cast(LongType))).otherwise(nullTerm)
+      case TSubstr(x, start, len) =>
+        strFn(x)(s => substring(s, start, len.getOrElse(Int.MaxValue)))
+      case TUcase(x) => strFn(x)(upper)
+      case TLcase(x) => strFn(x)(lower)
+      case TConcat(es) =>
+        val cs = es.map(rec)
+        val allStr = cs.map(_.getField("kind") === Term.KString)
+          .reduce(_ && _)
+        when(allStr, strT(concat(cs.map(_.getField("lex")): _*)))
+          .otherwise(nullTerm)
+      case TIf(cond, t, f) =>
+        val cc = filterCol(cond, termOf, boundOf)
+        when(cc.isNull, nullTerm)
+          .when(cc, rec(t))
+          .otherwise(rec(f))
+      case TCoalesce(es) => coalesce(es.map(rec) :+ nullTerm: _*)
     }
   }
 
@@ -685,17 +794,46 @@ object BgpCompiler {
       val termOf: String => Column = n =>
         if (cols.contains(n)) col(n)
         else functions.lit(null).cast(Term.schema)
-      result = result.withColumn(b.as.name, numTermCol(b.expr, termOf))
+      result = result.withColumn(b.as.name,
+        termExprCol(b.expr, termOf, termOf(_).isNotNull))
     }
     result
   }
 
   private def containsBound(f: FilterExpr): Boolean = f match {
-    case _: FilterBound => true
-    case FilterAnd(es)  => es.exists(containsBound)
-    case FilterOr(es)   => es.exists(containsBound)
-    case FilterNot(e)   => containsBound(e)
-    case _              => false
+    case _: FilterBound          => true
+    case FilterAnd(es)           => es.exists(containsBound)
+    case FilterOr(es)            => es.exists(containsBound)
+    case FilterNot(e)            => containsBound(e)
+    case FilterArith(a, _, b)    => containsBoundT(a) || containsBoundT(b)
+    case FilterStrStarts(a, b)   => containsBoundT(a) || containsBoundT(b)
+    case FilterStrEnds(a, b)     => containsBoundT(a) || containsBoundT(b)
+    case FilterContains(a, b)    => containsBoundT(a) || containsBoundT(b)
+    case _                       => false
+  }
+
+  /** Sub-expressions whose value can DEPEND on unboundness — BOUND
+    * atoms inside IF conditions, and COALESCE (which rescues an
+    * unbound operand to its fallback, so the expression can be TRUE
+    * on an unbound row). The dict single-var fast path evaluates over
+    * the dictionary, where every term is bound — these must route
+    * through the tuple-rehydration path instead. */
+  private def containsBoundT(e: TermExpr): Boolean = e match {
+    case TIf(c, t, f) => containsBound(c) || containsBoundT(t) || containsBoundT(f)
+    case _: TCoalesce  => true
+    case TConcat(es)   => es.exists(containsBoundT)
+    case TStr(x)       => containsBoundT(x)
+    case TLang(x)      => containsBoundT(x)
+    case TDatatype(x)  => containsBoundT(x)
+    case TStrlen(x)    => containsBoundT(x)
+    case TSubstr(x, _, _) => containsBoundT(x)
+    case TUcase(x)     => containsBoundT(x)
+    case TLcase(x)     => containsBoundT(x)
+    case NAdd(a, b)    => containsBoundT(a) || containsBoundT(b)
+    case NSub(a, b)    => containsBoundT(a) || containsBoundT(b)
+    case NMul(a, b)    => containsBoundT(a) || containsBoundT(b)
+    case NDiv(a, b)    => containsBoundT(a) || containsBoundT(b)
+    case _             => false
   }
 
   /** [[Projections.having]]'s seam: evaluate a [[FilterExpr]] over a
@@ -751,11 +889,12 @@ object BgpCompiler {
           // restores the full-frame double dict join for workloads
           // where solutions are modest and the dict is the small side
           var t = a
-          for (v <- present)
+          for (v <- present if !v.startsWith("__ex_"))
             t = t.join(d.select(col("id").as(v), col("term").as(s"__f_$v"))
               .hint("shuffle_hash"), Seq(v), "left_outer")
           def termOfF(name: String): Column =
-            if (present.contains(name)) col(s"__f_$name") else nullTerm
+            if (present.contains(name) && !name.startsWith("__ex_"))
+              col(s"__f_$name") else nullTerm
           t.where(filterCol(f, termOfF,
               n => if (present.contains(n)) col(n).isNotNull
                 else functions.lit(false)))
@@ -763,11 +902,15 @@ object BgpCompiler {
         } else {
           val tuples = a.select(present.map(col): _*).distinct()
           var t = tuples
-          for (v <- present)
+          // EXISTS marker columns (__ex_) are 0/1 flags, not term ids
+          // — they ride the tuple key for BOUND atoms but never
+          // rehydrate against the dictionary
+          for (v <- present if !v.startsWith("__ex_"))
             t = t.join(d.select(col("id").as(v), col("term").as(s"__f_$v")),
               Seq(v), "left_outer")
           def termOfT(name: String): Column =
-            if (present.contains(name)) col(s"__f_$name") else nullTerm
+            if (present.contains(name) && !name.startsWith("__ex_"))
+              col(s"__f_$name") else nullTerm
           def boundOfT(name: String): Column =
             if (present.contains(name)) col(name).isNotNull
             else functions.lit(false)
@@ -778,6 +921,82 @@ object BgpCompiler {
             present.map(v => col(v) <=> col(s"__k_$v")).reduce(_ && _),
             "left_semi")
         }
+    }
+  }
+
+  /** Does a filter tree contain an EXISTS leaf (under AND/OR/NOT)? */
+  private def containsExists(f: FilterExpr): Boolean = f match {
+    case _: FilterExists => true
+    case FilterAnd(es)   => es.exists(containsExists)
+    case FilterOr(es)    => es.exists(containsExists)
+    case FilterNot(e)    => containsExists(e)
+    case _               => false
+  }
+
+  /** [[applyFilter]] with EXISTS support: each [[FilterExists]] leaf
+    * (composing under AND/OR/NOT) becomes a per-row existence MARKER
+    * column — joined on before evaluation, read via a plain BOUND
+    * atom, dropped after — so the whole three-valued machinery (dict
+    * tuple rehydration included) needs no exists-awareness beyond
+    * skipping dictionary joins on the `__ex_` columns. Correlation is
+    * decided per frame: the marker join keys are the vars the inner
+    * group shares with THIS frame (§10.2 compatibility when a shared
+    * var can be unbound on either side). */
+  private def applyFilterExists(in: BgpInput, a: DataFrame, f: FilterExpr,
+                                dict: Option[DataFrame],
+                                leftNullable: => Set[String]): DataFrame = {
+    if (!containsExists(f)) return applyFilter(a, f, dict)
+    var frame = a
+    val markers = mutable.ArrayBuffer.empty[String]
+    def attach(e: FilterExpr): FilterExpr = e match {
+      case FilterExists(innerRows) =>
+        val mk = s"__ex_${markers.size}"
+        markers += mk
+        frame = attachExistsMarker(in, frame, innerRows, mk, leftNullable)
+        FilterBound(V(mk))
+      case FilterAnd(es) => FilterAnd(es.map(attach))
+      case FilterOr(es)  => FilterOr(es.map(attach))
+      case FilterNot(x)  => FilterNot(attach(x))
+      case other         => other
+    }
+    val rewritten = attach(f)
+    applyFilter(frame, rewritten, dict).drop(markers.toSeq: _*)
+  }
+
+  /** Join a 0/1 existence marker for `innerRows` onto `frame`: the
+    * equality form left-joins the DISTINCT shared tuples of the inner
+    * solutions (at most one match per row, so the bag is preserved);
+    * when a shared var can be unbound on either side the §10.2
+    * compatibility form splits the frame into a semi/anti union
+    * instead (a non-equi left_outer against several compatible probe
+    * rows would multiply the bag). No shared vars = an uncorrelated
+    * gate (1-row broadcast probe). */
+  private def attachExistsMarker(in: BgpInput, frame: DataFrame,
+                                 innerRows: Seq[PatternRow], mk: String,
+                                 leftNullable: Set[String]): DataFrame = {
+    val inner = compile(in, innerRows)
+    val shared = inner.columns.toSeq.filter(frame.columns.contains)
+    if (shared.isEmpty)
+      frame.join(broadcast(inner.limit(1).select(functions.lit(1).as(mk))),
+        functions.lit(true), "left_outer")
+    else {
+      val innerNullable = staticMaybeNull(innerRows)
+      val anyNullable = shared.exists(c =>
+        leftNullable.contains(c) || innerNullable.contains(c))
+      if (!anyNullable)
+        frame.join(inner.select(shared.map(col): _*).distinct()
+          .withColumn(mk, functions.lit(1)), shared, "left_outer")
+      else {
+        val probe = inner
+          .select(shared.map(c => col(c).as(s"__exn_$c")): _*).distinct()
+        val cond = shared.map(c =>
+          col(c).isNull || col(s"__exn_$c").isNull ||
+            col(c) === col(s"__exn_$c")).reduce(_ && _)
+        frame.join(probe, cond, "left_semi")
+          .withColumn(mk, functions.lit(1))
+          .unionByName(frame.join(probe, cond, "left_anti")
+            .withColumn(mk, functions.lit(null).cast("int")))
+      }
     }
   }
 

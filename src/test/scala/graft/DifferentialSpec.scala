@@ -48,7 +48,7 @@ object MiniInterp {
   private def cmpTerm(a: Term, op: CmpOp, t: Term): Option[Boolean] = {
     def c(x: Int): Boolean = op match {
       case Lt => x < 0; case Le => x <= 0; case Gt => x > 0
-      case Ge => x >= 0; case Neq => x != 0
+      case Ge => x >= 0; case Neq => x != 0; case Eq => x == 0
     }
     (a, t) match {
       case (null, _) | (_, null)    => None
@@ -62,14 +62,23 @@ object MiniInterp {
     }
   }
 
-  /** [[NumExpr]] evaluation — None = error (unbound/non-numeric
-    * operand, exact-zero divisor). Mirrors the engine's promotion:
-    * long op long exact int64 (wrap), ÷ always double. */
-  private def evalNum(e: NumExpr, b: Row): Option[Term] = {
+  /** [[TermExpr]] evaluation — None = error (unbound/out-of-domain
+    * operand, exact-zero divisor). Mirrors the engine's promotion
+    * (long op long exact int64 with wrap, ÷ always double) and the
+    * §17.4 function domains documented on the DSL nodes. */
+  private def evalNum(e: TermExpr, b: Row,
+                      db: Seq[(Term, Term, Term, Term)]): Option[Term] = {
     def num(t: Term): Double = t match {
       case TLong(x) => x.toDouble; case TDouble(d) => d
       case other => sys.error(s"not numeric: $other")
     }
+    def asStrKind(t: Term): Option[(String, Option[String])] = t match {
+      case TString(s)          => Some((s, None))
+      case TLangString(s, lg)  => Some((s, Some(lg)))
+      case _                   => None
+    }
+    def reStr(lex: String, lang: Option[String]): Term =
+      lang.map(TLangString(lex, _)).getOrElse(TString(lex))
     e match {
       case NVar(v) => b.getOrElse(v.name, null) match {
         case t @ (TLong(_) | TDouble(_)) => Some(t)
@@ -77,9 +86,9 @@ object MiniInterp {
       }
       case NConst(t) => Some(t)
       case NDiv(x, y) =>
-        for (a <- evalNum(x, b); c <- evalNum(y, b) if num(c) != 0.0)
+        for (a <- evalNum(x, b, db); c <- evalNum(y, b, db) if num(c) != 0.0)
           yield TDouble(num(a) / num(c))
-      case op2 =>
+      case op2: NumExpr =>
         val (x, y) = op2 match {
           case NAdd(p, q) => (p, q); case NSub(p, q) => (p, q)
           case NMul(p, q) => (p, q)
@@ -91,9 +100,71 @@ object MiniInterp {
         def opD(p: Double, q: Double): Double = op2 match {
           case _: NAdd => p + q; case _: NSub => p - q; case _ => p * q
         }
-        for (a <- evalNum(x, b); c <- evalNum(y, b)) yield (a, c) match {
+        for (a <- evalNum(x, b, db); c <- evalNum(y, b, db)) yield (a, c) match {
           case (TLong(p), TLong(q)) => TLong(opL(p, q))
           case _ => TDouble(opD(num(a), num(c)))
+        }
+      case TVar(v)   => Option(b.getOrElse(v.name, null))
+      case TConst(t) => Some(t)
+      case TStr(x) => evalNum(x, b, db).flatMap {
+        case TString(s)         => Some(TString(s))
+        case TLangString(s, _)  => Some(TString(s))
+        case TTyped(s, _)       => Some(TString(s))
+        case TLong(v)           => Some(TString(v.toString))
+        case TDate(iso)         => Some(TString(iso))
+        case TKeyword(n)        => Some(TString(n))
+        case TUri(u)            => Some(TString(u))
+        case _                  => None
+      }
+      case TLang(x) => evalNum(x, b, db).flatMap {
+        case TLangString(_, lg) => Some(TString(lg))
+        case TString(_) | TTyped(_, _) | TLong(_) | TDouble(_) |
+             TBool(_) | TDate(_) => Some(TString(""))
+        case _ => None
+      }
+      case TDatatype(x) =>
+        val xsd = "http://www.w3.org/2001/XMLSchema#"
+        evalNum(x, b, db).flatMap {
+          case TString(_)     => Some(TUri(xsd + "string"))
+          case TLangString(_, _) => Some(TUri(
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+          case TTyped(_, dt)  => Some(TUri(dt))
+          case TLong(_)       => Some(TUri(xsd + "integer"))
+          case TDouble(_)     => Some(TUri(xsd + "double"))
+          case TBool(_)       => Some(TUri(xsd + "boolean"))
+          case TDate(_)       => Some(TUri(xsd + "date"))
+          case _              => None
+        }
+      case TStrlen(x) =>
+        evalNum(x, b, db).flatMap(asStrKind).map(p => TLong(p._1.length.toLong))
+      case TSubstr(x, start, len) =>
+        evalNum(x, b, db).flatMap(asStrKind).map { case (s, lg) =>
+          val from = math.min(start - 1, s.length)
+          val sub = len match {
+            case Some(n) => s.substring(from, math.min(from + n, s.length))
+            case None    => s.substring(from)
+          }
+          reStr(sub, lg)
+        }
+      case TUcase(x) =>
+        evalNum(x, b, db).flatMap(asStrKind)
+          .map { case (s, lg) => reStr(s.toUpperCase, lg) }
+      case TLcase(x) =>
+        evalNum(x, b, db).flatMap(asStrKind)
+          .map { case (s, lg) => reStr(s.toLowerCase, lg) }
+      case TConcat(es) =>
+        val vs = es.map(x => evalNum(x, b, db))
+        if (vs.forall(_.exists(_.isInstanceOf[TString])))
+          Some(TString(vs.flatten.collect { case TString(s) => s }.mkString))
+        else None
+      case TIf(cond, t, f) => evalFilter(cond, b, db) match {
+        case Some(true)  => evalNum(t, b, db)
+        case Some(false) => evalNum(f, b, db)
+        case None        => None
+      }
+      case TCoalesce(es) =>
+        es.iterator.map(x => evalNum(x, b, db)).collectFirst {
+          case Some(t) => t
         }
     }
   }
@@ -101,30 +172,53 @@ object MiniInterp {
   /** [[FilterExpr]] evaluation against one solution row — SPARQL
     * §17.2 three-valued semantics, the independent model the Spark
     * engine's SQL-NULL formulation is checked against. */
-  private def evalFilter(f: FilterExpr, b: Row): Option[Boolean] = f match {
+  private def evalFilter(f: FilterExpr, b: Row,
+                         db: Seq[(Term, Term, Term, Term)]): Option[Boolean] = f match {
     case FilterCmp(v, op, t) => cmpTerm(b.getOrElse(v.name, null), op, t)
     case FilterArith(x, op, y) =>
-      (evalNum(x, b), evalNum(y, b)) match {
+      (evalNum(x, b, db), evalNum(y, b, db)) match {
         case (Some(a), Some(c)) => cmpTerm(a, op, c)
         case _ => None
       }
     case FilterVarCmp(x, op, y) =>
       cmpTerm(b.getOrElse(x.name, null), op, b.getOrElse(y.name, null))
     case FilterBound(v) => Some(b.getOrElse(v.name, null) != null)
+    case FilterStrStarts(e, p) => evalStr2(e, p, b, db)(_.startsWith(_))
+    case FilterStrEnds(e, p)   => evalStr2(e, p, b, db)(_.endsWith(_))
+    case FilterContains(e, p)  => evalStr2(e, p, b, db)(_.contains(_))
+    case FilterExists(rows) =>
+      // §10.2-compatible existence: never errors; a shared var unbound
+      // on either side constrains nothing
+      val inner = solveQuads(db, rows)
+      Some(inner.rows.exists(ir => inner.cols.forall { c =>
+        val x = b.getOrElse(c, null); val y = ir.getOrElse(c, null)
+        x == null || y == null || x == y
+      }))
     case FilterRegex(v, p) => b.getOrElse(v.name, null) match {
       case TString(s) => Some(p.r.findFirstIn(s).isDefined)
       case _          => None
     }
     case FilterAnd(es) =>
-      val vs = es.map(evalFilter(_, b))
+      val vs = es.map(evalFilter(_, b, db))
       if (vs.contains(Some(false))) Some(false)
       else if (vs.contains(None)) None else Some(true)
     case FilterOr(es) =>
-      val vs = es.map(evalFilter(_, b))
+      val vs = es.map(evalFilter(_, b, db))
       if (vs.contains(Some(true))) Some(true)
       else if (vs.contains(None)) None else Some(false)
-    case FilterNot(e) => evalFilter(e, b).map(!_)
+    case FilterNot(e) => evalFilter(e, b, db).map(!_)
   }
+
+  /** STRSTARTS/STRENDS/CONTAINS domain: arg1 string or lang-string,
+    * arg2 a plain string — else error (mirrors the engine). */
+  private def evalStr2(e: TermExpr, arg: TermExpr, b: Row,
+      db: Seq[(Term, Term, Term, Term)])(
+      p: (String, String) => Boolean): Option[Boolean] =
+    (evalNum(e, b, db), evalNum(arg, b, db)) match {
+      case (Some(TString(a)), Some(TString(x)))        => Some(p(a, x))
+      case (Some(TLangString(a, _)), Some(TString(x))) => Some(p(a, x))
+      case _                                           => None
+    }
 
   private def closeSet(e: Set[(Term, Term)]): Set[(Term, Term)] = {
     var all = e
@@ -311,7 +405,7 @@ object MiniInterp {
           })
           .map(c => merged(b, c))
           .filter(mr => outerFilters.forall {
-            case f: FilterExpr => evalFilter(f, mr).contains(true)
+            case f: FilterExpr => evalFilter(f, mr, db).contains(true)
             case _             => true
           })
         if (matches.isEmpty)
@@ -328,13 +422,13 @@ object MiniInterp {
     // order; errors leave the var unbound, the row stays)
     for (bd <- rows.collect { case b: Bind => b })
       acc = Rel(acc.cols + bd.as.name,
-        acc.rows.map(r => r + (bd.as.name -> evalNum(bd.expr, r).orNull)))
+        acc.rows.map(r => r + (bd.as.name -> evalNum(bd.expr, r, db).orNull)))
 
     // value filters run AFTER the group's optional fold (SPARQL §18.5
     // evaluation order): per-row three-valued evaluation, only TRUE
     // keeps the row (errors — unbound/cross-family — drop it)
     for (f <- filters)
-      acc = Rel(acc.cols, acc.rows.filter(b => evalFilter(f, b) == Some(true)))
+      acc = Rel(acc.cols, acc.rows.filter(b => evalFilter(f, b, db) == Some(true)))
 
     Rel(acc.cols -- markers, acc.rows.map(_ -- markers))
   }
@@ -406,16 +500,45 @@ object DifferentialProps extends Properties("differential") {
         NAdd(_, _), NSub(_, _), NMul(_, _), NDiv(_, _)))
     } yield f(a, b)))
 
+  // §17.4 term-function expressions: leaves are vars (any kind — the
+  // objs pool mixes strings/longs/keywords/nil/doubles/opaques, so
+  // every domain-error path fires) and string/lang-string constants;
+  // one composition level covers STR-of-UCASE etc. via the nested
+  // frequency
+  val genTermLeaf: Gen[TermExpr] = Gen.frequency(
+    3 -> Gen.oneOf(varNames).map(v => TVar(V(v)): TermExpr),
+    1 -> Gen.oneOf[TermExpr](TConst(TString("x")), TConst(TString("X")),
+      TConst(TLangString("x", "en")), TConst(TLong(1))))
+  val genTermFn: Gen[TermExpr] = {
+    def fn(inner: Gen[TermExpr]): Gen[TermExpr] = for {
+      x <- inner
+      f <- Gen.oneOf[TermExpr => TermExpr](
+        TStr(_), TLang(_), TDatatype(_), TStrlen(_), TUcase(_), TLcase(_),
+        TSubstr(_, 1, Some(1)), TSubstr(_, 2, None))
+    } yield f(x)
+    Gen.frequency(
+      2 -> genTermLeaf,
+      3 -> fn(genTermLeaf),
+      1 -> fn(fn(genTermLeaf)),
+      1 -> Gen.listOfN(2, genTermLeaf).map(TConcat(_): TermExpr),
+      1 -> Gen.listOfN(2, genTermLeaf).map(TCoalesce(_): TermExpr))
+  }
+
   val genFilterAtom: Gen[FilterExpr] = Gen.frequency(
     3 -> (for {
       v <- Gen.oneOf(varNames)
-      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq, Eq)
       t <- Gen.oneOf[Term](TLong(1), TDouble(2.5), TString("x"))
     } yield FilterCmp(V(v), op, t): FilterExpr),
     2 -> (for {
       a <- genNumExpr
-      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq)
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq, Eq)
       b <- genNumExpr
+    } yield FilterArith(a, op, b): FilterExpr),
+    2 -> (for {
+      a <- genTermFn
+      op <- Gen.oneOf(Lt, Le, Gt, Ge, Neq, Eq)
+      b <- genTermFn
     } yield FilterArith(a, op, b): FilterExpr),
     2 -> (for {
       a <- Gen.oneOf(varNames)
@@ -423,6 +546,14 @@ object DifferentialProps extends Properties("differential") {
       b <- Gen.oneOf(varNames)
     } yield FilterVarCmp(V(a), op, V(b)): FilterExpr),
     2 -> Gen.oneOf(varNames).map(v => FilterBound(V(v)): FilterExpr),
+    1 -> (for {
+      a <- genTermFn
+      b <- Gen.frequency(
+        2 -> Gen.oneOf[TermExpr](TConst(TString("x")), TConst(TString("X"))),
+        1 -> genTermLeaf)
+      f <- Gen.oneOf[(TermExpr, TermExpr) => FilterExpr](
+        FilterStrStarts(_, _), FilterStrEnds(_, _), FilterContains(_, _))
+    } yield f(a, b): FilterExpr),
     1 -> (for {
       v <- Gen.oneOf(varNames)
       p <- Gen.oneOf("^x", "y$", "[ab]", "x|z")
@@ -435,6 +566,23 @@ object DifferentialProps extends Properties("differential") {
     1 -> genFilterAtom.map(FilterNot(_): FilterExpr))
 
   val genFilter: Gen[PatternRow] = genFilterExpr.map(f => f: PatternRow)
+
+  // EXISTS leaves compose under AND/OR/NOT at the GROUP level only
+  // (inside an optional they are legal when clause-contained; the
+  // outer-ref-condition case refuses loudly, so the optional
+  // generator keeps the exists-free genFilter)
+  val genExistsAtom: Gen[FilterExpr] = for {
+    n <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(n, genPattern)
+  } yield FilterExists(pats)
+  val genFilterTop: Gen[PatternRow] = Gen.frequency(
+    4 -> genFilter,
+    1 -> genExistsAtom.map(f => f: PatternRow),
+    1 -> genExistsAtom.map(f => FilterNot(f): PatternRow),
+    1 -> (for { e <- genExistsAtom; a <- genFilterAtom
+          } yield FilterOr(Seq(a, FilterNot(e))): PatternRow),
+    1 -> (for { e1 <- genExistsAtom; e2 <- genExistsAtom
+          } yield FilterAnd(Seq(e1, FilterNot(e2))): PatternRow))
 
   // negation inner groups may carry their own filters (group-scoped:
   // the inner compile evaluates them against the inner solutions)
@@ -491,7 +639,7 @@ object DifferentialProps extends Properties("differential") {
     nNeg <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
     negs <- Gen.listOfN(nNeg, genNegation)
     nFil <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 2)
-    fils <- Gen.listOfN(nFil, genFilter)
+    fils <- Gen.listOfN(nFil, genFilterTop)
   } yield pats ++ vals ++ tbls ++ opts ++ negs ++ fils).suchThat(_.nonEmpty)
 
   // leg-1 superset: BIND rows (struct stores only — the dict leg
@@ -499,10 +647,20 @@ object DifferentialProps extends Properties("differential") {
   // Fresh target "vb" (outside varNames) + one bind max = no
   // duplicate-target conflicts; filters over ?vb arrive via the
   // nowhere-bound var paths of genFilter.
+  // BIND expressions now span the §17.4 surface: numeric ops, string
+  // functions, IF (with a full three-valued condition), COALESCE
+  val genBindExpr: Gen[TermExpr] = Gen.frequency(
+    2 -> genNumExpr.map(e => e: TermExpr),
+    2 -> genTermFn,
+    1 -> (for { c <- genFilterAtom; t <- genTermFn; f <- genTermFn }
+      yield TIf(c, t, f): TermExpr),
+    1 -> (for { a <- genNumExpr; b <- genTermFn }
+      yield TCoalesce(Seq(a, b)): TermExpr))
+
   val genQueryBind: Gen[Seq[PatternRow]] = for {
     q <- genQuery
     nBind <- Gen.choose(0, 1)
-    bs <- Gen.listOfN(nBind, genNumExpr.map(e => Bind(e, V("vb")): PatternRow))
+    bs <- Gen.listOfN(nBind, genBindExpr.map(e => Bind(e, V("vb")): PatternRow))
   } yield q ++ bs
 
   private[graft] def canon(rel: MiniInterp.Rel): Map[Seq[String], Int] = {

@@ -562,6 +562,105 @@ class SelectSpec extends GraftSpec {
     }
   }
 
+  test("§17.4 function library: STR/LANG/DATATYPE dispatch + domain " +
+      "errors, SUBSTR/UCASE preserve lang tags, CONCAT strings-only, " +
+      "IF error-condition, COALESCE default idiom, IN sugar") {
+    val lab = k("label"); val amt = k("amt")
+    val d = db(
+      (k("a"), lab, TLangString("Hallo", "de")),
+      (k("b"), lab, s("plain")),
+      (k("c"), lab, TTyped("42", "http://www.w3.org/2001/XMLSchema#byte")),
+      (k("d"), lab, TDouble(1.5)), // STR/strfns error on doubles (no lex)
+      (k("a"), amt, TLong(5)))
+    def one(e: TermExpr): Map[Seq[graft.core.Term], Int] =
+      bag(d, Seq(?("x"), ?("r")), Seq(
+        pat(?("x"), T(lab), ?("l")),
+        Bind(e, ?("r"))))
+    // STR: lexical form; doubles have no canonical lexical → unbound
+    assert(one(TStr(TVar(?("l")))) == Map(
+      Seq(k("a"), s("Hallo")) -> 1, Seq(k("b"), s("plain")) -> 1,
+      Seq(k("c"), s("42")) -> 1, Seq(k("d"), null) -> 1))
+    // LANG: tag, "" for plain/typed literals and value kinds
+    assert(one(TLang(TVar(?("l")))) == Map(
+      Seq(k("a"), s("de")) -> 1, Seq(k("b"), s("")) -> 1,
+      Seq(k("c"), s("")) -> 1, Seq(k("d"), s("")) -> 1))
+    // DATATYPE as URI terms
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert(one(TDatatype(TVar(?("l")))) == Map(
+      Seq(k("a"), TUri("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")) -> 1,
+      Seq(k("b"), TUri(xsd + "string")) -> 1,
+      Seq(k("c"), TUri(xsd + "byte")) -> 1,
+      Seq(k("d"), TUri(xsd + "double")) -> 1))
+    // SUBSTR keeps the language tag; STRLEN counts characters; UCASE
+    assert(one(TSubstr(TVar(?("l")), 1, Some(2))) == Map(
+      Seq(k("a"), TLangString("Ha", "de")) -> 1,
+      Seq(k("b"), s("pl")) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    assert(one(TStrlen(TVar(?("l")))) == Map(
+      Seq(k("a"), TLong(5)) -> 1, Seq(k("b"), TLong(5)) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    assert(one(TUcase(TVar(?("l")))) == Map(
+      Seq(k("a"), TLangString("HALLO", "de")) -> 1,
+      Seq(k("b"), s("PLAIN")) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    // CONCAT: all-plain-string domain (lang-string participant = error)
+    assert(one(TConcat(Seq(TConst(s("v=")), TStr(TVar(?("l")))))) == Map(
+      Seq(k("a"), s("v=Hallo")) -> 1, Seq(k("b"), s("v=plain")) -> 1,
+      Seq(k("c"), s("v=42")) -> 1, Seq(k("d"), null) -> 1))
+    assert(one(TConcat(Seq(TConst(s("v=")), TVar(?("l"))))) == Map(
+      Seq(k("a"), null) -> 1, Seq(k("b"), s("v=plain")) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    // IF: three-valued condition — an ERROR condition is an error
+    // (?m is bound only for a, so the comparison errors elsewhere)
+    val ifE = bag(d, Seq(?("x"), ?("r")), Seq(
+      pat(?("x"), T(lab), ?("l")),
+      Optional(Seq(pat(?("x"), T(amt), ?("m")))),
+      Bind(TIf(FilterCmp(?("m"), Gt, TLong(3)),
+        TConst(s("big")), TConst(s("small"))), ?("r"))))
+    assert(ifE == Map(
+      Seq(k("a"), s("big")) -> 1,
+      Seq(k("b"), null) -> 1, Seq(k("c"), null) -> 1,
+      Seq(k("d"), null) -> 1))
+    // COALESCE rescues the error/unbound to the default
+    val coal = bag(d, Seq(?("x"), ?("r")), Seq(
+      pat(?("x"), T(lab), ?("l")),
+      Optional(Seq(pat(?("x"), T(amt), ?("m")))),
+      Bind(TCoalesce(Seq(NVar(?("m")), NConst(TLong(0)))), ?("r"))))
+    assert(coal == Map(
+      Seq(k("a"), TLong(5)) -> 1,
+      Seq(k("b"), TLong(0)) -> 1, Seq(k("c"), TLong(0)) -> 1,
+      Seq(k("d"), TLong(0)) -> 1))
+    // STRSTARTS/CONTAINS domains; IN = Eq OR-chain
+    val sw = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("l")),
+      FilterStrStarts(TVar(?("l")), TConst(s("Ha")))))
+    assert(sw == Map(Seq(k("a")) -> 1)) // lang-string arg1 is legal
+    val inQ = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("l")),
+      FilterIn(?("l"), Seq(s("plain"), s("nope")))))
+    assert(inQ == Map(Seq(k("b")) -> 1))
+    // dict leg: UCASE equality runs the dictionary fast path; a
+    // COALESCE filter must NOT take it (it can be true on unbound)
+    val dd = db(
+      (k("a"), lab, s("hey")), (k("b"), lab, s("HEY")),
+      (k("a"), amt, TLong(1))).dictEncode()
+    try {
+      def dsel(rows: Seq[PatternRow]): Set[graft.core.Term] =
+        Projections.selectDf(dd, rows, Seq(?("x")))
+          .collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+      assert(dsel(Seq(
+        pat(?("x"), T(lab), ?("l")),
+        FilterArith(TUcase(TVar(?("l"))), Eq, TConst(s("HEY"))))) ==
+        Set(k("a"), k("b")))
+      assert(dsel(Seq(
+        pat(?("x"), T(lab), ?("l")),
+        Optional(Seq(pat(?("x"), T(amt), ?("m")))),
+        FilterArith(TCoalesce(Seq(NVar(?("m")), NConst(TLong(9)))),
+          Gt, NConst(TLong(5))))) ==
+        Set(k("b"))) // b's ?m unbound → COALESCE 9 > 5 keeps it; a's 1 drops
+    } finally dd.unpersist()
+  }
+
   test("§10.2 compatibility on UNDEF-nullable vars (round-12 advice): " +
       "second VALUES table merges, optional keys extend, NOT EXISTS " +
       "removes, MINUS keeps dom-disjoint rows") {
@@ -674,6 +773,89 @@ class SelectSpec extends GraftSpec {
         Seq(k("a"), TLong(5), TLong(6)),
         Seq(k("b"), TLong(7), null)))
     } finally dd.unpersist()
+  }
+
+  test("EXISTS as a FILTER leaf (§17.4.1.4): composes under OR/NOT/AND, " +
+      "!EXISTS ≡ NotExists row, uncorrelated gate, nullable-shared " +
+      "compat, bag preserved, dict leg, loud refusals") {
+    val knows = k("knows"); val lab = k("label"); val amt = k("amt")
+    val d = db(
+      (k("a"), lab, s("A")), (k("b"), lab, s("B")), (k("c"), lab, s("C")),
+      (k("a"), knows, k("b")), (k("b"), knows, k("c")),
+      (k("a"), amt, TLong(5)), (k("c"), amt, TLong(9)))
+    // plain correlated EXISTS ≡ a semi join on the shared var
+    val ex = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("n")),
+      FilterExists(Seq(pat(?("x"), T(knows), ?("y"))))))
+    assert(ex == Map(Seq(k("a")) -> 1, Seq(k("b")) -> 1))
+    // !EXISTS as the whole filter ≡ the NotExists row
+    val notEx = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("n")),
+      FilterNot(FilterExists(Seq(pat(?("x"), T(knows), ?("y")))))))
+    val notExRow = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("n")),
+      NotExists(Seq(pat(?("x"), T(knows), ?("y"))))))
+    assert(notEx == Map(Seq(k("c")) -> 1) && notEx == notExRow)
+    // composition the row form cannot express: keep if it has an amt
+    // OR knows nobody
+    val orEx = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("n")),
+      FilterOr(Seq(
+        FilterExists(Seq(pat(?("x"), T(amt), ?("m")))),
+        FilterNot(FilterExists(Seq(pat(?("x"), T(knows), ?("y")))))))))
+    assert(orEx == Map(Seq(k("a")) -> 1, Seq(k("c")) -> 1))
+    // uncorrelated EXISTS = a group-wide gate; bag multiplicity rides
+    val gate = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("n")),
+      FilterExists(Seq(pat(?("z"), T(amt), T(TLong(9)))))))
+    assert(gate.values.sum == 3)
+    val gateOff = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("n")),
+      FilterExists(Seq(pat(?("z"), T(amt), T(TLong(99)))))))
+    assert(gateOff.isEmpty)
+    // a nullable shared var (optional-bound) takes the compat split:
+    // unbound ?m is compatible with ANY inner amt row → exists
+    val compat = bag(d, Seq(?("x"), ?("m")), Seq(
+      pat(?("x"), T(lab), ?("n")),
+      Optional(Seq(pat(?("x"), T(amt), ?("m")))),
+      FilterExists(Seq(pat(?("z"), T(amt), ?("m"))))))
+    assert(compat == Map(
+      Seq(k("a"), TLong(5)) -> 1,  // amt 5 exists
+      Seq(k("b"), null) -> 1,      // unbound compatible with any amt
+      Seq(k("c"), TLong(9)) -> 1))
+    // dict leg: marker columns never touch the dictionary
+    val dd = d.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(
+        pat(?("x"), T(lab), ?("n")),
+        FilterOr(Seq(
+          FilterExists(Seq(pat(?("x"), T(amt), ?("m")))),
+          FilterNot(FilterExists(Seq(pat(?("x"), T(knows), ?("y")))))))),
+        Seq(?("x"))).collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+      assert(got == Set(k("a"), k("c")))
+    } finally dd.unpersist()
+    // loud refusals: EXISTS in HAVING and in BIND expressions
+    intercept[InvalidBgp] {
+      Projections.having(
+        Projections.aggregated(
+          Projections.selectDf(d, Seq(pat(?("x"), T(lab), ?("n"))), Seq(?("n"))),
+          Seq(?("n")), Seq(Agg(AggCount, None, ?("ct")))),
+        FilterExists(Seq(pat(?("z"), T(amt), ?("m"))))).collect()
+    }
+    intercept[InvalidBgp] {
+      bag(d, Seq(?("x"), ?("r")), Seq(
+        pat(?("x"), T(lab), ?("n")),
+        Bind(TIf(FilterExists(Seq(pat(?("x"), T(knows), ?("y")))),
+          TConst(s("yes")), TConst(s("no"))), ?("r"))))
+    }
+    intercept[InvalidBgp] {
+      bag(d, Seq(?("x")), Seq(
+        pat(?("x"), T(lab), ?("n")),
+        Optional(Seq(
+          pat(?("x"), T(knows), ?("y")),
+          FilterOr(Seq(FilterBound(?("n")),
+            FilterExists(Seq(pat(?("q"), T(amt), ?("w"))))))))))
+    }
   }
 
   test("BIND + arithmetic: exact int64 ops past 2^53, promotion, " +
