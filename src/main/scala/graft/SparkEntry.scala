@@ -1575,6 +1575,41 @@ object SparkEntry {
         "c", "seg", "n")
     }),
 
+    // ---- CONSTRUCT INTO NAMED GRAPHS: quad templates materialize
+    //      query results INTO per-nation graphs; a graph-scoped BGP
+    //      over the CONSTRUCTED store must equal the direct query —
+    //      the scoping is observable in the answer, not just the plan ----
+    "q172_construct_graph" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      val built = Projections.constructQuads(db, Seq(
+        (V("c"), T(TKeyword("in_segment")), V("seg"), V("n"))), Seq(
+        pat(V("c"), kw("c_mktsegment"), V("seg")),
+        pat(V("c"), kw("c_nationkey"), V("n"))))
+      Projections.selectDf(built, Seq(
+        QuadPattern(V("c"), T(TKeyword("in_segment")), V("seg"),
+          T(TUri("nation/3")))),
+        Seq(V("c"), V("seg")))
+        .select(enc("c"), enc("seg"))
+    }),
+
+    // ---- SUBQUERY (SPARQL §12): each nation's max-balance supplier —
+    //      the inner SELECT aggregates independently, joins the outer
+    //      group on ?n, and the filter pins the supplier AT the max.
+    //      MAX picks an EXISTING double, so Eq replays exactly ----
+    "q171_subselect" -> ((sp, dir) => {
+      val db = Tables.supplierDb(sp, dir)
+      sel(db, Seq(
+        pat(V("s"), kw("s_nationkey"), V("n")),
+        pat(V("s"), kw("s_acctbal"), V("b")),
+        SubSelect(Seq(V("n"), V("mx")), Seq(
+          pat(V("s2"), kw("s_nationkey"), V("n")),
+          pat(V("s2"), kw("s_acctbal"), V("b2"))),
+          groupBy = Seq(V("n")),
+          aggs = Seq(Agg(AggMax, Some(V("b2")), V("mx")))),
+        FilterVarCmp(V("b"), Eq, V("mx"))),
+        "s", "n", "b")
+    }),
+
     // ---- EXISTS as a FILTER-expression LEAF (§17.4.1.4), composing
     //      under OR/NOT — inexpressible with the row-level NotExists:
     //      customers with NO urgent order OR at least one open one.
@@ -3031,6 +3066,23 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // constructing into per-nation graphs then scoping to nation/3
+    // ≡ filtering the source relation on the nation key
+    "q172_construct_graph" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_mktsegment AS seg
+        |FROM customer WHERE c_nationkey = 3""".stripMargin,
+
+    // the subquery ≡ a grouped derived table; the at-the-max filter
+    // compares the identical parquet double both engines read
+    "q171_subselect" ->
+      """SELECT 'u|supplier/' || s_suppkey AS s,
+        |  'u|nation/' || s_nationkey AS n,
+        |  'd|' || printf('%.2f', s_acctbal) AS b
+        |FROM supplier
+        |JOIN (SELECT s_nationkey AS nk, max(s_acctbal) AS mx
+        |      FROM supplier GROUP BY 1) m
+        |  ON s_nationkey = m.nk AND s_acctbal = m.mx""".stripMargin,
 
     // EXISTS-in-expression ≡ SQL EXISTS in WHERE, same composition
     "q170_filter_exists" ->

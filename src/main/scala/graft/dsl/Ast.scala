@@ -201,6 +201,46 @@ final case class Optional(rows: Seq[PatternRow]) extends PatternRow {
   def vars: Seq[V] = rows.flatMap(_.vars).distinct
 }
 
+/** `{ SELECT … }` — a SUBQUERY as a pattern row (SPARQL §12): the
+  * inner group evaluates bottom-up and INDEPENDENTLY (aggregates →
+  * HAVING → modifiers → projection to `proj`), then joins the
+  * enclosing group on whatever projected vars are shared — the
+  * "join each nation to its max-balance supplier" composition that
+  * needs aggregation INSIDE a query. Only `proj` is visible outside
+  * (§12.4 variable scoping). A projected aggregate can be UNBOUND
+  * (an error group), so the enclosing join uses §10.2 compatibility
+  * when that can happen.
+  *
+  * Aggregate/modifier semantics are exactly
+  * [[graft.engine.Projections.aggregated]] / `.modified`'s (see the
+  * [[AggFn]] tags); `orderBy` inside a subquery is global to the
+  * subquery per the SPARQL algebra (Slice ∘ OrderBy ∘ Project).
+  * DICT stores evaluate the inner pipeline over decoded terms and
+  * re-encode the projection by the pure term hash — which round-trips
+  * only for terms the store (or its values collections) can supply,
+  * so dict groups accept the VALUE-PRESERVING aggregates
+  * (MIN/MAX/SAMPLE) and refuse SUM/COUNT/AVG/GROUP_CONCAT loudly
+  * (a computed term the dictionary never issued cannot ride an
+  * 8-byte id frame — the same principle as in-group BIND). */
+final case class SubSelect(proj: Seq[V], rows: Seq[PatternRow],
+                           groupBy: Seq[V] = Nil, aggs: Seq[Agg] = Nil,
+                           having: Option[FilterExpr] = None,
+                           orderBy: Seq[OrderKey] = Nil,
+                           limit: Int = -1, offset: Int = 0,
+                           distinct: Boolean = false) extends PatternRow {
+  if (proj.isEmpty) throw new InvalidBgp("subquery must project >= 1 var")
+  if (rows.isEmpty) throw new InvalidBgp("subquery needs a group")
+  if (aggs.isEmpty && (groupBy.nonEmpty || having.nonEmpty))
+    throw new InvalidBgp("GROUP BY / HAVING need aggregates")
+  if (aggs.nonEmpty) {
+    val visible = (groupBy ++ aggs.map(_.as)).map(_.name).toSet
+    val bad = proj.filterNot(v => visible.contains(v.name))
+    if (bad.nonEmpty) throw new InvalidBgp(
+      s"subquery projects non-grouped vars: ${bad.map(_.name).mkString(", ")}")
+  }
+  def vars: Seq[V] = proj
+}
+
 /** `FILTER NOT EXISTS { ... }` (SPARQL 1.1 §8.1) — drop every
   * REQUIRED solution for which the inner group matches (correlation =
   * the variables shared with the required solution set; with no
@@ -565,7 +605,8 @@ object Bgp {
   def requiredVars(rows: Seq[PatternRow]): Seq[V] =
     rows.collect { case r: TriplePattern => r; case r: QuadPattern => r
                    case r: PathPattern => r; case r: QuadPathPattern => r
-                   case r: Values => r; case r: ValuesTable => r }
+                   case r: Values => r; case r: ValuesTable => r
+                   case r: SubSelect => r }
       .flatMap(_.vars).distinct
 
   def optionalVars(rows: Seq[PatternRow]): Seq[V] = {
@@ -585,6 +626,7 @@ object Bgp {
     case Values(_, coll)      => coll.toSeq
     case ValuesTable(_, trs)  => trs.flatten.flatten
     case Optional(inner)      => valuesTerms(inner)
+    case ss: SubSelect        => valuesTerms(ss.rows)
     case _                    => Nil
   }
 }

@@ -101,6 +101,7 @@ object BgpCompiler {
       rows.collect { case p: PathPattern => p; case q: QuadPathPattern => q }
     val values = rows.collect { case v: Values => v }
     val valuesTables = rows.collect { case vt: ValuesTable => vt }
+    val subSelects = rows.collect { case ss: SubSelect => ss }
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
@@ -185,6 +186,43 @@ object BgpCompiler {
           else Some(a.crossJoin(frame))
       }
       bound ++= pp.vars.map(_.name)
+      applyBoundValues()
+    }
+
+    // ---- subqueries (SPARQL §12): each inner SELECT evaluates
+    // independently (aggregate → having → modifiers → projection),
+    // then joins the fold on its projected vars. A projected
+    // AGGREGATE can be unbound (error group), so shared vars that can
+    // be null join by §10.2 compatibility with a coalesce merge —
+    // same form as the values tables below. ----
+    for (ss <- subSelects) {
+      val frame = subSelectFrame(in, ss)
+      val ssNullable: Set[String] = subSelectMaybeNull(ss)
+      val preCols: Set[String] = acc.map(_.columns.toSet).getOrElse(Set.empty)
+      val shared = ss.proj.map(_.name).filter(preCols.contains)
+      val anyNullable =
+        shared.exists(c => ssNullable.contains(c) || maybeNullVals.contains(c))
+      acc = acc match {
+        case None => Some(frame)
+        case Some(a) =>
+          if (shared.isEmpty) Some(a.crossJoin(frame))
+          else if (!anyNullable) Some(a.join(frame, shared, "inner"))
+          else {
+            var t = frame
+            for (v <- shared) t = t.withColumnRenamed(v, s"__sq_$v")
+            val cond = shared.map(v =>
+              col(s"__sq_$v").isNull || col(v).isNull ||
+                col(s"__sq_$v") === col(v)).reduce(_ && _)
+            var joined = a.join(t, cond, "inner")
+            for (v <- shared)
+              joined = joined.withColumn(v,
+                coalesce(col(v), col(s"__sq_$v")))
+            Some(joined.drop(shared.map(v => s"__sq_$v"): _*))
+          }
+      }
+      maybeNullVals ++= ss.proj.map(_.name)
+        .filterNot(preCols.contains).filter(ssNullable.contains)
+      bound ++= ss.proj.map(_.name)
       applyBoundValues()
     }
 
@@ -924,6 +962,96 @@ object BgpCompiler {
     }
   }
 
+  /** Projected subquery vars that can be UNBOUND per row: aggregate
+    * results (error groups / empty-group MIN-MAX), plus any projected
+    * group key or plain var the inner group itself can leave null. */
+  private def subSelectMaybeNull(ss: SubSelect): Set[String] = {
+    val innerNullable = staticMaybeNull(ss.rows)
+    val aggTargets = ss.aggs.map(_.as.name).toSet
+    ss.proj.map(_.name).filter(n =>
+      aggTargets.contains(n) || innerNullable.contains(n)).toSet
+  }
+
+  /** Evaluate a [[SubSelect]] to its projected frame in the store's
+    * key representation. Struct/quad stores: compile → aggregate →
+    * HAVING → modifiers → project, all on term structs. Dict stores:
+    * the inner pipeline runs over DECODED terms (aggregates order by
+    * VALUE, which 8-byte hashes cannot), then the projection
+    * re-encodes by the pure term hash — sound only for terms the
+    * dictionary can later rehydrate, hence the value-preserving
+    * aggregate restriction (MIN/MAX/SAMPLE; documented on the DSL
+    * node). */
+  private def subSelectFrame(in: BgpInput, ss: SubSelect): DataFrame = {
+    val sol = compile(in, ss.rows)
+    val needed = (ss.proj ++ ss.groupBy ++ ss.aggs.flatMap(_.v) ++
+      ss.orderBy.map(_.v)).map(_.name).distinct
+    val termSol = in.dict match {
+      case None => padCols(sol, needed, Term.schema)
+      case Some(_) =>
+        val badAggs = ss.aggs.filterNot(a =>
+          a.fn == AggMin || a.fn == AggMax || a.fn == AggSample)
+        if (badAggs.nonEmpty) throw new InvalidBgp(
+          "subquery aggregates over a dict store must be " +
+            "value-preserving (MIN/MAX/SAMPLE) — " +
+            s"${badAggs.map(_.fn).mkString(", ")} compute terms the " +
+            "dictionary never issued, which cannot ride an id frame; " +
+            "run the composition over decoded frames " +
+            "(Projections.selectDf + aggregated) instead")
+        val padded = padCols(sol, needed, LongType)
+        val cols = padded.columns.toSeq
+        decodeCols(dictForDecode(in, ss.rows), padded, cols)
+    }
+    val agged =
+      if (ss.aggs.isEmpty) termSol
+      else Projections.aggregated(termSol, ss.groupBy, ss.aggs)
+    val haved = ss.having.fold(agged)(f => applyFilter(agged, f, None))
+    val modified = Projections.modified(haved, ss.orderBy, ss.limit,
+      ss.offset, ss.distinct)
+    val projected = modified.select(ss.proj.map(v => col(v.name)): _*)
+    in.dict match {
+      case None => projected
+      case Some(_) =>
+        projected.select(ss.proj.map(v =>
+          when(col(v.name).isNull,
+            functions.lit(null).cast(LongType))
+            .otherwise(DictDb.idOf(col(v.name))).as(v.name)): _*)
+    }
+  }
+
+  /** Pad vars the inner compile never bound with NULL columns of the
+    * store's key type (the selectDf padding rule, §2.1 row 5). */
+  private def padCols(sol: DataFrame, needed: Seq[String],
+                      tpe: org.apache.spark.sql.types.DataType): DataFrame =
+    needed.filterNot(sol.columns.contains).foldLeft(sol)((d, v) =>
+      d.withColumn(v, functions.lit(null).cast(tpe)))
+
+  /** The decode dictionary for a dict-store subquery: dict ∪ the
+    * group's values terms (a generator can bind terms the store never
+    * issued — the decodeWith extraTerms rule). */
+  private def dictForDecode(in: BgpInput, rows: Seq[PatternRow]): DataFrame = {
+    val d = in.dict.get
+    val extras = Bgp.valuesTerms(rows).distinct
+    if (extras.isEmpty) d
+    else d.unionByName(DictDb.termDf(d.sparkSession, extras))
+      .dropDuplicates("id")
+  }
+
+  /** Rehydrate id columns to term structs against a dictionary frame
+    * (the engine-side twin of DictDb.decode, for subquery pipelines
+    * that aggregate mid-plan). NULL ids stay NULL structs. */
+  private def decodeCols(dict: DataFrame, df: DataFrame,
+                         cols: Seq[String]): DataFrame = {
+    var out = df
+    for (v <- cols) {
+      val d = dict.select(col("id").as(s"__did_$v"), col("term").as(s"__dt_$v"))
+        .hint("shuffle_hash")
+      out = out.join(d, out.col(v) === col(s"__did_$v"), "left_outer")
+        .drop(v).drop(s"__did_$v")
+        .withColumnRenamed(s"__dt_$v", v)
+    }
+    out.select(cols.map(col): _*)
+  }
+
   /** Does a filter tree contain an EXISTS leaf (under AND/OR/NOT)? */
   private def containsExists(f: FilterExpr): Boolean = f match {
     case _: FilterExists => true
@@ -1486,7 +1614,13 @@ object BgpCompiler {
       case p: PathPattern     => p.vars
       case q: QuadPathPattern => q.vars
       case v: Values          => v.vars
+      // a subquery's non-nullable projected vars bind every row
+      case ss: SubSelect      =>
+        ss.proj.filterNot(v => subSelectMaybeNull(ss).contains(v.name))
     }.flatten.map(_.name).toSet
+    val subNullable: Set[String] =
+      rows.collect { case ss: SubSelect => subSelectMaybeNull(ss) }
+        .flatten.toSet
     val undef: Set[String] = rows.collect { case vt: ValuesTable =>
       vt.vs.map(_.name).zipWithIndex.collect {
         case (n, i) if vt.rows.exists(r => r(i).isEmpty) => n
@@ -1497,7 +1631,7 @@ object BgpCompiler {
     }.flatten.toSet
     val bindVars: Set[String] =
       rows.collect { case b: Bind => b.as.name }.toSet
-    (undef ++ optVars ++ bindVars) -- scanBound
+    (undef ++ optVars ++ bindVars ++ subNullable) -- scanBound
   }
 
   /** Greedy selectivity ordering: start from the most-ground pattern, then

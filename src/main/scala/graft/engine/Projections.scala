@@ -38,14 +38,49 @@ object Projections {
     * the plan edge. Result schema and multiset are identical to the
     * struct path (DictSpec + the differential fuzzer's dict leg).
     */
-  def selectDf(db: DictDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame = {
+  def selectDf(db: DictDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame =
+    bindRouted(rows, vars, (r, v) => {
+      val sol = BgpCompiler.compileDict(db, r)
+      val missing = v.filterNot(x => sol.columns.contains(x.name))
+      val padded = missing.foldLeft(sol)((d, x) =>
+        d.withColumn(x.name, lit(null).cast(LongType)))
+      db.decode(padded.select(v.map(x => col(x.name)): _*),
+        v.map(_.name), Bgp.valuesTerms(rows))
+    })
+
+  /** The dict-store BIND route (round-12): a group with TOP-LEVEL
+    * Bind rows cannot fold them in (8-byte id frames cannot carry
+    * computed terms — [[BgpCompiler.compileDict]] stays loud for
+    * callers who ask for the id frame itself), so the query runs
+    * bind-free, DECODES, then extends per §10.1 and applies the
+    * filters that read bind targets — the same §18.5 order the
+    * in-group path honors (binds after the folds, their filters
+    * after the binds; bind-free filters stay in the fold for the
+    * scan-side plans). Binds nested in optional clauses still refuse
+    * loudly inside the recursive compile. */
+  private def bindRouted(rows: Seq[PatternRow], vars: Seq[V],
+                         run: (Seq[PatternRow], Seq[V]) => DataFrame): DataFrame = {
+    val binds = rows.collect { case b: Bind => b }
     val proj = if (vars.nonEmpty) vars else Bgp.allVars(rows)
-    val sol = BgpCompiler.compileDict(db, rows)
-    val missing = proj.filterNot(v => sol.columns.contains(v.name))
-    val padded = missing.foldLeft(sol)((d, v) =>
-      d.withColumn(v.name, lit(null).cast(LongType)))
-    db.decode(padded.select(proj.map(v => col(v.name)): _*),
-      proj.map(_.name), Bgp.valuesTerms(rows))
+    if (binds.isEmpty) return run(rows, proj)
+    val bindTargets = binds.map(_.as.name).toSet
+    val (postFilterRows, preRows) =
+      rows.filterNot(_.isInstanceOf[Bind]).partition {
+        case f: FilterExpr =>
+          FilterExpr.referencedVars(f).exists(v => bindTargets.contains(v.name))
+        case _ => false
+      }
+    if (preRows.isEmpty) throw new InvalidBgp(
+      "BIND-only group over a dict store — nothing to decode; " +
+        "use a struct store or add a pattern")
+    val postFilters = postFilterRows.collect { case f: FilterExpr => f }
+    val baseVars = (proj ++ binds.flatMap(_.expr.refs) ++
+      postFilters.flatMap(FilterExpr.referencedVars))
+      .filterNot(v => bindTargets.contains(v.name)).distinct
+    val base = run(preRows, baseVars)
+    var out = extend(base, binds)
+    for (f <- postFilters) out = BgpCompiler.filterFrame(out, f)
+    out.select(proj.map(v => col(v.name)): _*)
   }
 
   /** Distributed select over a quad store: [[graft.dsl.QuadPattern]]
@@ -73,16 +108,18 @@ object Projections {
     !BgpCompiler.compileDictQuads(db, rows).isEmpty
 
   /** Distributed select over a dict-encoded quad store: long-keyed
-    * fold over four id columns, terms rehydrated at the edge. */
-  def selectDf(db: DictQuadDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame = {
-    val proj = if (vars.nonEmpty) vars else Bgp.allVars(rows)
-    val sol = BgpCompiler.compileDictQuads(db, rows)
-    val missing = proj.filterNot(v => sol.columns.contains(v.name))
-    val padded = missing.foldLeft(sol)((d, v) =>
-      d.withColumn(v.name, lit(null).cast(LongType)))
-    db.decode(padded.select(proj.map(v => col(v.name)): _*),
-      proj.map(_.name), Bgp.valuesTerms(rows))
-  }
+    * fold over four id columns, terms rehydrated at the edge; BIND
+    * rows route through decode-then-extend like [[selectDf]]'s
+    * DictDb overload. */
+  def selectDf(db: DictQuadDb, rows: Seq[PatternRow], vars: Seq[V]): DataFrame =
+    bindRouted(rows, vars, (r, v) => {
+      val sol = BgpCompiler.compileDictQuads(db, r)
+      val missing = v.filterNot(x => sol.columns.contains(x.name))
+      val padded = missing.foldLeft(sol)((d, x) =>
+        d.withColumn(x.name, lit(null).cast(LongType)))
+      db.decode(padded.select(v.map(x => col(x.name)): _*),
+        v.map(_.name), Bgp.valuesTerms(rows))
+    })
 
   /** Solution modifiers (SPARQL §15: ORDER BY / LIMIT / OFFSET /
     * DISTINCT) over ANY `selectDf` result frame — they compose with
@@ -409,6 +446,58 @@ object Projections {
 
   def construct1(db: TripleDb, template: Any, rows: Seq[PatternRow]): Option[Any] =
     construct(db, template, rows).headOption
+
+  /** CONSTRUCT INTO NAMED GRAPHS: instantiate `(s, p, o, g)` quad
+    * templates per solution and materialize a [[QuadDb]] — query
+    * results land INTO graphs (one per tenant/source/nation), which
+    * completes the named-graph lifecycle from the QUERY side: the
+    * result store composes with graph-scoped BGPs/paths, per-graph
+    * entailment/VoID, GDPR deleteGraph, and the N-Quads/TriG writers
+    * like any ingested store. Any position may be a var or a ground
+    * term; a solution leaving ANY template position unbound emits
+    * nothing for that template (SPARQL §16.2's incomplete-solution
+    * rule — CONSTRUCT never fabricates partial facts).
+    *
+    * Scale shape: one narrow select per template over the SAME
+    * solution frame + union + the store's per-quad set dedup — no
+    * driver materialization anywhere (contrast [[construct]], the
+    * reference-parity in-memory collector). */
+  def constructQuads(db: TripleDb,
+                     templates: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)],
+                     rows: Seq[PatternRow]): QuadDb =
+    constructQuadsFrom(selectDf(db, rows, quadTemplateVars(templates)),
+      templates)
+
+  /** [[constructQuads]] reading FROM a quad store (e.g. re-grouping
+    * one dataset's facts into different graphs). */
+  def constructQuads(db: QuadDb,
+                     templates: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)],
+                     rows: Seq[PatternRow]): QuadDb =
+    constructQuadsFrom(selectDf(db, rows, quadTemplateVars(templates)),
+      templates)
+
+  private def quadTemplateVars(
+      templates: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)]): Seq[V] = {
+    require(templates.nonEmpty, "constructQuads needs >= 1 template")
+    templates.flatMap(t => Seq(t._1, t._2, t._3, t._4)
+      .collect { case v: V => v }).distinct
+  }
+
+  private def constructQuadsFrom(sol: DataFrame,
+      templates: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)]): QuadDb = {
+    def colOf(tv: TermOrVar): Column = tv match {
+      case v: V => col(v.name)
+      case T(t) => Term.lit(t)
+    }
+    val frames = templates.map { t =>
+      sol.select(colOf(t._1).as("s"), colOf(t._2).as("p"),
+          colOf(t._3).as("o"), colOf(t._4).as("g"))
+        .where(col("s").isNotNull && col("p").isNotNull &&
+          col("o").isNotNull && col("g").isNotNull)
+    }
+    QuadDb(frames.reduce(_.unionByName(_)).dropDuplicates("s", "p", "o", "g"),
+      distinct = true)
+  }
 
   private def groupByMagicKey(maps: Seq[Map[Any, Any]]): Seq[Any] =
     maps.groupBy(_(UriKey)).toSeq.map { case (subj, group) =>

@@ -703,22 +703,29 @@ object DictDifferentialProps extends Properties("dict-differential") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(25)
 
-  import DifferentialProps.{genDb, genQuery, canon, spark}
+  import DifferentialProps.{genDb, genQueryBind, canon, spark}
 
-  /** Dict groups refuse BIND loudly (computed terms cannot ride id
-    * frames) — strip any bind the shared optional generator placed,
-    * dropping an optional clause that would become empty. */
+  /** Top-level binds now ROUTE through decode-then-extend (round 12),
+    * so the dict leg keeps them and exercises the routing; binds
+    * NESTED in optional clauses still refuse loudly inside the
+    * recursive compile — strip those, dropping a clause that would
+    * become empty. */
   private def stripBinds(rows: Seq[PatternRow]): Seq[PatternRow] =
-    rows.flatMap {
-      case _: Bind => None
+    rows.map {
       case Optional(inner) =>
-        val kept = stripBinds(inner)
-        if (kept.isEmpty) None else Some(Optional(kept))
-      case other => Some(other)
-    }
+        val kept = inner.flatMap {
+          case _: Bind => None
+          case Optional(in2) =>
+            val k2 = stripBinds(in2)
+            if (k2.isEmpty) None else Some(Optional(k2))
+          case other => Some(other)
+        }
+        if (kept.isEmpty) null else Optional(kept)
+      case other => other
+    }.filter(_ != null)
 
   property("dict-encoded engine ≡ in-memory interpreter") =
-    forAll(genDb, genQuery.map(stripBinds)) { (dbTriples, query) =>
+    forAll(genDb, genQueryBind.map(stripBinds)) { (dbTriples, query) =>
       if (query.isEmpty) true // shrinker can bypass suchThat(nonEmpty)
       else {
       val expected = MiniInterp.solve(dbTriples, query)
@@ -893,6 +900,110 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
       if (!ok) {
         println(s"QUADS: $quads")
         println(s"QUERY: $query")
+        println(s"expected cols=${expected.cols} rows=${canon(expected)}")
+        println(s"got      cols=$cols rows=${canon(got)}")
+      }
+      ok
+    }
+}
+
+/** Sixth leg (round 12): SUBQUERIES — a random inner group aggregated
+  * by MIN/MAX (the canonical-total-order aggregates) joins a random
+  * outer pattern group; the model composes an independent group fold
+  * with a §10.2-compatibility join (an error group's aggregate is
+  * unbound and must still join), against the engine's
+  * SubSelect-in-the-fold path. Outer rows are required binders only
+  * (patterns + values), so model join order provably commutes.
+  */
+object SubSelectDifferentialProps extends Properties("subselect-differential") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
+  import DifferentialProps.{genDb, canon, spark, genPattern, genValues}
+  import graft.core.Term
+
+  private def key6(t: Term): (Byte, Double, Long, String, String, String) = {
+    val r = Term.toRow(t)
+    def s(i: Int) = if (r.isNullAt(i)) "" else r.getString(i)
+    val i64 = t match { case TLong(x) => x; case _ => 0L }
+    (r.getByte(0), if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+      i64, s(1), s(3), s(4))
+  }
+  private val termOrd: Ordering[Term] = Ordering.by(key6)
+
+  val genSub: Gen[SubSelect] = (for {
+    n <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(n, genPattern)
+    isMax <- Gen.oneOf(true, false)
+  } yield {
+    val vs = pats.flatMap(_.vars).distinct
+    if (vs.isEmpty) null
+    else {
+      val gk = vs.head
+      val av = vs.last // may equal gk — MAX(group key) is legal
+      SubSelect(Seq(gk, V("agv")), pats, groupBy = Seq(gk),
+        aggs = Seq(Agg(if (isMax) AggMax else AggMin, Some(av), V("agv"))))
+    }
+  }).suchThat(_ != null)
+
+  val genOuter: Gen[Seq[PatternRow]] = for {
+    n <- Gen.choose(1, 3)
+    pats <- Gen.listOfN(n, genPattern)
+    nVal <- Gen.choose(0, 1)
+    vals <- Gen.listOfN(nVal, genValues)
+  } yield pats ++ vals
+
+  property("SubSelect fold ≡ group fold + compatibility join") =
+    forAll(genDb, genOuter, genSub) { (dbTriples, outer, sub) =>
+      val outerSol = MiniInterp.solve(dbTriples, outer)
+      // independent subquery evaluation: solve, pad, group, aggregate
+      val subSol = MiniInterp.solve(dbTriples, sub.rows)
+      val gk = sub.groupBy.head.name
+      val av = sub.aggs.head.v.get.name
+      val isMax = sub.aggs.head.fn == AggMax
+      val padded = subSol.rows.map(r =>
+        subSol.cols.map(c => c -> r.getOrElse(c, null)).toMap)
+      val subRows: Seq[Map[String, Term]] =
+        padded.groupBy(_(gk)).toSeq.map { case (kv, rs) =>
+          val bound = rs.flatMap(r => Option(r(av)))
+          val agg: Term =
+            if (bound.isEmpty) null
+            else if (isMax) bound.max(termOrd) else bound.min(termOrd)
+          Map(gk -> kv, "agv" -> agg)
+        }
+      val subRel = MiniInterp.Rel(Set(gk, "agv"), subRows)
+      // §10.2 compatibility join with coalesce merge
+      val shared = outerSol.cols intersect subRel.cols
+      val allCols = outerSol.cols ++ subRel.cols
+      val joined = outerSol.rows.flatMap { b =>
+        subRel.rows.flatMap { sr =>
+          val ok = shared.forall { c =>
+            val x = b.getOrElse(c, null); val y = sr.getOrElse(c, null)
+            x == null || y == null || x == y
+          }
+          if (!ok) None
+          else Some(allCols.map { c =>
+            val bv = b.getOrElse(c, null)
+            c -> (if (bv != null) bv else sr.getOrElse(c, null))
+          }.toMap)
+        }
+      }
+      val expected = MiniInterp.Rel(allCols, joined)
+
+      val db = TripleDb.fromTerms(spark, dbTriples)
+      val compiled = BgpCompiler.compile(db, outer ++ Seq(sub))
+      val cols = compiled.columns.toSet
+      val gotRows = compiled.collect().toSeq.map { r =>
+        compiled.columns.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))
+        }.toMap
+      }
+      val got = MiniInterp.Rel(cols, gotRows)
+      val ok = cols == expected.cols && canon(got) == canon(expected)
+      if (!ok) {
+        println(s"SUB DB: $dbTriples")
+        println(s"SUB OUTER: $outer")
+        println(s"SUB: $sub")
         println(s"expected cols=${expected.cols} rows=${canon(expected)}")
         println(s"got      cols=$cols rows=${canon(got)}")
       }

@@ -156,6 +156,50 @@ class QuadPathSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("CONSTRUCT into named graphs: quad templates materialize a " +
+      "QuadDb, graph-scoped reads ≡ source filters, unbound template " +
+      "positions emit nothing, quad-source overload") {
+    val region = k("region"); val lab = k("lab"); val in_r = k("in_r")
+    val d = TripleDb.fromTerms(spark, Seq(
+      (k("a"), region, u("r1")), (k("a"), lab, s("A")),
+      (k("b"), region, u("r2")), (k("b"), lab, s("B")),
+      (k("c"), region, u("r1")), // no label → optional leaves ?l unbound
+      (k("d"), lab, s("D")))) // no region → graph position unbound
+    // one template per entity: (?x in_r ?l) INTO its region's graph
+    val built = Projections.constructQuads(d, Seq(
+      (V("x"), T(in_r), V("l"), V("g"))), Seq(
+      pat(?("x"), T(region), ?("g")),
+      Optional(Seq(pat(?("x"), T(lab), ?("l"))))))
+    // c (unbound ?l) and d (unbound ?g) emit NOTHING (§16.2)
+    assert(built.quads.toSet == Set(
+      (k("a"), in_r, s("A"), u("r1")),
+      (k("b"), in_r, s("B"), u("r2"))))
+    // graph-scoped read over the CONSTRUCTED store ≡ source filter
+    assert(qset(built, Seq(?("x"), ?("l")),
+      Seq(qpat(?("x"), T(in_r), ?("l"), T(u("r1"))))) ==
+      Set(Seq(k("a"), s("A"))))
+    // ground-graph template + multi-template union + set dedup
+    val two = Projections.constructQuads(d, Seq(
+      (V("x"), T(k("seen")), T(TBool(true)), T(u("audit"))),
+      (V("x"), T(k("seen")), T(TBool(true)), T(u("audit")))), Seq(
+      pat(?("x"), T(region), ?("g"))))
+    assert(two.quads.toSet == Set(
+      (k("a"), k("seen"), TBool(true), u("audit")),
+      (k("b"), k("seen"), TBool(true), u("audit")),
+      (k("c"), k("seen"), TBool(true), u("audit"))))
+    // quad-source overload: re-group one store's facts by NEW graphs
+    val regrouped = Projections.constructQuads(built, Seq(
+      (V("g"), T(k("holds")), V("x"), V("g"))), Seq(
+      qpat(?("x"), T(in_r), ?("l"), ?("g"))))
+    assert(regrouped.quads.toSet == Set(
+      (u("r1"), k("holds"), k("a"), u("r1")),
+      (u("r2"), k("holds"), k("b"), u("r2"))))
+    // the result composes with the rest of the lifecycle: per-graph
+    // VoID over the constructed store
+    val stats = QuadDb.voidStats(built).collect()
+    assert(stats.length == 2)
+  }
+
   test("quad-store GDPR: subject delete masks across graphs, graph " +
       "delete takes down one named graph, compacted ≡ masked") {
     val d = quadFriends

@@ -775,6 +775,94 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("subqueries (SPARQL §12): aggregate+modifier composition, " +
+      "at-the-max join, error-group compatibility, dict leg with " +
+      "value-preserving aggregates, loud refusals") {
+    val nat = k("nat"); val bal = k("bal"); val lab = k("label")
+    val d = db(
+      (k("s1"), nat, k("n1")), (k("s1"), bal, TLong(10)),
+      (k("s2"), nat, k("n1")), (k("s2"), bal, TLong(30)),
+      (k("s3"), nat, k("n2")), (k("s3"), bal, TLong(20)),
+      (k("s4"), nat, k("n2")), (k("s4"), bal, TLong(20)),
+      (k("s5"), nat, k("n3")), (k("s5"), bal, s("oops"))) // error group
+    val maxSub = SubSelect(Seq(?("n"), ?("mx")), Seq(
+      pat(?("s2"), T(nat), ?("n")),
+      pat(?("s2"), T(bal), ?("b2"))),
+      groupBy = Seq(?("n")),
+      aggs = Seq(Agg(AggMax, Some(?("b2")), ?("mx"))))
+    // each nation's at-the-max suppliers (both s3 and s4 tie in n2)
+    val atMax = bag(d, Seq(?("s"), ?("n"), ?("b")), Seq(
+      pat(?("s"), T(nat), ?("n")),
+      pat(?("s"), T(bal), ?("b")),
+      maxSub,
+      FilterVarCmp(?("b"), Eq, ?("mx"))))
+    assert(atMax == Map(
+      Seq(k("s2"), k("n1"), TLong(30)) -> 1,
+      Seq(k("s3"), k("n2"), TLong(20)) -> 1,
+      Seq(k("s4"), k("n2"), TLong(20)) -> 1,
+      Seq(k("s5"), k("n3"), s("oops")) -> 1)) // MAX of one string IS it
+    // a genuinely unbound aggregate (SUM over a non-numeric group)
+    // joins by compatibility: the n3 row survives with ?t unbound
+    val sumSub = SubSelect(Seq(?("n"), ?("t")), Seq(
+      pat(?("s2"), T(nat), ?("n")),
+      pat(?("s2"), T(bal), ?("b2"))),
+      groupBy = Seq(?("n")),
+      aggs = Seq(Agg(AggSum, Some(?("b2")), ?("t"))))
+    val sums = bag(d, Seq(?("n"), ?("t")), Seq(
+      pat(?("s"), T(nat), ?("n")), sumSub))
+    assert(sums == Map(
+      Seq(k("n1"), TLong(40)) -> 2, // two outer suppliers in n1
+      Seq(k("n2"), TLong(40)) -> 2,
+      Seq(k("n3"), null) -> 1))
+    // modifiers inside the subquery: top-2 balances globally,
+    // DISTINCT, then joined back to their holders
+    val top2 = SubSelect(Seq(?("b")), Seq(
+      pat(?("s2"), T(bal), ?("b"))),
+      orderBy = Seq(OrderKey(?("b"), asc = false)),
+      limit = 2, distinct = true)
+    val holders = bag(d, Seq(?("s"), ?("b")), Seq(
+      pat(?("s"), T(bal), ?("b")), top2))
+    // desc canonical order: kind-grouped with KString(3) < KLong(4),
+    // so longs lead descending — top-2 distinct = {30, 20}; the tied
+    // 20 joins BOTH holders
+    assert(holders == Map(
+      Seq(k("s2"), TLong(30)) -> 1,
+      Seq(k("s3"), TLong(20)) -> 1, Seq(k("s4"), TLong(20)) -> 1))
+    // HAVING inside the subquery
+    val bigN = SubSelect(Seq(?("n")), Seq(
+      pat(?("s2"), T(nat), ?("n")),
+      pat(?("s2"), T(bal), ?("b2"))),
+      groupBy = Seq(?("n")),
+      aggs = Seq(Agg(AggCount, None, ?("ct"))),
+      having = Some(FilterCmp(?("ct"), Gt, TLong(1))))
+    val bigNGot = bag(d, Seq(?("n")), Seq(
+      pat(?("s"), T(nat), ?("n")), bigN))
+    assert(bigNGot == Map(Seq(k("n1")) -> 2, Seq(k("n2")) -> 2))
+    // dict leg: MAX is value-preserving — ids round-trip; SUM refuses
+    val dd = d.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(
+        pat(?("s"), T(nat), ?("n")),
+        pat(?("s"), T(bal), ?("b")),
+        maxSub,
+        FilterVarCmp(?("b"), Eq, ?("mx"))), Seq(?("s"), ?("b")))
+        .collect().toSeq
+        .map(r => (fromRow(r.getStruct(0)), fromRow(r.getStruct(1)))).toSet
+      assert(got == Set((k("s2"), TLong(30)), (k("s3"), TLong(20)),
+        (k("s4"), TLong(20)), (k("s5"), s("oops"))))
+      intercept[InvalidBgp] {
+        Projections.selectDf(dd, Seq(
+          pat(?("s"), T(nat), ?("n")), sumSub), Seq(?("n"))).collect()
+      }
+    } finally dd.unpersist()
+    // validation is loud: projecting a non-grouped var; empty group
+    intercept[InvalidBgp] {
+      SubSelect(Seq(?("n"), ?("b2")), Seq(pat(?("s2"), T(bal), ?("b2"))),
+        groupBy = Seq(?("n")), aggs = Seq(Agg(AggMax, Some(?("b2")), ?("m"))))
+    }
+    intercept[InvalidBgp] { SubSelect(Seq(?("n")), Nil) }
+  }
+
   test("EXISTS as a FILTER leaf (§17.4.1.4): composes under OR/NOT/AND, " +
       "!EXISTS ≡ NotExists row, uncorrelated gate, nullable-shared " +
       "compat, bag preserved, dict leg, loud refusals") {
@@ -906,9 +994,35 @@ class SelectSpec extends GraftSpec {
     }
     val dd = d.dictEncode()
     try {
+      // round-12: selectDf ROUTES top-level binds through
+      // decode-then-extend — the four layouts are uniform for BIND
+      // the way they already were for filters; only the id-frame API
+      // (compileDict) stays loud, because an id frame genuinely
+      // cannot carry a computed term
+      val routed = Projections.selectDf(dd, Seq(
+        pat(?("x"), T(amt), ?("v")),
+        Bind(NSub(NVar(?("v")), NConst(TLong(1))), ?("r"))),
+        Seq(?("x"), ?("r")))
+        .collect().toSeq.map(r => (fromRow(r.getStruct(0)),
+          if (r.isNullAt(1)) null else fromRow(r.getStruct(1)))).toSet
+      assert(routed == Set(
+        (k("a"), TLong(big - 1)), (k("b"), TDouble(1.5)),
+        (k("c"), null), (k("e"), TLong(-1))))
+      // q165's shape on the dict leg: a FILTER reading the bind
+      // target runs post-extend (the §18.5 order), everything else
+      // stays in the id fold
+      val filtered = Projections.selectDf(dd, Seq(
+        pat(?("x"), T(amt), ?("v")),
+        Bind(NMul(NVar(?("v")), NConst(TLong(2))), ?("v2")),
+        FilterArith(NVar(?("v2")), Gt, NConst(TLong(3)))),
+        Seq(?("x"), ?("v2")))
+        .collect().toSeq.map(r => (fromRow(r.getStruct(0)),
+          fromRow(r.getStruct(1)))).toSet
+      assert(filtered == Set((k("a"), TLong(2 * big)), (k("b"), TDouble(5.0))))
       intercept[InvalidBgp] {
-        Projections.selectDf(dd, Seq(pat(?("x"), T(amt), ?("v")),
-          Bind(NConst(TLong(1)), ?("r"))), Seq(?("x")))
+        graft.engine.BgpCompiler.compileDict(dd, Seq(
+          pat(?("x"), T(amt), ?("v")),
+          Bind(NConst(TLong(1)), ?("r"))))
       }
       val ext = Projections.extend(
         Projections.selectDf(dd, Seq(pat(?("x"), T(amt), ?("v"))),
