@@ -1575,6 +1575,32 @@ object SparkEntry {
         "c", "seg", "n")
     }),
 
+    // ---- PATH QUANTIFIER elt{n,m}: everything reachable from a
+    //      BUILDING customer in 1-2 hops over the FK edges — nation
+    //      at hop 1, region at hop 2; m bounds the loop, no fixpoint ----
+    "q173_path_range" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_mktsegment"), T(TString("BUILDING"))),
+        PathPattern(V("c"), PathRange(PathAlt(Seq(
+          PathPred(TKeyword("c_nationkey")),
+          PathPred(TKeyword("n_regionkey")))), 1, 2), V("t"))),
+        "c", "t")
+    }),
+
+    // ---- §17.4.3 STRBEFORE / STRAFTER / REPLACE: split customer
+    //      names on '#' and strip leading zeros — chained binds, all
+    //      codegen'd string projections ----
+    "q174_str_split" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      sel(db, Seq(
+        pat(V("c"), kw("c_name"), V("name")),
+        Bind(TStrBefore(TVar(V("name")), TConst(TString("#"))), V("kind")),
+        Bind(TStrAfter(TVar(V("name")), TConst(TString("#"))), V("num")),
+        Bind(TReplace(TVar(V("num")), "^0+", ""), V("trim"))),
+        "c", "kind", "num", "trim")
+    }),
+
     // ---- CONSTRUCT INTO NAMED GRAPHS: quad templates materialize
     //      query results INTO per-nation graphs; a graph-scoped BGP
     //      over the CONSTRUCTED store must equal the direct query —
@@ -3066,6 +3092,28 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // hop-1 = the customer's nation, hop-2 = that nation's region;
+    // UNION (distinct) = the path algebra's distinct-pair semantics
+    "q173_path_range" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  'u|nation/' || c_nationkey AS t
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT 'u|customer/' || c_custkey,
+        |  'u|region/' || n_regionkey
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    // strpos/substr replay the before/after split exactly (every name
+    // contains '#'); regexp_replace 'g' = Spark's replace-all default
+    "q174_str_split" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  's|' || substr(c_name, 1, strpos(c_name, '#') - 1) AS kind,
+        |  's|' || substr(c_name, strpos(c_name, '#') + 1) AS num,
+        |  's|' || regexp_replace(substr(c_name, strpos(c_name, '#') + 1),
+        |                         '^0+', '', 'g') AS trim
+        |FROM customer""".stripMargin,
 
     // constructing into per-nation graphs then scoping to nation/3
     // ≡ filtering the source relation on the nation key

@@ -149,6 +149,20 @@ final case class PathStar(inner: PathExpr) extends PathExpr {
 final case class PathOpt(inner: PathExpr) extends PathExpr {
   def preds: Seq[Term] = inner.preds
 }
+/** `elt{n,m}`: between `n` and `m` hops of the inner element —
+  * the bounded quantifier (dropped from SPARQL 1.1 final but commonly
+  * requested; SPARQL 1.0 property-path drafts and most engines ship
+  * it). `n = 0` includes the zero-length component with exactly
+  * [[PathStar]]'s node-universe semantics. Pairs are DISTINCT like
+  * every path form. `m` bounds the iteration, so unlike `+`/`*` no
+  * fixpoint is needed — each hop advances one composition. */
+final case class PathRange(inner: PathExpr, min: Int, max: Int)
+    extends PathExpr {
+  require(min >= 0, "path quantifier min must be >= 0")
+  require(max >= math.max(min, 1),
+    "path quantifier max must be >= max(min, 1)")
+  def preds: Seq[Term] = inner.preds
+}
 
 /** `GRAPH g { s path o }` — a graph-scoped path: EVERY hop of the
   * path walks edges of one named graph (SPARQL 1.1 §13.3 semantics:
@@ -446,6 +460,36 @@ final case class TSubstr(e: TermExpr, start: Int, len: Option[Int] = None)
 final case class TUcase(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
 /** `LCASE(e)` (§17.4.3.5) — string/lang-string, tag preserved. */
 final case class TLcase(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `STRBEFORE(e, needle)` (§17.4.3.4): the part of arg1 before the
+  * FIRST occurrence of the plain-string needle — arg1's language tag
+  * rides on a match, but a MISS yields the plain empty string ""
+  * (the spec's asymmetry, implemented exactly); arg1 must be a
+  * string or lang-string, the needle a plain string. An empty needle
+  * matches at position 0 ("" / ""@-less per spec). */
+final case class TStrBefore(e: TermExpr, needle: TermExpr) extends TermExpr {
+  def refs: Seq[V] = e.refs ++ needle.refs
+}
+/** `STRAFTER(e, needle)` (§17.4.3.5) — dual of [[TStrBefore]]: the
+  * part after the first occurrence; empty needle returns arg1
+  * whole. */
+final case class TStrAfter(e: TermExpr, needle: TermExpr) extends TermExpr {
+  def refs: Seq[V] = e.refs ++ needle.refs
+}
+/** `REPLACE(e, pattern, replacement)` (§17.4.3.15), literal-
+  * replacement subset: Java/RE2-portable patterns (the FilterRegex
+  * rule) and a replacement WITHOUT `$`/`\` references — Spark and
+  * external SQL engines disagree on backreference syntax, so the
+  * deterministic subset bans them (loud require). String or
+  * lang-string, tag preserved. */
+final case class TReplace(e: TermExpr, pattern: String, replacement: String)
+    extends TermExpr {
+  require(pattern.nonEmpty, "REPLACE pattern must be non-empty")
+  require(!replacement.contains("$") && !replacement.contains("\\"),
+    "REPLACE replacement must be literal (no $N/\\N backreferences — " +
+      "engines disagree on the syntax; the deterministic subset)")
+  def refs: Seq[V] = e.refs
+}
+
 /** `CONCAT(e…)` (§17.4.3.12), plain-string subset: every argument
   * must evaluate to a plain string (mixed lang-tag propagation is out
   * of the deterministic subset — documented). */

@@ -805,6 +805,32 @@ object BgpCompiler {
         strFn(x)(s => substring(s, start, len.getOrElse(Int.MaxValue)))
       case TUcase(x) => strFn(x)(upper)
       case TLcase(x) => strFn(x)(lower)
+      case TReplace(x, p, rep) =>
+        strFn(x)(s => regexp_replace(s, p, rep))
+      case before @ (TStrBefore(_, _) | TStrAfter(_, _)) =>
+        // §17.4.3.4/5: arg1's tag rides on a MATCH, a miss is the
+        // PLAIN empty string (the spec's asymmetry); an empty needle
+        // matches at position 0 (tagged "" for BEFORE, arg1 whole
+        // for AFTER)
+        val (x, nd, isBefore) = before match {
+          case TStrBefore(a, b) => (a, b, true)
+          case TStrAfter(a, b)  => (a, b, false)
+          case other => throw new InvalidBgp(s"unreachable: $other")
+        }
+        val a = rec(x); val b = rec(nd)
+        val lex = a.getField("lex"); val nlex = b.getField("lex")
+        val emptyN = length(nlex) === 0
+        val pos = when(emptyN, functions.lit(1)).otherwise(instr(lex, nlex))
+        val matched = emptyN || instr(lex, nlex) > 0
+        val part =
+          if (isBefore) lex.substr(functions.lit(1), pos - 1)
+          else lex.substr(pos + length(nlex), functions.lit(Int.MaxValue))
+        when(a.getField("kind").isin(Term.KString, Term.KLangString) &&
+            b.getField("kind") === Term.KString,
+          when(matched, Term.mk(a.getField("kind"), part, nullD,
+              a.getField("lang"), nullS))
+            .otherwise(strT(functions.lit(""))))
+          .otherwise(nullTerm)
       case TConcat(es) =>
         val cs = es.map(rec)
         val allStr = cs.map(_.getField("kind") === Term.KString)
@@ -864,9 +890,12 @@ object BgpCompiler {
     case TLang(x)      => containsBoundT(x)
     case TDatatype(x)  => containsBoundT(x)
     case TStrlen(x)    => containsBoundT(x)
-    case TSubstr(x, _, _) => containsBoundT(x)
-    case TUcase(x)     => containsBoundT(x)
-    case TLcase(x)     => containsBoundT(x)
+    case TSubstr(x, _, _)  => containsBoundT(x)
+    case TUcase(x)         => containsBoundT(x)
+    case TLcase(x)         => containsBoundT(x)
+    case TReplace(x, _, _) => containsBoundT(x)
+    case TStrBefore(a, b)  => containsBoundT(a) || containsBoundT(b)
+    case TStrAfter(a, b)   => containsBoundT(a) || containsBoundT(b)
     case NAdd(a, b)    => containsBoundT(a) || containsBoundT(b)
     case NSub(a, b)    => containsBoundT(a) || containsBoundT(b)
     case NMul(a, b)    => containsBoundT(a) || containsBoundT(b)
@@ -1283,13 +1312,14 @@ object BgpCompiler {
     * compiler then needs exactly one inverse case: the reversed edge
     * scan. inv ∘ inv cancels. */
   private def pushInv(pe: PathExpr): PathExpr = pe match {
-    case PathInv(x)     => invOf(pushInv(x))
-    case PathSeq(s)     => PathSeq(s.map(pushInv))
-    case PathAlt(a)     => PathAlt(a.map(pushInv))
-    case PathPlusOf(x)  => PathPlusOf(pushInv(x))
-    case PathStar(x)    => PathStar(pushInv(x))
-    case PathOpt(x)     => PathOpt(pushInv(x))
-    case leaf           => leaf
+    case PathInv(x)        => invOf(pushInv(x))
+    case PathSeq(s)        => PathSeq(s.map(pushInv))
+    case PathAlt(a)        => PathAlt(a.map(pushInv))
+    case PathPlusOf(x)     => PathPlusOf(pushInv(x))
+    case PathStar(x)       => PathStar(pushInv(x))
+    case PathOpt(x)        => PathOpt(pushInv(x))
+    case PathRange(x, n, m) => PathRange(pushInv(x), n, m)
+    case leaf              => leaf
   }
 
   /** Structural inverse of an already-[[pushInv]]-normalized element. */
@@ -1305,6 +1335,7 @@ object BgpCompiler {
     case PathPlusOf(x)          => PathPlusOf(invOf(x))
     case PathStar(x)            => PathStar(invOf(x))
     case PathOpt(x)             => PathOpt(invOf(x))
+    case PathRange(x, n, m)     => PathRange(invOf(x), n, m)
     case PathInv(x)             => pushInv(x)
   }
 
@@ -1330,6 +1361,20 @@ object BgpCompiler {
       .dropDuplicates("src", "dst")
     case PathOpt(x)           => identityPairs(nodes)
       .unionByName(pathRel(in, x, ed, nodes)).dropDuplicates("src", "dst")
+    case PathRange(x, n, m)   =>
+      // bounded quantifier: k-hop compositions for k in [max(n,1), m]
+      // (m bounds the loop — no fixpoint), plus the zero-length
+      // component with PathStar's node-universe semantics when n = 0
+      val r = pathRel(in, x, ed, nodes)
+      var cur = r
+      var acc: DataFrame = if (n <= 1) r else null
+      for (k <- 2 to m) {
+        cur = composeRel(cur, r)
+        if (k >= n) acc = if (acc == null) cur else acc.unionByName(cur)
+      }
+      val hops = acc // m >= max(n,1) guarantees acc != null
+      (if (n == 0) identityPairs(nodes).unionByName(hops) else hops)
+        .dropDuplicates("src", "dst")
     case PathInv(x)           => flipRel(pathRel(in, x, ed, nodes)) // non-normalized input
   }
 
@@ -1380,6 +1425,21 @@ object BgpCompiler {
     case PathOpt(x) =>
       selfPairs(srcs, nodes)
         .unionByName(pathRelFrom(in, x, srcs, ed, nodes))
+        .dropDuplicates("src", "dst")
+    case PathRange(x, n, m) =>
+      // frontier form: pairs at exactly k hops extend from the
+      // (k-1)-hop frontier's dst set — only the reachable set is
+      // ever scanned, like PathSeq's step-by-step advance
+      var cur = pathRelFrom(in, x, srcs, ed, nodes)
+      var acc: DataFrame = if (n <= 1) cur else null
+      for (k <- 2 to m) {
+        cur = composeRel(cur,
+          pathRelFrom(in, x, cur.select(col("dst").as("src")).distinct(),
+            ed, nodes))
+        if (k >= n) acc = if (acc == null) cur else acc.unionByName(cur)
+      }
+      val hops = acc
+      (if (n == 0) selfPairs(srcs, nodes).unionByName(hops) else hops)
         .dropDuplicates("src", "dst")
     case PathInv(x) => // non-normalized input: invert and retry
       pathRelFrom(in, invOf(pushInv(x)), srcs, ed, nodes)

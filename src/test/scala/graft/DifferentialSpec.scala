@@ -152,6 +152,25 @@ object MiniInterp {
       case TLcase(x) =>
         evalNum(x, b, db).flatMap(asStrKind)
           .map { case (s, lg) => reStr(s.toLowerCase, lg) }
+      case TReplace(x, p, rep) =>
+        evalNum(x, b, db).flatMap(asStrKind)
+          .map { case (s, lg) => reStr(s.replaceAll(p, rep), lg) }
+      case ba @ (TStrBefore(_, _) | TStrAfter(_, _)) =>
+        val (x, nd, isBefore) = ba match {
+          case TStrBefore(a1, b1) => (a1, b1, true)
+          case TStrAfter(a1, b1)  => (a1, b1, false)
+          case other => sys.error(s"unreachable: $other")
+        }
+        (evalNum(x, b, db).flatMap(asStrKind), evalNum(nd, b, db)) match {
+          case (Some((s, lg)), Some(TString(n))) =>
+            val i = s.indexOf(n) // "" matches at 0 — the spec rule
+            Some(
+              if (i < 0) TString("") // a MISS is the PLAIN empty string
+              else reStr(
+                if (isBefore) s.substring(0, i)
+                else s.substring(i + n.length), lg))
+          case _ => None
+        }
       case TConcat(es) =>
         val vs = es.map(x => evalNum(x, b, db))
         if (vs.forall(_.exists(_.isInstanceOf[TString])))
@@ -255,6 +274,15 @@ object MiniInterp {
       case PathPlusOf(x)   => closeSet(pathPairs(db, x))
       case PathStar(x)     => nodeSelf ++ closeSet(pathPairs(db, x))
       case PathOpt(x)      => nodeSelf ++ pathPairs(db, x)
+      case PathRange(x, n, m) =>
+        val r = pathPairs(db, x)
+        var cur = r
+        var acc: Set[(Term, Term)] = if (n <= 1) r else Set.empty
+        for (k <- 2 to m) {
+          cur = for ((a, b1) <- cur; (c, d) <- r if b1 == c) yield (a, d)
+          if (k >= n) acc = acc ++ cur
+        }
+        if (n == 0) acc ++ nodeSelf else acc
     }
   }
 
@@ -521,7 +549,14 @@ object DifferentialProps extends Properties("differential") {
       3 -> fn(genTermLeaf),
       1 -> fn(fn(genTermLeaf)),
       1 -> Gen.listOfN(2, genTermLeaf).map(TConcat(_): TermExpr),
-      1 -> Gen.listOfN(2, genTermLeaf).map(TCoalesce(_): TermExpr))
+      1 -> Gen.listOfN(2, genTermLeaf).map(TCoalesce(_): TermExpr),
+      1 -> (for {
+        x <- genTermLeaf
+        n <- Gen.oneOf("x", "X", "") // hit, miss (case), empty needle
+        f <- Gen.oneOf[(TermExpr, TermExpr) => TermExpr](
+          TStrBefore(_, _), TStrAfter(_, _))
+      } yield f(x, TConst(TString(n)))),
+      1 -> genTermLeaf.map(x => TReplace(x, "[xy]", "Z"): TermExpr))
   }
 
   val genFilterAtom: Gen[FilterExpr] = Gen.frequency(
@@ -821,7 +856,12 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     1 -> genLeafExpr.map(PathInv(_): PathExpr),
     1 -> genLeafExpr.map(PathPlusOf(_): PathExpr),
     1 -> genLeafExpr.map(PathStar(_): PathExpr),
-    1 -> genLeafExpr.map(PathOpt(_): PathExpr))
+    1 -> genLeafExpr.map(PathOpt(_): PathExpr),
+    1 -> (for {
+      l <- genLeafExpr
+      n <- Gen.choose(0, 2)
+      m <- Gen.choose(math.max(n, 1), 3)
+    } yield PathRange(l, n, m): PathExpr))
   val genPath: Gen[PathPattern] = for {
     s <- genTv
     o <- genTv

@@ -486,6 +486,45 @@ class QuadPathSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("path quantifier elt{n,m}: exact hop windows, zero-length " +
+      "component, ground endpoints via the frontier, inverse, scoped") {
+    val e = k("e")
+    // a chain a→b→c→d plus a side edge b→x
+    val d = TripleDb.fromTerms(spark, Seq(
+      (k("a"), e, k("b")), (k("b"), e, k("c")), (k("c"), e, k("d")),
+      (k("b"), e, k("x"))))
+    def pairs(pe: PathExpr): Set[(Term, Term)] =
+      Projections.selectDf(d, Seq(PathPattern(?("s"), pe, ?("o"))),
+        Seq(?("s"), ?("o"))).collect().toSeq
+        .map(r => (fromRow(r.getStruct(0)), fromRow(r.getStruct(1)))).toSet
+    // {2,3}: exactly the 2- and 3-hop pairs
+    assert(pairs(PathRange(PathPred(e), 2, 3)) == Set(
+      (k("a"), k("c")), (k("a"), k("x")), (k("b"), k("d")), // 2 hops
+      (k("a"), k("d")))) // 3 hops
+    // {1,1} ≡ the single hop; {0,1} adds the node-universe identity
+    assert(pairs(PathRange(PathPred(e), 1, 1)) ==
+      pairs(PathPred(e)))
+    assert(pairs(PathRange(PathPred(e), 0, 1)) ==
+      pairs(PathOpt(PathPred(e))))
+    // ground source walks a frontier: only the reachable set
+    val fromA = Projections.selectDf(d, Seq(
+      PathPattern(T(k("a")), PathRange(PathPred(e), 1, 2), ?("o"))),
+      Seq(?("o"))).collect().toSeq.map(r => fromRow(r.getStruct(0))).toSet
+    assert(fromA == Set(k("b"), k("c"), k("x")))
+    // inverse distributes into the quantifier: (^e){2,2} = 2 hops back
+    assert(pairs(PathInv(PathRange(PathPred(e), 2, 2))) ==
+      pairs(PathRange(PathPred(e), 2, 2)).map(_.swap))
+    // graph-scoped: the walk cannot cross graphs
+    val qd = QuadDb.fromQuads(spark, Seq(
+      (k("a"), e, k("b"), g1), (k("b"), e, k("c"), g2)))
+    assert(qset(qd, Seq(?("o")), Seq(
+      QuadPathPattern(T(k("a")), PathRange(PathPred(e), 1, 2), ?("o"),
+        T(g1)))) == Set(Seq(k("b")))) // the g2 hop is unreachable
+    // validation is loud
+    intercept[IllegalArgumentException](PathRange(PathPred(e), -1, 2))
+    intercept[IllegalArgumentException](PathRange(PathPred(e), 3, 2))
+  }
+
   test("zero-length forms p* / p?: self-pairs cover every STORE node " +
       "(SPARQL ZeroLengthPath), ground endpoints pay existence probes, " +
       "graph scope bounds the node universe per graph") {

@@ -630,6 +630,26 @@ class SelectSpec extends GraftSpec {
       Seq(k("a"), TLong(5)) -> 1,
       Seq(k("b"), TLong(0)) -> 1, Seq(k("c"), TLong(0)) -> 1,
       Seq(k("d"), TLong(0)) -> 1))
+    // STRBEFORE/STRAFTER: the tag rides a MATCH, a MISS is the PLAIN
+    // empty string (the spec's asymmetry); empty needle matches at 0;
+    // REPLACE preserves the tag, literal replacement only
+    assert(one(TStrBefore(TVar(?("l")), TConst(s("l")))) == Map(
+      Seq(k("a"), TLangString("Ha", "de")) -> 1, // match keeps @de
+      Seq(k("b"), s("p")) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    assert(one(TStrAfter(TVar(?("l")), TConst(s("zzz")))) == Map(
+      Seq(k("a"), s("")) -> 1, // miss: PLAIN "" even for "Hallo"@de
+      Seq(k("b"), s("")) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    assert(one(TStrAfter(TVar(?("l")), TConst(s("")))) == Map(
+      Seq(k("a"), TLangString("Hallo", "de")) -> 1, // empty needle: whole
+      Seq(k("b"), s("plain")) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    assert(one(TReplace(TVar(?("l")), "[al]", "_")) == Map(
+      Seq(k("a"), TLangString("H___o", "de")) -> 1,
+      Seq(k("b"), s("p__in")) -> 1,
+      Seq(k("c"), null) -> 1, Seq(k("d"), null) -> 1))
+    intercept[IllegalArgumentException](TReplace(TVar(?("l")), "x", "$1"))
     // STRSTARTS/CONTAINS domains; IN = Eq OR-chain
     val sw = bag(d, Seq(?("x")), Seq(
       pat(?("x"), T(lab), ?("l")),
