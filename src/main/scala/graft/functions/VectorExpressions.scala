@@ -275,7 +275,7 @@ object VectorExpressions {
     * over floats, matching DotProductF bit-for-bit, so buckets equal
     * the column form's exactly. */
   case class LshBuckets(child: Expression, planes: Seq[Array[Array[Float]]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     @transient private lazy val tbls: Array[Array[Array[Float]]] =
       planes.map(_.toArray).toArray
@@ -295,6 +295,38 @@ object VectorExpressions {
       }
       new GenericArrayData(out)
     }
+    // a GENERATED LOOP (not an unrolled forest): method size is
+    // constant in tables × planes × dim, so the 24×94-dial clamp
+    // can't breach the 64 KB method limit, and small dials keep
+    // whole-stage codegen (the interpreted fallback measured +0.26 s
+    // on q28 at sf0.1). Accumulation order matches nullSafeEval /
+    // DotProductF exactly — buckets are bit-identical.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tb = ctx.addReferenceObj("lshPlanes", tbls, "float[][][]")
+        val t = ctx.freshName("t"); val p = ctx.freshName("p")
+        val j = ctx.freshName("j"); val s = ctx.freshName("s")
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val bucket = ctx.freshName("bucket"); val pl = ctx.freshName("pl")
+        s"""
+           |int[] $out = new int[$tb.length];
+           |for (int $t = 0; $t < $tb.length; $t++) {
+           |  int $bucket = 0;
+           |  for (int $p = 0; $p < $tb[$t].length; $p++) {
+           |    float[] $pl = $tb[$t][$p];
+           |    int $n = java.lang.Math.min($pl.length, $a.numElements());
+           |    double $s = 0.0;
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      $s += (double) $a.getFloat($j) * (double) $pl[$j];
+           |    }
+           |    if ($s > 0) $bucket |= (1 << $p);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
