@@ -480,4 +480,62 @@ class PlanSpec extends GraftSpec {
     assert(!p2.contains("Generate"), s"expected slice scans:\n$p2")
     assert(p2.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p2")
   }
+
+  test("round-12 fast paths stay plan-identical: a nullable-free " +
+      "optional keeps the name-equality left join; UNDEF keys switch " +
+      "to the compat form") {
+    val db = Tables.graph(spark, dir)
+    // no UNDEF anywhere: the optional fold must NOT rename keys into
+    // the __k_ compat form (that path exists only for provably
+    // nullable keys)
+    val fast = plan(Projections.selectDf(db, Seq(
+      pat(V("c"), T(k("c_name")), V("n")),
+      Optional(Seq(pat(V("c"), T(k("c_mktsegment")), V("s"))))),
+      Seq(V("c"), V("n"), V("s"))))
+    assert(!fast.contains("__k_"),
+      s"nullable-free optional took the compat path:\n$fast")
+    // an UNDEF-introduced key var flips exactly that optional to the
+    // compatibility join (coalesce-merged key)
+    val compat = plan(Projections.selectDf(db, Seq(
+      ValuesTable(Seq(V("c")), Seq(
+        Seq(Some(graft.core.Term.TUri("customer/1"))), Seq(None))),
+      Optional(Seq(pat(V("c"), T(k("c_mktsegment")), V("s"))))),
+      Seq(V("c"), V("s"))))
+    assert(compat.contains("coalesce"),
+      s"UNDEF-keyed optional must coalesce-merge the key:\n$compat")
+  }
+
+  test("EXISTS marker: equality correlation = one distinct probe + " +
+      "left_outer, no nested-loop join; bag preserved by construction") {
+    val db = Tables.graph(spark, dir)
+    val p = plan(Projections.selectDf(db, Seq(
+      pat(V("c"), T(k("c_name")), V("n")),
+      FilterExists(Seq(pat(V("o"), T(k("o_custkey")), V("c"))))),
+      Seq(V("c"), V("n"))))
+    // the probe dedups (HashAggregate) and joins by hash — never a
+    // BroadcastNestedLoopJoin for the equality-correlated case
+    assert(p.contains("HashAggregate"), s"expected distinct probe:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"equality correlation must hash-join:\n$p")
+  }
+
+  test("subquery: one partial/final aggregate pair inside (map-side " +
+      "partials), enclosing equi join, no cartesian") {
+    val db = Tables.supplierDb(spark, dir)
+    val p = plan(Projections.selectDf(db, Seq(
+      pat(V("s"), T(k("s_nationkey")), V("nk")),
+      SubSelect(Seq(V("nk"), V("mx")), Seq(
+        pat(V("s2"), T(k("s_nationkey")), V("nk")),
+        pat(V("s2"), T(k("s_acctbal")), V("b2"))),
+        groupBy = Seq(V("nk")),
+        aggs = Seq(Agg(AggMax, Some(V("b2")), V("mx"))))),
+      Seq(V("s"), V("nk"), V("mx"))))
+    // max_by over the struct sort key plans as SortAggregate — the
+    // property that matters is the PARTIAL/final pair (map-side
+    // combine before the one exchange), not the hash/sort flavor
+    assert(p.contains("partial_max_by"),
+      s"expected a map-side partial aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("Join"), s"the projected key joins the fold:\n$p")
+  }
 }
