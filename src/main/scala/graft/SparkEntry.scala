@@ -1575,6 +1575,40 @@ object SparkEntry {
         "c", "seg", "n")
     }),
 
+    // ---- §17.4.4 NUMERIC FUNCTIONS: ABS / ROUND / CEIL / FLOOR over
+    //      signed 2-decimal balances — fn:round = floor(x + 0.5) in
+    //      BOTH engines (library round() disagrees at .5 ties) ----
+    "q175_numeric_fns" -> ((sp, dir) => {
+      val db = Tables.supplierDb(sp, dir)
+      sel(db, Seq(
+        pat(V("s"), kw("s_acctbal"), V("b")),
+        Bind(TAbs(TVar(V("b"))), V("ab")),
+        Bind(TRound(TVar(V("b"))), V("rd")),
+        Bind(TCeil(TVar(V("b"))), V("ce")),
+        Bind(TFloor(TVar(V("b"))), V("fl"))),
+        "s", "ab", "rd", "ce", "fl")
+    }),
+
+    // ---- §17.4.2 TERM TESTS: isNumeric / isIRI dispatch + sameTerm
+    //      (term identity — NO numeric promotion, so the long 5
+    //      survives a sameTerm-vs-5.0 gate that Eq would drop) ----
+    "q176_term_tests" -> ((sp, dir) => {
+      val v = TKeyword("v")
+      val db = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("x1"), v, TLong(5)),
+        (TKeyword("x2"), v, TDouble(5.0)),
+        (TKeyword("x3"), v, TString("five")),
+        (TKeyword("x4"), v, TUri("urn:five")),
+        (TKeyword("x5"), v, Term.TNil),
+        (TKeyword("x6"), v, TBool(true))))
+      sel(db, Seq(
+        pat(V("x"), T(v), V("o")),
+        FilterOr(Seq(FilterIsNumeric(TVar(V("o"))),
+          FilterIsIri(TVar(V("o"))))),
+        FilterNot(FilterSameTerm(TVar(V("o")), TConst(TDouble(5.0))))),
+        "x", "o")
+    }),
+
     // ---- PATH QUANTIFIER elt{n,m}: everything reachable from a
     //      BUILDING customer in 1-2 hops over the FK edges — nation
     //      at hop 1, region at hop 2; m bounds the loop, no fixpoint ----
@@ -3092,6 +3126,22 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // abs/floor(x+0.5)/−floor(−x)/floor(x) replay in identical double
+    // arithmetic; results stay doubles (the XPath kind-preserving rule)
+    "q175_numeric_fns" ->
+      """SELECT 'u|supplier/' || s_suppkey AS s,
+        |  'd|' || printf('%.2f', abs(s_acctbal)) AS ab,
+        |  'd|' || printf('%.2f', floor(s_acctbal + 0.5)) AS rd,
+        |  'd|' || printf('%.2f', -floor(-s_acctbal)) AS ce,
+        |  'd|' || printf('%.2f', floor(s_acctbal)) AS fl
+        |FROM supplier""".stripMargin,
+
+    // x1 (long 5) passes: sameTerm(5, 5.0) is FALSE (term identity,
+    // no promotion); x2 (double 5.0) is removed; x4 is the IRI
+    "q176_term_tests" ->
+      """SELECT 'k|x1' AS x, 'l|5' AS o
+        |UNION ALL SELECT 'k|x4', 'u|urn:five'""".stripMargin,
 
     // hop-1 = the customer's nation, hop-2 = that nation's region;
     // UNION (distinct) = the path algebra's distinct-pair semantics

@@ -497,6 +497,23 @@ final case class TConcat(es: Seq[TermExpr]) extends TermExpr {
   require(es.nonEmpty, "CONCAT needs at least one argument")
   def refs: Seq[V] = es.flatMap(_.refs)
 }
+/** `ABS(e)` (§17.4.4.1): exact int64 on longs (Long.MinValue wraps —
+  * Java semantics, documented), double on doubles; non-numeric =
+  * error. */
+final case class TAbs(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `ROUND(e)` (§17.4.4.2) = XPath fn:round: the nearest integer,
+  * ties toward +∞ — implemented as floor(x + 0.5) IDENTICALLY in
+  * both engines (library round() differs cross-engine at .5: Spark
+  * HALF_UP rounds −2.5 to −3, fn:round says −2). Longs are returned
+  * unchanged; the result keeps the operand's kind per XPath. */
+final case class TRound(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `CEIL(e)` (§17.4.4.3) — double-preserving ceiling (longs
+  * unchanged). */
+final case class TCeil(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+/** `FLOOR(e)` (§17.4.4.4) — double-preserving floor (longs
+  * unchanged). */
+final case class TFloor(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+
 /** `IF(cond, then, else)` (§17.4.1.2): the condition evaluates with
   * full three-valued semantics — a condition ERROR is an expression
   * error (not the else branch). */
@@ -537,6 +554,29 @@ final case class FilterStrEnds(e: TermExpr, suffix: TermExpr)
 final case class FilterContains(e: TermExpr, needle: TermExpr)
     extends FilterExpr {
   def refs: Seq[V] = e.refs ++ needle.refs
+}
+
+/** `isIRI(e)` (§17.4.2.1): true for URI terms AND keywords (the
+  * reference's keyword terms function as its IRIs — documented
+  * extension of the RDF mapping); false for every other bound kind;
+  * an unbound operand is a type error per spec. */
+final case class FilterIsIri(e: TermExpr) extends FilterExpr {
+  def refs: Seq[V] = e.refs
+}
+/** `isLiteral(e)` (§17.4.2.2): true for the literal kinds (string,
+  * lang-string, typed, long, double, bool, date). */
+final case class FilterIsLiteral(e: TermExpr) extends FilterExpr {
+  def refs: Seq[V] = e.refs
+}
+/** `isNumeric(e)` (§17.4.2.4): true for longs and doubles. */
+final case class FilterIsNumeric(e: TermExpr) extends FilterExpr {
+  def refs: Seq[V] = e.refs
+}
+/** `sameTerm(a, b)` (§17.4.1.8): TERM identity — field-wise struct
+  * equality, NO numeric promotion (`sameTerm(1, 1.0)` is false where
+  * `1 = 1.0` is true); unbound on either side is a type error. */
+final case class FilterSameTerm(a: TermExpr, b: TermExpr) extends FilterExpr {
+  def refs: Seq[V] = a.refs ++ b.refs
 }
 
 /** `EXISTS { … }` as a FILTER-expression LEAF (§17.4.1.4): true iff

@@ -674,6 +674,23 @@ object BgpCompiler {
         termExprCol(b, termOf, boundOf))
     case FilterBound(v)         => boundOf(v.name)
     case FilterRegex(v, p)      => regexCol(termOf(v.name), p)
+    case FilterIsIri(e)         =>
+      val c = termExprCol(e, termOf, boundOf)
+      when(c.isNull, nullBool)
+        .otherwise(c.getField("kind").isin(Term.KUri, Term.KKeyword))
+    case FilterIsLiteral(e)     =>
+      val c = termExprCol(e, termOf, boundOf)
+      when(c.isNull, nullBool)
+        .otherwise(c.getField("kind").isin(Term.KString, Term.KLangString,
+          Term.KTyped, Term.KLong, Term.KDouble, Term.KBool, Term.KDate))
+    case FilterIsNumeric(e)     =>
+      val c = termExprCol(e, termOf, boundOf)
+      when(c.isNull, nullBool)
+        .otherwise(c.getField("kind").isin(Term.KLong, Term.KDouble))
+    case FilterSameTerm(a, b)   =>
+      val ac = termExprCol(a, termOf, boundOf)
+      val bc = termExprCol(b, termOf, boundOf)
+      when(ac.isNull || bc.isNull, nullBool).otherwise(ac === bc)
     case FilterStrStarts(e, p)  =>
       strArgs2(e, p, termOf, boundOf)((a, b) => a.startsWith(b))
     case FilterStrEnds(e, p)    =>
@@ -837,6 +854,33 @@ object BgpCompiler {
           .reduce(_ && _)
         when(allStr, strT(concat(cs.map(_.getField("lex")): _*)))
           .otherwise(nullTerm)
+      case num @ (TAbs(_) | TRound(_) | TCeil(_) | TFloor(_)) =>
+        val x = num match {
+          case TAbs(e0) => e0; case TRound(e0) => e0
+          case TCeil(e0) => e0; case TFloor(e0) => e0
+          case other => throw new InvalidBgp(s"unreachable: $other")
+        }
+        val c = rec(x)
+        val kind = c.getField("kind")
+        // double-preserving floor: x − pmod(x, 1.0) stays a DOUBLE for
+        // any magnitude (Spark's floor() returns LONG — overflow past
+        // int64); fn:round = floor(x + 0.5), identical both engines
+        def floorD(d: Column): Column = d - pmod(d, functions.lit(1.0))
+        val d = c.getField("num")
+        val dblVal: Column = num match {
+          case _: TAbs   => abs(d)
+          case _: TRound => floorD(d + 0.5)
+          case _: TCeil  => -floorD(-d)
+          case _: TFloor => floorD(d)
+          case other => throw new InvalidBgp(s"unreachable: $other")
+        }
+        val longVal: Column = num match {
+          case _: TAbs => abs(c.getField("lex").cast(LongType))
+          case _       => c.getField("lex").cast(LongType) // integral already
+        }
+        when(kind === Term.KLong, longT(longVal))
+          .when(kind === Term.KDouble, dblT(dblVal))
+          .otherwise(nullTerm)
       case TIf(cond, t, f) =>
         val cc = filterCol(cond, termOf, boundOf)
         when(cc.isNull, nullTerm)
@@ -873,6 +917,10 @@ object BgpCompiler {
     case FilterStrStarts(a, b)   => containsBoundT(a) || containsBoundT(b)
     case FilterStrEnds(a, b)     => containsBoundT(a) || containsBoundT(b)
     case FilterContains(a, b)    => containsBoundT(a) || containsBoundT(b)
+    case FilterSameTerm(a, b)    => containsBoundT(a) || containsBoundT(b)
+    case FilterIsIri(e)          => containsBoundT(e)
+    case FilterIsLiteral(e)      => containsBoundT(e)
+    case FilterIsNumeric(e)      => containsBoundT(e)
     case _                       => false
   }
 
@@ -896,6 +944,10 @@ object BgpCompiler {
     case TReplace(x, _, _) => containsBoundT(x)
     case TStrBefore(a, b)  => containsBoundT(a) || containsBoundT(b)
     case TStrAfter(a, b)   => containsBoundT(a) || containsBoundT(b)
+    case TAbs(x)           => containsBoundT(x)
+    case TRound(x)         => containsBoundT(x)
+    case TCeil(x)          => containsBoundT(x)
+    case TFloor(x)         => containsBoundT(x)
     case NAdd(a, b)    => containsBoundT(a) || containsBoundT(b)
     case NSub(a, b)    => containsBoundT(a) || containsBoundT(b)
     case NMul(a, b)    => containsBoundT(a) || containsBoundT(b)

@@ -176,6 +176,25 @@ object MiniInterp {
         if (vs.forall(_.exists(_.isInstanceOf[TString])))
           Some(TString(vs.flatten.collect { case TString(s) => s }.mkString))
         else None
+      case num @ (TAbs(_) | TRound(_) | TCeil(_) | TFloor(_)) =>
+        val x = num match {
+          case TAbs(e0) => e0; case TRound(e0) => e0
+          case TCeil(e0) => e0; case TFloor(e0) => e0
+          case other => sys.error(s"unreachable: $other")
+        }
+        evalNum(x, b, db).flatMap {
+          case TLong(v) => Some(num match {
+            case _: TAbs => TLong(math.abs(v)); case _ => TLong(v)
+          })
+          case TDouble(d) => Some(TDouble(num match {
+            case _: TAbs   => math.abs(d)
+            case _: TRound => math.floor(d + 0.5) // fn:round, ties to +inf
+            case _: TCeil  => math.ceil(d)
+            case _: TFloor => math.floor(d)
+            case other => sys.error(s"unreachable: $other")
+          }))
+          case _ => None
+        }
       case TIf(cond, t, f) => evalFilter(cond, b, db) match {
         case Some(true)  => evalNum(t, b, db)
         case Some(false) => evalNum(f, b, db)
@@ -202,6 +221,20 @@ object MiniInterp {
     case FilterVarCmp(x, op, y) =>
       cmpTerm(b.getOrElse(x.name, null), op, b.getOrElse(y.name, null))
     case FilterBound(v) => Some(b.getOrElse(v.name, null) != null)
+    case FilterIsIri(e) => evalNum(e, b, db).map(t =>
+      t.isInstanceOf[TUri] || t.isInstanceOf[TKeyword])
+    case FilterIsLiteral(e) => evalNum(e, b, db).map {
+      case TString(_) | TLangString(_, _) | TTyped(_, _) | TLong(_) |
+           TDouble(_) | TBool(_) | TDate(_) => true
+      case _ => false
+    }
+    case FilterIsNumeric(e) => evalNum(e, b, db).map(t =>
+      t.isInstanceOf[TLong] || t.isInstanceOf[TDouble])
+    case FilterSameTerm(x, y) =>
+      (evalNum(x, b, db), evalNum(y, b, db)) match {
+        case (Some(a), Some(c)) => Some(a == c) // term identity, no promotion
+        case _ => None
+      }
     case FilterStrStarts(e, p) => evalStr2(e, p, b, db)(_.startsWith(_))
     case FilterStrEnds(e, p)   => evalStr2(e, p, b, db)(_.endsWith(_))
     case FilterContains(e, p)  => evalStr2(e, p, b, db)(_.contains(_))
@@ -542,7 +575,8 @@ object DifferentialProps extends Properties("differential") {
       x <- inner
       f <- Gen.oneOf[TermExpr => TermExpr](
         TStr(_), TLang(_), TDatatype(_), TStrlen(_), TUcase(_), TLcase(_),
-        TSubstr(_, 1, Some(1)), TSubstr(_, 2, None))
+        TSubstr(_, 1, Some(1)), TSubstr(_, 2, None),
+        TAbs(_), TRound(_), TCeil(_), TFloor(_))
     } yield f(x)
     Gen.frequency(
       2 -> genTermLeaf,
@@ -581,6 +615,14 @@ object DifferentialProps extends Properties("differential") {
       b <- Gen.oneOf(varNames)
     } yield FilterVarCmp(V(a), op, V(b)): FilterExpr),
     2 -> Gen.oneOf(varNames).map(v => FilterBound(V(v)): FilterExpr),
+    1 -> (for {
+      e <- genTermLeaf
+      f <- Gen.oneOf[TermExpr => FilterExpr](
+        FilterIsIri(_), FilterIsLiteral(_), FilterIsNumeric(_))
+    } yield f(e)),
+    1 -> (for {
+      a <- genTermLeaf; b <- genTermLeaf
+    } yield FilterSameTerm(a, b): FilterExpr),
     1 -> (for {
       a <- genTermFn
       b <- Gen.frequency(

@@ -795,6 +795,61 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("§17.4.4 numeric fns + §17.4.2 term tests: fn:round ties " +
+      "toward +inf (both signs), kind preserved, exact int64 ABS, " +
+      "sameTerm is identity (no promotion) where Eq promotes") {
+    val amt = k("amt")
+    val d = db(
+      (k("a"), amt, TDouble(2.5)), (k("b"), amt, TDouble(-2.5)),
+      (k("c"), amt, TDouble(-0.3)), (k("e"), amt, TLong(-7)),
+      (k("f"), amt, TLong(9007199254740993L)), // 2^53 + 1
+      (k("g"), amt, s("NaN")))
+    def one(e: TermExpr) = bag(d, Seq(?("x"), ?("r")), Seq(
+      pat(?("x"), T(amt), ?("v")), Bind(e, ?("r"))))
+    // fn:round: 2.5 → 3, −2.5 → −2 (ties toward +inf — library
+    // round() would give −3); longs pass through; non-numerics error
+    assert(one(TRound(TVar(?("v")))) == Map(
+      Seq(k("a"), TDouble(3.0)) -> 1, Seq(k("b"), TDouble(-2.0)) -> 1,
+      Seq(k("c"), TDouble(0.0)) -> 1, Seq(k("e"), TLong(-7)) -> 1,
+      Seq(k("f"), TLong(9007199254740993L)) -> 1, Seq(k("g"), null) -> 1))
+    assert(one(TCeil(TVar(?("v")))) == Map(
+      Seq(k("a"), TDouble(3.0)) -> 1, Seq(k("b"), TDouble(-2.0)) -> 1,
+      Seq(k("c"), TDouble(-0.0)) -> 1, Seq(k("e"), TLong(-7)) -> 1,
+      Seq(k("f"), TLong(9007199254740993L)) -> 1, Seq(k("g"), null) -> 1))
+    assert(one(TFloor(TVar(?("v")))) == Map(
+      Seq(k("a"), TDouble(2.0)) -> 1, Seq(k("b"), TDouble(-3.0)) -> 1,
+      Seq(k("c"), TDouble(-1.0)) -> 1, Seq(k("e"), TLong(-7)) -> 1,
+      Seq(k("f"), TLong(9007199254740993L)) -> 1, Seq(k("g"), null) -> 1))
+    // ABS: exact int64 past 2^53 (the num double would collapse it)
+    assert(one(TAbs(TVar(?("v")))) == Map(
+      Seq(k("a"), TDouble(2.5)) -> 1, Seq(k("b"), TDouble(2.5)) -> 1,
+      Seq(k("c"), TDouble(0.3)) -> 1, Seq(k("e"), TLong(7)) -> 1,
+      Seq(k("f"), TLong(9007199254740993L)) -> 1, Seq(k("g"), null) -> 1))
+    // sameTerm(5, 5.0) false (identity) where Eq(5, 5.0) true
+    val idQ = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(amt), ?("v")),
+      FilterSameTerm(TVar(?("v")), TConst(TDouble(2.5)))))
+    assert(idQ == Map(Seq(k("a")) -> 1)) // NOT the long kinds
+    val eqQ = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(amt), ?("v")),
+      FilterArith(TVar(?("v")), Eq, TConst(TDouble(-7.0)))))
+    assert(eqQ == Map(Seq(k("e")) -> 1)) // promotion: long −7 = −7.0
+    // is* dispatch incl. the keyword-as-IRI rule; unbound = error
+    val isQ = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(amt), ?("v")),
+      FilterIsNumeric(TVar(?("v")))))
+    assert(isQ.keySet == Set(Seq(k("a")), Seq(k("b")), Seq(k("c")),
+      Seq(k("e")), Seq(k("f"))))
+    val iriQ = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(amt), ?("v")),
+      FilterIsIri(TConst(k("someKeyword")))))
+    assert(iriQ.values.sum == 6) // keywords count as IRIs (documented)
+    val unboundIs = bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(amt), ?("v")),
+      FilterIsLiteral(TVar(?("nowhere")))))
+    assert(unboundIs.isEmpty) // type error removes every row
+  }
+
   test("subqueries (SPARQL §12): aggregate+modifier composition, " +
       "at-the-max join, error-group compatibility, dict leg with " +
       "value-preserving aggregates, loud refusals") {
