@@ -1575,6 +1575,22 @@ object SparkEntry {
         "c", "seg", "n")
     }),
 
+    // ---- §17.4.3 LITERAL CONSTRUCTORS: STRLANG / STRDT build
+    //      lang-tagged and typed literals from plain strings, and
+    //      LANG round-trips the constructed tag; STRLANG of an
+    //      ALREADY-tagged string errors per spec (unbound column) ----
+    "q177_term_constructors" -> ((sp, dir) => {
+      val db = Tables.nationDb(sp, dir)
+      sel(db, Seq(
+        pat(V("n"), kw("n_name"), V("nm")),
+        Bind(TStrLang(TVar(V("nm")), "en"), V("tagged")),
+        Bind(TLang(TVar(V("tagged"))), V("lg")),
+        Bind(TStrDt(TVar(V("nm")),
+          "http://www.w3.org/2001/XMLSchema#token"), V("typed")),
+        Bind(TStrLang(TVar(V("tagged")), "de"), V("err"))),
+        "n", "tagged", "lg", "typed", "err")
+    }),
+
     // ---- §17.4.4 NUMERIC FUNCTIONS: ABS / ROUND / CEIL / FLOOR over
     //      signed 2-decimal balances — fn:round = floor(x + 0.5) in
     //      BOTH engines (library round() disagrees at .5 ties) ----
@@ -3126,6 +3142,17 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // constructed literals encode as 'ls|lex@tag' / 'lit|lex^^dt';
+    // STRLANG of the tagged column is an error = NULL cell
+    "q177_term_constructors" ->
+      """SELECT 'u|nation/' || n_nationkey AS n,
+        |  'ls|' || n_name || '@en' AS tagged,
+        |  's|en' AS lg,
+        |  'lit|' || n_name ||
+        |    '^^http://www.w3.org/2001/XMLSchema#token' AS typed,
+        |  CAST(NULL AS VARCHAR) AS err
+        |FROM nation""".stripMargin,
 
     // abs/floor(x+0.5)/−floor(−x)/floor(x) replay in identical double
     // arithmetic; results stay doubles (the XPath kind-preserving rule)

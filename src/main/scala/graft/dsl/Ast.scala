@@ -497,6 +497,23 @@ final case class TConcat(es: Seq[TermExpr]) extends TermExpr {
   require(es.nonEmpty, "CONCAT needs at least one argument")
   def refs: Seq[V] = es.flatMap(_.refs)
 }
+/** `STRLANG(e, "lang")` (§17.4.3.9): construct a language-tagged
+  * string from a PLAIN string (any other kind errors, per spec —
+  * STRLANG of an already-tagged string is an error). The tag is a
+  * literal constant (the common form; a dynamic-tag second argument
+  * is out of the deterministic subset). */
+final case class TStrLang(e: TermExpr, lang: String) extends TermExpr {
+  require(lang.nonEmpty, "STRLANG tag must be non-empty")
+  def refs: Seq[V] = e.refs
+}
+/** `STRDT(e, datatypeIri)` (§17.4.3.10): construct a typed literal
+  * from a PLAIN string; constant datatype IRI (same subset rule as
+  * [[TStrLang]]). */
+final case class TStrDt(e: TermExpr, datatype: String) extends TermExpr {
+  require(datatype.nonEmpty, "STRDT datatype must be non-empty")
+  def refs: Seq[V] = e.refs
+}
+
 /** `ABS(e)` (§17.4.4.1): exact int64 on longs (Long.MinValue wraps —
   * Java semantics, documented), double on doubles; non-numeric =
   * error. */

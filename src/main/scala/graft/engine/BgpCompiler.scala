@@ -824,6 +824,16 @@ object BgpCompiler {
       case TLcase(x) => strFn(x)(lower)
       case TReplace(x, p, rep) =>
         strFn(x)(s => regexp_replace(s, p, rep))
+      case TStrLang(x, lang) =>
+        val c = rec(x)
+        when(c.getField("kind") === Term.KString,
+          Term.mk(functions.lit(Term.KLangString), c.getField("lex"),
+            nullD, functions.lit(lang), nullS)).otherwise(nullTerm)
+      case TStrDt(x, dt) =>
+        val c = rec(x)
+        when(c.getField("kind") === Term.KString,
+          Term.mk(functions.lit(Term.KTyped), c.getField("lex"),
+            nullD, nullS, functions.lit(dt))).otherwise(nullTerm)
       case before @ (TStrBefore(_, _) | TStrAfter(_, _)) =>
         // §17.4.3.4/5: arg1's tag rides on a MATCH, a miss is the
         // PLAIN empty string (the spec's asymmetry); an empty needle
@@ -942,6 +952,8 @@ object BgpCompiler {
     case TUcase(x)         => containsBoundT(x)
     case TLcase(x)         => containsBoundT(x)
     case TReplace(x, _, _) => containsBoundT(x)
+    case TStrLang(x, _)    => containsBoundT(x)
+    case TStrDt(x, _)      => containsBoundT(x)
     case TStrBefore(a, b)  => containsBoundT(a) || containsBoundT(b)
     case TStrAfter(a, b)   => containsBoundT(a) || containsBoundT(b)
     case TAbs(x)           => containsBoundT(x)

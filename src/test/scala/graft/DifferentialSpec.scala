@@ -155,6 +155,14 @@ object MiniInterp {
       case TReplace(x, p, rep) =>
         evalNum(x, b, db).flatMap(asStrKind)
           .map { case (s, lg) => reStr(s.replaceAll(p, rep), lg) }
+      case TStrLang(x, lang) => evalNum(x, b, db).flatMap {
+        case TString(s) => Some(TLangString(s, lang))
+        case _          => None // incl. already-tagged strings, per spec
+      }
+      case TStrDt(x, dt) => evalNum(x, b, db).flatMap {
+        case TString(s) => Some(TTyped(s, dt))
+        case _          => None
+      }
       case ba @ (TStrBefore(_, _) | TStrAfter(_, _)) =>
         val (x, nd, isBefore) = ba match {
           case TStrBefore(a1, b1) => (a1, b1, true)
@@ -590,7 +598,9 @@ object DifferentialProps extends Properties("differential") {
         f <- Gen.oneOf[(TermExpr, TermExpr) => TermExpr](
           TStrBefore(_, _), TStrAfter(_, _))
       } yield f(x, TConst(TString(n)))),
-      1 -> genTermLeaf.map(x => TReplace(x, "[xy]", "Z"): TermExpr))
+      1 -> genTermLeaf.map(x => TReplace(x, "[xy]", "Z"): TermExpr),
+      1 -> genTermLeaf.map(x => TStrLang(x, "en"): TermExpr),
+      1 -> genTermLeaf.map(x => TStrDt(x, "urn:dt"): TermExpr))
   }
 
   val genFilterAtom: Gen[FilterExpr] = Gen.frequency(
