@@ -764,8 +764,12 @@ object SparkEntry {
     //      instead of growing quadratically (the round-11 scale
     //      finding: fixed dials hit 111 s at sf1). ----
     "q41_embed_neardup_lsh" -> ((sp, dir) =>
+      // acceptScurveRecall: the documented near-dup trade — recall is
+      // engineered at the 0.9 design point, pairs down at the 0.45
+      // verify threshold surface with s-curve probability (§8.2)
       ops.Similarity.cosinePairsLshScaled(Tables.t(sp, dir, "embeddings"),
-        0.45, planeGen = (l, b, d) => ops.Similarity.md5SignPlanes(l, b, d))),
+        0.45, planeGen = (l, b, d) => ops.Similarity.md5SignPlanes(l, b, d),
+        acceptScurveRecall = true)),
 
     // ---- streaming windowed aggregation end-to-end: events arrive on
     //      a MemoryStream, watermark + 1h window, complete-mode sink —
@@ -1579,6 +1583,70 @@ object SparkEntry {
     //      lang-tagged and typed literals from plain strings, and
     //      LANG round-trips the constructed tag; STRLANG of an
     //      ALREADY-tagged string errors per spec (unbound column) ----
+    // ---- §17.4.5 DATE/TIME ACCESSORS composing with the §11
+    //      aggregates: per-YEAR order counts + month extremes over a
+    //      DAY-component filter — components are fixed-position int64
+    //      decompositions of the canonical lexical (zero date-library
+    //      drift), one codegen'd projection + one hash aggregate ----
+    "q178_date_accessors" -> ((sp, dir) => {
+      val db = Tables.ordersDb(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("o"), kw("o_orderdate"), V("d")),
+        Bind(TDatePart(TVar(V("d")), DfYear), V("y")),
+        Bind(TDatePart(TVar(V("d")), DfMonth), V("m")),
+        FilterArith(TDatePart(TVar(V("d")), DfDay), Le, NConst(TLong(15)))),
+        Seq(V("y"), V("m")))
+      Projections.aggregated(sol, Seq(V("y")), Seq(
+        Agg(AggCount, None, V("n")),
+        Agg(AggMin, Some(V("m")), V("m1")),
+        Agg(AggMax, Some(V("m")), V("m2"))))
+        .select(Seq("y", "n", "m1", "m2").map(enc): _*)
+    }),
+
+    // ---- LANGMATCHES (§17.4.3.13): RFC 4647 ranges over LANG() —
+    //      "*" gates to tagged literals, the "en" range classifies
+    //      subtags (en-US, EN-GB) that exact LANG equality misses ----
+    "q179_langmatches" -> ((sp, dir) => {
+      val db = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("x1"), TKeyword("label"), TLangString("colour", "en")),
+        (TKeyword("x2"), TKeyword("label"), TLangString("color", "en-US")),
+        (TKeyword("x3"), TKeyword("label"), TLangString("colr", "EN-GB")),
+        (TKeyword("x4"), TKeyword("label"), TLangString("Farbe", "de")),
+        (TKeyword("x5"), TKeyword("label"), TString("plain"))))
+      sel(db, Seq(
+        pat(V("x"), kw("label"), V("l")),
+        FilterLangMatches(TLang(TVar(V("l"))), "*"),
+        Bind(TIf(FilterLangMatches(TLang(TVar(V("l"))), "en"),
+          TConst(TString("en")), TConst(TString("other"))), V("fam"))),
+        "x", "l", "fam")
+    }),
+
+    // ---- IRI / ENCODE_FOR_URI / BNODE / MD5 CONSTRUCTORS feeding
+    //      CONSTRUCT-INTO-GRAPHS (the q172 machinery): graph and
+    //      subject IRIs MINTED from query strings, a skolem bnode per
+    //      content hash — then a graph-scoped BGP over the built
+    //      store proves the minted terms are real, joinable nodes ----
+    "q180_iri_construct" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      val built = Projections.constructQuads(db, Seq(
+        (V("sk"), T(TKeyword("md5")), V("h"), V("g")),
+        (V("bn"), T(TKeyword("denotes")), V("sk"), V("g"))), Seq(
+        pat(V("c"), kw("c_mktsegment"), V("seg")),
+        pat(V("c"), kw("c_name"), V("name")),
+        Bind(THash(TVar(V("name")), "md5"), V("h")),
+        Bind(TIri(TConcat(Seq(TConst(TString("urn:c/")),
+          TEncodeForUri(TVar(V("name")))))), V("sk")),
+        Bind(TIri(TConcat(Seq(TConst(TString("urn:seg/")),
+          TLcase(TVar(V("seg")))))), V("g")),
+        Bind(TBNode(TVar(V("h"))), V("bn"))))
+      val seg = T(TUri("urn:seg/building"))
+      Projections.selectDf(built, Seq(
+        QuadPattern(V("s2"), T(TKeyword("md5")), V("h"), seg),
+        QuadPattern(V("b2"), T(TKeyword("denotes")), V("s2"), seg)),
+        Seq(V("s2"), V("h"), V("b2")))
+        .select(enc("s2"), enc("h"), enc("b2"))
+    }),
+
     "q177_term_constructors" -> ((sp, dir) => {
       val db = Tables.nationDb(sp, dir)
       sel(db, Seq(
@@ -3142,6 +3210,41 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // YEAR/MONTH/DAY replay as DuckDB date parts of the SAME parquet
+    // date the engine's lexical was formatted from — the canonical
+    // lexical is strftime of that date, so the decompositions agree
+    // by construction
+    "q178_date_accessors" ->
+      """SELECT 'l|' || CAST(year(o_orderdate) AS VARCHAR) AS y,
+        |  'l|' || CAST(count(*) AS VARCHAR) AS n,
+        |  'l|' || CAST(min(month(o_orderdate)) AS VARCHAR) AS m1,
+        |  'l|' || CAST(max(month(o_orderdate)) AS VARCHAR) AS m2
+        |FROM orders WHERE day(o_orderdate) <= 15
+        |GROUP BY 1""".stripMargin,
+
+    // inline fixture → literal expected rows; "*" admits exactly the
+    // tagged literals, the "en" range classifies the subtags
+    "q179_langmatches" ->
+      """SELECT 'k|x1' AS x, 'ls|colour@en' AS l, 's|en' AS fam
+        |UNION ALL SELECT 'k|x2', 'ls|color@en-US', 's|en'
+        |UNION ALL SELECT 'k|x3', 'ls|colr@EN-GB', 's|en'
+        |UNION ALL SELECT 'k|x4', 'ls|Farbe@de', 's|other'""".stripMargin,
+
+    // the general fn:encode-for-uri replays per character (unreserved
+    // passes, else uppercase %XX of the UTF-8 bytes); md5 is the same
+    // lowercase hex in both engines; the bnode is the documented
+    // skolem scheme
+    "q180_iri_construct" ->
+      """SELECT 'u|urn:c/' ||
+        |    list_aggregate([CASE
+        |        WHEN regexp_matches(ch, '^[A-Za-z0-9._~-]$') THEN ch
+        |        ELSE regexp_replace(upper(hex(ch)), '(..)', '%\1', 'g')
+        |      END FOR ch IN string_split(c_name, '')],
+        |      'string_agg', '') AS s2,
+        |  's|' || md5(c_name) AS h,
+        |  'u|urn:graft:bnode/query/' || md5(c_name) AS b2
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     // constructed literals encode as 'ls|lex@tag' / 'lit|lex^^dt';
     // STRLANG of the tagged column is an error = NULL cell

@@ -514,6 +514,84 @@ final case class TStrDt(e: TermExpr, datatype: String) extends TermExpr {
   def refs: Seq[V] = e.refs
 }
 
+/** Date/time component selector for [[TDatePart]] (§17.4.5). */
+sealed trait DateField extends Product with Serializable
+/** `YEAR(e)` (§17.4.5.1). */ case object DfYear extends DateField
+/** `MONTH(e)` (§17.4.5.2). */ case object DfMonth extends DateField
+/** `DAY(e)` (§17.4.5.3). */ case object DfDay extends DateField
+/** `HOURS(e)` (§17.4.5.4). */ case object DfHours extends DateField
+/** `MINUTES(e)` (§17.4.5.5). */ case object DfMinutes extends DateField
+/** `SECONDS(e)` (§17.4.5.6). */ case object DfSeconds extends DateField
+
+/** Date/time component accessors (§17.4.5), deterministic subset:
+  * defined over date terms ([[graft.core.Term.TDate]]) whose
+  * canonical ISO lexical starts `yyyy-MM-dd` — YEAR/MONTH/DAY read
+  * the date components; HOURS/MINUTES/SECONDS additionally require
+  * a `THH:mm:ss` time part (a date-only term is an ERROR for them,
+  * per the spec's xsd:dateTime domain). Components are exact int64
+  * terms decomposed from the LEXICAL form — pure fixed-position
+  * string arithmetic, so both oracle engines replay it with zero
+  * date-library drift; SECONDS returns the INTEGRAL seconds (a
+  * fractional part in the lexical is ignored — the spec's
+  * xsd:decimal seconds are out of the deterministic subset).
+  * Negative (BCE) years are out of the subset (error). Anything
+  * non-date — or unbound — is a type ERROR. */
+final case class TDatePart(e: TermExpr, field: DateField) extends TermExpr {
+  def refs: Seq[V] = e.refs
+}
+/** `TZ(e)` (§17.4.5.8): the timezone designator of a date term's
+  * lexical as a plain string — `"Z"`, `"+05:30"`-style offsets, or
+  * `""` when the lexical carries none (the spec's no-timezone rule).
+  * Non-dates error. (TIMEZONE, §17.4.5.7, returns an
+  * xsd:dayTimeDuration and ERRORS on missing zones — compose
+  * `IF(TZ(e) = "", error-branch, …)` for that; the string form is
+  * the deterministic subset.) */
+final case class TTz(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+
+/** `IRI(e)` / `URI(e)` (§17.4.2.8): constructs a URI term from a
+  * plain string (taken as an ABSOLUTE IRI — base resolution is out
+  * of the deterministic subset; relative strings mint verbatim, like
+  * the interchange writers' `urn:graft:rel/` contract documents for
+  * export); a URI operand passes through unchanged per spec. Other
+  * kinds error. */
+final case class TIri(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+
+/** `ENCODE_FOR_URI(e)` (§17.4.3.11): percent-encodes every character
+  * of a plain string except the RFC 3986 unreserved set
+  * (ALPHA / DIGIT / `-` `.` `_` `~`) — each other character's UTF-8
+  * bytes become uppercase `%XX` triples, exactly fn:encode-for-uri.
+  * Plain strings only (a lang-tagged operand is an error, per the
+  * simple-literal/xsd:string domain). */
+final case class TEncodeForUri(e: TermExpr) extends TermExpr {
+  def refs: Seq[V] = e.refs
+}
+
+/** `BNODE(e)` (§17.4.2.9), skolem subset: maps a plain string to the
+  * engine's reserved skolem-IRI scheme
+  * (`urn:graft:bnode/query/<arg>` — the same RDF 1.1 §3.5 space the
+  * interchange readers mint into, so the writers' restore mode
+  * round-trips it back to `_:query.<arg>`). DOCUMENTED DIVERGENCE:
+  * the spec scopes BNODE(str) per solution (two solutions get
+  * distinct nodes); a per-solution gensym is non-replayable, so the
+  * deterministic subset makes it a pure function of the argument —
+  * equal strings mint EQUAL nodes across solutions, which is the
+  * useful (and skolemization-consistent) behavior for minting
+  * stable subjects in CONSTRUCT pipelines. The no-argument BNODE()
+  * (a fresh node per call) is not provided at all — same reason. */
+final case class TBNode(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
+
+/** `MD5(e)` / `SHA256(e)` (§17.4.4.12/14): lowercase-hex digest of a
+  * plain string's UTF-8 bytes, as a plain string. Only the two
+  * algorithms BOTH oracle engines ship are accepted — SHA1 / SHA384 /
+  * SHA512 have no DuckDB twin, so they refuse loudly at construction
+  * (the deterministic subset). */
+final case class THash(e: TermExpr, algo: String) extends TermExpr {
+  require(algo == "md5" || algo == "sha256",
+    s"hash algorithm must be md5 or sha256 (the deterministic, " +
+      s"both-engine subset — SHA1/384/512 have no oracle twin), got '$algo'")
+  def refs: Seq[V] = e.refs
+}
+
 /** `ABS(e)` (§17.4.4.1): exact int64 on longs (Long.MinValue wraps —
   * Java semantics, documented), double on doubles; non-numeric =
   * error. */
@@ -571,6 +649,22 @@ final case class FilterStrEnds(e: TermExpr, suffix: TermExpr)
 final case class FilterContains(e: TermExpr, needle: TermExpr)
     extends FilterExpr {
   def refs: Seq[V] = e.refs ++ needle.refs
+}
+
+/** `LANGMATCHES(e, range)` (§17.4.3.13): RFC 4647 basic filtering of
+  * a language TAG (usually `LANG(?v)` — a plain string) against a
+  * constant language RANGE: case-insensitive, `"en"` matches `"en"`
+  * AND `"en-US"` (a range matches any tag it prefixes at a `-`
+  * boundary), and `"*"` matches every NON-EMPTY tag — so
+  * `LANGMATCHES(LANG(?v), "*")` is "has some language", false for
+  * plain/typed literals whose LANG is `""`. A non-plain-string first
+  * argument (unbound included) is a type ERROR. The range is a
+  * constant (the universal real-query form; a dynamic range is out
+  * of the deterministic subset). */
+final case class FilterLangMatches(e: TermExpr, range: String)
+    extends FilterExpr {
+  require(range.nonEmpty, "LANGMATCHES range must be non-empty")
+  def refs: Seq[V] = e.refs
 }
 
 /** `isIRI(e)` (§17.4.2.1): true for URI terms AND keywords (the

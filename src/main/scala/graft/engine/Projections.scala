@@ -275,6 +275,69 @@ object Projections {
   def having(agg: DataFrame, f: FilterExpr): DataFrame =
     BgpCompiler.filterFrame(agg, f)
 
+  /** [[having]] with EXISTS support (§17.4.1.4 in HAVING): the store
+    * is still in scope after aggregation, so an EXISTS leaf that is
+    * uncorrelated or correlated on SURVIVING columns (group keys /
+    * aggregate names) evaluates as the same per-row marker the
+    * group-level FILTER uses — "groups over threshold that ALSO have
+    * a matching fact". Correlation on a solution var the aggregation
+    * consumed refuses loudly; pass `preAggVars` (the pre-aggregation
+    * projection) so the refusal can tell a consumed var from a fresh
+    * inner-scoped one. */
+  def having(db: TripleDb, agg: DataFrame, f: FilterExpr,
+             preAggVars: Seq[V] = Nil): DataFrame =
+    BgpCompiler.filterFrameExists(db, agg, f, preAggVars.map(_.name).toSet)
+
+  /** [[having]] with EXISTS over a quad store (graph-scoped inner
+    * patterns). No default for `preAggVars` (twin-default overloads). */
+  def having(db: QuadDb, agg: DataFrame, f: FilterExpr,
+             preAggVars: Seq[V]): DataFrame =
+    BgpCompiler.filterFrameExists(db, agg, f, preAggVars.map(_.name).toSet)
+
+  /** ORDER BY <expression> sugar (§18.5 OrderBy over arbitrary
+    * expressions): each non-variable key rewrites to an implicit
+    * pre-Bind of a fresh var + a plain [[OrderKey]], and the fresh
+    * columns project away afterwards — semantics and plan are exactly
+    * "extend, then [[modified]]" (SelectSpec pins the equivalence; a
+    * `(TVar(v), asc)` key degenerates to `OrderKey(v, asc)`
+    * unchanged). Expression ERRORS (§17.2) leave the key unbound for
+    * that row, which sorts FIRST like §15.1's unbound-first rule.
+    * DISTINCT applies to the PROJECTED solutions (before the keys
+    * extend, per the §18.5 operator order), and `orderBy + limit`
+    * still compiles to TakeOrderedAndProject. */
+  def modifiedExpr(sol: DataFrame, orderBy: Seq[(TermExpr, Boolean)],
+                   limit: Int = -1, offset: Int = 0,
+                   distinct: Boolean = false): DataFrame = {
+    val keep = sol.columns.toSeq
+    var d = if (distinct) sol.dropDuplicates() else sol
+    val keys = orderBy.zipWithIndex.map {
+      case ((TVar(v), asc), _) => (OrderKey(v, asc), None)
+      case ((e, asc), i) =>
+        val fresh = V(s"__ord_$i")
+        (OrderKey(fresh, asc), Some(Bind(e, fresh)))
+    }
+    d = extend(d, keys.flatMap(_._2))
+    modified(d, keys.map(_._1), limit, offset, distinct = false)
+      .select(keep.map(col): _*)
+  }
+
+  /** GROUP BY <expression AS var> sugar (§11.1's GroupBy over
+    * expressions): each `(expr, ?as)` pair rewrites to an implicit
+    * pre-Bind (`?as` becomes a real projected group key, exactly the
+    * SPARQL grammar's `GROUP BY (expr AS ?v)`), then [[aggregated]]
+    * runs on the bound names — plans identical to writing the Bind
+    * yourself (SelectSpec pins it). A `(TVar(v), ?v)` pair is a plain
+    * key (no bind). Expression errors group under the UNBOUND key,
+    * like grouping on a nullable optional var. */
+  def aggregatedExpr(sol: DataFrame, groupBy: Seq[(TermExpr, V)],
+                     aggs: Seq[Agg]): DataFrame = {
+    val binds = groupBy.collect {
+      case (e, as) if !e.isInstanceOf[TVar] ||
+        e.asInstanceOf[TVar].v.name != as.name => Bind(e, as)
+    }
+    aggregated(extend(sol, binds), groupBy.map(_._2), aggs)
+  }
+
   /** Driver-side select ≙ reference `select` (alpha.clj:343-412): rows of
     * terms; unbound optional vars are `null` (≙ reified `_N`).
     */

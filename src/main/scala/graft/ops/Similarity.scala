@@ -476,7 +476,21 @@ object Similarity {
                            planeGen: (Int, Int, Int) => Seq[Array[Array[Float]]] =
                              (l, b, d) => (0 until l)
                                .map(t => hyperplanes(b, d, seed = 42L + t)),
-                           checkDim: Boolean = true): DataFrame = {
+                           checkDim: Boolean = true,
+                           acceptScurveRecall: Boolean = false): DataFrame = {
+    // the round-12 footgun, guarded LOUDLY (round-13): a threshold
+    // below the design point returns pairs in [threshold, design)
+    // with s-curve recall that DECAYS as the corpus grows (measured
+    // at sf1: 0.19 under the defaults vs 0.92 design-at-threshold) —
+    // a caller who skims the signature must choose explicitly
+    require(threshold >= designCosine || acceptScurveRecall,
+      f"threshold $threshold%.2f is below designCosine $designCosine%.2f: " +
+        "recall is engineered AT the design point only — pairs between " +
+        "them surface with s-curve probability that DECAYS with corpus " +
+        "size (measured 0.19 at sf1 under the defaults). Either set " +
+        "designCosine = threshold (recall holds there; L grows by the " +
+        "published n^rho bound) or pass acceptScurveRecall = true to " +
+        "accept best-effort recall below the design point")
     val n = if (corpusCount >= 0L) corpusCount else corpus.count()
     val b = lshPlanesFor(n, occupancy)
     val l = lshTablesFor(b, designCosine, targetRecall)

@@ -62,7 +62,7 @@ object NTriples {
     * other node; [[termTokenRestore]] optionally writes it back as
     * `_:<doc-id>.<label>` (a legal BLANK_NODE_LABEL — the re-export
     * stays bnode-valued, modulo the documented label mapping). */
-  private[sources] val BnodeBase = "urn:graft:bnode/"
+  private[graft] val BnodeBase = "urn:graft:bnode/"
 
   // practical BLANK_NODE_LABEL subset (word chars, mid dots/dashes)
   private val BnodeTok = """_:[A-Za-z0-9_][A-Za-z0-9_.-]*"""

@@ -146,8 +146,10 @@ object AnnRecall {
     val (nFixed, rFixed) = rec(Similarity.cosinePairsLsh(emb, threshold,
       planes = Similarity.md5SignPlanes(8, 4, 64)))
     val (nScaled, rScaled) = rec(Similarity.cosinePairsLshScaled(emb,
-      threshold, planeGen = (l, b2, d) => Similarity.md5SignPlanes(l, b2, d)))
-    val (nGauss, rGauss) = rec(Similarity.cosinePairsLshScaled(emb, threshold))
+      threshold, planeGen = (l, b2, d) => Similarity.md5SignPlanes(l, b2, d),
+      acceptScurveRecall = true))
+    val (nGauss, rGauss) = rec(Similarity.cosinePairsLshScaled(emb, threshold,
+      acceptScurveRecall = true))
     val (nAtT, rAtT) = rec(Similarity.cosinePairsLshScaled(emb, threshold,
       designCosine = threshold))
     val out = Seq(

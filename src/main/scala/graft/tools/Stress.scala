@@ -201,7 +201,8 @@ object Stress {
           .select(col("vec_id"), col("embedding"))
       val n = graft.ops.Similarity.cosinePairsLshScaled(input, 0.45,
         planeGen = (l, b, d) =>
-          graft.ops.Similarity.md5SignPlanes(l, b, d)).count()
+          graft.ops.Similarity.md5SignPlanes(l, b, d),
+        acceptScurveRecall = true).count()
       println(s"[stress]   -> $n verified pairs (scaled dials)")
     }
 

@@ -203,6 +203,60 @@ object MiniInterp {
           }))
           case _ => None
         }
+      case TDatePart(x, field) =>
+        // the SPEC of the deterministic subset: the component IS the
+        // corresponding field of the canonical ISO lexical — the model
+        // parses by regex GROUPS (not the engine's fixed positions)
+        val DateRe =
+          """(\d{4})-(\d{2})-(\d{2})(?:T(\d{2}):(\d{2}):(\d{2}))?.*""".r
+        evalNum(x, b, db).flatMap {
+          case TDate(DateRe(y, mo, d, h, mi, s)) =>
+            val g = field match {
+              case DfYear => y; case DfMonth => mo; case DfDay => d
+              case DfHours => h; case DfMinutes => mi; case DfSeconds => s
+            }
+            Option(g).map(v => TLong(v.toLong))
+          case _ => None
+        }
+      case TTz(x) => evalNum(x, b, db).flatMap {
+        case TDate(iso) if iso.matches("""\d{4}-\d{2}-\d{2}.*""") =>
+          Some(TString(
+            if (iso.endsWith("Z")) "Z"
+            else if (iso.matches(""".*[+-]\d{2}:\d{2}""")) iso.takeRight(6)
+            else ""))
+        case _ => None
+      }
+      case TIri(x) => evalNum(x, b, db).flatMap {
+        case u: TUri    => Some(u)
+        case TString(s) => Some(TUri(s))
+        case _          => None
+      }
+      case TEncodeForUri(x) => evalNum(x, b, db).flatMap {
+        case TString(s) =>
+          // fn:encode-for-uri per spec: unreserved passes, every other
+          // codepoint's UTF-8 bytes become uppercase %XX
+          val sb = new StringBuilder
+          s.codePoints().forEach { cp =>
+            val cs = new String(Character.toChars(cp))
+            if (cs.matches("[A-Za-z0-9._~-]")) sb.append(cs)
+            else for (byte <- cs.getBytes("UTF-8"))
+              sb.append(f"%%${byte & 0xff}%02X")
+          }
+          Some(TString(sb.toString))
+        case _ => None
+      }
+      case TBNode(x) => evalNum(x, b, db).flatMap {
+        case TString(s) => Some(TUri("urn:graft:bnode/query/" + s))
+        case _          => None
+      }
+      case THash(x, algo) => evalNum(x, b, db).flatMap {
+        case TString(s) =>
+          val md = java.security.MessageDigest.getInstance(
+            if (algo == "md5") "MD5" else "SHA-256")
+          Some(TString(md.digest(s.getBytes("UTF-8"))
+            .map(bt => f"${bt & 0xff}%02x").mkString))
+        case _ => None
+      }
       case TIf(cond, t, f) => evalFilter(cond, b, db) match {
         case Some(true)  => evalNum(t, b, db)
         case Some(false) => evalNum(f, b, db)
@@ -243,6 +297,17 @@ object MiniInterp {
         case (Some(a), Some(c)) => Some(a == c) // term identity, no promotion
         case _ => None
       }
+    case FilterLangMatches(e, range) => evalNum(e, b, db).flatMap {
+      // RFC 4647 basic filtering per the SPEC: case-insensitive;
+      // "*" matches any non-empty tag; a range matches a tag when it
+      // equals it or prefixes it at a subtag ('-') boundary
+      case TString(tag) =>
+        val t = tag.toLowerCase; val r = range.toLowerCase
+        Some(
+          if (range == "*") t.nonEmpty
+          else t == r || t.startsWith(r + "-"))
+      case _ => None
+    }
     case FilterStrStarts(e, p) => evalStr2(e, p, b, db)(_.startsWith(_))
     case FilterStrEnds(e, p)   => evalStr2(e, p, b, db)(_.endsWith(_))
     case FilterContains(e, p)  => evalStr2(e, p, b, db)(_.contains(_))
@@ -515,7 +580,13 @@ object DifferentialProps extends Properties("differential") {
   // matchable nil, doubles, and opaque host values (byte equality)
   private val objs = Seq[Term](TString("x"), TString("y"), TLong(1),
     TKeyword("a"), TNil, TDouble(2.5),
-    Term.opaque("blob", Array[Byte](1, 2)), Term.opaque("blob", Array[Byte](3)))
+    Term.opaque("blob", Array[Byte](1, 2)), Term.opaque("blob", Array[Byte](3)),
+    // date lexicals: full dateTime, date-only (HOURS errors), zoned
+    // (TZ non-empty) — the §17.4.5 domain boundaries; lang-strings
+    // with subtags so LANGMATCHES range-vs-exact diverge
+    TDate("2024-03-07T15:30:45"), TDate("1995-06-17"),
+    TDate("2024-03-07T15:30:45+05:30"),
+    TLangString("x", "en-US"), TLangString("y", "en"))
 
   val genTriple: Gen[(Term, Term, Term)] = for {
     s <- Gen.oneOf(subjects); p <- Gen.oneOf(preds); o <- Gen.oneOf(objs)
@@ -584,7 +655,11 @@ object DifferentialProps extends Properties("differential") {
       f <- Gen.oneOf[TermExpr => TermExpr](
         TStr(_), TLang(_), TDatatype(_), TStrlen(_), TUcase(_), TLcase(_),
         TSubstr(_, 1, Some(1)), TSubstr(_, 2, None),
-        TAbs(_), TRound(_), TCeil(_), TFloor(_))
+        TAbs(_), TRound(_), TCeil(_), TFloor(_),
+        TDatePart(_, DfYear), TDatePart(_, DfMonth), TDatePart(_, DfDay),
+        TDatePart(_, DfHours), TDatePart(_, DfSeconds), TTz(_),
+        TIri(_), TEncodeForUri(_), TBNode(_),
+        THash(_, "md5"), THash(_, "sha256"))
     } yield f(x)
     Gen.frequency(
       2 -> genTermLeaf,
@@ -644,7 +719,15 @@ object DifferentialProps extends Properties("differential") {
     1 -> (for {
       v <- Gen.oneOf(varNames)
       p <- Gen.oneOf("^x", "y$", "[ab]", "x|z")
-    } yield FilterRegex(V(v), p): FilterExpr))
+    } yield FilterRegex(V(v), p): FilterExpr),
+    // LANGMATCHES over LANG(?v) (the canonical form) AND over a raw
+    // var (usually a domain error — the three-valued path); ranges
+    // hit exact / subtag-prefix / "*" / miss
+    1 -> (for {
+      x <- genTermLeaf
+      wrap <- Gen.oneOf[TermExpr => TermExpr](TLang(_), identity[TermExpr] _)
+      r <- Gen.oneOf("en", "en-us", "*", "de")
+    } yield FilterLangMatches(wrap(x), r): FilterExpr))
 
   val genFilterExpr: Gen[FilterExpr] = Gen.frequency(
     3 -> genFilterAtom,

@@ -134,10 +134,65 @@ class OpsSpec extends GraftSpec {
     val fixed = Similarity.cosinePairsLsh(emb, 0.45, planes = planes)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val scaled = Similarity.cosinePairsLshScaled(emb, 0.45,
-        planeGen = (l, b, d) => Similarity.md5SignPlanes(l, b, d))
+        planeGen = (l, b, d) => Similarity.md5SignPlanes(l, b, d),
+        acceptScurveRecall = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(scaled == fixed)
   }
+
+  test("scaled-regime guard + recall floor AT the sf1 dials (9 planes " +
+      "x 9 tables): design-point pairs survive occupancy scaling") {
+    import spark.implicits._
+    // the round-12 verdict footnote: the small-corpus floor (b = 4 =
+    // the fixed dials) cannot regress-test the SCALED regime, where
+    // more planes cut per-pair match probability and the table lookup
+    // must buy recall back. Force sf1's exact dials (b = 9, L = 9)
+    // on a spec-sized corpus via the occupancy dial: n = 600, occ = 2
+    // → ceil(log2(300)) = 9 planes; design 0.9 → 9 tables.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val bases = (0 until 300).map(_ => unit())
+    // planted near-dup: a slight rotation of each base, renormalized —
+    // cosine lands ~0.95 (above the 0.9 design point)
+    def jig(v: Array[Float]): Array[Float] = {
+      val w = unit()
+      val m = v.zip(w).map { case (a, b) => a + 0.32f * b }
+      val n = math.sqrt(m.map(x => x.toDouble * x).sum).toFloat
+      m.map(_ / n)
+    }
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v), ((i + 300).toLong, jig(v))) }
+    val corpus = rows.toDF("vec_id", "embedding")
+    assert(Similarity.lshPlanesFor(600, occupancy = 2) == 9) // sf1's b
+    assert(Similarity.lshTablesFor(9) == 9)                  // sf1's L
+    val found = Similarity.cosinePairsLshScaled(corpus, 0.45,
+        corpusCount = 600, occupancy = 2, acceptScurveRecall = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall floor at the DESIGN point: planted pairs whose exact
+    // cosine clears 0.9 must surface with >= 0.9 probability — the
+    // contract the guard advertises, measured at the scaled dials the
+    // small-corpus floor never reaches
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+    val design = (0 until 300).filter(i => cos(bases(i), jig2(rows, i)) >= 0.9)
+    val hit = design.count(i => found.contains((i.toLong, (i + 300).toLong)))
+    info(s"scaled-dial recall at design point: $hit/${design.size}")
+    assert(design.size > 200) // the fixture actually plants design-point pairs
+    assert(hit.toDouble / design.size >= 0.9)
+    // the guard itself: a skimmed low threshold without the opt-in is loud
+    val ex = intercept[IllegalArgumentException](
+      Similarity.cosinePairsLshScaled(corpus, 0.45, corpusCount = 600))
+    assert(ex.getMessage.contains("designCosine"))
+  }
+
+  private def jig2(rows: Seq[(Long, Array[Float])], i: Int): Array[Float] =
+    rows.find(_._1 == i + 300L).get._2
 
   test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
     import spark.implicits._

@@ -681,6 +681,118 @@ class SelectSpec extends GraftSpec {
     } finally dd.unpersist()
   }
 
+  test("§17.4.5 date accessors + TZ kind table, LANGMATCHES ranges, " +
+      "IRI/ENCODE_FOR_URI/BNODE/MD5/SHA256 constructors + domains") {
+    val at = k("at"); val lab = k("label")
+    val d = db(
+      (k("a"), at, TDate("2024-03-07T15:30:45")),
+      (k("b"), at, TDate("1995-06-17")),           // date-only: no time part
+      (k("c"), at, TDate("2024-03-07T15:30:45+05:30")),
+      (k("d"), at, TDate("2024-12-31T23:59:59Z")),
+      (k("e"), at, s("2024-03-07")),               // non-date kind: error
+      (k("f"), at, TLong(2024)))
+    def one(e: TermExpr): Map[Seq[graft.core.Term], Int] =
+      bag(d, Seq(?("x"), ?("r")), Seq(
+        pat(?("x"), T(at), ?("v")), Bind(e, ?("r"))))
+    // YEAR/MONTH/DAY over any canonical date lexical; non-dates error
+    assert(one(TDatePart(TVar(?("v")), DfYear)) == Map(
+      Seq(k("a"), TLong(2024)) -> 1, Seq(k("b"), TLong(1995)) -> 1,
+      Seq(k("c"), TLong(2024)) -> 1, Seq(k("d"), TLong(2024)) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    assert(one(TDatePart(TVar(?("v")), DfMonth)) == Map(
+      Seq(k("a"), TLong(3)) -> 1, Seq(k("b"), TLong(6)) -> 1,
+      Seq(k("c"), TLong(3)) -> 1, Seq(k("d"), TLong(12)) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    assert(one(TDatePart(TVar(?("v")), DfDay)) == Map(
+      Seq(k("a"), TLong(7)) -> 1, Seq(k("b"), TLong(17)) -> 1,
+      Seq(k("c"), TLong(7)) -> 1, Seq(k("d"), TLong(31)) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    // HOURS/MINUTES/SECONDS need the time part: date-only is an ERROR
+    assert(one(TDatePart(TVar(?("v")), DfHours)) == Map(
+      Seq(k("a"), TLong(15)) -> 1, Seq(k("b"), null) -> 1,
+      Seq(k("c"), TLong(15)) -> 1, Seq(k("d"), TLong(23)) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    assert(one(TDatePart(TVar(?("v")), DfMinutes)) == Map(
+      Seq(k("a"), TLong(30)) -> 1, Seq(k("b"), null) -> 1,
+      Seq(k("c"), TLong(30)) -> 1, Seq(k("d"), TLong(59)) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    assert(one(TDatePart(TVar(?("v")), DfSeconds)) == Map(
+      Seq(k("a"), TLong(45)) -> 1, Seq(k("b"), null) -> 1,
+      Seq(k("c"), TLong(45)) -> 1, Seq(k("d"), TLong(59)) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    // TZ: "" when unzoned, the designator otherwise; non-dates error
+    assert(one(TTz(TVar(?("v")))) == Map(
+      Seq(k("a"), s("")) -> 1, Seq(k("b"), s("")) -> 1,
+      Seq(k("c"), s("+05:30")) -> 1, Seq(k("d"), s("Z")) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    // date components compose with the numeric/filter machinery:
+    // FILTER(YEAR(?v) = 2024) keeps a, c, d
+    assert(bag(d, Seq(?("x")), Seq(
+      pat(?("x"), T(at), ?("v")),
+      FilterArith(TDatePart(TVar(?("v")), DfYear), Eq,
+        NConst(TLong(2024))))) ==
+      Map(Seq(k("a")) -> 1, Seq(k("c")) -> 1, Seq(k("d")) -> 1))
+
+    // LANGMATCHES: exact, subtag-prefix, case-insensitive, "*"
+    val ld = db(
+      (k("x1"), lab, TLangString("colour", "en")),
+      (k("x2"), lab, TLangString("color", "en-US")),
+      (k("x3"), lab, TLangString("Farbe", "DE")),
+      (k("x4"), lab, s("plain")),
+      (k("x5"), lab, TLong(7)))
+    def lm(range: String): Map[Seq[graft.core.Term], Int] =
+      bag(ld, Seq(?("x")), Seq(
+        pat(?("x"), T(lab), ?("l")),
+        FilterLangMatches(TLang(TVar(?("l"))), range)))
+    assert(lm("en") == Map(Seq(k("x1")) -> 1, Seq(k("x2")) -> 1))
+    assert(lm("en-us") == Map(Seq(k("x2")) -> 1)) // case-insensitive
+    assert(lm("de") == Map(Seq(k("x3")) -> 1))
+    // "*": any non-empty tag — plain literal's LANG "" does NOT match;
+    // the long's LANG is "" too (not an error) — also out
+    assert(lm("*") == Map(Seq(k("x1")) -> 1, Seq(k("x2")) -> 1,
+      Seq(k("x3")) -> 1))
+    // over a raw var (not LANG): strings only — the lang-string itself
+    // is a domain ERROR, not a tag
+    assert(bag(ld, Seq(?("x")), Seq(
+      pat(?("x"), T(lab), ?("l")),
+      FilterLangMatches(TVar(?("l")), "*"))) ==
+      Map(Seq(k("x4")) -> 1)) // "plain" is a non-empty plain string
+    intercept[IllegalArgumentException](FilterLangMatches(TVar(?("l")), ""))
+
+    // constructors: IRI passthrough/mint, ENCODE_FOR_URI multibyte,
+    // BNODE skolem scheme, MD5/SHA256 lowercase hex
+    val cd = db(
+      (k("y1"), lab, s("ab c/é€")),
+      (k("y2"), lab, TUri("urn:x")),
+      (k("y3"), lab, TLong(5)))
+    def onec(e: TermExpr): Map[Seq[graft.core.Term], Int] =
+      bag(cd, Seq(?("x"), ?("r")), Seq(
+        pat(?("x"), T(lab), ?("v")), Bind(e, ?("r"))))
+    assert(onec(TIri(TVar(?("v")))) == Map(
+      Seq(k("y1"), TUri("ab c/é€")) -> 1, // verbatim mint (absolute-IRI contract)
+      Seq(k("y2"), TUri("urn:x")) -> 1,   // URI passes through
+      Seq(k("y3"), null) -> 1))
+    assert(onec(TEncodeForUri(TVar(?("v")))) == Map(
+      Seq(k("y1"), s("ab%20c%2F%C3%A9%E2%82%AC")) -> 1, // UTF-8 %XX, uppercase
+      Seq(k("y2"), null) -> 1, Seq(k("y3"), null) -> 1))
+    assert(onec(TBNode(TVar(?("v")))) == Map(
+      Seq(k("y1"), TUri("urn:graft:bnode/query/ab c/é€")) -> 1,
+      Seq(k("y2"), null) -> 1, Seq(k("y3"), null) -> 1))
+    assert(onec(THash(TVar(?("v")), "md5")) == Map(
+      Seq(k("y1"), s("4b3861cdf19ab0dc5bc605551b814b48")) -> 1,
+      Seq(k("y2"), null) -> 1, Seq(k("y3"), null) -> 1))
+    assert(onec(THash(TVar(?("v")), "sha256")) == Map(
+      Seq(k("y1"),
+        s("95759038c8d033bb5851c8f30b5f74af265b24dc447462f03215c3fb066b00ad")) -> 1,
+      Seq(k("y2"), null) -> 1, Seq(k("y3"), null) -> 1))
+    // SHA1/384/512 have no oracle twin: loud refusal at construction
+    intercept[IllegalArgumentException](THash(TVar(?("v")), "sha1"))
+    // ENCODE_FOR_URI of the empty string is the empty string
+    assert(bag(db((k("z"), lab, s(""))), Seq(?("r")), Seq(
+      pat(?("x"), T(lab), ?("v")),
+      Bind(TEncodeForUri(TVar(?("v"))), ?("r")))) == Map(Seq(s("")) -> 1))
+  }
+
   test("§10.2 compatibility on UNDEF-nullable vars (round-12 advice): " +
       "second VALUES table merges, optional keys extend, NOT EXISTS " +
       "removes, MINUS keeps dom-disjoint rows") {
