@@ -1583,6 +1583,43 @@ object SparkEntry {
     //      lang-tagged and typed literals from plain strings, and
     //      LANG round-trips the constructed tag; STRLANG of an
     //      ALREADY-tagged string errors per spec (unbound column) ----
+    // ---- HAVING EXISTS (verdict item 8): nations over a customer
+    //      count threshold that ALSO have a high-balance supplier —
+    //      the EXISTS leaf evaluates post-aggregation as a group-key-
+    //      correlated marker (the store is still in scope at HAVING) ----
+    "q181_having_exists" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("c"), kw("c_nationkey"), V("n"))), Seq(V("c"), V("n")))
+      val agg = Projections.aggregated(sol, Seq(V("n")),
+        Seq(Agg(AggCount, None, V("cnt"))))
+      Projections.having(db, agg, FilterAnd(Seq(
+        FilterCmp(V("cnt"), Gt, TLong(40)),
+        FilterExists(Seq(
+          pat(V("s"), kw("s_nationkey"), V("n")),
+          pat(V("s"), kw("s_acctbal"), V("b")),
+          FilterCmp(V("b"), Gt, TDouble(8000.0)))))),
+        preAggVars = Seq(V("c"), V("n")))
+        .select(Seq("n", "cnt").map(enc): _*)
+    }),
+
+    // ---- ORDER BY / GROUP BY EXPRESSION SUGAR (verdict item 7):
+    //      GROUP BY (YEAR(?d) AS ?y), ORDER BY a computed key with a
+    //      tie-break, LIMIT — both rewrite to implicit pre-Binds, so
+    //      the plan is the same hash-agg + TakeOrdered as q163 ----
+    "q182_expr_sugar" -> ((sp, dir) => {
+      val db = Tables.ordersDb(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("o"), kw("o_orderdate"), V("d"))), Seq(V("d")))
+      val agg = Projections.aggregatedExpr(sol,
+        Seq((TDatePart(TVar(V("d")), DfYear), V("y"))),
+        Seq(Agg(AggCount, None, V("n"))))
+      Projections.modifiedExpr(agg,
+        Seq((NMul(NVar(V("n")), NConst(TLong(-1))), true),
+          (TVar(V("y")), true)), limit = 3)
+        .select(Seq("y", "n").map(enc): _*)
+    }),
+
     // ---- §17.4.5 DATE/TIME ACCESSORS composing with the §11
     //      aggregates: per-YEAR order counts + month extremes over a
     //      DAY-component filter — components are fixed-position int64
@@ -3210,6 +3247,23 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // HAVING EXISTS ≡ SQL EXISTS in HAVING over the grouped key
+    "q181_having_exists" ->
+      """SELECT 'u|nation/' || c_nationkey AS n,
+        |  'l|' || CAST(count(*) AS VARCHAR) AS cnt
+        |FROM customer GROUP BY c_nationkey
+        |HAVING count(*) > 40 AND EXISTS (
+        |  SELECT 1 FROM supplier
+        |  WHERE s_nationkey = c_nationkey AND s_acctbal > 8000.0)""".stripMargin,
+
+    // the computed ORDER key (−count) + tie-break is fully
+    // deterministic, so the LIMIT boundary agrees cross-engine
+    "q182_expr_sugar" ->
+      """SELECT 'l|' || CAST(year(o_orderdate) AS VARCHAR) AS y,
+        |  'l|' || CAST(count(*) AS VARCHAR) AS n
+        |FROM orders GROUP BY year(o_orderdate)
+        |ORDER BY count(*) DESC, year(o_orderdate) LIMIT 3""".stripMargin,
 
     // YEAR/MONTH/DAY replay as DuckDB date parts of the SAME parquet
     // date the engine's lexical was formatted from — the canonical

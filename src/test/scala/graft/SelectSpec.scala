@@ -793,6 +793,89 @@ class SelectSpec extends GraftSpec {
       Bind(TEncodeForUri(TVar(?("v"))), ?("r")))) == Map(Seq(s("")) -> 1))
   }
 
+  test("ORDER BY / GROUP BY expression sugar ≡ explicit pre-Bind; " +
+      "HAVING EXISTS: group-key correlation, uncorrelated gate, loud " +
+      "refusal on consumed solution vars") {
+    val amt = k("amt"); val tag = k("tag"); val boosted = k("boosted")
+    val d = db(
+      (k("a"), amt, TLong(3)), (k("a"), tag, s("xx")),
+      (k("b"), amt, TLong(1)), (k("b"), tag, s("y")),
+      (k("c"), amt, TLong(2)), (k("c"), tag, s("zzz")),
+      (k("d"), amt, s("NaN")), (k("d"), tag, s("w")),
+      (k("b"), boosted, TBool(true)))
+    val sol = Projections.selectDf(d, Seq(
+      pat(?("x"), T(amt), ?("v")), pat(?("x"), T(tag), ?("t"))),
+      Seq(?("x"), ?("v"), ?("t")))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[graft.core.Term]] =
+      df.collect().toSeq.map(r => r.toSeq.indices.map(i =>
+        if (r.isNullAt(i)) null else fromRow(r.getStruct(i))))
+    // (1) a TVar key degenerates to the plain OrderKey — results equal
+    assert(rows(Projections.modifiedExpr(sol, Seq((TVar(?("v")), true))))
+      == rows(Projections.modified(sol, Seq(OrderKey(?("v"))))))
+    // (2) expression key ≡ manual extend + order + drop; the error row
+    // (NaN string × 2) sorts FIRST (unbound-first), fresh cols gone
+    val byExpr = Projections.modifiedExpr(sol,
+      Seq((NMul(NVar(?("v")), NConst(TLong(-1))), true)))
+    assert(byExpr.columns.toSeq == Seq("x", "v", "t"))
+    assert(rows(byExpr).map(_.head) ==
+      Seq(k("d"), k("a"), k("c"), k("b"))) // -3 < -2 < -1; error first
+    val manual = Projections.modified(
+      Projections.extend(sol, Seq(Bind(
+        NMul(NVar(?("v")), NConst(TLong(-1))), ?("mk")))),
+      Seq(OrderKey(?("mk")))).drop("mk")
+    assert(rows(byExpr) == rows(manual))
+    // (3) ORDER BY STRLEN(?t) DESC + limit — TakeOrdered keeps working
+    assert(rows(Projections.modifiedExpr(sol,
+      Seq((TStrlen(TVar(?("t"))), false)), limit = 2)).map(_.head) ==
+      Seq(k("c"), k("a"))) // zzz(3), xx(2)
+    // (4) GROUP BY (expr AS ?v) ≡ extend + aggregated; errors group
+    // under the UNBOUND key
+    val parity = Projections.aggregatedExpr(sol,
+      Seq((TIf(FilterCmp(?("v"), Gt, TLong(1)),
+        TConst(s("hi")), TConst(s("lo"))), ?("band"))),
+      Seq(Agg(AggCount, None, ?("n"))))
+    assert(rows(parity.orderBy("band")).toSet == Set(
+      Seq(null, TLong(1)),      // the NaN row: condition errors → unbound key
+      Seq(s("hi"), TLong(2)), Seq(s("lo"), TLong(1))))
+    val manualAgg = Projections.aggregated(
+      Projections.extend(sol, Seq(Bind(
+        TIf(FilterCmp(?("v"), Gt, TLong(1)),
+          TConst(s("hi")), TConst(s("lo"))), ?("band")))),
+      Seq(?("band")), Seq(Agg(AggCount, None, ?("n"))))
+    assert(rows(parity).toSet == rows(manualAgg).toSet)
+    // a plain (TVar(v), v) key binds nothing — same frame as aggregated
+    assert(rows(Projections.aggregatedExpr(sol, Seq((TVar(?("x")), ?("x"))),
+      Seq(Agg(AggCount, None, ?("n"))))).toSet ==
+      rows(Projections.aggregated(sol, Seq(?("x")),
+        Seq(Agg(AggCount, None, ?("n"))))).toSet)
+    // (5) HAVING EXISTS correlated on the group key: subjects with
+    // >= 1 solution that ALSO carry a `boosted` fact — only b
+    val agg = Projections.aggregated(sol, Seq(?("x")),
+      Seq(Agg(AggCount, None, ?("n"))))
+    assert(rows(Projections.having(d, agg,
+      FilterExists(Seq(pat(?("x"), T(boosted), T(TBool(true))))),
+      preAggVars = Seq(?("x"), ?("v"), ?("t")))).map(_.head).toSet ==
+      Set(k("b")))
+    // EXISTS composes with value atoms under AND; NOT EXISTS inverts
+    assert(rows(Projections.having(d, agg, FilterAnd(Seq(
+      FilterCmp(?("n"), Ge, TLong(1)),
+      FilterNot(FilterExists(Seq(pat(?("x"), T(boosted), T(TBool(true)))))))),
+      preAggVars = Seq(?("x"), ?("v"), ?("t")))).map(_.head).toSet ==
+      Set(k("a"), k("c"), k("d")))
+    // (6) uncorrelated EXISTS gates the whole frame (any match keeps all)
+    assert(rows(Projections.having(d, agg,
+      FilterExists(Seq(pat(?("q"), T(boosted), ?("w")))),
+      preAggVars = Seq(?("x"), ?("v"), ?("t")))).size == 4)
+    assert(rows(Projections.having(d, agg,
+      FilterExists(Seq(pat(?("q"), T(k("nope")), ?("w")))),
+      preAggVars = Seq(?("x"), ?("v"), ?("t")))).isEmpty)
+    // (7) correlation on a CONSUMED solution var refuses loudly
+    val ex = intercept[InvalidBgp](Projections.having(d, agg,
+      FilterExists(Seq(pat(?("x"), T(amt), ?("v")))),
+      preAggVars = Seq(?("x"), ?("v"), ?("t"))))
+    assert(ex.getMessage.contains("?v"))
+  }
+
   test("§10.2 compatibility on UNDEF-nullable vars (round-12 advice): " +
       "second VALUES table merges, optional keys extend, NOT EXISTS " +
       "removes, MINUS keeps dom-disjoint rows") {
