@@ -1583,6 +1583,20 @@ object SparkEntry {
     //      lang-tagged and typed literals from plain strings, and
     //      LANG round-trips the constructed tag; STRLANG of an
     //      ALREADY-tagged string errors per spec (unbound column) ----
+    // ---- JSON-LD interchange (flattened subset, line-delimited):
+    //      serialize the nation store to one node object per subject,
+    //      parse it back LINE-PARALLEL (splittable, unlike Turtle),
+    //      run the q47 BGP — round-trip invisible to queries ----
+    "q183_jsonld_roundtrip" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q183").toString
+      sources.JsonLd.save(Tables.nationDb(sp, dir), tmp)
+      val loaded = sources.JsonLd.load(sp, tmp)
+      sel(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- HAVING EXISTS (verdict item 8): nations over a customer
     //      count threshold that ALSO have a high-balance supplier —
     //      the EXISTS leaf evaluates post-aggregation as a group-key-
@@ -3247,6 +3261,13 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // round-trip is invisible: the oracle is the direct relational
+    // query (the q128 convention)
+    "q183_jsonld_roundtrip" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
 
     // HAVING EXISTS ≡ SQL EXISTS in HAVING over the grouped key
     "q181_having_exists" ->

@@ -1,0 +1,145 @@
+package graft
+
+import graft.core.{QuadDb, Term, TripleDb}
+import graft.core.Term._
+import graft.sources.{JsonLd, NTriples}
+
+/** JSON-LD flattened-subset reader/writer (sources/JsonLd.scala). */
+class JsonLdSpec extends GraftSpec {
+
+  private def writeLines(lines: String*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonld")
+    java.nio.file.Files.write(dir.resolve("d.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private def parseStr(lines: String*): Set[(Term, Term, Term)] =
+    JsonLd.load(spark, writeLines(lines: _*)).triples.toSet
+
+  test("jsonld: node objects — @type, arrays, value objects, numbers, " +
+      "booleans, node refs, reserved-base decode, graph objects") {
+    val got = parseStr(
+      """{"@id":"http://ex/alice","@type":"http://ex/Person",""" +
+        """"urn:graft:kw/age":42,"urn:graft:kw/score":[2.5,100.0],""" +
+        """"urn:graft:kw/active":true,""" +
+        """"urn:graft:kw/name":["Alice",{"@value":"Alize","@language":"fr"}],""" +
+        """"urn:graft:kw/joined":{"@value":"2024-02-29T00:00:00",""" +
+        """"@type":"http://www.w3.org/2001/XMLSchema#dateTime"},""" +
+        """"urn:graft:kw/height":{"@value":"1.75","@type":"http://sq/meters"},""" +
+        """"urn:graft:kw/knows":{"@id":"urn:graft:kw/bob"}}""",
+      """{"@id":"urn:graft:rel/row/7","urn:graft:kw/label":"rel row",""" +
+        """"urn:graft:kw/gone":{"@id":"urn:graft:nil"}}""")
+    val alice = TUri("http://ex/alice")
+    assert(got == Set(
+      (alice, TUri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+        TUri("http://ex/Person")),
+      (alice, k("age"), l(42)),
+      (alice, k("score"), TDouble(2.5)),
+      (alice, k("score"), TDouble(100.0)),
+      (alice, k("active"), TBool(true)),
+      (alice, k("name"), s("Alice")),
+      (alice, k("name"), TLangString("Alize", "fr")),
+      (alice, k("joined"), TDate("2024-02-29T00:00:00")),
+      (alice, k("height"), TTyped("1.75", "http://sq/meters")),
+      (alice, k("knows"), k("bob")),
+      (TUri("row/7"), k("label"), s("rel row")),
+      (TUri("row/7"), k("gone"), TNil)))
+  }
+
+  test("jsonld: graph objects scope to named graphs in the quad view; " +
+      "the triple view drops scoping; a graph may span lines") {
+    val dir = writeLines(
+      """{"@id":"http://g/1","@graph":[{"@id":"urn:graft:kw/a","urn:graft:kw/p":1}]}""",
+      """{"@id":"http://g/1","@graph":[{"@id":"urn:graft:kw/b","urn:graft:kw/p":2}]}""",
+      """{"@id":"urn:graft:kw/c","urn:graft:kw/p":3}""")
+    val quads = JsonLd.loadQuads(spark, dir).quads.toSet
+    assert(quads == Set(
+      (k("a"), k("p"), l(1), TUri("http://g/1")),
+      (k("b"), k("p"), l(2), TUri("http://g/1")),
+      (k("c"), k("p"), l(3), QuadDb.DefaultGraph)))
+    assert(JsonLd.load(spark, dir).triples.toSet == Set(
+      (k("a"), k("p"), l(1)), (k("b"), k("p"), l(2)),
+      (k("c"), k("p"), l(3))))
+  }
+
+  test("jsonld: outside-subset forms fail loudly — @context, @list, " +
+      "nested node objects, missing @id, relative keys, null values, " +
+      "int64 overflow, malformed JSON") {
+    def err(line: String): String =
+      intercept[Exception] { parseStr(line) } match {
+        case e => (Option(e.getMessage) ++
+          Option(e.getCause).map(_.getMessage)).mkString(" | ")
+      }
+    assert(err("""{"@context":{},"@id":"http://s"}""").contains("@context"))
+    assert(err("""{"@id":"http://s","http://p":{"@list":[1]}}""")
+      .contains("@list"))
+    assert(err(
+      """{"@id":"http://s","http://p":{"@id":"http://o","http://q":1}}""")
+      .contains("not flattened"))
+    assert(err("""{"http://p":1}""").contains("no @id"))
+    assert(err("""{"@id":"http://s","name":1}""")
+      .contains("not an absolute IRI"))
+    assert(err("""{"@id":"http://s","http://p":null}""").contains("null"))
+    assert(err("""{"@id":"http://s","http://p":99999999999999999999}""")
+      .contains("int64"))
+    assert(err("""not json""").contains("malformed JSON"))
+    assert(err("""[1,2]""").contains("must be a JSON object"))
+    assert(err("""{"@id":"_:b0","http://p":1}""").contains("blank node"))
+  }
+
+  test("jsonld: blank nodes skolemize per FILE under bnodes=skolem " +
+      "(the NTriples contract — join within a file, never across)") {
+    val d1 = writeLines(
+      """{"@id":"_:x","urn:graft:kw/p":{"@id":"_:y"}}""")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_jsonld2")
+    java.nio.file.Files.write(d2.resolve("e.jsonl"),
+      """{"@id":"_:x","urn:graft:kw/p":{"@id":"_:y"}}""".getBytes("UTF-8"))
+    val both = spark.read.text(d1, d2.toString)
+    val got = TripleDb(JsonLd.parse(both, bnodes = "skolem")).triples
+    assert(got.size == 2)
+    // two files → two distinct skolem subjects under the reserved base
+    val subs = got.map(_._1).collect { case TUri(u) => u }.toSet
+    assert(subs.size == 2 && subs.forall(_.startsWith("urn:graft:bnode/")))
+  }
+
+  test("jsonld: store → save → load round-trip is term-identical for " +
+      "every kind; quad save round-trips graphs; cross-format: the " +
+      "same store via N-Triples is term-identical (the Turtle pin)") {
+    val db = TripleDb.fromTerms(spark, Seq(
+      (k("s1"), k("p"), s("plain \"quoted\" \\ line\nbreak")),
+      (k("s1"), k("p"), TLangString("hé", "fr-CA")),
+      (k("s1"), k("q"), l(-42)),
+      (k("s1"), k("q"), l(9007199254740993L)), // 2^53 + 1: exact int64
+      (k("s2"), k("p"), TDouble(2.5)),
+      (k("s2"), k("p"), TBool(false)),
+      (k("s2"), k("q"), TDate("1999-12-31T23:59:59")),
+      (k("s2"), k("q"), TTyped("x", "http://dt/")),
+      (k("s3"), k("p"), TNil),
+      (k("s3"), k("p"), TUri("http://abs/iri")),
+      (k("s3"), k("q"), TUri("relative/iri")),
+      (k("s3"), k("q"), Term.opaque("tag", Array[Byte](1, 2, 3)))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jl_rt").toString
+    JsonLd.save(db, tmp)
+    assert(JsonLd.load(spark, tmp).triples.toSet == db.triples.toSet)
+    // multi-valued predicates emit ONE array key (never duplicate
+    // keys), subjects one line each
+    val lines = spark.read.text(tmp).collect().map(_.getString(0))
+    assert(lines.length == 3)
+    assert(lines.forall(ln => ln.startsWith("""{"@id":""")))
+    // N-Triples round-trip of the SAME store maps to identical terms
+    val tmpNt = java.nio.file.Files.createTempDirectory("graft_jl_nt").toString
+    NTriples.save(db, tmpNt)
+    assert(NTriples.load(spark, tmpNt).triples.toSet ==
+      JsonLd.load(spark, tmp).triples.toSet)
+    // quads: named graphs + default graph round-trip
+    val qdb = QuadDb(TripleDb.fromTerms(spark, Seq(
+      (k("a"), k("p"), l(1)), (k("b"), k("p"), l(2)))).df
+      .withColumn("g", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("s") === Term.lit(k("a")),
+        Term.lit(TUri("http://g/1"))).otherwise(Term.lit(QuadDb.DefaultGraph))))
+    val tmpQ = java.nio.file.Files.createTempDirectory("graft_jl_q").toString
+    JsonLd.saveQuads(qdb, tmpQ)
+    assert(JsonLd.loadQuads(spark, tmpQ).quads.toSet == qdb.quads.toSet)
+  }
+}
