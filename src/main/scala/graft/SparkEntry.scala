@@ -1583,6 +1583,28 @@ object SparkEntry {
     //      lang-tagged and typed literals from plain strings, and
     //      LANG round-trips the constructed tag; STRLANG of an
     //      ALREADY-tagged string errors per spec (unbound column) ----
+    // ---- QUERY-DRIVEN MUTATION (SPARQL Update §3.1.3 shape): a
+    //      durable DELETE/INSERT WHERE redacts BUILDING customers'
+    //      balances (tombstones only — nothing rewritten) and inserts
+    //      a redaction marker FROM THE SAME pre-mutation solutions;
+    //      the load-back BGP must equal a store built without those
+    //      facts plus the markers (q143's oracle pattern, WHERE-driven) ----
+    "q184_update_where" -> ((sp, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q184").toString
+      TripleDb.save(Tables.customerDb(sp, dir), tmp)
+      ops.Update.deleteInsertWhere(sp, tmp,
+        deleteTs = Seq((V("c"), T(TKeyword("c_acctbal")), V("b"))),
+        insertTs = Seq((V("c"), T(TKeyword("redacted")), T(TBool(true)))),
+        where = Seq(
+          pat(V("c"), kw("c_mktsegment"), T(TString("BUILDING"))),
+          pat(V("c"), kw("c_acctbal"), V("b"))))
+      sel(TripleDb.load(sp, tmp), Seq(
+        pat(V("c"), kw("c_mktsegment"), V("seg")),
+        Optional(Seq(pat(V("c"), kw("c_acctbal"), V("b")))),
+        Optional(Seq(pat(V("c"), kw("redacted"), V("r"))))),
+        "c", "seg", "b", "r")
+    }),
+
     // ---- JSON-LD interchange (flattened subset, line-delimited):
     //      serialize the nation store to one node object per subject,
     //      parse it back LINE-PARALLEL (splittable, unlike Turtle),
@@ -3261,6 +3283,18 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // the redaction ≡ a store built without those facts + markers:
+    // balances NULL out exactly for BUILDING, which alone carries the
+    // marker (q143's oracle pattern parameterized by the WHERE)
+    "q184_update_where" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  's|' || c_mktsegment AS seg,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+        |       ELSE 'd|' || printf('%.2f', c_acctbal) END AS b,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'b|1'
+        |       ELSE NULL END AS r
+        |FROM customer""".stripMargin,
 
     // round-trip is invisible: the oracle is the direct relational
     // query (the q128 convention)

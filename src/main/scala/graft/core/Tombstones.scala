@@ -242,6 +242,36 @@ private[graft] object Tombstones {
     }
   }
 
+  /** Remove the given KEYS from the tombstone set — the resurrection
+    * primitive query-driven INSERT needs: re-asserting a fact whose
+    * physical row is still in the store (deleted but not compacted)
+    * must clear its tombstone, or the mask would keep the "new" fact
+    * dead. Staging-then-swap rewrite of the TOMBSTONE set only (cost
+    * tracks deletes, never the store); an emptied set deletes the
+    * whole tombstone dir (loads skip the mask entirely); the bloom
+    * sidecar rebuilds over the survivors. */
+  def removeKeysAt(spark: SparkSession, tombDir: String,
+                   keys: DataFrame, keyCols: Seq[String]): Unit = {
+    if (!existAt(spark, tombDir)) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = dir.getFileSystem(hconf)
+    val remaining = spark.read.parquet(tombDir)
+      .join(keys.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+        keyCols, "left_anti")
+    val staging = tombDir + "_staging"
+    remaining.write.mode("overwrite").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val n = spark.read.parquet(staging).count()
+    fs.delete(dir, true)
+    if (n == 0) fs.delete(stagingPath, true) // empty set = no tombstones
+    else {
+      fs.rename(stagingPath, dir)
+      refreshBloom(spark, tombDir, keyCols)
+    }
+    spark.catalog.refreshByPath(tombDir)
+  }
+
   /** Physically drop tombstoned rows from a `partitionBy(partCol)`
     * store. Partition-pruned: only partitions named in the tombstones
     * are even scanned to find affected files, and only files holding a
