@@ -3343,9 +3343,10 @@ object SparkEntry {
     // the general fn:encode-for-uri replays per character (unreserved
     // passes, else uppercase %XX of the UTF-8 bytes); md5 is the same
     // lowercase hex in both engines; the bnode is the documented
-    // skolem scheme
+    // skolem scheme. DISTINCT: the constructed store is a quad SET —
+    // customers sharing a name (make_sf replicas) mint ONE subject
     "q180_iri_construct" ->
-      """SELECT 'u|urn:c/' ||
+      """SELECT DISTINCT 'u|urn:c/' ||
         |    list_aggregate([CASE
         |        WHEN regexp_matches(ch, '^[A-Za-z0-9._~-]$') THEN ch
         |        ELSE regexp_replace(upper(hex(ch)), '(..)', '%\1', 'g')

@@ -256,9 +256,14 @@ private[graft] object Tombstones {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(tombDir)
     val fs = dir.getFileSystem(hconf)
+    val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    // existence precheck: when NO key is actually tombstoned (the
+    // common INSERT — brand-new facts), skip the set rewrite AND the
+    // bloom rebuild entirely (one limit-1 probe vs three write jobs)
+    if (spark.read.parquet(tombDir).join(keySet, keyCols, "left_semi")
+        .limit(1).isEmpty) return
     val remaining = spark.read.parquet(tombDir)
-      .join(keys.select(keyCols.map(col): _*).dropDuplicates(keyCols),
-        keyCols, "left_anti")
+      .join(keySet, keyCols, "left_anti")
     val staging = tombDir + "_staging"
     remaining.write.mode("overwrite").parquet(staging)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)

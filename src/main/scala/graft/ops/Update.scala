@@ -158,10 +158,14 @@ object Update {
       templates: Seq[(TermOrVar, TermOrVar, TermOrVar)],
       where: Seq[PatternRow]): Unit = {
     val db = TripleDb.load(spark, path)
-    val inserts = constructTriples(db, templates, where).persist()
-    inserts.count() // pin pre-mutation solutions before touching disk
+    // eager localCheckpoint, NOT persist: the resurrection step
+    // rewrites the tombstone set and refreshByPath INVALIDATES cached
+    // plans that read it — a persisted frame would silently RECOMPUTE
+    // against post-mutation state (caught by UpdateSpec's quad leg).
+    // Cutting lineage pins the pre-mutation solutions physically.
+    val inserts = constructTriples(db, templates, where).localCheckpoint()
     appendNovel(spark, path, inserts)
-    inserts.unpersist()
+    freeCheckpoint(inserts)
   }
 
   /** Durable §3.1.3 `DELETE/INSERT WHERE`: one solution set against
@@ -175,16 +179,15 @@ object Update {
     val db = TripleDb.load(spark, path)
     val vars = (deleteTs ++ insertTs).flatMap(t => Seq(t._1, t._2, t._3)
       .collect { case v: V => v }).distinct
-    val sol = Projections.selectDf(db, where, vars).persist()
-    sol.count() // pin PRE-mutation solutions (both templates read them)
+    // one eager lineage cut pins the PRE-mutation solutions (see
+    // insertWhere's note); both template sets instantiate from it
+    val sol = Projections.selectDf(db, where, vars).localCheckpoint()
     val doomed = instantiate(sol, deleteTs)
-      .join(db.df, Seq("s", "p", "o"), "left_semi").persist()
-    doomed.count()
-    val inserts = instantiate(sol, insertTs).persist()
-    inserts.count()
+      .join(db.df, Seq("s", "p", "o"), "left_semi").localCheckpoint()
+    val inserts = instantiate(sol, insertTs).localCheckpoint()
     TripleDb.deleteTriples(doomed, path)
     appendNovel(spark, path, inserts)
-    sol.unpersist(); doomed.unpersist(); inserts.unpersist()
+    freeCheckpoint(sol); freeCheckpoint(doomed); freeCheckpoint(inserts)
   }
 
   /** Quad-store durable DELETE WHERE (graph-aware redaction). */
@@ -197,19 +200,53 @@ object Update {
     QuadDb.deleteQuads(doomed, path)
   }
 
+  /** Quad-store durable INSERT WHERE: instantiates against the live
+    * dataset, resurrects re-asserted tombstoned quads (keys are full
+    * quads), appends only novel ones — the graph-aware twin of the
+    * triple form, so the durable lifecycle is symmetric across both
+    * layouts. */
+  def insertWhereQuads(spark: SparkSession, path: String,
+      templates: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)],
+      where: Seq[PatternRow]): Unit = {
+    val db = QuadDb.load(spark, path)
+    // lineage cut before the tombstone rewrite (see insertWhere's note)
+    val inserts = Projections.constructQuads(db, templates, where)
+      .df.localCheckpoint()
+    Tombstones.removeKeysAt(spark, Tombstones.tombPath(path), inserts,
+      Seq("s", "p", "o", "g"))
+    val novel = inserts.join(QuadDb.load(spark, path).df,
+      Seq("s", "p", "o", "g"), "left_anti").localCheckpoint()
+    if (!novel.isEmpty)
+      novel.withColumn("pred", predName)
+        .write.mode("append").partitionBy("pred").parquet(path)
+    freeCheckpoint(novel); freeCheckpoint(inserts)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Resurrect tombstoned re-assertions, then append the novel rest. */
   private def appendNovel(spark: SparkSession, path: String,
                           inserts: DataFrame): Unit = {
     Tombstones.removeKeysAt(spark, Tombstones.tombPath(path), inserts,
       Seq("s", "p", "o"))
     // against the POST-resurrection live view: a resurrected fact is
-    // live again, so it is not re-appended (no physical duplicates)
+    // live again, so it is not re-appended (no physical duplicates);
+    // checkpointed so the append never reads the store mid-write
     val novel = inserts.join(TripleDb.load(spark, path).df,
-      Seq("s", "p", "o"), "left_anti").persist()
-    if (novel.count() > 0)
+      Seq("s", "p", "o"), "left_anti").localCheckpoint()
+    if (!novel.isEmpty)
       novel.withColumn("pred", predName)
         .write.mode("append").partitionBy("pred").parquet(path)
-    novel.unpersist()
+    freeCheckpoint(novel)
     spark.catalog.refreshByPath(path)
   }
+
+  /** Drop a localCheckpoint'd frame's cached blocks (the Bpe
+    * freeCheckpoint pattern — an unpersisted checkpoint block
+    * otherwise pins heap until the cleaner's periodic GC). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

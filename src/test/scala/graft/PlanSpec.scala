@@ -16,6 +16,56 @@ class PlanSpec extends GraftSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("date-accessor FILTER folds to a scan-side predicate (no join, " +
+      "no shuffle); the GROUP-BY-expression sugar keeps ONE hash " +
+      "aggregate; ORDER-BY-expression + LIMIT keeps TakeOrdered") {
+    val db = Tables.ordersDb(spark, dir)
+    // YEAR(?d) = const as a group filter: slice scan + codegen'd
+    // predicate, nothing else
+    val f = plan(Projections.selectDf(db, Seq(
+      pat(V("o"), T(k("o_orderdate")), V("d")),
+      FilterArith(TDatePart(TVar(V("d")), DfYear), Eq,
+        NConst(graft.core.Term.TLong(1995)))), Seq(V("o"), V("d"))))
+    assert(!f.contains("Join"), s"date filter must not join:\n$f")
+    assert(!f.contains("Exchange"), s"date filter must not shuffle:\n$f")
+    // the q182 shape: implicit pre-Binds keep the plan the plain
+    // hash-agg (one partial/final pair = one exchange) + TakeOrdered
+    val sol = Projections.selectDf(db, Seq(
+      pat(V("o"), T(k("o_orderdate")), V("d"))), Seq(V("d")))
+    val agg = Projections.aggregatedExpr(sol,
+      Seq((TDatePart(TVar(V("d")), DfYear), V("y"))),
+      Seq(Agg(AggCount, None, V("n"))))
+    val p = plan(Projections.modifiedExpr(agg,
+      Seq((NMul(NVar(V("n")), NConst(graft.core.Term.TLong(-1))), true),
+        (TVar(V("y")), true)), limit = 3))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expression ORDER BY + LIMIT must stay TakeOrdered:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected the one aggregate shuffle, got " +
+      s"$exchanges in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"expected one partial/final aggregate pair:\n$p")
+  }
+
+  test("HAVING-EXISTS marker: the aggregated frame is never shuffled " +
+      "for the probe — post-agg joins stay broadcast (the frame is " +
+      "group-count-sized), and the aggregate itself is one pair") {
+    val db = Tables.graph(spark, dir)
+    val sol = Projections.selectDf(db, Seq(
+      pat(V("c"), T(k("c_nationkey")), V("n"))), Seq(V("c"), V("n")))
+    val agg = Projections.aggregated(sol, Seq(V("n")),
+      Seq(Agg(AggCount, None, V("cnt"))))
+    val p = plan(Projections.having(db, agg,
+      FilterExists(Seq(pat(V("s"), T(k("s_nationkey")), V("n")))),
+      preAggVars = Seq(V("c"), V("n"))))
+    assert(!p.contains("SortMergeJoin"),
+      s"the post-agg marker probe must not sort-merge the frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // compat probes broadcast (distinct shared tuples, bounded by the
+    // inner store's key set)
+    assert(p.contains("BroadcastExchange"), s"probe must broadcast:\n$p")
+  }
+
   test("ground-predicate pattern scan uses the predicate slice — no explode") {
     val db = Tables.customerDb(spark, dir)
     val p = plan(Projections.selectDf(db,

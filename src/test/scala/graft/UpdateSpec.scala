@@ -123,7 +123,8 @@ class UpdateSpec extends GraftSpec {
   }
 
   test("durable quad DELETE WHERE: graph-scoped redaction keys on the " +
-      "full quad") {
+      "full quad; INSERT WHERE resurrects per-quad and appends novel " +
+      "facts into computed graphs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_updq").toString
     val qdb = QuadDb.fromQuads(spark, Seq(
       (k("a"), amt, l(1), TUri("g/1")),
@@ -135,5 +136,19 @@ class UpdateSpec extends GraftSpec {
       Seq(QuadPattern(V("x"), T(amt), V("v"), T(TUri("g/1")))))
     assert(QuadDb.load(spark, tmp).quads.toSet == Set(
       (k("a"), amt, l(1), TUri("g/2"))))
+    // INSERT WHERE: a marker lands in the SAME graph the fact lives
+    // in (computed graph position), and re-asserting a's g/1 amount
+    // resurrects the tombstoned quad without a physical duplicate
+    Update.insertWhereQuads(spark, tmp,
+      Seq((V("x"), T(k("seen")), T(TBool(true)), V("g")),
+        (V("x"), T(amt), V("v"), T(TUri("g/1")))),
+      Seq(QuadPattern(V("x"), T(amt), V("v"), V("g"))))
+    val got = QuadDb.load(spark, tmp).quads
+    // b's g/1 quad stays dead: its tombstone survives the key removal
+    assert(got.toSet == Set(
+      (k("a"), amt, l(1), TUri("g/2")),
+      (k("a"), amt, l(1), TUri("g/1")), // resurrected, not re-appended
+      (k("a"), k("seen"), TBool(true), TUri("g/2"))))
+    assert(got.count(_ == ((k("a"), amt, l(1), TUri("g/1")))) == 1)
   }
 }
