@@ -1583,6 +1583,33 @@ object SparkEntry {
     //      lang-tagged and typed literals from plain strings, and
     //      LANG round-trips the constructed tag; STRLANG of an
     //      ALREADY-tagged string errors per spec (unbound column) ----
+    // ---- UNION (SPARQL §7): parties (customers OR suppliers) per
+    //      nation — multiset-additive branches; ?seg is bound only by
+    //      the customer branch (UNBOUND = NULL for suppliers), the
+    //      "match either shape, keep the columns" idiom ----
+    "q185_union" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(Union(Seq(
+        Seq(pat(V("p"), kw("c_nationkey"), V("n")),
+          pat(V("p"), kw("c_mktsegment"), V("seg"))),
+        Seq(pat(V("p"), kw("s_nationkey"), V("n")))))),
+        "p", "n", "seg")
+    }),
+
+    // ---- UNION joined into a group: the union's always-bound ?n
+    //      takes the equality fast path into the nation-name pattern;
+    //      a string filter composes on top ----
+    "q186_union_join" -> ((sp, dir) => {
+      val db = Tables.graph(sp, dir)
+      sel(db, Seq(
+        Union(Seq(
+          Seq(pat(V("p"), kw("c_nationkey"), V("n"))),
+          Seq(pat(V("p"), kw("s_nationkey"), V("n"))))),
+        pat(V("n"), kw("n_name"), V("nm")),
+        FilterStrEnds(TVar(V("nm")), TConst(TString("1")))),
+        "p", "n", "nm")
+    }),
+
     // ---- QUERY-DRIVEN MUTATION (SPARQL Update §3.1.3 shape): a
     //      durable DELETE/INSERT WHERE redacts BUILDING customers'
     //      balances (tombstones only — nothing rewritten) and inserts
@@ -3283,6 +3310,31 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // SPARQL UNION ≡ SQL UNION ALL (multiset-additive); the
+    // branch-only ?seg column is NULL on the supplier side
+    "q185_union" ->
+      """SELECT 'u|customer/' || c_custkey AS p,
+        |  'u|nation/' || c_nationkey AS n, 's|' || c_mktsegment AS seg
+        |FROM customer
+        |UNION ALL
+        |SELECT 'u|supplier/' || s_suppkey, 'u|nation/' || s_nationkey,
+        |  CAST(NULL AS VARCHAR)
+        |FROM supplier""".stripMargin,
+
+    // the union joins the nation relation on the always-bound key
+    "q186_union_join" ->
+      """SELECT u.p, u.n, 's|' || nation.n_name AS nm
+        |FROM (
+        |  SELECT 'u|customer/' || c_custkey AS p,
+        |    'u|nation/' || c_nationkey AS n, c_nationkey AS nk
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'u|supplier/' || s_suppkey, 'u|nation/' || s_nationkey,
+        |    s_nationkey
+        |  FROM supplier) u
+        |JOIN nation ON u.nk = nation.n_nationkey
+        |WHERE nation.n_name LIKE '%1'""".stripMargin,
 
     // the redaction ≡ a store built without those facts + markers:
     // balances NULL out exactly for BUILDING, which alone carries the

@@ -215,6 +215,26 @@ final case class Optional(rows: Seq[PatternRow]) extends PatternRow {
   def vars: Seq[V] = rows.flatMap(_.vars).distinct
 }
 
+/** `{ A } UNION { B } UNION …` (SPARQL §7 / §18.2.2 Union): the
+  * MULTISET union of the branch groups' solutions, joined into the
+  * enclosing group like any member (§18.5's Join is commutative).
+  * Branches evaluate independently and may contain anything a group
+  * can (patterns, values, optionals, filters, paths, negation,
+  * subqueries, nested unions). A variable bound by only SOME branches
+  * is UNBOUND in the other branches' solutions — the classic
+  * "match either shape, keep the columns" idiom — so downstream
+  * joins/filters treat it exactly like an optional-bound var (§10.2
+  * compatibility where it matters). Bag semantics: a solution
+  * produced by k branches appears k times (SPARQL Union is additive,
+  * never deduping). */
+final case class Union(branches: Seq[Seq[PatternRow]]) extends PatternRow {
+  if (branches.size < 2)
+    throw new InvalidBgp("UNION needs at least two branches")
+  for (b <- branches if b.isEmpty)
+    throw new InvalidBgp("UNION branches must be non-empty groups")
+  def vars: Seq[V] = branches.flatMap(Bgp.allVars).distinct
+}
+
 /** `{ SELECT … }` — a SUBQUERY as a pattern row (SPARQL §12): the
   * inner group evaluates bottom-up and INDEPENDENTLY (aggregates →
   * HAVING → modifiers → projection to `proj`), then joins the
@@ -801,7 +821,7 @@ object Bgp {
     rows.collect { case r: TriplePattern => r; case r: QuadPattern => r
                    case r: PathPattern => r; case r: QuadPathPattern => r
                    case r: Values => r; case r: ValuesTable => r
-                   case r: SubSelect => r }
+                   case r: SubSelect => r; case r: Union => r }
       .flatMap(_.vars).distinct
 
   def optionalVars(rows: Seq[PatternRow]): Seq[V] = {
@@ -822,6 +842,7 @@ object Bgp {
     case ValuesTable(_, trs)  => trs.flatten.flatten
     case Optional(inner)      => valuesTerms(inner)
     case ss: SubSelect        => valuesTerms(ss.rows)
+    case u: Union             => u.branches.flatMap(valuesTerms)
     case _                    => Nil
   }
 }

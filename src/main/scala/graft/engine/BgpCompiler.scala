@@ -102,6 +102,7 @@ object BgpCompiler {
     val values = rows.collect { case v: Values => v }
     val valuesTables = rows.collect { case vt: ValuesTable => vt }
     val subSelects = rows.collect { case ss: SubSelect => ss }
+    val unions = rows.collect { case u: Union => u }
     val optionals = rows.collect { case o: Optional => o }
     val negations: Seq[PatternRow] =
       rows.collect { case n: NotExists => n; case m: Minus => m }
@@ -189,19 +190,16 @@ object BgpCompiler {
       applyBoundValues()
     }
 
-    // ---- subqueries (SPARQL §12): each inner SELECT evaluates
-    // independently (aggregate → having → modifiers → projection),
-    // then joins the fold on its projected vars. A projected
-    // AGGREGATE can be unbound (error group), so shared vars that can
-    // be null join by §10.2 compatibility with a coalesce merge —
-    // same form as the values tables below. ----
-    for (ss <- subSelects) {
-      val frame = subSelectFrame(in, ss)
-      val ssNullable: Set[String] = subSelectMaybeNull(ss)
+    // Join a derived frame (subquery projection / union of branches)
+    // into the fold on its vars: equality fast path when no shared
+    // var can be null, §10.2 compatibility with a coalesce merge
+    // otherwise — the same form as the values tables below.
+    def foldInCompat(frame: DataFrame, frameVars: Seq[String],
+                     nullable: Set[String]): Unit = {
       val preCols: Set[String] = acc.map(_.columns.toSet).getOrElse(Set.empty)
-      val shared = ss.proj.map(_.name).filter(preCols.contains)
+      val shared = frameVars.filter(preCols.contains)
       val anyNullable =
-        shared.exists(c => ssNullable.contains(c) || maybeNullVals.contains(c))
+        shared.exists(c => nullable.contains(c) || maybeNullVals.contains(c))
       acc = acc match {
         case None => Some(frame)
         case Some(a) =>
@@ -220,11 +218,30 @@ object BgpCompiler {
             Some(joined.drop(shared.map(v => s"__sq_$v"): _*))
           }
       }
-      maybeNullVals ++= ss.proj.map(_.name)
-        .filterNot(preCols.contains).filter(ssNullable.contains)
-      bound ++= ss.proj.map(_.name)
+      maybeNullVals ++= frameVars
+        .filterNot(preCols.contains).filter(nullable.contains)
+      bound ++= frameVars
       applyBoundValues()
     }
+
+    // ---- subqueries (SPARQL §12): each inner SELECT evaluates
+    // independently (aggregate → having → modifiers → projection),
+    // then joins the fold on its projected vars. A projected
+    // AGGREGATE can be unbound (error group), so shared vars that can
+    // be null join by §10.2 compatibility. ----
+    for (ss <- subSelects)
+      foldInCompat(subSelectFrame(in, ss), ss.proj.map(_.name),
+        subSelectMaybeNull(ss))
+
+    // ---- UNION (SPARQL §7 / §18.2.2): branches compile recursively
+    // against the same store, pad to the union of their columns
+    // (UNBOUND = NULL, the key type's), and concatenate — MULTISET
+    // union, no dedup. The result joins the fold like a subquery
+    // frame: a var bound by only SOME branches (or nullable within
+    // one) is §10.2-nullable downstream. ----
+    for (u <- unions)
+      foldInCompat(unionFrame(in, u), u.vars.map(_.name),
+        unionMaybeNull(u))
 
     // ---- multi-var VALUES tables (SPARQL §10.2): the literal
     // solution multiset joins by COMPATIBILITY — shared vars must
@@ -1239,6 +1256,32 @@ object BgpCompiler {
     needed.filterNot(sol.columns.contains).foldLeft(sol)((d, v) =>
       d.withColumn(v, functions.lit(null).cast(tpe)))
 
+  /** A [[Union]] as one frame: each branch compiles recursively, pads
+    * to the union of the branch column sets (a var a branch never
+    * binds is UNBOUND = NULL there), and the branches CONCATENATE —
+    * multiset union, never a dedup shuffle (SPARQL Union is
+    * additive). Works on both key representations (NULL pads take the
+    * store's key type). */
+  private def unionFrame(in: BgpInput, u: Union): DataFrame = {
+    val names = u.vars.map(_.name)
+    val keyType: org.apache.spark.sql.types.DataType =
+      if (in.dict.isEmpty) Term.schema else LongType
+    u.branches.map { b =>
+      padCols(compile(in, b), names, keyType)
+        .select(names.map(col): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Union vars that can be UNBOUND per row: anything not bound by
+    * EVERY branch on every solution (bound in only some branches, or
+    * nullable within a branch). */
+  private def unionMaybeNull(u: Union): Set[String] = {
+    val alwaysBound = u.branches.map(b =>
+      Bgp.requiredVars(b).map(_.name).toSet -- staticMaybeNull(b))
+      .reduce(_ intersect _)
+    u.vars.map(_.name).toSet -- alwaysBound
+  }
+
   /** The decode dictionary for a dict-store subquery: dict ∪ the
     * group's values terms (a generator can bind terms the store never
     * issued — the decodeWith extraTerms rule). */
@@ -1862,9 +1905,13 @@ object BgpCompiler {
       // a subquery's non-nullable projected vars bind every row
       case ss: SubSelect      =>
         ss.proj.filterNot(v => subSelectMaybeNull(ss).contains(v.name))
+      // a union var bound non-nullably by EVERY branch binds every row
+      case u: Union           =>
+        u.vars.filterNot(v => unionMaybeNull(u).contains(v.name))
     }.flatten.map(_.name).toSet
     val subNullable: Set[String] =
-      rows.collect { case ss: SubSelect => subSelectMaybeNull(ss) }
+      rows.collect { case ss: SubSelect => subSelectMaybeNull(ss)
+                     case u: Union => unionMaybeNull(u) }
         .flatten.toSet
     val undef: Set[String] = rows.collect { case vt: ValuesTable =>
       vt.vs.map(_.name).zipWithIndex.collect {

@@ -439,11 +439,42 @@ object MiniInterp {
         unifyPairs(Seq(qp.s -> tr._1, qp.o -> tr._2, qp.g -> tr._3), b)))
       acc = Rel(acc.cols ++ qp.vars.map(_.name), newRows)
     }
+    // UNION (SPARQL §7): the MULTISET union of the branch solutions
+    // (each branch solved independently; a var a branch never binds is
+    // UNBOUND there), joined in by §10.2 compatibility with the
+    // defined value winning the merge — the spec's Join over
+    // incompatible-schema multisets, NOT the engine's pad-and-coalesce
+    // formulation
+    for (u <- rows.collect { case x: Union => x }) {
+      val rels = u.branches.map(b => solveQuads(db, b))
+      val uCols = rels.flatMap(_.cols).toSet
+      val uRows = rels.flatMap(r => r.rows.map(row =>
+        uCols.map(c => c -> row.getOrElse(c, null)).toMap))
+      val shared = acc.cols intersect uCols
+      val newRows = acc.rows.flatMap { b =>
+        uRows.flatMap { ur =>
+          val agree = shared.forall { c =>
+            val x = b.getOrElse(c, null); val y = ur.getOrElse(c, null)
+            x == null || y == null || x == y
+          }
+          if (!agree) None
+          else Some(b ++ uCols.map(c =>
+            c -> (if (ur(c) != null) ur(c) else b.getOrElse(c, null))))
+        }
+      }
+      acc = Rel(acc.cols ++ uCols, newRows)
+    }
     for (v <- values) {
       val name = v.v.name
       val newRows =
         if (acc.cols.contains(name))
-          acc.rows.flatMap(b => v.coll.toSeq.filter(_ == b(name)).map(_ => b))
+          // membero: a solution with the var UNBOUND generates one row
+          // per element (l/membero on a fresh var); bound rows filter
+          acc.rows.flatMap { b =>
+            if (b.getOrElse(name, null) == null)
+              v.coll.toSeq.map(t => b + (name -> t))
+            else v.coll.toSeq.filter(_ == b(name)).map(_ => b)
+          }
         else acc.rows.flatMap(b => v.coll.toSeq.map(t => b + (name -> t)))
       acc = Rel(acc.cols + name, newRows)
     }
@@ -500,7 +531,8 @@ object MiniInterp {
     }
 
     val noRequired = patterns.isEmpty && values.isEmpty && paths.isEmpty &&
-      qpaths.isEmpty && !rows.exists(_.isInstanceOf[ValuesTable])
+      qpaths.isEmpty && !rows.exists(r => r.isInstanceOf[ValuesTable] ||
+        r.isInstanceOf[Union]) // a UNION is a required group member
     if (noRequired) acc = Rel(Set.empty, Seq(Map.empty))
 
     // optionals: left join per clause on keys = clauseCols ∩ required ∩
@@ -785,6 +817,21 @@ object DifferentialProps extends Properties("differential") {
       1 -> genNumExpr.map(e => Seq(Bind(e, V("vo")): PatternRow)))
   } yield Optional(pats ++ extra)
 
+  // UNION: 2 branches of 1-2 rows each — branches may carry their own
+  // filter or values, and the var pools overlap so all three join
+  // regimes fire (shared-always-bound equality, branch-partial
+  // §10.2-nullable, disjoint cross)
+  val genUnion: Gen[PatternRow] = for {
+    n1 <- Gen.choose(1, 2)
+    b1 <- Gen.listOfN(n1, genPattern)
+    n2 <- Gen.choose(1, 2)
+    b2 <- Gen.listOfN(n2, genPattern)
+    extra <- Gen.frequency(
+      3 -> Gen.const(Seq.empty[PatternRow]),
+      1 -> genFilter.map(Seq(_)),
+      1 -> genValues.map(Seq(_)))
+  } yield Union(Seq(b1, b2 ++ extra))
+
   // nPat may be 0: values-only and optional-only queries are legal
   // (alpha_test.clj:469-479, 792-807) and exercise the generator and
   // marker-gate paths; nVal up to 2 covers two Values clauses on the
@@ -802,6 +849,8 @@ object DifferentialProps extends Properties("differential") {
     // join silently dropped those solutions)
     nTbl <- Gen.choose(0, 2)
     tbls <- Gen.listOfN(nTbl, genValuesTable)
+    nUni <- Gen.choose(0, 1)
+    unis <- Gen.listOfN(nUni, genUnion)
     nOpt <- Gen.choose(0, 2)
     opts <- Gen.listOfN(nOpt, genOptional)
     // negation/filters only when a required group exists (engine
@@ -810,7 +859,8 @@ object DifferentialProps extends Properties("differential") {
     negs <- Gen.listOfN(nNeg, genNegation)
     nFil <- if (nPat + nVal == 0) Gen.const(0) else Gen.choose(0, 2)
     fils <- Gen.listOfN(nFil, genFilterTop)
-  } yield pats ++ vals ++ tbls ++ opts ++ negs ++ fils).suchThat(_.nonEmpty)
+  } yield pats ++ vals ++ tbls ++ unis ++ opts ++ negs ++ fils)
+    .suchThat(_.nonEmpty)
 
   // leg-1 superset: BIND rows (struct stores only — the dict leg
   // keeps the bind-free genQuery, dict groups refuse BIND loudly).

@@ -66,6 +66,31 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastExchange"), s"probe must broadcast:\n$p")
   }
 
+  test("UNION: additive concatenation — slice scans union WITHOUT a " +
+      "dedup aggregate or shuffle, and an always-bound shared var " +
+      "joins the enclosing group by plain (broadcast) hash join") {
+    val db = Tables.graph(spark, dir)
+    val pUnion = plan(Projections.selectDf(db, Seq(Union(Seq(
+      Seq(pat(V("p"), T(k("c_nationkey")), V("n"))),
+      Seq(pat(V("p"), T(k("s_nationkey")), V("n"))))))
+      , Seq(V("p"), V("n"))))
+    assert(pUnion.contains("Union"), s"expected a Union node:\n$pUnion")
+    assert(!pUnion.contains("Exchange"),
+      s"a bare UNION must not shuffle (no dedup — multiset semantics):\n$pUnion")
+    assert(!pUnion.contains("HashAggregate"),
+      s"a bare UNION must not deduplicate:\n$pUnion")
+    val pJoin = plan(Projections.selectDf(db, Seq(
+      Union(Seq(
+        Seq(pat(V("p"), T(k("c_nationkey")), V("n"))),
+        Seq(pat(V("p"), T(k("s_nationkey")), V("n"))))),
+      pat(V("n"), T(k("n_name")), V("nm"))), Seq(V("p"), V("nm"))))
+    assert(pJoin.contains("BroadcastHashJoin"),
+      s"always-bound shared var must take the equality hash join:\n$pJoin")
+    assert(!pJoin.contains("CartesianProduct") &&
+      !pJoin.contains("BroadcastNestedLoopJoin"),
+      s"no non-equi fallback on an always-bound key:\n$pJoin")
+  }
+
   test("ground-predicate pattern scan uses the predicate slice — no explode") {
     val db = Tables.customerDb(spark, dir)
     val p = plan(Projections.selectDf(db,

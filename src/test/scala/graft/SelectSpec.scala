@@ -793,6 +793,100 @@ class SelectSpec extends GraftSpec {
       Bind(TEncodeForUri(TVar(?("v"))), ?("r")))) == Map(Seq(s("")) -> 1))
   }
 
+  test("UNION (SPARQL §7): multiset-additive branches, branch-partial " +
+      "vars unbound, §10.2 joins downstream, values-on-union-var " +
+      "membero semantics, dict leg, nesting, validation") {
+    val cat = k("cat"); val kind = k("kind"); val size = k("size")
+    val d = db(
+      (k("a"), cat, s("x")), (k("a"), size, TLong(1)),
+      (k("b"), cat, s("y")),
+      (k("c"), kind, s("x")), (k("c"), size, TLong(2)),
+      (k("d"), cat, s("z")), (k("d"), kind, s("z")))
+    def uni = Union(Seq(
+      Seq(pat(?("x"), T(cat), ?("v"))),
+      Seq(pat(?("x"), T(kind), ?("v")))))
+    // (1) additive bag: d matches BOTH branches → two copies
+    assert(bag(d, Seq(?("x"), ?("v")), Seq(uni)) == Map(
+      Seq(k("a"), s("x")) -> 1, Seq(k("b"), s("y")) -> 1,
+      Seq(k("c"), s("x")) -> 1, Seq(k("d"), s("z")) -> 2))
+    // (2) a var bound by only ONE branch is unbound in the other's rows
+    val partial = Union(Seq(
+      Seq(pat(?("x"), T(cat), ?("v"))),
+      Seq(pat(?("x"), T(kind), ?("v")), pat(?("x"), T(size), ?("e")))))
+    assert(bag(d, Seq(?("x"), ?("e")), Seq(partial)) == Map(
+      Seq(k("a"), null) -> 1, Seq(k("b"), null) -> 1,
+      Seq(k("d"), null) -> 1, // kind branch needs size too: d drops there
+      Seq(k("c"), TLong(2)) -> 1))
+    // !BOUND / BOUND dissect the branches
+    assert(bag(d, Seq(?("x")), Seq(partial, FilterBound(?("e")))) ==
+      Map(Seq(k("c")) -> 1))
+    // (3) joined with an outer pattern on an always-bound shared var:
+    // the equality fast path — and the join restricts both branches
+    assert(bag(d, Seq(?("x"), ?("sz"), ?("v")), Seq(
+      pat(?("x"), T(size), ?("sz")), uni)) == Map(
+      Seq(k("a"), TLong(1), s("x")) -> 1,
+      Seq(k("c"), TLong(2), s("x")) -> 1))
+    // (4) Values on a var only ONE branch binds: membero — bound rows
+    // FILTER, unbound rows GENERATE one row per element
+    val genOn = Union(Seq(
+      Seq(pat(?("x"), T(cat), ?("v"))),
+      Seq(pat(?("x"), T(kind), ?("v")), pat(?("x"), T(size), ?("e")))))
+    assert(bag(d, Seq(?("x"), ?("e")), Seq(genOn,
+      Values(?("e"), Seq(TLong(2), TLong(7))))) == Map(
+      Seq(k("a"), TLong(2)) -> 1, Seq(k("a"), TLong(7)) -> 1,
+      Seq(k("b"), TLong(2)) -> 1, Seq(k("b"), TLong(7)) -> 1,
+      Seq(k("d"), TLong(2)) -> 1, Seq(k("d"), TLong(7)) -> 1,
+      Seq(k("c"), TLong(2)) -> 1)) // bound: filtered to the match
+    // (5) optional keyed on a union-nullable var takes the compat path
+    // (null key extends with every clause row? no — null constrains
+    // nothing, merged value coalesces in)
+    val optOn = bag(d, Seq(?("x"), ?("e"), ?("o")), Seq(
+      partial,
+      Optional(Seq(pat(?("y"), T(size), ?("e")),
+        pat(?("y"), T(cat), ?("o"))))))
+    // branch-1 rows (e unbound): compatible with BOTH clause rows
+    // (y=a: e=1,o=x; y=c has no cat → clause row only from y=a) —
+    // merged e rides in; c's e=2 finds no clause row (y=a has e=1) →
+    // o stays unbound
+    assert(optOn == Map(
+      Seq(k("a"), TLong(1), s("x")) -> 1,
+      Seq(k("b"), TLong(1), s("x")) -> 1,
+      Seq(k("d"), TLong(1), s("x")) -> 1,
+      Seq(k("c"), TLong(2), null) -> 1))
+    // (6) nested unions flatten semantically
+    val nested = Union(Seq(
+      Seq(Union(Seq(
+        Seq(pat(?("x"), T(cat), T(s("x")))),
+        Seq(pat(?("x"), T(cat), T(s("y"))))))),
+      Seq(pat(?("x"), T(kind), T(s("x"))))))
+    assert(bag(d, Seq(?("x")), Seq(nested)) == Map(
+      Seq(k("a")) -> 1, Seq(k("b")) -> 1, Seq(k("c")) -> 1))
+    // (7) dict leg: identical multiset through the long-keyed fold,
+    // incl. a branch VALUES generator binding out-of-dict terms
+    val dd = d.dictEncode()
+    try {
+      val got = Projections.selectDf(dd, Seq(Union(Seq(
+        Seq(pat(?("x"), T(cat), ?("v"))),
+        Seq(pat(?("x"), T(kind), ?("v")),
+          Values(?("w"), Seq(s("not-in-dict"))))))),
+        Seq(?("x"), ?("v"), ?("w")))
+        .collect().toSeq.map(r => Seq(
+          if (r.isNullAt(0)) null else fromRow(r.getStruct(0)),
+          if (r.isNullAt(1)) null else fromRow(r.getStruct(1)),
+          if (r.isNullAt(2)) null else fromRow(r.getStruct(2))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == Map(
+        Seq(k("a"), s("x"), null) -> 1, Seq(k("b"), s("y"), null) -> 1,
+        Seq(k("d"), s("z"), null) -> 1,
+        Seq(k("c"), s("x"), s("not-in-dict")) -> 1,
+        Seq(k("d"), s("z"), s("not-in-dict")) -> 1))
+    } finally dd.unpersist()
+    // (8) validation is loud
+    intercept[InvalidBgp](Union(Seq(Seq(pat(?("x"), T(cat), ?("v"))))))
+    intercept[InvalidBgp](Union(Seq(Seq(pat(?("x"), T(cat), ?("v"))),
+      Seq.empty)))
+  }
+
   test("ORDER BY / GROUP BY expression sugar ≡ explicit pre-Bind; " +
       "HAVING EXISTS: group-key correlation, uncorrelated gate, loud " +
       "refusal on consumed solution vars") {
