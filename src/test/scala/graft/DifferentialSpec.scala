@@ -1102,12 +1102,20 @@ object QuadPathDifferentialProps extends Properties("quadpath-differential") {
     paths <- Gen.listOfN(nPath, Gen.oneOf(genPath, genQuadPath))
     nVal <- Gen.choose(0, 1)
     vals <- Gen.listOfN(nVal, genValues)
+    // UNION of quad/triple-pattern branches — graph-position vars
+    // bound by only one branch exercise §10.2 on the quad leg
+    nUni <- Gen.choose(0, 1)
+    unis <- Gen.listOfN(nUni, for {
+      b1 <- Gen.listOfN(1, Gen.oneOf(genTriplePat, genQuadPat))
+      n2 <- Gen.choose(1, 2)
+      b2 <- Gen.listOfN(n2, Gen.oneOf(genTriplePat, genQuadPat))
+    } yield Union(Seq(b1, b2)): PatternRow)
     nOpt <- Gen.choose(0, 1)
     opts <- Gen.listOfN(nOpt, genOptional)
     // negation/filters need a required group (engine refuses otherwise)
     nNf <- if (nPat + nPath + nVal == 0) Gen.const(0) else Gen.choose(0, 1)
     nfs <- Gen.listOfN(nNf, genNegFil)
-  } yield pats ++ paths ++ vals ++ opts ++ nfs).suchThat(_.nonEmpty)
+  } yield pats ++ paths ++ vals ++ unis ++ opts ++ nfs).suchThat(_.nonEmpty)
 
   property("quad engine (patterns+paths) ≡ in-memory interpreter") =
     forAll(genQuadDb, genQuery) { (quads, query) =>
