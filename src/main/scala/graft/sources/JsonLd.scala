@@ -72,6 +72,13 @@ object JsonLd {
       s"JSON-LD parse error: $msg — in line: " +
         line.substring(0, math.min(line.length, 120)))
 
+  /** A keyword node (`@id`/`@type` member) as its string — anything
+    * non-textual (a number, an object) fails loudly instead of
+    * surfacing as a null-IRI NPE. */
+  private def asIdString(line: String, v: JsonNode, kw: String): String =
+    if (v != null && v.isTextual) v.textValue()
+    else fail(line, s"$kw must be an IRI string, got $v")
+
   /** `@id` / node-reference string → term: IRIs via the shared
     * reserved-base mapping, `_:label` via the skolem scheme (or a
     * loud refusal, the [[NTriples]] contract). */
@@ -106,9 +113,9 @@ object JsonLd {
           else if (inner.isNumber || inner.isBoolean) inner.asText()
           else fail(line, s"unsupported @value payload: $inner")
         if (v.has("@language"))
-          Seq(Term.TLangString(lex, v.get("@language").textValue()))
+          Seq(Term.TLangString(lex, asIdString(line, v.get("@language"), "@language")))
         else if (v.has("@type"))
-          Seq(Turtle.termOfLiteral(lex, "", v.get("@type").textValue()))
+          Seq(Turtle.termOfLiteral(lex, "", asIdString(line, v.get("@type"), "@type")))
         else if (inner.isNumber) Seq(numberTerm(line, inner))
         else if (inner.isBoolean) Seq(Term.TBool(inner.booleanValue()))
         else Seq(Term.TString(lex))
@@ -118,7 +125,7 @@ object JsonLd {
           "a node object VALUE with properties is not flattened " +
             s"(found ${extra.mkString(", ")} beside @id) — flatten " +
             "before import")
-        Seq(idTerm(line, v.get("@id").textValue(), bnodeDoc))
+        Seq(idTerm(line, asIdString(line, v.get("@id"), "@id"), bnodeDoc))
       } else fail(line, s"unsupported value object: $v")
     }
     else if (v.isNull) fail(line,
@@ -144,7 +151,7 @@ object JsonLd {
     if (!node.has("@id")) fail(line, "node object has no @id (the " +
       "flattened subset requires explicit ids; anonymous nodes need " +
       "skolemization upstream)")
-    val s = idTerm(line, node.get("@id").textValue(), bnodeDoc)
+    val s = idTerm(line, asIdString(line, node.get("@id"), "@id"), bnodeDoc)
     node.properties().asScala.toSeq.flatMap { e =>
       val (key, v) = (e.getKey, e.getValue)
       key match {
@@ -152,7 +159,7 @@ object JsonLd {
         case "@type" =>
           val ts = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
           ts.map(t => (s, Turtle.termOfIri(RdfType),
-            idTerm(line, t.textValue(), bnodeDoc), g))
+            idTerm(line, asIdString(line, t, "@type"), bnodeDoc), g))
         case "@graph" => fail(line, "@graph inside a node object — " +
           "named graphs nest exactly one level (a line is either a " +
           "node object or a graph object)")
@@ -182,7 +189,7 @@ object JsonLd {
         s"a graph object carries only @id + @graph (found " +
           s"${extra.mkString(", ")})")
       if (!node.has("@id")) fail(line, "graph object has no @id")
-      val g = idTerm(line, node.get("@id").textValue(), bnodeDoc)
+      val g = idTerm(line, asIdString(line, node.get("@id"), "@id"), bnodeDoc)
       val arr = node.get("@graph")
       if (!arr.isArray) fail(line, "@graph must be an array of node objects")
       arr.elements().asScala.toSeq.flatMap(nodeQuads(line, _, g, bnodeDoc))

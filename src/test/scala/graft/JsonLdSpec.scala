@@ -84,6 +84,9 @@ class JsonLdSpec extends GraftSpec {
     assert(err("""{"@id":"http://s","http://p":99999999999999999999}""")
       .contains("int64"))
     assert(err("""not json""").contains("malformed JSON"))
+    // non-string keyword payloads are loud, never null-IRI NPEs
+    assert(err("""{"@id":7,"http://p":1}""").contains("@id must be"))
+    assert(err("""{"@id":"http://s","@type":7}""").contains("@type must be"))
     assert(err("""[1,2]""").contains("must be a JSON object"))
     assert(err("""{"@id":"_:b0","http://p":1}""").contains("blank node"))
   }
