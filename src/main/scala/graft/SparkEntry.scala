@@ -1583,6 +1583,19 @@ object SparkEntry {
     //      lang-tagged and typed literals from plain strings, and
     //      LANG round-trips the constructed tag; STRLANG of an
     //      ALREADY-tagged string errors per spec (unbound column) ----
+    // ---- DESCRIBE (SPARQL §16.4, the fourth result form): every
+    //      fact about the resources a query matches — bnode-free CBD
+    //      = the subject-position facts, one semi-join against the
+    //      store, result is an ordinary (s, p, o) frame ----
+    "q187_describe" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      Projections.describeDf(db, V("c"), Seq(
+        pat(V("c"), kw("c_mktsegment"), T(TString("MACHINERY"))),
+        pat(V("c"), kw("c_acctbal"), V("b")),
+        FilterCmp(V("b"), Gt, TDouble(9000.0))))
+        .select(enc("s"), enc("p"), enc("o"))
+    }),
+
     // ---- UNION (SPARQL §7): parties (customers OR suppliers) per
     //      nation — multiset-additive branches; ?seg is bound only by
     //      the customer branch (UNBOUND = NULL for suppliers), the
@@ -3310,6 +3323,20 @@ object SparkEntry {
         |WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 3)
         |   OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 7)
         |   OR c_mktsegment = 'MACHINERY'""".stripMargin,
+
+    // DESCRIBE ≡ one unpivoted row per (matched customer, column) —
+    // the description is the subject's whole fact set
+    "q187_describe" ->
+      """WITH m AS (SELECT * FROM customer
+        |  WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0)
+        |SELECT 'u|customer/' || c_custkey AS s, 'k|c_name' AS p,
+        |  's|' || c_name AS o FROM m
+        |UNION ALL SELECT 'u|customer/' || c_custkey, 'k|c_nationkey',
+        |  'u|nation/' || c_nationkey FROM m
+        |UNION ALL SELECT 'u|customer/' || c_custkey, 'k|c_acctbal',
+        |  'd|' || printf('%.2f', c_acctbal) FROM m
+        |UNION ALL SELECT 'u|customer/' || c_custkey, 'k|c_mktsegment',
+        |  's|' || c_mktsegment FROM m""".stripMargin,
 
     // SPARQL UNION ≡ SQL UNION ALL (multiset-additive); the
     // branch-only ?seg column is NULL on the supplier side

@@ -562,6 +562,50 @@ object Projections {
       distinct = true)
   }
 
+  /** DESCRIBE (SPARQL §16.4) — the fourth result form, completing
+    * SELECT / CONSTRUCT / ASK: every fact ABOUT the resources the
+    * query binds to `v`. §16.4 leaves the description shape
+    * implementation-defined; this engine pins the bnode-free Concise
+    * Bounded Description, which (with no blank nodes in the Term
+    * model) is exactly the SUBJECT-position facts of each matched
+    * resource — the same per-subject unit the GDPR deletes and the
+    * `build` grouping use. `alsoObjects = true` widens to facts
+    * pointing AT the resource (the symmetric-CBD dial real stores
+    * offer).
+    *
+    * Scale shape: one DISTINCT over the matched resources (bounded by
+    * the answer, not the store) + one left_semi per position against
+    * the full relation — broadcastable when the match set is small,
+    * AQE otherwise; never a driver materialization. The result is an
+    * ordinary triple frame (s, p, o), so it feeds a [[TripleDb]], the
+    * interchange writers, or further queries directly. */
+  def describeDf(db: TripleDb, v: V, rows: Seq[PatternRow],
+                 alsoObjects: Boolean = false): DataFrame = {
+    val matched = selectDf(db, rows, Seq(v))
+      .where(col(v.name).isNotNull)
+      .select(col(v.name).as("__r")).distinct()
+    val subj = db.df.join(matched, col("s") === col("__r"), "left_semi")
+    if (!alsoObjects) subj
+    else subj.unionByName(
+      db.df.join(matched, col("o") === col("__r"), "left_semi"))
+      .dropDuplicates("s", "p", "o")
+  }
+
+  /** [[describeDf]] over a quad store: the description keeps each
+    * fact's GRAPH (a resource described across tenant graphs shows
+    * which graph asserts what). */
+  def describeDf(db: QuadDb, v: V, rows: Seq[PatternRow],
+                 alsoObjects: Boolean): DataFrame = {
+    val matched = selectDf(db, rows, Seq(v))
+      .where(col(v.name).isNotNull)
+      .select(col(v.name).as("__r")).distinct()
+    val subj = db.df.join(matched, col("s") === col("__r"), "left_semi")
+    if (!alsoObjects) subj
+    else subj.unionByName(
+      db.df.join(matched, col("o") === col("__r"), "left_semi"))
+      .dropDuplicates("s", "p", "o", "g")
+  }
+
   private def groupByMagicKey(maps: Seq[Map[Any, Any]]): Seq[Any] =
     maps.groupBy(_(UriKey)).toSeq.map { case (subj, group) =>
       val keys = group.flatMap(_.keys).distinct

@@ -793,6 +793,52 @@ class SelectSpec extends GraftSpec {
       Bind(TEncodeForUri(TVar(?("v"))), ?("r")))) == Map(Seq(s("")) -> 1))
   }
 
+  test("DESCRIBE (§16.4): bnode-free CBD = subject-position facts of " +
+      "matched resources; alsoObjects widens symmetrically; unbound " +
+      "matches drop; quads keep the asserting graph") {
+    val cat = k("cat"); val size = k("size"); val link = k("link")
+    val d = db(
+      (k("a"), cat, s("x")), (k("a"), size, TLong(1)),
+      (k("b"), cat, s("y")), (k("b"), size, TLong(2)),
+      (k("c"), link, k("a")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (fromRow(r.getStruct(0)),
+        fromRow(r.getStruct(1)), fromRow(r.getStruct(2)))).toSet
+    // subject-position description of the cat=x match: a's two facts,
+    // NOT c's inbound link
+    assert(rows(Projections.describeDf(d, ?("r"),
+      Seq(pat(?("r"), T(cat), T(s("x")))))) == Set(
+      (k("a"), cat, s("x")), (k("a"), size, TLong(1))))
+    // alsoObjects widens to the inbound link (symmetric CBD)
+    assert(rows(Projections.describeDf(d, ?("r"),
+      Seq(pat(?("r"), T(cat), T(s("x")))), alsoObjects = true)) == Set(
+      (k("a"), cat, s("x")), (k("a"), size, TLong(1)),
+      (k("c"), link, k("a"))))
+    // an optional-only-bound describe var: unbound matches contribute
+    // nothing (never a null-key semi explosion)
+    assert(rows(Projections.describeDf(d, ?("m"), Seq(
+      pat(?("r"), T(cat), ?("v")),
+      Optional(Seq(pat(?("r"), T(link), ?("m"))))))).isEmpty)
+    // duplicates in the match set do not multiply the description
+    assert(rows(Projections.describeDf(d, ?("r"),
+      Seq(pat(?("r"), T(size), ?("n"))))).size == 4)
+    // quad store: the description keeps each fact's graph
+    val qd = graft.core.QuadDb.fromQuads(spark, Seq(
+      (k("a"), cat, s("x"), TUri("g/1")),
+      (k("a"), size, TLong(1), TUri("g/2")),
+      (k("b"), cat, s("x"), TUri("g/1"))))
+    val qgot = Projections.describeDf(qd, ?("r"),
+        Seq(QuadPattern(?("r"), T(cat), T(s("x")), T(TUri("g/1")))),
+        alsoObjects = false)
+      .collect().toSeq.map(r => (fromRow(r.getStruct(0)),
+        fromRow(r.getStruct(1)), fromRow(r.getStruct(2)),
+        fromRow(r.getStruct(3)))).toSet
+    assert(qgot == Set(
+      (k("a"), cat, s("x"), TUri("g/1")),
+      (k("a"), size, TLong(1), TUri("g/2")), // cross-graph facts ride
+      (k("b"), cat, s("x"), TUri("g/1"))))
+  }
+
   test("UNION (SPARQL §7): multiset-additive branches, branch-partial " +
       "vars unbound, §10.2 joins downstream, values-on-union-var " +
       "membero semantics, dict leg, nesting, validation") {
