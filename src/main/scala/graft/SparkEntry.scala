@@ -81,10 +81,33 @@ object SparkEntry {
   private def materializeOnce(sp: SparkSession, key: String)
                              (build: => DataFrame): String =
     rigCache.computeIfAbsent(key, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rig").toString
+      val tmp = scratch("graft_rig")
       build.write.mode("overwrite").parquet(tmp)
       tmp
     })
+
+  /** Per-run scratch dirs for the durable-lifecycle entries: every dir
+    * is registered for recursive deletion at JVM exit, so repeated
+    * Verify/Bench runs never accumulate orphaned copies of stores
+    * (q184 copies the whole customer store per invocation). Deletion
+    * at exit — not after the entry returns — because entries return
+    * LAZY frames the driver materializes later. */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => scratchDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }))
+  private def scratch(prefix: String): String = {
+    scratchHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.add(dir)
+    dir
+  }
   private def readBlobs(sp: SparkSession, path: String) = {
     import sp.implicits._
     // repartition: the blob parquet is small enough that the scan packs
@@ -190,7 +213,7 @@ object SparkEntry {
     * save/takedown/compaction/masked-load regression surfaces as its
     * own number. Bench appends them as pseudo-queries. */
   def q143Phases(sp: SparkSession, dir: String): Seq[(String, Double)] = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q143p").toString
+    val tmp = scratch("graft_q143p")
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -1197,7 +1220,7 @@ object SparkEntry {
         val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).toArray).toSeq
-        val t = java.nio.file.Files.createTempDirectory("graft_q98").toString
+        val t = scratch("graft_q98")
         ops.Similarity.ivfPqSaveIndex(emb, centroids, centroids, t)
         t
       })
@@ -1214,7 +1237,7 @@ object SparkEntry {
     "q101_minhash_append" -> ((sp, dir) => {
       val docs = Tables.t(sp, dir, "documents")
       val tmp = minhashAppendCache.computeIfAbsent(dir, _ => {
-        val t = java.nio.file.Files.createTempDirectory("graft_q101").toString
+        val t = scratch("graft_q101")
         ops.Dedup.minhashIndexSave(ops.Dedup.minhashIndex(
           docs.where(col("doc_id") < 200), "doc_id", "text"), t)
         ops.Dedup.minhashIndexAppend(
@@ -1234,7 +1257,7 @@ object SparkEntry {
     "q108_minhash_delete" -> ((sp, dir) => {
       val docs = Tables.t(sp, dir, "documents")
       val tmp = minhashDeleteCache.computeIfAbsent(dir, _ => {
-        val t = java.nio.file.Files.createTempDirectory("graft_q108").toString
+        val t = scratch("graft_q108")
         ops.Dedup.minhashIndexSave(ops.Dedup.minhashIndex(
           docs.where(col("doc_id") < 400), "doc_id", "text"), t)
         ops.Dedup.minhashIndexDelete(
@@ -1257,7 +1280,7 @@ object SparkEntry {
         val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).toArray).toSeq
-        val t = java.nio.file.Files.createTempDirectory("graft_q109").toString
+        val t = scratch("graft_q109")
         ops.Similarity.ivfPqSaveIndex(emb, centroids, centroids, t)
         ops.Similarity.ivfPqDeleteIndex(
           emb.where(col("vec_id") % 7 === 2).select(col("vec_id")), t)
@@ -1277,7 +1300,7 @@ object SparkEntry {
         val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).toArray).toSeq
-        val t = java.nio.file.Files.createTempDirectory("graft_q102").toString
+        val t = scratch("graft_q102")
         ops.Similarity.ivfPqSaveIndex(
           emb.where(col("vec_id") >= 50), centroids, centroids, t)
         ops.Similarity.ivfPqAppendIndex(emb.where(col("vec_id") < 50), t)
@@ -1474,7 +1497,7 @@ object SparkEntry {
     //      the named-graph exchange format, then a GROUND-graph query
     //      reads back exactly one nation's graph ----
     "q138_nquads_roundtrip" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q138").toString
+      val tmp = scratch("graft_q138")
       sources.NTriples.saveQuads(Tables.customerQuads(sp, dir), tmp)
       val loaded = sources.NTriples.loadQuads(sp, tmp)
       Projections.selectDf(loaded, Seq(
@@ -1630,7 +1653,7 @@ object SparkEntry {
     //      the load-back BGP must equal a store built without those
     //      facts plus the markers (q143's oracle pattern, WHERE-driven) ----
     "q184_update_where" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q184").toString
+      val tmp = scratch("graft_q184")
       TripleDb.save(Tables.customerDb(sp, dir), tmp)
       ops.Update.deleteInsertWhere(sp, tmp,
         deleteTs = Seq((V("c"), T(TKeyword("c_acctbal")), V("b"))),
@@ -1650,7 +1673,7 @@ object SparkEntry {
     //      parse it back LINE-PARALLEL (splittable, unlike Turtle),
     //      run the q47 BGP — round-trip invisible to queries ----
     "q183_jsonld_roundtrip" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q183").toString
+      val tmp = scratch("graft_q183")
       sources.JsonLd.save(Tables.nationDb(sp, dir), tmp)
       val loaded = sources.JsonLd.load(sp, tmp)
       sel(loaded, Seq(
@@ -2047,7 +2070,7 @@ object SparkEntry {
     //      proving within-file label identity survives ----
     "q158_bnode_skolem" -> ((sp, dir) => {
       import org.apache.spark.sql.functions.{array, explode => fExplode, lit => fLit}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q158").toString
+      val tmp = scratch("graft_q158")
       val xsdD = "http://www.w3.org/2001/XMLSchema#double"
       // explode keeps an order's two lines in one task = one part
       // file, so the per-file skolem scope never splits an order
@@ -2194,7 +2217,7 @@ object SparkEntry {
     //      cross-graph subject takedown; masked load ≡ compacted ≡ a
     //      store never containing either ----
     "q143_quad_gdpr" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q143").toString
+      val tmp = scratch("graft_q143")
       graft.core.QuadDb.save(Tables.customerQuads(sp, dir), tmp)
       graft.core.QuadDb.deleteGraph(sp, tmp, TUri("nation/3"))
       val gone = Tables.t(sp, dir, "customer")
@@ -2214,7 +2237,7 @@ object SparkEntry {
     //      id as a fourth 8-byte key; encoded-key delete scoped to the
     //      containing graph; compaction pruned to affected pid dirs ----
     "q144_dict_quad_store" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q144").toString
+      val tmp = scratch("graft_q144")
       val built = Tables.customerQuads(sp, dir).dictEncode()
       val tbl = s"graft_q144_dict_${math.abs(tmp.hashCode)}"
       graft.core.DictDb.saveQuads(built, tmp, tbl)
@@ -2251,7 +2274,7 @@ object SparkEntry {
     //      completes the interchange matrix (N-Triples/N-Quads bulk,
     //      Turtle/TriG authored) ----
     "q141_trig_roundtrip" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q141").toString
+      val tmp = scratch("graft_q141")
       sources.Turtle.saveTrig(Tables.customerQuads(sp, dir), tmp)
       val loaded = sources.Turtle.loadTrig(sp, tmp)
       Projections.selectDf(loaded, Seq(
@@ -2265,7 +2288,7 @@ object SparkEntry {
     //      q47/q128 BGP over the round-tripped store. Per-FILE parse
     //      parallelism (Turtle is not splittable — see sources/Turtle) ----
     "q140_turtle_roundtrip" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q140").toString
+      val tmp = scratch("graft_q140")
       sources.Turtle.save(Tables.nationDb(sp, dir), tmp)
       val loaded = sources.Turtle.load(sp, tmp)
       sel(loaded, Seq(
@@ -2323,7 +2346,7 @@ object SparkEntry {
     //      pipelines), and encoding under the loaded table is
     //      byte-identical to q104 under the in-memory one ----
     "q133_bpe_save_load" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      val tmp = scratch("graft_q133")
       ops.Bpe.saveMerges(sp, bpeMerges(sp, dir), tmp)
       ops.Bpe.encode(
         Tables.t(sp, dir, "documents").where(col("doc_id") < 200),
@@ -2382,7 +2405,7 @@ object SparkEntry {
     //      prune to one directory), and run a BGP against the loaded
     //      store — the oracle never sees the intermediate store ----
     "q47_save_load" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q47").toString
+      val tmp = scratch("graft_q47")
       TripleDb.save(Tables.nationDb(sp, dir), tmp)
       val loaded = TripleDb.load(sp, tmp)
       sel(loaded, Seq(
@@ -2396,7 +2419,7 @@ object SparkEntry {
     //      the q47 BGP — round-trip must be invisible to queries.
     //      Both directions are narrow codegen'd projections ----
     "q128_ntriples_roundtrip" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q128").toString
+      val tmp = scratch("graft_q128")
       sources.NTriples.save(Tables.nationDb(sp, dir), tmp)
       val loaded = sources.NTriples.load(sp, tmp)
       sel(loaded, Seq(
@@ -2409,7 +2432,7 @@ object SparkEntry {
     //      (tombstone write only — nothing rewritten), load masks them,
     //      BGP ≡ a store never containing those subjects ----
     "q116_store_delete" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q116").toString
+      val tmp = scratch("graft_q116")
       TripleDb.save(Tables.nationDb(sp, dir), tmp)
       val gone = Tables.t(sp, dir, "nation")
         .where(col("n_nationkey") % 4 === 1)
@@ -2427,7 +2450,7 @@ object SparkEntry {
     //      affected), compact (affected files rewritten, the rest
     //      byte-stable — spec-pinned), load, BGP ----
     "q117_store_compact" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q117").toString
+      val tmp = scratch("graft_q117")
       TripleDb.save(Tables.nationDb(sp, dir), tmp)
       val doomed = Tables.t(sp, dir, "nation")
         .where(col("n_regionkey") === 0)
@@ -2448,7 +2471,7 @@ object SparkEntry {
     //      layout — tombstoned encoded triples masked at load, then
     //      physically compacted pruned to the affected pid partition ----
     "q118_dict_delete" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q118").toString
+      val tmp = scratch("graft_q118")
       val built = Tables.nationDb(sp, dir).dictEncode()
       val tbl = s"graft_q118_dict_${math.abs(tmp.hashCode)}"
       graft.core.DictDb.save(built, tmp, tbl)
@@ -2508,7 +2531,7 @@ object SparkEntry {
     //      interchange sink + source; BGP runs against the reloaded
     //      store, oracle never sees the intermediate files ----
     "q60_jsonl_roundtrip" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q60").toString
+      val tmp = scratch("graft_q60")
       TripleDb.saveJsonl(Tables.nationDb(sp, dir), tmp)
       val loaded = TripleDb.loadJsonl(sp, tmp)
       sel(loaded, Seq(
@@ -2571,7 +2594,7 @@ object SparkEntry {
     //      id-bucketed dict) → load → query; decode joins read the
     //      bucketed dict with zero shuffle on the dict side ----
     "q68_dict_save_load" -> ((sp, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q68").toString
+      val tmp = scratch("graft_q68")
       val built = Tables.nationDb(sp, dir).dictEncode()
       graft.core.DictDb.save(built, tmp, s"graft_q68_dict_${math.abs(tmp.hashCode)}")
       built.unpersist()
@@ -2718,7 +2741,7 @@ object SparkEntry {
         val centroids = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).toArray).toSeq
-        val t = java.nio.file.Files.createTempDirectory("graft_q77").toString
+        val t = scratch("graft_q77")
         ops.Similarity.ivfSaveIndex(emb, centroids, t)
         t
       })

@@ -249,7 +249,17 @@ private[graft] object Tombstones {
     * dead. Staging-then-swap rewrite of the TOMBSTONE set only (cost
     * tracks deletes, never the store); an emptied set deletes the
     * whole tombstone dir (loads skip the mask entirely); the bloom
-    * sidecar rebuilds over the survivors. */
+    * sidecar rebuilds over the survivors.
+    *
+    * Swap is VIA RENAME, never delete-then-rename: the old set moves
+    * aside to `<tombDir>_old`, staging renames into place, and only
+    * then does the old dir delete — so the window in which a crash
+    * could leave NO tombstone dir (which masked loads would read as
+    * "no tombstones", resurrecting every deleted fact) is a single
+    * atomic rename, and a crash inside it leaves `_old` on disk as a
+    * recoverable artifact instead of silent data loss. A leftover
+    * `_old` from a prior crash is cleared up front (the new set had
+    * not yet replaced it, so the current dir is still authoritative). */
   def removeKeysAt(spark: SparkSession, tombDir: String,
                    keys: DataFrame, keyCols: Seq[String]): Unit = {
     if (!existAt(spark, tombDir)) return
@@ -268,12 +278,15 @@ private[graft] object Tombstones {
     remaining.write.mode("overwrite").parquet(staging)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val n = spark.read.parquet(staging).count()
-    fs.delete(dir, true)
+    val oldPath = new org.apache.hadoop.fs.Path(tombDir + "_old")
+    fs.delete(oldPath, true) // clear a prior crash's artifact
+    fs.rename(dir, oldPath)
     if (n == 0) fs.delete(stagingPath, true) // empty set = no tombstones
     else {
       fs.rename(stagingPath, dir)
       refreshBloom(spark, tombDir, keyCols)
     }
+    fs.delete(oldPath, true)
     spark.catalog.refreshByPath(tombDir)
   }
 

@@ -233,7 +233,15 @@ object Dedup {
       .collect().map(_.getString(0))
     if (affected.nonEmpty) {
       val staging = s"$path/_compact_staging"
-      spark.read.parquet(affected: _*)
+      // re-read through the index root and filter to the affected files
+      // by the SAME input_file_name() strings the listing produced —
+      // never feed those URI-encoded strings back to spark.read.parquet
+      // (they mis-resolve anything that needed escaping: a '%' or space
+      // in the index path itself, or a future partition layout; the
+      // Tombstones.compactPartitioned idiom, round-10 lesson)
+      val affectedSet = affected.toSet
+      spark.read.parquet(path)
+        .where(input_file_name().isInCollection(affectedSet))
         .join(tomb, Seq("id"), "left_anti")
         .write.mode("overwrite").parquet(staging)
       affected.foreach(f =>

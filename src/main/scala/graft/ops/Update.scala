@@ -77,7 +77,16 @@ object Update {
     * store minus the instantiated facts. The anti-join applies to the
     * full relation AND every predicate slice (a store whose slices
     * disagree with its full view breaks var-predicate scans silently —
-    * the fromWideTable `keep` lesson). */
+    * the fromWideTable `keep` lesson).
+    *
+    * Stats are INTENTIONALLY kept pre-delete: per-slice sizeInBytes
+    * then OVERESTIMATES the post-delete store, which can only make the
+    * planner more conservative (a slice that would broadcast still
+    * broadcasts or shuffles — never the reverse error of broadcasting
+    * something too big). Recomputing exact stats would cost one count
+    * job per slice for a bound whose safe direction is already known;
+    * callers deleting most of a store and re-querying heavily should
+    * rebuild via `TripleDb(deleteWhere(db, …).df)`. */
   def deleteWhere(db: TripleDb,
       templates: Seq[(TermOrVar, TermOrVar, TermOrVar)],
       where: Seq[PatternRow]): TripleDb = {
@@ -91,7 +100,9 @@ object Update {
   /** SPARQL Update §3.1.3 `DELETE { d } INSERT { i } WHERE { group }`
     * over a value store: ONE solution set drives both template sets —
     * the insert sees pre-delete bindings, and a fact in both sets ends
-    * up present. */
+    * up present. Stats keep the pre-delete values (see [[deleteWhere]]'s
+    * conservative-direction note); the merge then folds the inserts'
+    * stats in on top. */
   def deleteInsertWhere(db: TripleDb,
       deleteTs: Seq[(TermOrVar, TermOrVar, TermOrVar)],
       insertTs: Seq[(TermOrVar, TermOrVar, TermOrVar)],

@@ -107,6 +107,19 @@ object JsonLd {
       if (v.has("@list"))
         fail(line, "@list collections are outside the Term model")
       if (v.has("@value")) {
+        // invalid JSON-LD (@language + @type may not co-occur) and
+        // unrecognized members (@index, @direction, property keys) fail
+        // loudly like the node-reference branch — silently dropping
+        // them would break the writers' re-export identity contract
+        if (v.has("@language") && v.has("@type")) fail(line,
+          "a @value object cannot carry BOTH @language and @type " +
+            "(invalid JSON-LD)")
+        val extra = v.fieldNames().asScala
+          .filterNot(k => k == "@value" || k == "@language" || k == "@type")
+          .toSeq
+        if (extra.nonEmpty) fail(line,
+          s"unsupported members beside @value: ${extra.mkString(", ")} " +
+            "(the subset admits only @language or @type)")
         val inner = v.get("@value")
         val lex =
           if (inner.isTextual) inner.textValue()

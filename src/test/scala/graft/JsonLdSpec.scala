@@ -89,6 +89,14 @@ class JsonLdSpec extends GraftSpec {
     assert(err("""{"@id":"http://s","@type":7}""").contains("@type must be"))
     assert(err("""[1,2]""").contains("must be a JSON object"))
     assert(err("""{"@id":"_:b0","http://p":1}""").contains("blank node"))
+    // invalid @value objects are loud, never silently-dropped members
+    assert(err("""{"@id":"http://s","http://p":""" +
+      """{"@value":"x","@language":"en","@type":"http://dt"}}""")
+      .contains("BOTH @language and @type"))
+    assert(err("""{"@id":"http://s","http://p":""" +
+      """{"@value":"x","@index":"i"}}""").contains("@index"))
+    assert(err("""{"@id":"http://s","http://p":""" +
+      """{"@value":"x","http://q":1}}""").contains("beside @value"))
   }
 
   test("jsonld: blank nodes skolemize per FILE under bnodes=skolem " +

@@ -910,6 +910,30 @@ class OpsSpec extends GraftSpec {
     assert(spark.read.parquet(tmp).where(col("id") % 4 === 1).count() == 0)
   }
 
+  test("minhash index compact under a URI-hostile path (space + '%'): " +
+    "compacted probe ≡ masked probe (round-10 input_file_name lesson)") {
+    // a path whose URI form needs escaping — feeding input_file_name()
+    // URIs back to spark.read.parquet would mis-resolve it; the
+    // isInCollection idiom must behave identically to the masked load
+    val base = java.nio.file.Files.createTempDirectory("graft_mh ho%stile")
+    val tmp = base.toString + "/idx dir"
+    Dedup.minhashIndexSave(
+      Dedup.minhashIndex(docs.where(col("doc_id") < 250), "doc_id", "text")
+        .repartition(4), tmp)
+    Dedup.minhashIndexDelete(
+      docs.where(col("doc_id") < 250 && col("doc_id") % 4 === 1)
+        .select(col("doc_id")), tmp, idCol = "doc_id")
+    val batch = docs.where(col("doc_id") >= 250)
+    def probe() = Dedup.minhashNearDupAgainst(batch, "doc_id", "text",
+        Dedup.minhashIndexLoad(spark, tmp))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val masked = probe()
+    assert(masked.nonEmpty, "split should keep at least one planted pair")
+    Dedup.minhashIndexCompact(spark, tmp)
+    assert(probe() == masked, "compacted probe must equal masked probe")
+    assert(spark.read.parquet(tmp).where(col("id") % 4 === 1).count() == 0)
+  }
+
   test("ivfpq index delete + compact: masked search ≡ compacted search; " +
     "untouched cells keep their files; emptied cells vanish") {
     import graft.ops.Similarity
