@@ -1739,6 +1739,30 @@ object SparkEntry {
         .select(Seq("y", "n", "m1", "m2").map(enc): _*)
     }),
 
+    // ---- TIMEZONE (§17.4.5.7): the designator as a CANONICAL
+    //      xsd:dayTimeDuration TYPED literal beside TZ's string form —
+    //      zero components drop, the sign prints only when negative
+    //      and nonzero, Z/±00:00 → PT0S, and a MISSING designator is
+    //      an ERROR (TZ's "" vs TIMEZONE's unbound, per spec); zoned
+    //      lexicals are inline (fixture dates are written unzoned),
+    //      the q179 inline-fixture pattern ----
+    "q188_timezone" -> ((sp, dir) => {
+      val at = TKeyword("at")
+      val db = TripleDb.fromTerms(sp, Seq(
+        (TKeyword("e1"), at, TDate("2024-03-07T15:30:45Z")),
+        (TKeyword("e2"), at, TDate("2024-03-07T15:30:45+05:30")),
+        (TKeyword("e3"), at, TDate("2024-03-07T15:30:45-08:00")),
+        (TKeyword("e4"), at, TDate("2024-03-07T15:30:45+00:00")),
+        (TKeyword("e5"), at, TDate("2024-03-07T15:30:45-00:30")),
+        (TKeyword("e6"), at, TDate("2024-03-07T15:30:45")),
+        (TKeyword("e7"), at, TDate("1995-06-17"))))
+      sel(db, Seq(
+        pat(V("x"), T(at), V("v")),
+        Bind(TTimezone(TVar(V("v"))), V("dur")),
+        Bind(TTz(TVar(V("v"))), V("tz"))),
+        "x", "dur", "tz")
+    }),
+
     // ---- LANGMATCHES (§17.4.3.13): RFC 4647 ranges over LANG() —
     //      "*" gates to tagged literals, the "en" range classifies
     //      subtags (en-US, EN-GB) that exact LANG equality misses ----
@@ -3433,6 +3457,28 @@ object SparkEntry {
         |  'l|' || CAST(max(month(o_orderdate)) AS VARCHAR) AS m2
         |FROM orders WHERE day(o_orderdate) <= 15
         |GROUP BY 1""".stripMargin,
+
+    // inline fixture → literal expected rows (the q179 convention):
+    // canonical durations per designator; e6/e7 carry none → TIMEZONE
+    // errors (NULL) while TZ returns ""
+    "q188_timezone" ->
+      """SELECT 'k|e1' AS x,
+        |  'lit|PT0S^^http://www.w3.org/2001/XMLSchema#dayTimeDuration' AS dur,
+        |  's|Z' AS tz
+        |UNION ALL SELECT 'k|e2',
+        |  'lit|PT5H30M^^http://www.w3.org/2001/XMLSchema#dayTimeDuration',
+        |  's|+05:30'
+        |UNION ALL SELECT 'k|e3',
+        |  'lit|-PT8H^^http://www.w3.org/2001/XMLSchema#dayTimeDuration',
+        |  's|-08:00'
+        |UNION ALL SELECT 'k|e4',
+        |  'lit|PT0S^^http://www.w3.org/2001/XMLSchema#dayTimeDuration',
+        |  's|+00:00'
+        |UNION ALL SELECT 'k|e5',
+        |  'lit|-PT30M^^http://www.w3.org/2001/XMLSchema#dayTimeDuration',
+        |  's|-00:30'
+        |UNION ALL SELECT 'k|e6', NULL, 's|'
+        |UNION ALL SELECT 'k|e7', NULL, 's|'""".stripMargin,
 
     // inline fixture → literal expected rows; "*" admits exactly the
     // tagged literals, the "en" range classifies the subtags

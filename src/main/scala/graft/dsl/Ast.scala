@@ -568,6 +568,21 @@ final case class TDatePart(e: TermExpr, field: DateField) extends TermExpr {
   * the deterministic subset.) */
 final case class TTz(e: TermExpr) extends TermExpr { def refs: Seq[V] = e.refs }
 
+/** `TIMEZONE(e)` (§17.4.5.7): the timezone designator of a date
+  * term's lexical as an `xsd:dayTimeDuration` TYPED literal — the
+  * spec's own form, completing the accessor family beside [[TTz]]'s
+  * string form. XSD canonical duration: `"Z"` / `"+00:00"` /
+  * `"-00:00"` → `"PT0S"`, `"+05:30"` → `"PT5H30M"`, `"-05:00"` →
+  * `"-PT5H"` (zero components drop; the sign prints only when
+  * negative and nonzero). A lexical carrying NO designator is an
+  * ERROR per spec (contrast TZ, which returns `""`); non-dates and
+  * unbound error as always. Decomposed by fixed-position lexical
+  * arithmetic like [[TDatePart]] — both oracle engines replay the
+  * identical string math, zero calendar drift by construction. */
+final case class TTimezone(e: TermExpr) extends TermExpr {
+  def refs: Seq[V] = e.refs
+}
+
 /** `IRI(e)` / `URI(e)` (§17.4.2.8): constructs a URI term from a
   * plain string (taken as an ABSOLUTE IRI — base resolution is out
   * of the deterministic subset; relative strings mint verbatim, like
@@ -806,6 +821,51 @@ final case class Agg(fn: AggFn, v: Option[V], as: V,
   * ascending unless `asc = false`. Applied via
   * [[graft.engine.Projections.modified]]. */
 final case class OrderKey(v: V, asc: Boolean = true)
+
+/** `GRAPH g { rows }` authoring sugar (SPARQL §13.3): scopes every
+  * pattern row of a group to one graph term/var by REWRITING to the
+  * exact per-row quad forms the compiler already takes —
+  * [[TriplePattern]]→[[QuadPattern]], [[PathPattern]]→
+  * [[QuadPathPattern]], [[Optional]]/[[Union]]/[[NotExists]]/
+  * [[Minus]] recursively, and EXISTS leaves inside filters
+  * (§13.3: the active graph inside the group IS g, existence
+  * included). Built, not stored (the [[FilterIn]] pattern), so the
+  * plan is byte-identical to writing the quad rows by hand — the
+  * sugar only removes the footgun where one row of a group forgets
+  * the shared graph var. Rows with no graph position ([[Values]]/
+  * [[ValuesTable]]/[[Bind]]/plain filters) pass through unchanged:
+  * they constrain solutions, not quads, exactly as if written inside
+  * the graph group directly. Rows ALREADY graph-scoped and
+  * subqueries refuse loudly — nested/overlapping scopes must stay
+  * explicit (a subquery's §12 variable scoping would otherwise
+  * silently swallow a variable `g`). */
+object GraphScope {
+  def apply(g: TermOrVar, rows: Seq[PatternRow]): Seq[PatternRow] = rows.map {
+    case TriplePattern(s, p, o)  => QuadPattern(s, p, o, g)
+    case PathPattern(s, path, o) => QuadPathPattern(s, path, o, g)
+    case Optional(inner)         => Optional(apply(g, inner))
+    case Union(branches)         => Union(branches.map(apply(g, _)))
+    case NotExists(inner)        => NotExists(apply(g, inner))
+    case Minus(inner)            => Minus(apply(g, inner))
+    case f: FilterExpr           => scopeFilter(g, f)
+    case r @ (_: Values | _: ValuesTable | _: Bind) => r
+    case r @ (_: QuadPattern | _: QuadPathPattern) => throw new InvalidBgp(
+      s"GRAPH group over an already graph-scoped row: $r — nested " +
+        "graph scopes must stay explicit")
+    case r: SubSelect => throw new InvalidBgp(
+      s"GRAPH group over a subquery: scope the subquery's own rows " +
+        s"explicitly (§12 variable scoping makes an implicit rewrite " +
+        s"of $r ambiguous for a variable graph)")
+  }
+
+  private def scopeFilter(g: TermOrVar, f: FilterExpr): FilterExpr = f match {
+    case FilterAnd(es)      => FilterAnd(es.map(scopeFilter(g, _)))
+    case FilterOr(es)       => FilterOr(es.map(scopeFilter(g, _)))
+    case FilterNot(e)       => FilterNot(scopeFilter(g, e))
+    case FilterExists(rows) => FilterExists(apply(g, rows))
+    case leaf               => leaf
+  }
+}
 
 /** ≙ the reference's `::invalid-bgp` (alpha.clj:205-213). */
 final class InvalidBgp(msg: String) extends IllegalArgumentException(msg)

@@ -946,6 +946,35 @@ object BgpCompiler {
               substring(lex, -6, 6))
             .otherwise(functions.lit(""))))
           .otherwise(nullTerm)
+      case TTimezone(x) =>
+        // §17.4.5.7: the designator as a CANONICAL xsd:dayTimeDuration
+        // typed literal — fixed-position lexical arithmetic only (the
+        // TDatePart discipline): hh/mm read from the trailing ±hh:mm,
+        // zero components drop, sign prints only when negative and
+        // nonzero, Z/±00:00 → PT0S; NO designator is an error per spec
+        val c = rec(x)
+        val lex = c.getField("lex")
+        val hasOff = lex.rlike("[+-]\\d{2}:\\d{2}$")
+        val hh = substring(lex, -5, 2).cast(LongType)
+        val mm = substring(lex, -2, 2).cast(LongType)
+        val neg = substring(lex, -6, 1) === "-"
+        val body = when(hh === 0 && mm === 0, functions.lit("PT0S"))
+          .otherwise(concat(functions.lit("PT"),
+            when(hh > 0, concat(hh.cast("string"), functions.lit("H")))
+              .otherwise(functions.lit("")),
+            when(mm > 0, concat(mm.cast("string"), functions.lit("M")))
+              .otherwise(functions.lit(""))))
+        val dur = when(neg && (hh > 0 || mm > 0),
+          concat(functions.lit("-"), body)).otherwise(body)
+        def durT(s: Column): Column =
+          Term.mk(functions.lit(Term.KTyped), s, nullD, nullS,
+            functions.lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"))
+        when(c.getField("kind") === Term.KDate &&
+            lex.rlike("^\\d{4}-\\d{2}-\\d{2}"),
+          when(lex.endsWith("Z"), durT(functions.lit("PT0S")))
+            .when(hasOff, durT(dur))
+            .otherwise(nullTerm))
+          .otherwise(nullTerm)
       case TIri(x) =>
         val c = rec(x)
         when(c.getField("kind") === Term.KUri, c)
@@ -1051,6 +1080,7 @@ object BgpCompiler {
     case TFloor(x)         => containsBoundT(x)
     case TDatePart(x, _)   => containsBoundT(x)
     case TTz(x)            => containsBoundT(x)
+    case TTimezone(x)      => containsBoundT(x)
     case TIri(x)           => containsBoundT(x)
     case TEncodeForUri(x)  => containsBoundT(x)
     case TBNode(x)         => containsBoundT(x)

@@ -226,6 +226,28 @@ object MiniInterp {
             else ""))
         case _ => None
       }
+      case TTimezone(x) =>
+        // the SPEC: parse the designator by regex GROUPS and build the
+        // XSD canonical dayTimeDuration from the integer components —
+        // never the engine's fixed-position substring formulation
+        val OffRe = """.*([+-])(\d{2}):(\d{2})$""".r
+        evalNum(x, b, db).flatMap {
+          case TDate(iso) if iso.matches("""\d{4}-\d{2}-\d{2}.*""") =>
+            val dtd = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+            if (iso.endsWith("Z")) Some(TTyped("PT0S", dtd))
+            else iso match {
+              case OffRe(sg, hh, mm) =>
+                val h = hh.toInt; val m = mm.toInt
+                val body =
+                  if (h == 0 && m == 0) "PT0S"
+                  else "PT" + (if (h > 0) s"${h}H" else "") +
+                    (if (m > 0) s"${m}M" else "")
+                val sign = if (sg == "-" && (h > 0 || m > 0)) "-" else ""
+                Some(TTyped(sign + body, dtd))
+              case _ => None // no designator: ERROR per §17.4.5.7
+            }
+          case _ => None
+        }
       case TIri(x) => evalNum(x, b, db).flatMap {
         case u: TUri    => Some(u)
         case TString(s) => Some(TUri(s))
@@ -618,6 +640,8 @@ object DifferentialProps extends Properties("differential") {
     // with subtags so LANGMATCHES range-vs-exact diverge
     TDate("2024-03-07T15:30:45"), TDate("1995-06-17"),
     TDate("2024-03-07T15:30:45+05:30"),
+    // Z and a NEGATIVE offset: TIMEZONE's PT0S / leading-sign branches
+    TDate("2024-03-07T15:30:45Z"), TDate("2024-03-07T15:30:45-08:00"),
     TLangString("x", "en-US"), TLangString("y", "en"))
 
   val genTriple: Gen[(Term, Term, Term)] = for {
@@ -689,7 +713,7 @@ object DifferentialProps extends Properties("differential") {
         TSubstr(_, 1, Some(1)), TSubstr(_, 2, None),
         TAbs(_), TRound(_), TCeil(_), TFloor(_),
         TDatePart(_, DfYear), TDatePart(_, DfMonth), TDatePart(_, DfDay),
-        TDatePart(_, DfHours), TDatePart(_, DfSeconds), TTz(_),
+        TDatePart(_, DfHours), TDatePart(_, DfSeconds), TTz(_), TTimezone(_),
         TIri(_), TEncodeForUri(_), TBNode(_),
         THash(_, "md5"), THash(_, "sha256"))
     } yield f(x)

@@ -601,4 +601,42 @@ class QuadPathSpec extends GraftSpec {
         Term.fromRow(r.getStruct(1)))).toSet
     assert(dictGot == Set((julie, s("Julie"))))
   }
+
+  test("GraphScope sugar: rewrites to exactly the hand-written quad " +
+      "rows (plan identity by construction); recursion through " +
+      "optional/union/exists; passthrough rows; loud refusals") {
+    val gv = ?("g")
+    // AST identity — the compiler sees the SAME rows, so the plan is
+    // byte-identical to authoring the quad forms by hand
+    assert(GraphScope(gv, Seq(
+      pat(?("s"), T(knows), ?("o")),
+      PathPattern(?("s"), PathPlus(knows), ?("t")),
+      Optional(Seq(pat(?("o"), T(label), ?("l")))),
+      Union(Seq(Seq(pat(?("s"), T(knows), ?("x"))),
+        Seq(pat(?("x"), T(knows), ?("s"))))),
+      Values(?("s"), Seq(rick)),
+      FilterAnd(Seq(FilterBound(?("l")),
+        FilterExists(Seq(pat(?("o"), T(knows), ?("z")))))))) == Seq(
+      qpat(?("s"), T(knows), ?("o"), gv),
+      QuadPathPattern(?("s"), PathPlus(knows), ?("t"), gv),
+      Optional(Seq(qpat(?("o"), T(label), ?("l"), gv))),
+      Union(Seq(Seq(qpat(?("s"), T(knows), ?("x"), gv)),
+        Seq(qpat(?("x"), T(knows), ?("s"), gv)))),
+      Values(?("s"), Seq(rick)),
+      FilterAnd(Seq(FilterBound(?("l")),
+        FilterExists(Seq(qpat(?("o"), T(knows), ?("z"), gv)))))))
+    // behavior: the scoped group joins within ONE graph per solution
+    val d = quadFriends
+    assert(qset(d, Seq(?("g")), GraphScope(?("g"), Seq(
+      pat(T(rick), T(knows), T(katie)),
+      pat(T(katie), T(knows), T(julie))))) == Set(Seq(g1)))
+    // already-scoped rows and subqueries refuse loudly
+    intercept[InvalidBgp] {
+      GraphScope(gv, Seq(qpat(?("s"), T(knows), ?("o"), T(g1))))
+    }
+    intercept[InvalidBgp] {
+      GraphScope(gv, Seq(SubSelect(Seq(?("s")),
+        Seq(pat(?("s"), T(knows), ?("o"))))))
+    }
+  }
 }

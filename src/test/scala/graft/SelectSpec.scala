@@ -725,6 +725,25 @@ class SelectSpec extends GraftSpec {
       Seq(k("a"), s("")) -> 1, Seq(k("b"), s("")) -> 1,
       Seq(k("c"), s("+05:30")) -> 1, Seq(k("d"), s("Z")) -> 1,
       Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    // TIMEZONE (§17.4.5.7): canonical xsd:dayTimeDuration; a MISSING
+    // designator is an ERROR (the spec's divergence from TZ)
+    val dtd = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+    assert(one(TTimezone(TVar(?("v")))) == Map(
+      Seq(k("a"), null) -> 1, Seq(k("b"), null) -> 1,
+      Seq(k("c"), TTyped("PT5H30M", dtd)) -> 1,
+      Seq(k("d"), TTyped("PT0S", dtd)) -> 1,
+      Seq(k("e"), null) -> 1, Seq(k("f"), null) -> 1))
+    // negative offset, minutes-only offset, and ±00:00 → PT0S
+    val tzd = db(
+      (k("g"), at, TDate("2024-01-01T00:00:00-08:00")),
+      (k("h"), at, TDate("2024-01-01T00:00:00-00:30")),
+      (k("i"), at, TDate("2024-01-01T00:00:00+00:00")))
+    assert(bag(tzd, Seq(?("x"), ?("r")), Seq(
+      pat(?("x"), T(at), ?("v")),
+      Bind(TTimezone(TVar(?("v"))), ?("r")))) == Map(
+      Seq(k("g"), TTyped("-PT8H", dtd)) -> 1,
+      Seq(k("h"), TTyped("-PT30M", dtd)) -> 1,
+      Seq(k("i"), TTyped("PT0S", dtd)) -> 1))
     // date components compose with the numeric/filter machinery:
     // FILTER(YEAR(?v) = 2024) keeps a, c, d
     assert(bag(d, Seq(?("x")), Seq(
