@@ -34,6 +34,43 @@ object SparkEntry {
 
   private def enc(name: String): Column = Term.encode(col(name)).as(name)
 
+  /** The q189-q193 query STRINGS (SPARQL 1.1 text front-end entries) —
+    * shared with SparqlSpec, which pins each one AST-identical to its
+    * hand-built DSL twin (plan identity by construction). */
+  private[graft] val sparqlEntrySources: Map[String, String] = Map(
+    "q189_sparql_select" ->
+      """PREFIX gk: <urn:graft:kw/>
+        |SELECT ?c ?n ?b
+        |WHERE {
+        |  ?c gk:c_mktsegment "BUILDING" .
+        |  ?c gk:c_name ?n .
+        |  ?c gk:c_acctbal ?b .
+        |  FILTER (?b > 9000.0)
+        |}
+        |ORDER BY DESC(?b) ?c
+        |LIMIT 20""".stripMargin,
+    "q190_sparql_agg" ->
+      """PREFIX gk: <urn:graft:kw/>
+        |SELECT ?n (COUNT(*) AS ?cnt) (MIN(?b) AS ?lo)
+        |WHERE { ?c gk:c_nationkey ?n . ?c gk:c_acctbal ?b . }
+        |GROUP BY ?n
+        |HAVING (?cnt > 40)
+        |ORDER BY DESC(?cnt) ?n
+        |LIMIT 5""".stripMargin,
+    "q191_sparql_construct" ->
+      """PREFIX gk: <urn:graft:kw/>
+        |CONSTRUCT { ?n gk:in_region ?r . ?r gk:has_nation ?n . }
+        |WHERE { ?n gk:n_regionkey ?r . }""".stripMargin,
+    "q192_sparql_ask" ->
+      """PREFIX gk: <urn:graft:kw/>
+        |ASK {
+        |  ?c gk:c_mktsegment "BUILDING" .
+        |  ?c gk:c_acctbal ?b .
+        |  FILTER (?b > 9999.0)
+        |}""".stripMargin,
+    "q193_sparql_describe" ->
+      "DESCRIBE <urn:graft:rel/customer/42>")
+
   /** selectDf + encode every projected var to its canonical string. */
   private def sel(db: TripleDb, rows: Seq[PatternRow], vars: String*): DataFrame =
     Projections.selectDf(db, rows, vars.map(V(_))).select(vars.map(enc): _*)
@@ -1737,6 +1774,101 @@ object SparkEntry {
         Agg(AggMin, Some(V("m")), V("m1")),
         Agg(AggMax, Some(V("m")), V("m2"))))
         .select(Seq("y", "n", "m1", "m2").map(enc): _*)
+    }),
+
+    // ---- W3C SPARQL RESULT-SET SERIALIZATION: one solution frame
+    //      (with an optional column exercising UNBOUND cells) chained
+    //      through BOTH lossless formats — TSV save/load, then
+    //      sparql-results+json save/load — must be invisible to the
+    //      oracle (the q60/q128 round-trip convention) ----
+    "q194_results_roundtrip" -> ((sp, dir) => {
+      val tmp = scratch("graft_q194")
+      val db = Tables.nationDb(sp, dir)
+      val sol = Projections.selectDf(db, Seq(
+        pat(V("n"), kw("n_name"), V("nm")),
+        Optional(Seq(pat(V("n"), kw("n_name"), V("anm")),
+          FilterRegex(V("anm"), "^A")))),
+        Seq(V("n"), V("nm"), V("anm")))
+      sources.SparqlResults.saveTsv(sol, s"$tmp/tsv")
+      val viaTsv = sources.SparqlResults.loadTsv(sp, s"$tmp/tsv")
+      sources.SparqlResults.saveJson(viaTsv, s"$tmp/json")
+      sources.SparqlResults.loadJson(sp, s"$tmp/json")
+        .select(Seq("n", "nm", "anm").map(enc): _*)
+    }),
+
+    // ---- SPARQL UPDATE §3.2 GRAPH MANAGEMENT (durable lifecycle,
+    //      q143's phase pattern): LOAD a nation N-Triples dump INTO a
+    //      staging graph, ADD it to live, MOVE staging to archive,
+    //      DROP archive — the surviving dataset must equal the store
+    //      built directly (live carries the nation facts; staging and
+    //      archive are gone, pinned by uncorrelated NOT EXISTS gates
+    //      that EMPTY the result if either graph has any quad left) ----
+    "q195_graph_mgmt" -> ((sp, dir) => {
+      val tmp = scratch("graft_q195")
+      val store = s"$tmp/store"
+      core.QuadDb.save(Tables.customerQuads(sp, dir), store)
+      val ntDir = s"$tmp/nt"
+      sources.NTriples.save(Tables.nationDb(sp, dir), ntDir)
+      val staging = TUri("graph/staging")
+      val live = TUri("graph/live")
+      val archive = TUri("graph/archive")
+      ops.GraphMgmt.loadInto(sp, store, ntDir, "ntriples", staging)
+      ops.GraphMgmt.addGraph(sp, store, staging, live)
+      ops.GraphMgmt.moveGraph(sp, store, staging, archive)
+      ops.GraphMgmt.dropGraph(sp, store, archive)
+      val db = core.QuadDb.load(sp, store)
+      Projections.selectDf(db, Seq(
+        QuadPattern(V("n"), T(TKeyword("n_name")), V("nm"), T(live)),
+        QuadPattern(V("c"), T(TKeyword("c_nationkey")), V("n"), V("g")),
+        NotExists(Seq(QuadPattern(V("x"), V("y"), V("z"), T(staging)))),
+        NotExists(Seq(QuadPattern(V("x"), V("y"), V("z"), T(archive))))),
+        Seq(V("c"), V("n"), V("nm")))
+        .select(Seq("c", "n", "nm").map(enc): _*)
+    }),
+
+    // ---- SPARQL 1.1 TEXT FRONT-END (graft/sparql): queries authored
+    //      as STRINGS, parsed onto the existing DSL AST and run
+    //      through the same Projections pipeline — SparqlSpec pins
+    //      each string AST-identical to its hand-built twin, so plans
+    //      are byte-identical by construction. One entry per result
+    //      form (SELECT/aggregate-SELECT/CONSTRUCT/ASK/DESCRIBE) ----
+    "q189_sparql_select" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      graft.sparql.Sparql.select(db, sparqlEntrySources("q189_sparql_select"))
+        .select(Seq("c", "n", "b").map(enc): _*)
+    }),
+
+    "q190_sparql_agg" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      graft.sparql.Sparql.select(db, sparqlEntrySources("q190_sparql_agg"))
+        .select(Seq("n", "cnt", "lo").map(enc): _*)
+    }),
+
+    "q191_sparql_construct" -> ((sp, dir) => {
+      val db = Tables.nationDb(sp, dir)
+      val q = graft.sparql.Sparql
+        .parse(sparqlEntrySources("q191_sparql_construct"))
+        .asInstanceOf[graft.sparql.ConstructQuery]
+      graft.sparql.Sparql.constructDf(db, q)
+        .select(Seq("s", "p", "o").map(enc): _*)
+    }),
+
+    "q192_sparql_ask" -> ((sp, dir) => {
+      import sp.implicits._
+      val db = Tables.customerDb(sp, dir)
+      val yes = graft.sparql.Sparql.ask(db, graft.sparql.Sparql
+        .parse(sparqlEntrySources("q192_sparql_ask"))
+        .asInstanceOf[graft.sparql.AskQuery])
+      Seq(if (yes) "b|1" else "b|0").toDF("ask")
+    }),
+
+    "q193_sparql_describe" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      val q = graft.sparql.Sparql
+        .parse(sparqlEntrySources("q193_sparql_describe"))
+        .asInstanceOf[graft.sparql.DescribeQuery]
+      graft.sparql.Sparql.describeDf(db, q)
+        .select(Seq("s", "p", "o").map(enc): _*)
     }),
 
     // ---- TIMEZONE (§17.4.5.7): the designator as a CANONICAL
@@ -3457,6 +3589,73 @@ object SparkEntry {
         |  'l|' || CAST(max(month(o_orderdate)) AS VARCHAR) AS m2
         |FROM orders WHERE day(o_orderdate) <= 15
         |GROUP BY 1""".stripMargin,
+
+    // the double round-trip (TSV then sparql-results+json) is
+    // invisible: the oracle is the direct relational query; the
+    // optional column is NULL exactly where the regex misses
+    "q194_results_roundtrip" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS nm,
+        |  CASE WHEN n_name LIKE 'A%' THEN 's|' || n_name
+        |       ELSE NULL END AS anm
+        |FROM nation""".stripMargin,
+
+    // the graph lifecycle ≡ a store built directly: live holds the
+    // loaded nation facts, customers keep their per-nation graphs,
+    // and the NOT EXISTS gates guarantee staging/archive are empty
+    // (any leftover quad would empty the result → row-count mismatch)
+    "q195_graph_mgmt" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  'u|nation/' || c_nationkey AS n, 's|' || n_name AS nm
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    // the text front-end is invisible to results: each oracle is the
+    // direct relational query the DSL twin would get. ORDER/LIMIT
+    // boundaries are deterministic — the tie-break key (the subject's
+    // encoded URI) is unique and compares by the same binary string
+    // order in both engines
+    "q189_sparql_select" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS n,
+        |  'd|' || printf('%.2f', c_acctbal) AS b
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+        |ORDER BY c_acctbal DESC, 'u|customer/' || c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q190_sparql_agg" ->
+      """SELECT 'u|nation/' || c_nationkey AS n,
+        |  'l|' || CAST(count(*) AS VARCHAR) AS cnt,
+        |  'd|' || printf('%.2f', min(c_acctbal)) AS lo
+        |FROM customer GROUP BY c_nationkey
+        |HAVING count(*) > 40
+        |ORDER BY count(*) DESC, 'u|nation/' || c_nationkey
+        |LIMIT 5""".stripMargin,
+
+    "q191_sparql_construct" ->
+      """SELECT 'u|nation/' || n_nationkey AS s, 'k|in_region' AS p,
+        |  'u|region/' || n_regionkey AS o
+        |FROM nation
+        |UNION ALL
+        |SELECT 'u|region/' || n_regionkey, 'k|has_nation',
+        |  'u|nation/' || n_nationkey
+        |FROM nation""".stripMargin,
+
+    "q192_sparql_ask" ->
+      """SELECT CASE WHEN EXISTS (
+        |  SELECT 1 FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9999.0)
+        |  THEN 'b|1' ELSE 'b|0' END AS ask""".stripMargin,
+
+    // DESCRIBE <iri> ≡ the subject's whole fact set (q187's unpivot)
+    "q193_sparql_describe" ->
+      """WITH m AS (SELECT * FROM customer WHERE c_custkey = 42)
+        |SELECT 'u|customer/' || c_custkey AS s, 'k|c_name' AS p,
+        |  's|' || c_name AS o FROM m
+        |UNION ALL SELECT 'u|customer/' || c_custkey, 'k|c_nationkey',
+        |  'u|nation/' || c_nationkey FROM m
+        |UNION ALL SELECT 'u|customer/' || c_custkey, 'k|c_acctbal',
+        |  'd|' || printf('%.2f', c_acctbal) FROM m
+        |UNION ALL SELECT 'u|customer/' || c_custkey, 'k|c_mktsegment',
+        |  's|' || c_mktsegment FROM m""".stripMargin,
 
     // inline fixture → literal expected rows (the q179 convention):
     // canonical durations per designator; e6/e7 carry none → TIMEZONE

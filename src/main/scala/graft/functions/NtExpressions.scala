@@ -48,7 +48,7 @@ object NtExpressions {
       copy(child = newChild)
   }
 
-  private def echarEscape(s: String): String = {
+  private[graft] def echarEscape(s: String): String = {
     val b = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
@@ -106,7 +106,7 @@ object NtExpressions {
     c <= ' ' || c == '<' || c == '>' || c == '"' || c == '{' || c == '}' ||
       c == '|' || c == '^' || c == '`' || c == '\\'
 
-  private def iriEncode(s: String): String = {
+  private[graft] def iriEncode(s: String): String = {
     val b = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {

@@ -223,6 +223,19 @@ object Update {
     // lineage cut before the tombstone rewrite (see insertWhere's note)
     val inserts = Projections.constructQuads(db, templates, where)
       .df.localCheckpoint()
+    appendNovelQuads(spark, path, inserts)
+    freeCheckpoint(inserts)
+  }
+
+  /** Resurrect re-asserted tombstoned quads, then append only the
+    * genuinely novel ones into the predicate-partitioned layout — the
+    * shared durable-insert tail ([[GraphMgmt]]'s LOAD/ADD/COPY use it
+    * too). `inserts` must be LINEAGE-CUT by the caller (an eager
+    * localCheckpoint): the resurrection step rewrites the tombstone
+    * set, and an uncut frame would silently recompute against
+    * post-mutation state. */
+  private[graft] def appendNovelQuads(spark: SparkSession, path: String,
+                                      inserts: DataFrame): Unit = {
     Tombstones.removeKeysAt(spark, Tombstones.tombPath(path), inserts,
       Seq("s", "p", "o", "g"))
     val novel = inserts.join(QuadDb.load(spark, path).df,
@@ -230,7 +243,7 @@ object Update {
     if (!novel.isEmpty)
       novel.withColumn("pred", predName)
         .write.mode("append").partitionBy("pred").parquet(path)
-    freeCheckpoint(novel); freeCheckpoint(inserts)
+    freeCheckpoint(novel)
     spark.catalog.refreshByPath(path)
   }
 

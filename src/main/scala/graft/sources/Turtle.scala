@@ -54,13 +54,13 @@ object Turtle {
   // literalToTerm — spec-pinned equivalent)
   // ---------------------------------------------------------------
 
-  private[sources] def termOfIri(body: String): Term =
+  private[graft] def termOfIri(body: String): Term =
     if (body == NilIri) Term.TNil
     else if (body.startsWith(KwBase)) Term.TKeyword(body.substring(KwBase.length))
     else if (body.startsWith(RelBase)) Term.TUri(body.substring(RelBase.length))
     else Term.TUri(body)
 
-  private[sources] def termOfLiteral(lex: String, lang: String,
+  private[graft] def termOfLiteral(lex: String, lang: String,
                                      dt: String): Term =
     if (lang.nonEmpty) Term.TLangString(lex, lang)
     else if (dt == s"${Xsd}long" || dt == s"${Xsd}integer" || dt == s"${Xsd}int")
