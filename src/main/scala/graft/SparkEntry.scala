@@ -1776,6 +1776,32 @@ object SparkEntry {
         .select(Seq("y", "n", "m1", "m2").map(enc): _*)
     }),
 
+    // ---- JSON-LD @context PREFIX-MAP SUBSET: a fixture AUTHORED with
+    //      compact IRIs (the schema.org embed shape) — built
+    //      distributedly from the nation table — must load to the
+    //      SAME store the full-IRI form does, proven by running q183's
+    //      BGP against the same oracle ----
+    "q196_jsonld_context" -> ((sp, dir) => {
+      import sp.implicits._
+      val tmp = scratch("graft_q196")
+      val nt = Tables.t(sp, dir, "nation")
+      val line = concat(
+        functions.lit("""{"@context":{"gk":"urn:graft:kw/"},"@id":"""),
+        functions.lit("\"urn:graft:rel/nation/"),
+        col("n_nationkey").cast("string"),
+        functions.lit("\",\"gk:n_name\":\""), col("n_name"),
+        functions.lit(
+          "\",\"gk:n_regionkey\":{\"@id\":\"urn:graft:rel/region/"),
+        col("n_regionkey").cast("string"), functions.lit("\"}}"))
+      nt.select(line.as("v")).as[String]
+        .write.mode("overwrite").text(tmp)
+      val loaded = sources.JsonLd.load(sp, tmp)
+      sel(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- W3C SPARQL RESULT-SET SERIALIZATION: one solution frame
     //      (with an optional column exercising UNBOUND cells) chained
     //      through BOTH lossless formats — TSV save/load, then
@@ -3589,6 +3615,13 @@ object SparkEntry {
         |  'l|' || CAST(max(month(o_orderdate)) AS VARCHAR) AS m2
         |FROM orders WHERE day(o_orderdate) <= 15
         |GROUP BY 1""".stripMargin,
+
+    // the compact-IRI fixture loads to the same store as the full-IRI
+    // form — the oracle is q183's direct relational query
+    "q196_jsonld_context" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
 
     // the double round-trip (TSV then sparql-results+json) is
     // invisible: the oracle is the direct relational query; the

@@ -36,8 +36,14 @@ import scala.jdk.CollectionConverters._
   *     opaque terms), and ARRAYS of any of these (one quad each —
   *     flattened JSON-LD set semantics).
   *
-  * Everything else FAILS LOUDLY with the offending line: `@context`
-  * (no context processing — expand before import), `@list`
+  * `@context` is supported as a PREFIX-MAP subset (round 14): a
+  * top-level object mapping simple names to absolute IRIs ending in a
+  * gen-delim, expanding COMPACT IRIS in property keys and `@type`
+  * values — the shape schema.org-style embeds actually use. Every
+  * other `@context` form (remote URLs, arrays, `@vocab`/`@base`,
+  * expanded term definitions, vocabulary-term aliases) FAILS LOUDLY.
+  *
+  * Everything else also FAILS LOUDLY with the offending line: `@list`
   * (collections are outside the Term model), nested node objects with
   * properties (not flattened — flatten before import), `@graph`
   * inside `@graph`, non-object lines, a node object with no `@id`,
@@ -154,13 +160,58 @@ object JsonLd {
       Term.TLong(v.longValue())
     } else Term.TDouble(v.doubleValue())
 
+  /** The `@context` PREFIX-MAP subset: a top-level JSON object whose
+    * members map simple prefix names to absolute IRI strings ending
+    * in a gen-delim ('/', '#', ':') — the shape schema.org-style
+    * compact-IRI documents actually use. Everything else a real
+    * `@context` can carry fails LOUDLY: a remote-context URL string,
+    * arrays, `@vocab`/`@base`/`@language` defaults, expanded term
+    * definitions (objects), and term aliases (the subset expands
+    * COMPACT IRIS — `pfx:local` in property keys and `@type` values —
+    * not bare vocabulary terms, whose scoping rules need full context
+    * processing). */
+  private def parseContext(line: String, node: JsonNode): Map[String, String] = {
+    if (!node.has("@context")) return Map.empty
+    val ctx = node.get("@context")
+    if (!ctx.isObject) fail(line,
+      "@context must be a prefix-map OBJECT in this subset (remote " +
+        "context URLs / arrays need a JSON-LD processor)")
+    ctx.properties().asScala.map { e =>
+      val (name, v) = (e.getKey, e.getValue)
+      if (name.startsWith("@")) fail(line,
+        s"@context keyword '$name' is outside the prefix-map subset " +
+          "(@vocab/@base/@language need full context processing)")
+      if (name.contains(":")) fail(line,
+        s"@context prefix '$name' must be a simple name")
+      if (!v.isTextual) fail(line,
+        s"@context entry '$name' must map to an IRI string (expanded " +
+          "term definitions are outside the subset)")
+      val iri = v.textValue()
+      if (!iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") ||
+          !"/#:".contains(iri.last)) fail(line,
+        s"@context prefix '$name' must expand to an absolute IRI " +
+          s"ending in '/', '#', or ':' (got '$iri')")
+      name -> iri
+    }.toMap
+  }
+
+  /** Expand a compact IRI (`pfx:local` with a declared prefix) through
+    * the line's prefix map; anything else passes through. */
+  private def expand(ctx: Map[String, String], s: String): String = {
+    val i = s.indexOf(':')
+    if (i <= 0) s
+    else ctx.get(s.substring(0, i)) match {
+      case Some(base) => base + s.substring(i + 1)
+      case None       => s
+    }
+  }
+
   /** One flattened node object → its quads in graph `g`. */
   private def nodeQuads(line: String, node: JsonNode, g: Term,
-                        bnodeDoc: Option[String]): Seq[(Term, Term, Term, Term)] = {
+                        bnodeDoc: Option[String],
+                        outerCtx: Map[String, String]): Seq[(Term, Term, Term, Term)] = {
     if (!node.isObject) fail(line, "each line must be a JSON object")
-    if (node.has("@context")) fail(line,
-      "@context processing is outside the subset — expand/flatten " +
-        "with a JSON-LD processor before import")
+    val ctx = outerCtx ++ parseContext(line, node)
     if (!node.has("@id")) fail(line, "node object has no @id (the " +
       "flattened subset requires explicit ids; anonymous nodes need " +
       "skolemization upstream)")
@@ -168,18 +219,19 @@ object JsonLd {
     node.properties().asScala.toSeq.flatMap { e =>
       val (key, v) = (e.getKey, e.getValue)
       key match {
-        case "@id" => Nil
+        case "@id" | "@context" => Nil
         case "@type" =>
           val ts = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
           ts.map(t => (s, Turtle.termOfIri(RdfType),
-            idTerm(line, asIdString(line, t, "@type"), bnodeDoc), g))
+            idTerm(line, expand(ctx, asIdString(line, t, "@type")),
+              bnodeDoc), g))
         case "@graph" => fail(line, "@graph inside a node object — " +
           "named graphs nest exactly one level (a line is either a " +
           "node object or a graph object)")
         case k if k.startsWith("@") =>
           fail(line, s"unsupported keyword $k")
         case k =>
-          val p = idTerm(line, k, bnodeDoc)
+          val p = idTerm(line, expand(ctx, k), bnodeDoc)
           valueTerms(line, v, bnodeDoc).map(o => (s, p, o, g))
       }
     }
@@ -197,16 +249,18 @@ object JsonLd {
     }
     if (node.isObject && node.has("@graph")) {
       val extra = node.properties().asScala.map(_.getKey)
-        .filterNot(k => k == "@id" || k == "@graph")
+        .filterNot(k => k == "@id" || k == "@graph" || k == "@context")
       if (extra.nonEmpty) fail(line,
         s"a graph object carries only @id + @graph (found " +
           s"${extra.mkString(", ")})")
       if (!node.has("@id")) fail(line, "graph object has no @id")
+      val ctx = parseContext(line, node) // scopes over the nested nodes
       val g = idTerm(line, asIdString(line, node.get("@id"), "@id"), bnodeDoc)
       val arr = node.get("@graph")
       if (!arr.isArray) fail(line, "@graph must be an array of node objects")
-      arr.elements().asScala.toSeq.flatMap(nodeQuads(line, _, g, bnodeDoc))
-    } else nodeQuads(line, node, QuadDb.DefaultGraph, bnodeDoc)
+      arr.elements().asScala.toSeq
+        .flatMap(nodeQuads(line, _, g, bnodeDoc, ctx))
+    } else nodeQuads(line, node, QuadDb.DefaultGraph, bnodeDoc, Map.empty)
   }
 
   // ---------------------------------------------------------------

@@ -71,7 +71,10 @@ class JsonLdSpec extends GraftSpec {
         case e => (Option(e.getMessage) ++
           Option(e.getCause).map(_.getMessage)).mkString(" | ")
       }
-    assert(err("""{"@context":{},"@id":"http://s"}""").contains("@context"))
+    // remote-context URLs stay outside the subset (the prefix-MAP
+    // form is legal since round 14 — see the @context test)
+    assert(err("""{"@context":"http://ctx/","@id":"http://s"}""")
+      .contains("@context"))
     assert(err("""{"@id":"http://s","http://p":{"@list":[1]}}""")
       .contains("@list"))
     assert(err(
@@ -97,6 +100,53 @@ class JsonLdSpec extends GraftSpec {
       """{"@value":"x","@index":"i"}}""").contains("@index"))
     assert(err("""{"@id":"http://s","http://p":""" +
       """{"@value":"x","http://q":1}}""").contains("beside @value"))
+  }
+
+  test("jsonld: @context prefix-map subset — compact IRIs expand in " +
+      "keys and @type; prefixed store ≡ the full-IRI store (the " +
+      "cross-format pin); other @context forms are loud") {
+    val full = parseStr(
+      """{"@id":"http://ex/alice","@type":"http://schema.org/Person",""" +
+        """"urn:graft:kw/age":42,"http://schema.org/name":"Alice"}""")
+    val prefixed = parseStr(
+      """{"@context":{"gk":"urn:graft:kw/","sdo":"http://schema.org/"},""" +
+        """"@id":"http://ex/alice","@type":"sdo:Person",""" +
+        """"gk:age":42,"sdo:name":"Alice"}""")
+    assert(prefixed == full)
+    // a graph object's context scopes over its nested nodes; a nested
+    // node's own context layers on top
+    val g = writeLines(
+      """{"@context":{"gk":"urn:graft:kw/"},"@id":"http://g/1",""" +
+        """"@graph":[{"@id":"gk:ignored-not-expanded","gk:p":1},""" +
+        """{"@context":{"x":"http://x/"},"@id":"urn:graft:kw/b","x:q":2}]}""")
+    // NOTE @id stays un-expanded by design (keys and @type only): the
+    // first nested node's @id is 'gk:ignored-not-expanded', which is
+    // scheme-shaped ('gk:...') and maps to a plain absolute IRI
+    val quads = JsonLd.loadQuads(spark, g).quads.toSet
+    assert(quads == Set(
+      (TUri("gk:ignored-not-expanded"), k("p"), l(1), TUri("http://g/1")),
+      (k("b"), TUri("http://x/q"), l(2), TUri("http://g/1"))))
+    def err(line: String): String =
+      intercept[Exception] { parseStr(line) } match {
+        case e => (Option(e.getMessage) ++
+          Option(e.getCause).map(_.getMessage)).mkString(" | ")
+      }
+    assert(err("""{"@context":"http://schema.org/","@id":"http://s"}""")
+      .contains("prefix-map OBJECT"))
+    assert(err("""{"@context":{"@vocab":"http://v/"},"@id":"http://s"}""")
+      .contains("@vocab"))
+    assert(err("""{"@context":{"gk":{"@id":"http://x/"}},"@id":"http://s"}""")
+      .contains("IRI string"))
+    assert(err("""{"@context":{"gk":"relative/base/"},"@id":"http://s"}""")
+      .contains("absolute IRI"))
+    assert(err("""{"@context":{"gk":"http://x/y"},"@id":"http://s"}""")
+      .contains("ending in"))
+    // an UNDECLARED colon key passes through UNCHANGED — 'zz:name' is
+    // scheme-shaped, so it maps to the absolute IRI zz:name exactly
+    // like JSON-LD's IRI-as-key rule (never a silent prefix guess)
+    assert(parseStr("""{"@context":{"gk":"http://x/"},"@id":"http://s",""" +
+      """"zz:name":1}""") == Set(
+      (TUri("http://s"), TUri("zz:name"), l(1))))
   }
 
   test("jsonld: blank nodes skolemize per FILE under bnodes=skolem " +
