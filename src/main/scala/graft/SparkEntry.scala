@@ -1776,6 +1776,33 @@ object SparkEntry {
         .select(Seq("y", "n", "m1", "m2").map(enc): _*)
     }),
 
+    // ---- SPARQL UPDATE TEXT GRAMMAR: the q184 redaction authored as
+    //      an UPDATE REQUEST STRING against a durable QUAD store —
+    //      DELETE/INSERT WHERE with a VARIABLE graph position (the
+    //      marker lands in each customer's own nation graph), run
+    //      through the same delta machinery (tombstones + novel
+    //      appends + one pre-mutation solution set) ----
+    "q197_sparql_update" -> ((sp, dir) => {
+      val tmp = scratch("graft_q197")
+      val store = s"$tmp/store"
+      core.QuadDb.save(Tables.customerQuads(sp, dir), store)
+      graft.sparql.SparqlUpdate.run(sp, store,
+        """PREFIX gk: <urn:graft:kw/>
+          |DELETE { GRAPH ?g { ?c gk:c_acctbal ?b . } }
+          |INSERT { GRAPH ?g { ?c gk:redacted true . } }
+          |WHERE { GRAPH ?g { ?c gk:c_mktsegment "BUILDING" .
+          |                   ?c gk:c_acctbal ?b . } }""".stripMargin)
+      val db = core.QuadDb.load(sp, store)
+      Projections.selectDf(db, Seq(
+        QuadPattern(V("c"), T(TKeyword("c_mktsegment")), V("seg"), V("g")),
+        Optional(Seq(
+          QuadPattern(V("c"), T(TKeyword("c_acctbal")), V("b"), V("g")))),
+        Optional(Seq(
+          QuadPattern(V("c"), T(TKeyword("redacted")), V("r"), V("g"))))),
+        Seq(V("c"), V("seg"), V("b"), V("r")))
+        .select(Seq("c", "seg", "b", "r").map(enc): _*)
+    }),
+
     // ---- JSON-LD @context PREFIX-MAP SUBSET: a fixture AUTHORED with
     //      compact IRIs (the schema.org embed shape) — built
     //      distributedly from the nation table — must load to the
@@ -3615,6 +3642,19 @@ object SparkEntry {
         |  'l|' || CAST(max(month(o_orderdate)) AS VARCHAR) AS m2
         |FROM orders WHERE day(o_orderdate) <= 15
         |GROUP BY 1""".stripMargin,
+
+    // the text-authored update ≡ q184's oracle shape on the quad
+    // store: balances NULL out exactly for BUILDING, which alone
+    // carries the marker (in its own nation graph — invisible here
+    // since the query projects per-customer columns)
+    "q197_sparql_update" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  's|' || c_mktsegment AS seg,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+        |       ELSE 'd|' || printf('%.2f', c_acctbal) END AS b,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'b|1'
+        |       ELSE NULL END AS r
+        |FROM customer""".stripMargin,
 
     // the compact-IRI fixture loads to the same store as the full-IRI
     // form — the oracle is q183's direct relational query

@@ -136,9 +136,18 @@ object GraphMgmt {
 
   /** Durable `CLEAR GRAPH g` ≡ `DROP GRAPH g`: tombstone the graph's
     * live quads ([[QuadDb.deleteGraph]] — a tiny append; the GDPR
-    * takedown unit, reached from the Update grammar). */
-  def clearGraph(spark: SparkSession, path: String, g: Term): Unit =
+    * takedown unit, reached from the Update grammar). Clearing a
+    * graph with NO live quads is a true no-op: without the probe it
+    * would mint an EMPTY tombstone set, and every later load of the
+    * store would pay the mask anti-join for nothing (one limit-1 job
+    * here buys it back permanently — the common COPY-into-fresh-graph
+    * case hits this on its destination clear). */
+  def clearGraph(spark: SparkSession, path: String, g: Term): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (QuadDb.load(spark, path).df.where(col("g") === Term.lit(g))
+        .limit(1).isEmpty) return
     QuadDb.deleteGraph(spark, path, g)
+  }
 
   /** Durable `DROP GRAPH g` — same operation (see the class note). */
   def dropGraph(spark: SparkSession, path: String, g: Term): Unit =

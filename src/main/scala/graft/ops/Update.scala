@@ -227,6 +227,44 @@ object Update {
     freeCheckpoint(inserts)
   }
 
+  /** Durable quad-store §3.1.3 `DELETE { d } INSERT { i } WHERE { g }`:
+    * ONE pre-mutation solution set drives both template sets (the
+    * triple form's semantics with graph-aware templates — positions
+    * including the GRAPH may be vars bound by the WHERE). Tombstones
+    * first, then resurrection + novel append, so a quad in both sets
+    * ends up present. */
+  def deleteInsertWhereQuads(spark: SparkSession, path: String,
+      deleteTs: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)],
+      insertTs: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)],
+      where: Seq[PatternRow]): Unit = {
+    val db = QuadDb.load(spark, path)
+    val vars = (deleteTs ++ insertTs)
+      .flatMap(t => Seq(t._1, t._2, t._3, t._4)
+        .collect { case v: V => v }).distinct
+    // one eager lineage cut pins the PRE-mutation solutions
+    val sol = Projections.selectDf(db, where, vars).localCheckpoint()
+    val doomed = instantiateQuads(sol, deleteTs)
+      .join(db.df, Seq("s", "p", "o", "g"), "left_semi").localCheckpoint()
+    val inserts = instantiateQuads(sol, insertTs).localCheckpoint()
+    QuadDb.deleteQuads(doomed, path)
+    appendNovelQuads(spark, path, inserts)
+    freeCheckpoint(sol); freeCheckpoint(doomed); freeCheckpoint(inserts)
+  }
+
+  private def instantiateQuads(sol: DataFrame,
+      templates: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)]): DataFrame = {
+    def colOf(tv: TermOrVar): Column = tv match {
+      case v: V => col(v.name)
+      case T(t) => Term.lit(t)
+    }
+    templates.map { t =>
+      sol.select(colOf(t._1).as("s"), colOf(t._2).as("p"),
+          colOf(t._3).as("o"), colOf(t._4).as("g"))
+        .where(col("s").isNotNull && col("p").isNotNull &&
+          col("o").isNotNull && col("g").isNotNull)
+    }.reduce(_.unionByName(_)).dropDuplicates("s", "p", "o", "g")
+  }
+
   /** Resurrect re-asserted tombstoned quads, then append only the
     * genuinely novel ones into the predicate-partitioned layout — the
     * shared durable-insert tail ([[GraphMgmt]]'s LOAD/ADD/COPY use it

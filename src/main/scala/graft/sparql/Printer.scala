@@ -255,6 +255,53 @@ object Printer {
     }.mkString(" ")
   }
 
+  // ------------------------------------------------------------ update
+
+  private val DefaultG: Term = graft.core.QuadDb.DefaultGraph
+
+  private def quadTemplate(
+      t: (TermOrVar, TermOrVar, TermOrVar, TermOrVar)): String = {
+    val triple = s"${tv(t._1)} ${tv(t._2)} ${tv(t._3)} ."
+    t._4 match {
+      case T(DefaultG) => s"  $triple"
+      case g           => s"  GRAPH ${tv(g)} { $triple }"
+    }
+  }
+
+  private def quadBlock(
+      ts: Seq[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)]): String =
+    ts.map(quadTemplate).mkString("{\n", "\n", "\n}")
+
+  private def graphOrDefault(g: Term): String =
+    if (g == DefaultG) "DEFAULT" else s"GRAPH ${term(g)}"
+
+  def printOp(op: UpdateOp): String = op match {
+    case InsertData(qs) =>
+      "INSERT DATA " + quadBlock(qs.map(q =>
+        (T(q._1): TermOrVar, T(q._2): TermOrVar, T(q._3): TermOrVar,
+          T(q._4): TermOrVar)))
+    case DeleteData(qs) =>
+      "DELETE DATA " + quadBlock(qs.map(q =>
+        (T(q._1): TermOrVar, T(q._2): TermOrVar, T(q._3): TermOrVar,
+          T(q._4): TermOrVar)))
+    case Modify(del, ins, where) =>
+      val d = if (del.isEmpty) "" else "DELETE " + quadBlock(del) + "\n"
+      val i = if (ins.isEmpty) "" else "INSERT " + quadBlock(ins) + "\n"
+      d + i + "WHERE " + group(where)
+    case LoadOp(file, g) =>
+      val into = if (g == DefaultG) "" else s" INTO GRAPH ${term(g)}"
+      s"LOAD <${NtExpressions.iriEncode(file)}>$into"
+    case ClearOp(None)    => "CLEAR ALL"
+    case ClearOp(Some(g)) => "CLEAR " + graphOrDefault(g)
+    case CopyOp(f, t) => s"COPY ${graphOrDefault(f)} TO ${graphOrDefault(t)}"
+    case MoveOp(f, t) => s"MOVE ${graphOrDefault(f)} TO ${graphOrDefault(t)}"
+    case AddOp(f, t)  => s"ADD ${graphOrDefault(f)} TO ${graphOrDefault(t)}"
+  }
+
+  /** A whole update request (';'-separated, like the grammar). */
+  def printUpdate(ops: Seq[UpdateOp]): String =
+    ops.map(printOp).mkString(" ;\n")
+
   // ------------------------------------------------------------ queries
 
   def print(q: SparqlQuery): String = q match {

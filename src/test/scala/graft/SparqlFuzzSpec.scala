@@ -244,6 +244,56 @@ object SparqlRoundTripProps extends Properties("sparql-roundtrip") {
     1 -> (for { rows <- genRows(1, 1); v <- genVar }
       yield DescribeQuery(v, rows)))
 
+  // ---- update requests ----
+  private val genGraphName: Gen[Term] = Gen.oneOf[Term](
+    graft.core.QuadDb.DefaultGraph, TUri("http://g/1"), TKeyword("gname"))
+  private val genGroundQuad: Gen[(Term, Term, Term, Term)] = for {
+    s <- genGround; p <- genPred; o <- genGround; g <- genGraphName
+  } yield (s, p, o, g)
+  private val genQuadTemplate
+      : Gen[(TermOrVar, TermOrVar, TermOrVar, TermOrVar)] = for {
+    s <- genTov; p <- Gen.frequency[TermOrVar](
+      2 -> genPred.map(T(_): TermOrVar), 1 -> genVar.map(v => v: TermOrVar))
+    o <- genTov
+    g <- Gen.frequency[TermOrVar](
+      2 -> genGraphName.map(T(_): TermOrVar), 1 -> Gen.const(V("g")))
+  } yield (s, p, o, g)
+
+  private val genUpdateOp: Gen[UpdateOp] = Gen.frequency(
+    2 -> Gen.choose(1, 3).flatMap(Gen.listOfN(_, genGroundQuad))
+      .map(InsertData(_)),
+    2 -> Gen.choose(1, 2).flatMap(Gen.listOfN(_, genGroundQuad))
+      .map(DeleteData(_)),
+    3 -> (for {
+      del <- Gen.choose(0, 2).flatMap(Gen.listOfN(_, genQuadTemplate))
+      ins <- Gen.choose(if (del.isEmpty) 1 else 0, 2)
+        .flatMap(Gen.listOfN(_, genQuadTemplate))
+      where <- genRows(1, 1)
+    } yield Modify(del, if (del.isEmpty && ins.isEmpty)
+      Seq((V("s"), T(TKeyword("p")), V("o"),
+        T(graft.core.QuadDb.DefaultGraph))) else ins, where)),
+    1 -> (for { f <- Gen.oneOf("/tmp/fz.nt", "/d/x.ttl", "a/b.jsonl")
+      g <- genGraphName } yield LoadOp(f, g)),
+    1 -> Gen.option(genGraphName).map(ClearOp(_)),
+    1 -> (for { a <- genGraphName; b <- genGraphName } yield CopyOp(a, b)),
+    1 -> (for { a <- genGraphName; b <- genGraphName } yield MoveOp(a, b)),
+    1 -> (for { a <- genGraphName; b <- genGraphName } yield AddOp(a, b)))
+
+  private val genUpdateReq: Gen[Seq[UpdateOp]] =
+    Gen.choose(1, 3).flatMap(Gen.listOfN(_, genUpdateOp))
+
+  property("parseUpdate(printUpdate(ops)) == ops on canonical requests") =
+    forAll(genUpdateReq) { ops =>
+      val printed = Printer.printUpdate(ops)
+      val ops2 = try Parser.parseUpdate(printed) catch {
+        case e: Throwable =>
+          println(s"PARSE FAILED on:\n$printed\n$e")
+          throw e
+      }
+      if (ops2 != ops) println(s"DRIFT:\n$printed\nparsed: $ops2\norig: $ops")
+      ops2 == ops
+    }
+
   property("parse(print(q)) == q on canonical query ASTs") =
     forAll(genQuery) { q =>
       val printed = Printer.print(q)
