@@ -69,7 +69,13 @@ object SparkEntry {
         |  FILTER (?b > 9999.0)
         |}""".stripMargin,
     "q193_sparql_describe" ->
-      "DESCRIBE <urn:graft:rel/customer/42>")
+      "DESCRIBE <urn:graft:rel/customer/42>",
+    "q198_sparql_agg_expr" ->
+      """PREFIX gk: <urn:graft:kw/>
+        |SELECT ?n (MAX(?b) AS ?hi) (MIN(?b) AS ?lo)
+        |  ((?hi - ?lo) AS ?spread)
+        |WHERE { ?c gk:c_nationkey ?n . ?c gk:c_acctbal ?b . }
+        |GROUP BY ?n""".stripMargin)
 
   /** selectDf + encode every projected var to its canonical string. */
   private def sel(db: TripleDb, rows: Seq[PatternRow], vars: String*): DataFrame =
@@ -1831,9 +1837,10 @@ object SparkEntry {
 
     // ---- W3C SPARQL RESULT-SET SERIALIZATION: one solution frame
     //      (with an optional column exercising UNBOUND cells) chained
-    //      through BOTH lossless formats — TSV save/load, then
-    //      sparql-results+json save/load — must be invisible to the
-    //      oracle (the q60/q128 round-trip convention) ----
+    //      through ALL THREE lossless formats — TSV save/load, then
+    //      sparql-results+json save/load, then sparql-results+xml
+    //      save/load — must be invisible to the oracle (the q60/q128
+    //      round-trip convention) ----
     "q194_results_roundtrip" -> ((sp, dir) => {
       val tmp = scratch("graft_q194")
       val db = Tables.nationDb(sp, dir)
@@ -1845,7 +1852,9 @@ object SparkEntry {
       sources.SparqlResults.saveTsv(sol, s"$tmp/tsv")
       val viaTsv = sources.SparqlResults.loadTsv(sp, s"$tmp/tsv")
       sources.SparqlResults.saveJson(viaTsv, s"$tmp/json")
-      sources.SparqlResults.loadJson(sp, s"$tmp/json")
+      val viaJson = sources.SparqlResults.loadJson(sp, s"$tmp/json")
+      sources.SparqlResults.saveXml(viaJson, s"$tmp/xml")
+      sources.SparqlResults.loadXml(sp, s"$tmp/xml")
         .select(Seq("n", "nm", "anm").map(enc): _*)
     }),
 
@@ -1895,6 +1904,17 @@ object SparkEntry {
       val db = Tables.customerDb(sp, dir)
       graft.sparql.Sparql.select(db, sparqlEntrySources("q190_sparql_agg"))
         .select(Seq("n", "cnt", "lo").map(enc): _*)
+    }),
+
+    // ---- §18.2.4.2 SELECT EXPRESSIONS over aggregate aliases: a
+    //      post-aggregation bind in the text grammar — MAX/MIN are
+    //      merge-order-independent, so the double subtraction is the
+    //      identical IEEE op in both engines (never a summed double) ----
+    "q198_sparql_agg_expr" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      graft.sparql.Sparql
+        .select(db, sparqlEntrySources("q198_sparql_agg_expr"))
+        .select(Seq("n", "hi", "lo", "spread").map(enc): _*)
     }),
 
     "q191_sparql_construct" -> ((sp, dir) => {
@@ -3663,7 +3683,8 @@ object SparkEntry {
         |  'u|region/' || n_regionkey AS r
         |FROM nation""".stripMargin,
 
-    // the double round-trip (TSV then sparql-results+json) is
+    // the triple round-trip (TSV, then sparql-results+json, then
+    // sparql-results+xml) is
     // invisible: the oracle is the direct relational query; the
     // optional column is NULL exactly where the regex misses
     "q194_results_roundtrip" ->
@@ -3702,6 +3723,15 @@ object SparkEntry {
         |HAVING count(*) > 40
         |ORDER BY count(*) DESC, 'u|nation/' || c_nationkey
         |LIMIT 5""".stripMargin,
+
+    // MAX/MIN are order-independent; hi - lo is the identical IEEE
+    // double op in both engines over the identical inputs
+    "q198_sparql_agg_expr" ->
+      """SELECT 'u|nation/' || c_nationkey AS n,
+        |  'd|' || printf('%.2f', max(c_acctbal)) AS hi,
+        |  'd|' || printf('%.2f', min(c_acctbal)) AS lo,
+        |  'd|' || printf('%.2f', max(c_acctbal) - min(c_acctbal)) AS spread
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
 
     "q191_sparql_construct" ->
       """SELECT 'u|nation/' || n_nationkey AS s, 'k|in_region' AS p,

@@ -12,13 +12,14 @@ import scala.jdk.CollectionConverters._
 
 /** W3C SPARQL result-set serialization — the standard interop edge
   * for anything downstream of a SELECT: `application/sparql-results
-  * +json` (SPARQL 1.1 Query Results JSON Format) with a reader for
-  * round-trips, and the CSV/TSV formats (SPARQL 1.1 Query Results CSV
-  * and TSV Formats). All three act on ANY `selectDf` solution frame
-  * (term-struct columns; SQL NULL = unbound), so every store layout
-  * composes — dict stores are decoded by then.
+  * +json` (SPARQL 1.1 Query Results JSON Format) and
+  * `application/sparql-results+xml` (SPARQL Query Results XML Format)
+  * with readers for round-trips, and the CSV/TSV formats (SPARQL 1.1
+  * Query Results CSV and TSV Formats). All four act on ANY `selectDf`
+  * solution frame (term-struct columns; SQL NULL = unbound), so every
+  * store layout composes — dict stores are decoded by then.
   *
-  * Fidelity per spec: JSON and TSV are LOSSLESS for the Term model
+  * Fidelity per spec: JSON, XML, and TSV are LOSSLESS for the Term model
   * (typed round-trip through the shared `urn:graft:` reserved-base
   * mapping — the same pin as the RDF interchange matrix); CSV is the
   * spec's intentionally LOSSY human-facing form (bare lexical forms,
@@ -177,6 +178,152 @@ object SparqlResults {
     files.flatMap { r =>
       val (docVars, rows) = parseJsonDoc(r.getString(0))
       if (docVars != vars) failJson(
+        s"part documents disagree on vars: $docVars vs $vars")
+      rows.iterator.map(ts => Row(ts.map(t =>
+        if (t == null) null else Term.toRow(t)): _*))
+    }
+  }
+
+  // ------------------------------------------------------------ XML
+
+  private def xmlEsc(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case c   => b.append(c)
+    }
+    b.toString
+  }
+
+  /** One bound term as its sparql-results+xml binding element. */
+  private def termXml(name: String, t: Term): String = {
+    def lit(lex: String, attrs: String): String =
+      s"<literal$attrs>${xmlEsc(lex)}</literal>"
+    val body = t match {
+      case TNil | TKeyword(_) | TUri(_) =>
+        s"<uri>${xmlEsc(iriOf(t))}</uri>"
+      case TString(s2) => lit(s2, "")
+      case TLangString(lex, lang) =>
+        lit(lex, s""" xml:lang="${xmlEsc(lang)}"""")
+      case TLong(v)   => lit(v.toString, s""" datatype="${Xsd}integer"""")
+      case TDouble(v) => lit(v.toString, s""" datatype="${Xsd}double"""")
+      case TBool(v)   => lit(v.toString, s""" datatype="${Xsd}boolean"""")
+      case TDate(iso) => lit(iso, s""" datatype="${Xsd}dateTime"""")
+      case TTyped(lex, dt)   => lit(lex, s""" datatype="${xmlEsc(dt)}"""")
+      case TOpaque(tag, b64) =>
+        lit(b64, s""" datatype="${xmlEsc(OpaqueBase + tag)}"""")
+    }
+    s"""<binding name="${xmlEsc(name)}">$body</binding>"""
+  }
+
+  private def xmlHead(vars: Seq[String]): String =
+    """<?xml version="1.0"?>""" +
+      """<sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""" +
+      vars.map(v => s"""<variable name="${xmlEsc(v)}"/>""").mkString +
+      "</head><results>"
+
+  private def resultXml(vars: Seq[String], r: Row): String =
+    vars.indices.flatMap { i =>
+      if (r.isNullAt(i)) None
+      else Some(termXml(vars(i), Term.fromRow(r.getStruct(i))))
+    }.mkString("<result>", "", "</result>")
+
+  /** The whole result set as ONE sparql-results+xml document string
+    * (the HTTP-response shape, bounded results — collects). */
+  def toXmlDoc(sol: DataFrame): String = {
+    val vars = sol.columns.toSeq
+    sol.collect().iterator.map(resultXml(vars, _))
+      .mkString(xmlHead(vars), "", "</results></sparql>")
+  }
+
+  /** Distributed XML writer — the per-part-complete-document contract
+    * of [[saveJson]]. */
+  def saveXml(sol: DataFrame, path: String): Unit = {
+    val spark = sol.sparkSession
+    import spark.implicits._
+    val vars = sol.columns.toSeq
+    sol.mapPartitions { it =>
+      Iterator(xmlHead(vars)) ++ it.map(resultXml(vars, _)) ++
+        Iterator("</results></sparql>")
+    }(Encoders.STRING).write.mode("overwrite").text(path)
+  }
+
+  private def failXml(msg: String): Nothing =
+    throw new IllegalArgumentException(s"sparql-results+xml: $msg")
+
+  /** Parse ONE sparql-results+xml document (JDK DOM — no extra
+    * dependency) → (vars, solution rows). */
+  private[graft] def parseXmlDoc(doc: String): (Seq[String], Seq[Seq[Term]]) = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val dom = try dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(doc.getBytes("UTF-8")))
+    catch { case e: Exception => failXml(s"malformed XML (${e.getMessage})") }
+    val Ns = "http://www.w3.org/2005/sparql-results#"
+    def children(n: org.w3c.dom.Node, name: String): Seq[org.w3c.dom.Element] = {
+      val out = Seq.newBuilder[org.w3c.dom.Element]
+      val kids = n.getChildNodes
+      for (i <- 0 until kids.getLength) kids.item(i) match {
+        case e: org.w3c.dom.Element
+          if e.getLocalName == name && e.getNamespaceURI == Ns => out += e
+        case _ =>
+      }
+      out.result()
+    }
+    val root = dom.getDocumentElement
+    if (root.getLocalName != "sparql" || root.getNamespaceURI != Ns)
+      failXml(s"root element is not sparql-results <sparql>: " +
+        s"${root.getTagName}")
+    val head = children(root, "head").headOption.getOrElse(failXml("no head"))
+    val vars = children(head, "variable").map(_.getAttribute("name"))
+    if (vars.isEmpty) failXml("no head variables")
+    val results = children(root, "results").headOption
+      .getOrElse(failXml("no results (ASK documents carry <boolean> — " +
+        "run ASK through Sparql.ask)"))
+    val rows = children(results, "result").map { res =>
+      val byName = children(res, "binding").map { b =>
+        val name = b.getAttribute("name")
+        val uri = children(b, "uri").headOption
+        val lit = children(b, "literal").headOption
+        val bn = children(b, "bnode").headOption
+        if (bn.nonEmpty) failXml("blank-node bindings are outside the " +
+          "Term model — skolemize upstream")
+        val term = (uri, lit) match {
+          case (Some(u), None) => Turtle.termOfIri(u.getTextContent)
+          case (None, Some(l)) =>
+            val lang = Option(l.getAttributeNS(
+              "http://www.w3.org/XML/1998/namespace", "lang"))
+              .filter(_.nonEmpty).getOrElse("")
+            val dt = Option(l.getAttribute("datatype"))
+              .filter(_.nonEmpty).getOrElse("")
+            if (lang.nonEmpty && dt.nonEmpty)
+              failXml(s"literal with BOTH xml:lang and datatype")
+            Turtle.termOfLiteral(l.getTextContent, lang, dt)
+          case _ => failXml(s"binding '$name' needs exactly one of " +
+            "<uri>/<literal>")
+        }
+        name -> term
+      }.toMap
+      vars.map(v => byName.getOrElse(v, null))
+    }
+    (vars, rows)
+  }
+
+  /** XML reader — per-FILE parallel, same contract as [[loadJson]]. */
+  def loadXml(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(path)
+    val firstDoc = files.limit(1).collect()
+    if (firstDoc.isEmpty) failXml(s"no documents under $path")
+    val vars = parseXmlDoc(firstDoc(0).getString(0))._1
+    val schema = StructType(vars.map(v =>
+      StructField(v, Term.schema, nullable = true)))
+    implicit val enc = Encoders.row(schema)
+    files.flatMap { r =>
+      val (docVars, rows) = parseXmlDoc(r.getString(0))
+      if (docVars != vars) failXml(
         s"part documents disagree on vars: $docVars vs $vars")
       rows.iterator.map(ts => Row(ts.map(t =>
         if (t == null) null else Term.toRow(t)): _*))

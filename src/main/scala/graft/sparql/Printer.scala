@@ -230,10 +230,14 @@ object Printer {
     if (rows.isEmpty) "{ }"
     else "{\n" + rows.map(r => indent(row(r), "  ")).mkString("\n") + "\n}"
 
-  private def selectItems(proj: Seq[V], aggs: Seq[Agg]): String = {
+  private def selectItems(proj: Seq[V], aggs: Seq[Agg],
+                          postBinds: Seq[Bind] = Nil): String = {
     val aggOf = aggs.map(a => a.as.name -> a).toMap
+    val bindOf = postBinds.map(b => b.as.name -> b).toMap
     proj.map { v =>
       aggOf.get(v.name) match {
+        case None if bindOf.contains(v.name) =>
+          s"(${termExpr(bindOf(v.name).expr)} AS ?${v.name})"
         case None => "?" + v.name
         case Some(a) =>
           val arg = a.v match {
@@ -309,7 +313,7 @@ object Printer {
       val b = new StringBuilder("SELECT ")
       if (s.distinct) b.append("DISTINCT ")
       if (s.proj.isEmpty) b.append("*")
-      else b.append(selectItems(s.proj, s.aggs))
+      else b.append(selectItems(s.proj, s.aggs, s.postBinds))
       b.append("\nWHERE ").append(group(s.where))
       if (s.groupBy.nonEmpty)
         b.append("\nGROUP BY ").append(s.groupBy.map {

@@ -83,6 +83,10 @@ object Sparql {
       val sol = sel(neededVars(q))
       var agg = Projections.aggregatedExpr(sol, q.groupBy, q.aggs)
       for (h <- q.having) agg = having(agg, h)
+      // §18.2.4.2 select expressions: extend the AGGREGATED frame in
+      // written order (after HAVING, before ORDER BY — order keys may
+      // read the new aliases); errors leave the alias unbound per §10.1
+      if (q.postBinds.nonEmpty) agg = Projections.extend(agg, q.postBinds)
       val ordered =
         if (q.distinct) {
           val orderRefs = q.orderBy.flatMap(_._1.refs).distinct

@@ -36,7 +36,14 @@ sealed trait SparqlQuery extends Product with Serializable {
   *    `GROUP BY (expr AS ?v)` — a plain key is `(TVar(v), v)`.
   *  - Non-aggregate projection expressions `SELECT (expr AS ?x)`
   *    desugar at PARSE time to trailing [[graft.dsl.Bind]] rows in
-  *    `where` (§18.2.4 Extend), so they never appear here.
+  *    `where` (§18.2.4 Extend) — UNLESS the query aggregates, where
+  *    they become `postBinds`: §18.2.4.2 allows later select
+  *    expressions to read previously assigned aliases, so
+  *    `(MAX(?b) AS ?hi) (?hi - ?lo AS ?range)` extends the AGGREGATED
+  *    frame in written order (evaluated after HAVING, before ORDER
+  *    BY — order keys may reference them). An aggregate CALL inside
+  *    an expression stays a loud error: bind it to an alias first,
+  *    which is the §18.2.4.2-legal spelling of the same query.
   */
 final case class SelectQuery(
     proj: Seq[V], where: Seq[PatternRow],
@@ -44,14 +51,27 @@ final case class SelectQuery(
     having: Option[FilterExpr] = None,
     orderBy: Seq[(TermExpr, Boolean)] = Nil,
     limit: Int = -1, offset: Int = 0,
-    distinct: Boolean = false) extends SparqlQuery {
+    distinct: Boolean = false,
+    postBinds: Seq[Bind] = Nil) extends SparqlQuery {
   if (where.isEmpty) throw new InvalidBgp("SELECT needs a WHERE group")
   if (aggs.isEmpty && (groupBy.nonEmpty || having.nonEmpty))
     throw new InvalidBgp("GROUP BY / HAVING need aggregates")
+  if (postBinds.nonEmpty && aggs.isEmpty) throw new InvalidBgp(
+    "post-aggregation binds need aggregates (non-aggregate projection " +
+      "expressions desugar into the WHERE group)")
   if (aggs.nonEmpty) {
     if (proj.isEmpty) throw new InvalidBgp(
       "an aggregate SELECT must project explicitly (no SELECT *)")
-    val visible = (groupBy.map(_._2) ++ aggs.map(_.as)).map(_.name).toSet
+    // §18.2.4.2 scoping: each select expression may read group keys,
+    // aggregate aliases, and PREVIOUSLY assigned expression aliases
+    var visible = (groupBy.map(_._2) ++ aggs.map(_.as)).map(_.name).toSet
+    for (b <- postBinds) {
+      val bad = b.expr.refs.filterNot(v => visible.contains(v.name))
+      if (bad.nonEmpty) throw new InvalidBgp(
+        s"select expression ?${b.as.name} reads vars not yet assigned: " +
+          bad.map(_.name).mkString(", "))
+      visible += b.as.name
+    }
     val bad = proj.filterNot(v => visible.contains(v.name))
     if (bad.nonEmpty) throw new InvalidBgp(
       s"SELECT projects non-grouped vars: ${bad.map(_.name).mkString(", ")}")

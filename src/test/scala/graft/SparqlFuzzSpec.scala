@@ -222,6 +222,7 @@ object SparqlRoundTripProps extends Properties("sparql-roundtrip") {
     fn <- Gen.oneOf[AggFn](AggCount, AggSum, AggAvg, AggMin, AggMax,
       AggSample, AggGroupConcat(", "))
     hav <- Gen.option(genCmpOp.map(op => FilterCmp(V("a1"), op, TLong(3))))
+    withPb <- Gen.oneOf(true, false)
   } yield {
     val kv = vars.headOption.getOrElse(V("v1"))
     val aggVar = vars.drop(1).headOption.getOrElse(V("v2"))
@@ -230,9 +231,14 @@ object SparqlRoundTripProps extends Properties("sparql-roundtrip") {
     val aggs = Seq(
       if (fn == AggCount) Agg(AggCount, None, V("a1"))
       else Agg(fn, Some(aggVar), V("a1")))
-    SelectQuery(proj = Seq(key._2, V("a1")), where = rows, aggs = aggs,
+    // §18.2.4.2 select expressions over the aggregate alias
+    val pb = if (withPb)
+      Seq(Bind(NMul(NVar(V("a1")), NConst(TLong(2))), V("pb1"))) else Nil
+    SelectQuery(proj = Seq(key._2, V("a1")) ++ pb.map(_.as),
+      where = rows, aggs = aggs,
       groupBy = Seq(key), having = hav,
-      orderBy = Seq((TVar(V("a1")): TermExpr, false)), limit = 5)
+      orderBy = Seq((TVar(V("a1")): TermExpr, false)), limit = 5,
+      postBinds = pb)
   }
 
   private val genQuery: Gen[SparqlQuery] = Gen.frequency(

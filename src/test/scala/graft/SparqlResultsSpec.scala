@@ -77,6 +77,32 @@ class SparqlResultsSpec extends GraftSpec {
     assert(err("not json").contains("malformed"))
   }
 
+  test("sparql-results+xml: save → load round-trips every kind; " +
+      "escaping; unbound = absent binding; loud error forms") {
+    val sol = everyKindFrame.repartition(3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srx").toString
+    SparqlResults.saveXml(sol, tmp)
+    val back = SparqlResults.loadXml(spark, tmp)
+    assert(back.columns.toSeq == Seq("x", "v", "extra"))
+    assert(asBag(back) == asBag(sol))
+    val doc = SparqlResults.toXmlDoc(sol)
+    assert(doc.contains(
+      """<sparql xmlns="http://www.w3.org/2005/sparql-results#">"""))
+    assert(doc.contains("""xml:lang="fr-CA""""))
+    val (vars, rows) = SparqlResults.parseXmlDoc(doc)
+    assert(vars == Seq("x", "v", "extra") && bag1(rows) == asBag(sol))
+    def err(d: String): String = intercept[Exception] {
+      SparqlResults.parseXmlDoc(d)
+    }.getMessage
+    val pre = """<?xml version="1.0"?>""" +
+      """<sparql xmlns="http://www.w3.org/2005/sparql-results#">""" +
+      """<head><variable name="x"/></head><results>"""
+    assert(err(pre + """<result><binding name="x"><bnode>b0</bnode>""" +
+      "</binding></result></results></sparql>").contains("blank-node"))
+    assert(err("<notxml").contains("malformed"))
+    assert(err("""<?xml version="1.0"?><other/>""").contains("sparql"))
+  }
+
   test("TSV: save → load round-trips every kind; per-part headers; " +
       "unbound = empty cell; malformed tokens are loud") {
     val sol = everyKindFrame.repartition(3)

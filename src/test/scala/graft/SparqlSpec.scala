@@ -165,6 +165,36 @@ class SparqlSpec extends GraftSpec {
     assert(q2.groupBy == Seq((TDatePart(TVar(?("d")), DfYear), ?("y"))))
   }
 
+  test("§18.2.4.2 select expressions over aggregate aliases: post-agg " +
+      "binds in written order; loud on direct aggregate arithmetic " +
+      "and on unassigned refs") {
+    val q = sel(gk +
+      """SELECT ?seg (MAX(?b) AS ?hi) (MIN(?b) AS ?lo)
+        |  ((?hi - ?lo) AS ?spread)
+        |WHERE { ?c gk:seg ?seg . ?c gk:bal ?b . } GROUP BY ?seg""".stripMargin)
+    assert(q.postBinds ==
+      Seq(Bind(NSub(NVar(?("hi")), NVar(?("lo"))), ?("spread"))))
+    assert(q.proj == Seq(?("seg"), ?("hi"), ?("lo"), ?("spread")))
+    // runs end-to-end over the aggregated frame
+    val d = db(
+      (k("c1"), k("seg"), s("A")), (k("c1"), k("bal"), l(10)),
+      (k("c2"), k("seg"), s("A")), (k("c2"), k("bal"), l(3)),
+      (k("c3"), k("seg"), s("B")), (k("c3"), k("bal"), l(7)))
+    val got = Sparql.selectDf(d, q).collect().map(r =>
+      (Term.fromRow(r.getStruct(0)), Term.fromRow(r.getStruct(3)))).toSet
+    assert(got == Set((s("A"), TLong(7)), (s("B"), TLong(0))))
+    // direct aggregate arithmetic: loud, with the alias hint
+    assert(intercept[InvalidBgp] {
+      sel(gk + "SELECT ((MAX(?b) - MIN(?b)) AS ?r) " +
+        "WHERE { ?c gk:bal ?b . }")
+    }.getMessage.contains("alias"))
+    // an expression reading a non-alias var in an aggregate query
+    assert(intercept[InvalidBgp] {
+      sel(gk + "SELECT (COUNT(*) AS ?n) ((?b * 2) AS ?x) " +
+        "WHERE { ?c gk:bal ?b . }")
+    }.getMessage.contains("not yet assigned"))
+  }
+
   test("ORDER BY DESC over an aggregate alias parses to the var key") {
     // DESC(?n) where ?n is a var: the parser canon is TVar inside
     // ASC/DESC brackets — assert the engine accepts it
@@ -275,8 +305,10 @@ class SparqlSpec extends GraftSpec {
       .contains("non-deterministic"))
     assert(err("SELECT REDUCED ?s WHERE { ?s ?p ?o }")
       .contains("REDUCED"))
+    // a select expression in an AGGREGATE query may only read
+    // already-assigned aliases/keys (§18.2.4.2 scoping)
     assert(err("SELECT (SUM(?o) AS ?t) (STRLEN(?x) AS ?l) " +
-      "WHERE { ?s ?p ?o }").contains("aggregate"))
+      "WHERE { ?s ?p ?o }").contains("not yet assigned"))
     assert(err("SELECT ?s WHERE { ?s ?p ?o } extra")
       .contains("trailing input"))
     assert(err("SELECT * WHERE { ?s gk:p ?o }").contains("undeclared prefix"))
