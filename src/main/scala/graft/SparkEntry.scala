@@ -75,7 +75,18 @@ object SparkEntry {
         |SELECT ?n (MAX(?b) AS ?hi) (MIN(?b) AS ?lo)
         |  ((?hi - ?lo) AS ?spread)
         |WHERE { ?c gk:c_nationkey ?n . ?c gk:c_acctbal ?b . }
-        |GROUP BY ?n""".stripMargin)
+        |GROUP BY ?n""".stripMargin,
+    "q199_sparql_from" ->
+      """PREFIX gk: <urn:graft:kw/>
+        |SELECT ?c ?seg
+        |FROM <urn:graft:rel/nation/3>
+        |FROM <urn:graft:rel/nation/7>
+        |FROM NAMED <urn:graft:rel/nation/5>
+        |WHERE {
+        |  ?c gk:c_mktsegment ?seg .
+        |  FILTER NOT EXISTS { GRAPH ?g { ?c gk:c_mktsegment ?seg . } }
+        |  FILTER EXISTS { GRAPH ?g2 { ?c5 gk:c_nationkey ?n5 . } }
+        |}""".stripMargin)
 
   /** selectDf + encode every projected var to its canonical string. */
   private def sel(db: TripleDb, rows: Seq[PatternRow], vars: String*): DataFrame =
@@ -1780,6 +1791,19 @@ object SparkEntry {
         Agg(AggMin, Some(V("m")), V("m1")),
         Agg(AggMax, Some(V("m")), V("m2"))))
         .select(Seq("y", "n", "m1", "m2").map(enc): _*)
+    }),
+
+    // ---- FROM / FROM NAMED DATASET CLAUSES (§13.2/§13.3): the
+    //      default graph is the RDF MERGE of the FROM graphs (two
+    //      nations' customer facts), plain patterns read ONLY it, and
+    //      GRAPH ranges over the FROM NAMED graph alone — pinned by an
+    //      EXISTS gate (the named graph is visible) and a correlated
+    //      NOT EXISTS (the FROM customers are NOT in it); any leak of
+    //      default/unselected graphs into GRAPH empties the result ----
+    "q199_sparql_from" -> ((sp, dir) => {
+      val db = Tables.customerQuads(sp, dir)
+      graft.sparql.Sparql.select(db, sparqlEntrySources("q199_sparql_from"))
+        .select(Seq("c", "seg").map(enc): _*)
     }),
 
     // ---- SPARQL UPDATE TEXT GRAMMAR: the q184 redaction authored as
@@ -3723,6 +3747,14 @@ object SparkEntry {
         |HAVING count(*) > 40
         |ORDER BY count(*) DESC, 'u|nation/' || c_nationkey
         |LIMIT 5""".stripMargin,
+
+    // the dataset = customers of nations 3 ∪ 7 (the constructed
+    // default graph); the gates are invisible when the §13.3 rule
+    // holds (and empty the result loudly when it leaks)
+    "q199_sparql_from" ->
+      """SELECT 'u|customer/' || c_custkey AS c,
+        |  's|' || c_mktsegment AS seg
+        |FROM customer WHERE c_nationkey IN (3, 7)""".stripMargin,
 
     // MAX/MIN are order-independent; hi - lo is the identical IEEE
     // double op in both engines over the identical inputs

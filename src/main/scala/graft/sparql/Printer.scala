@@ -308,12 +308,20 @@ object Printer {
 
   // ------------------------------------------------------------ queries
 
+  private def datasetLines(d: Option[Dataset]): String = d match {
+    case None => ""
+    case Some(ds) =>
+      (ds.default.map(g => s"\nFROM ${term(g)}") ++
+        ds.named.map(g => s"\nFROM NAMED ${term(g)}")).mkString
+  }
+
   def print(q: SparqlQuery): String = q match {
     case s: SelectQuery =>
       val b = new StringBuilder("SELECT ")
       if (s.distinct) b.append("DISTINCT ")
       if (s.proj.isEmpty) b.append("*")
       else b.append(selectItems(s.proj, s.aggs, s.postBinds))
+      b.append(datasetLines(s.dataset))
       b.append("\nWHERE ").append(group(s.where))
       if (s.groupBy.nonEmpty)
         b.append("\nGROUP BY ").append(s.groupBy.map {
@@ -335,8 +343,11 @@ object Printer {
         c.templates.map { case (s, p, o) =>
           s"  ${tv(s)} ${tv(p)} ${tv(o)} ."
         }.mkString("\n") +
-        "\n}\nWHERE " + group(c.where)
-    case a: AskQuery => "ASK " + group(a.where)
-    case d: DescribeQuery => s"DESCRIBE ?${d.v.name} WHERE " + group(d.where)
+        "\n}" + datasetLines(c.dataset) + "\nWHERE " + group(c.where)
+    case a: AskQuery =>
+      "ASK" + datasetLines(a.dataset) + " " + group(a.where)
+    case d: DescribeQuery =>
+      s"DESCRIBE ?${d.v.name}" + datasetLines(d.dataset) +
+        " WHERE " + group(d.where)
   }
 }

@@ -29,29 +29,115 @@ object Sparql {
   /** Pretty-print a query to parseable SPARQL text. */
   def print(q: SparqlQuery): String = Printer.print(q)
 
+  // ----------------------------------------------------------- dataset
+
+  /** Build the §13.2 dataset over a quad store: the default graph is
+    * the RDF MERGE (set union — one dedup of only the selected
+    * graphs' rows, never the store) of the FROM graphs, tagged as the
+    * engine's default graph; FROM NAMED graphs keep their names. The
+    * two parts are disjoint by graph name, so distinctness survives
+    * the union. Scans of the source stay PRUNED: graph membership is
+    * a pushed scan filter. */
+  def datasetOf(db: QuadDb, d: Dataset): QuadDb = {
+    import graft.core.Term
+    def inGraphs(frame: DataFrame, gs: Seq[Term]): DataFrame =
+      if (gs.isEmpty) frame.where(functionsLitFalse)
+      else frame.where(gs.map(g => col("g") === Term.lit(g)).reduce(_ || _))
+    def part(frame: DataFrame): DataFrame = {
+      val defaults = inGraphs(frame, d.default)
+        .select("s", "p", "o").dropDuplicates("s", "p", "o")
+        .withColumn("g", Term.lit(QuadDb.DefaultGraph))
+        .select("s", "p", "o", "g")
+      defaults.unionByName(inGraphs(frame, d.named))
+    }
+    QuadDb(part(db.df),
+      db.predIndex.map { case (n2, d2) => n2 -> part(d2) },
+      db.stats, distinct = db.distinct)
+  }
+
+  private def functionsLitFalse =
+    org.apache.spark.sql.functions.lit(false)
+
+  /** The §13.3 active-graph rewrite that makes a dataset query read
+    * the CONSTRUCTED dataset faithfully: plain triple/path rows scope
+    * to the constructed default graph, and a variable `GRAPH ?g`
+    * additionally excludes it (GRAPH ranges over NAMED graphs only) —
+    * the exclusion filter lands INSIDE the group that binds the var,
+    * guarded by BOUND so optional groups keep their §18.5 scoping. */
+  private[sparql] def datasetScope(rows: Seq[PatternRow]): Seq[PatternRow] = {
+    import graft.core.QuadDb.DefaultGraph
+    val out = rows.map {
+      case TriplePattern(s, p, o)  => QuadPattern(s, p, o, T(DefaultGraph))
+      case PathPattern(s, p, o)    =>
+        QuadPathPattern(s, p, o, T(DefaultGraph))
+      case Optional(inner)         => Optional(datasetScope(inner))
+      case Union(bs)               => Union(bs.map(datasetScope))
+      case NotExists(inner)        => NotExists(datasetScope(inner))
+      case Minus(inner)            => Minus(datasetScope(inner))
+      case ss: SubSelect           => ss.copy(rows = datasetScope(ss.rows))
+      case f: FilterExpr           => scopeFilter(f)
+      case other                   => other // quad rows / values / binds
+    }
+    val varGs = rows.collect {
+      case QuadPattern(_, _, _, g: V)     => g
+      case QuadPathPattern(_, _, _, g: V) => g
+    }.distinct
+    out ++ varGs.map(g => FilterOr(Seq(
+      FilterNot(FilterBound(g)),
+      FilterNot(FilterSameTerm(TVar(g), TConst(DefaultGraph))))))
+  }
+
+  private def scopeFilter(f: FilterExpr): FilterExpr = f match {
+    case FilterAnd(es)      => FilterAnd(es.map(scopeFilter))
+    case FilterOr(es)       => FilterOr(es.map(scopeFilter))
+    case FilterNot(e)       => FilterNot(scopeFilter(e))
+    case FilterExists(rows) => FilterExists(datasetScope(rows))
+    case leaf               => leaf
+  }
+
+  private def noDataset(q: SparqlQuery, what: String): Unit =
+    if (q.dataset.nonEmpty) throw new InvalidBgp(
+      s"FROM/FROM NAMED need a QUAD store ($what has no graphs to " +
+        "select from) — or pre-build the dataset with Sparql.datasetOf")
+
   // ------------------------------------------------------------ SELECT
 
   /** Run a SELECT over a triple store. */
-  def selectDf(db: TripleDb, q: SelectQuery): DataFrame =
+  def selectDf(db: TripleDb, q: SelectQuery): DataFrame = {
+    noDataset(q, "a triple store")
     runSelect(q, Projections.selectDf(db, q.where, _),
       (agg, f) => Projections.having(db, agg, f, neededVars(q)))
+  }
 
-  /** Run a SELECT over a quad store (GRAPH groups scope/bind). */
-  def selectDf(db: QuadDb, q: SelectQuery): DataFrame =
-    runSelect(q, Projections.selectDf(db, q.where, _),
+  /** Run a SELECT over a quad store (GRAPH groups scope/bind; FROM /
+    * FROM NAMED clauses run against the §13.2 constructed dataset
+    * under the full §13.3 active-graph rule — see [[datasetOf]]). */
+  def selectDf(db: QuadDb, q: SelectQuery): DataFrame = q.dataset match {
+    case None => runSelect(q, Projections.selectDf(db, q.where, _),
       (agg, f) => Projections.having(db, agg, f, neededVars(q)))
+    case Some(d) =>
+      val store = datasetOf(db, d)
+      val rows = datasetScope(q.where)
+      runSelect(q, Projections.selectDf(store, rows, _),
+        (agg, f) => Projections.having(store, agg, f, neededVars(q)))
+  }
 
   /** Run a SELECT over a dict-encoded store (terms rehydrate at the
     * plan edge; HAVING-EXISTS needs the term-level store, so an
     * EXISTS leaf in HAVING refuses here — decode first). */
-  def selectDf(db: DictDb, q: SelectQuery): DataFrame =
+  def selectDf(db: DictDb, q: SelectQuery): DataFrame = {
+    noDataset(q, "a dict store")
     runSelect(q, Projections.selectDf(db, q.where, _),
       (agg, f) => Projections.having(agg, f))
+  }
 
-  /** Run a SELECT over a dict-encoded quad store. */
-  def selectDf(db: DictQuadDb, q: SelectQuery): DataFrame =
+  /** Run a SELECT over a dict-encoded quad store (FROM clauses need
+    * the term-level quad store — datasetOf then dictEncode). */
+  def selectDf(db: DictQuadDb, q: SelectQuery): DataFrame = {
+    noDataset(q, "a dict-encoded store")
     runSelect(q, Projections.selectDf(db, q.where, _),
       (agg, f) => Projections.having(agg, f))
+  }
 
   /** The pre-aggregation projection (group-key refs + aggregated
     * vars) — what HAVING-EXISTS needs to tell a consumed var from a
@@ -109,23 +195,48 @@ object Sparql {
     * (feed it to a [[TripleDb]], the interchange writers, or further
     * queries). One narrow select per template over ONE solution
     * frame, union, per-fact dedup — never a driver materialization. */
-  def constructDf(db: TripleDb, q: ConstructQuery): DataFrame =
+  def constructDf(db: TripleDb, q: ConstructQuery): DataFrame = {
+    noDataset(q, "the CONSTRUCT executor's triple store")
     graft.ops.Update.constructTriples(db, q.templates, q.where)
+  }
 
   /** Run an ASK. */
-  def ask(db: TripleDb, q: AskQuery): Boolean = Projections.ask(db, q.where)
-  def ask(db: QuadDb, q: AskQuery): Boolean = Projections.ask(db, q.where)
-  def ask(db: DictDb, q: AskQuery): Boolean = Projections.ask(db, q.where)
-  def ask(db: DictQuadDb, q: AskQuery): Boolean = Projections.ask(db, q.where)
+  def ask(db: TripleDb, q: AskQuery): Boolean = {
+    noDataset(q, "a triple store")
+    Projections.ask(db, q.where)
+  }
+  /** ASK over a quad store — FROM clauses apply ([[datasetOf]]). */
+  def ask(db: QuadDb, q: AskQuery): Boolean = q.dataset match {
+    case None => Projections.ask(db, q.where)
+    case Some(d) =>
+      Projections.ask(datasetOf(db, d), datasetScope(q.where))
+  }
+  def ask(db: DictDb, q: AskQuery): Boolean = {
+    noDataset(q, "a dict store")
+    Projections.ask(db, q.where)
+  }
+  def ask(db: DictQuadDb, q: AskQuery): Boolean = {
+    noDataset(q, "a dict-encoded store")
+    Projections.ask(db, q.where)
+  }
 
   /** Run a DESCRIBE → the subject-CBD triple frame (§16.4, the
     * engine's pinned description shape). */
-  def describeDf(db: TripleDb, q: DescribeQuery): DataFrame =
+  def describeDf(db: TripleDb, q: DescribeQuery): DataFrame = {
+    noDataset(q, "a triple store")
     Projections.describeDf(db, q.v, q.where)
+  }
 
-  /** DESCRIBE over a quad store (descriptions keep graphs). */
-  def describeDf(db: QuadDb, q: DescribeQuery): DataFrame =
-    Projections.describeDf(db, q.v, q.where, alsoObjects = false)
+  /** DESCRIBE over a quad store (descriptions keep graphs; FROM
+    * clauses restrict both the MATCH and the DESCRIPTION to the
+    * constructed dataset). */
+  def describeDf(db: QuadDb, q: DescribeQuery): DataFrame = q.dataset match {
+    case None =>
+      Projections.describeDf(db, q.v, q.where, alsoObjects = false)
+    case Some(d) =>
+      Projections.describeDf(datasetOf(db, d), q.v,
+        datasetScope(q.where), alsoObjects = false)
+  }
 
   // --------------------------------------------------------- one-call
 

@@ -1,5 +1,6 @@
 package graft.sparql
 
+import graft.core.Term
 import graft.dsl._
 
 /** Top-level SPARQL 1.1 query forms — the TEXT front-end's targets.
@@ -23,6 +24,23 @@ import graft.dsl._
   */
 sealed trait SparqlQuery extends Product with Serializable {
   def where: Seq[PatternRow]
+  def dataset: Option[Dataset]
+}
+
+/** `FROM` / `FROM NAMED` dataset clauses (§13.2): the query runs
+  * against a CONSTRUCTED dataset — the default graph is the RDF MERGE
+  * (set union) of the `default` graphs, and `GRAPH` ranges over
+  * exactly the `named` graphs. With a dataset present the §13.3
+  * active-graph rule applies FULLY: plain patterns read only the
+  * constructed default graph (a documented tightening of the
+  * engine's usual plain-pattern-matches-all-graphs convention, which
+  * only ever applied to queries WITHOUT dataset clauses), and a
+  * variable `GRAPH ?g` never binds the default graph. Executors
+  * consume this on QUAD stores ([[Sparql.datasetOf]] builds the
+  * restricted store; triple stores have no graphs to select — loud). */
+final case class Dataset(default: Seq[Term], named: Seq[Term]) {
+  if (default.isEmpty && named.isEmpty)
+    throw new InvalidBgp("a dataset clause needs at least one graph")
 }
 
 /** `SELECT` — projection + solution modifiers (SPARQL §15, §11).
@@ -52,7 +70,8 @@ final case class SelectQuery(
     orderBy: Seq[(TermExpr, Boolean)] = Nil,
     limit: Int = -1, offset: Int = 0,
     distinct: Boolean = false,
-    postBinds: Seq[Bind] = Nil) extends SparqlQuery {
+    postBinds: Seq[Bind] = Nil,
+    dataset: Option[Dataset] = None) extends SparqlQuery {
   if (where.isEmpty) throw new InvalidBgp("SELECT needs a WHERE group")
   if (aggs.isEmpty && (groupBy.nonEmpty || having.nonEmpty))
     throw new InvalidBgp("GROUP BY / HAVING need aggregates")
@@ -83,14 +102,16 @@ final case class SelectQuery(
   * position unbound emits nothing for that template. */
 final case class ConstructQuery(
     templates: Seq[(TermOrVar, TermOrVar, TermOrVar)],
-    where: Seq[PatternRow]) extends SparqlQuery {
+    where: Seq[PatternRow],
+    dataset: Option[Dataset] = None) extends SparqlQuery {
   if (templates.isEmpty)
     throw new InvalidBgp("CONSTRUCT needs at least one template")
   if (where.isEmpty) throw new InvalidBgp("CONSTRUCT needs a WHERE group")
 }
 
 /** `ASK WHERE { group }` (§16.3). */
-final case class AskQuery(where: Seq[PatternRow]) extends SparqlQuery {
+final case class AskQuery(where: Seq[PatternRow],
+    dataset: Option[Dataset] = None) extends SparqlQuery {
   if (where.isEmpty) throw new InvalidBgp("ASK needs a WHERE group")
 }
 
@@ -99,7 +120,7 @@ final case class AskQuery(where: Seq[PatternRow]) extends SparqlQuery {
   * subset takes exactly one variable (DESCRIBE <iri> sugar =
   * `DESCRIBE ?v WHERE { VALUES ?v { <iri> } }`, which the parser
   * accepts and lowers to exactly that). */
-final case class DescribeQuery(v: V, where: Seq[PatternRow])
-    extends SparqlQuery {
+final case class DescribeQuery(v: V, where: Seq[PatternRow],
+    dataset: Option[Dataset] = None) extends SparqlQuery {
   if (where.isEmpty) throw new InvalidBgp("DESCRIBE needs a WHERE group")
 }

@@ -208,12 +208,20 @@ object SparqlRoundTripProps extends Properties("sparql-roundtrip") {
     nOrder <- Gen.choose(0, 2)
     orderVars <- Gen.listOfN(nOrder, Gen.oneOf(varNames).map(V(_)))
     descs <- Gen.listOfN(nOrder, Gen.oneOf(true, false))
+    ds <- Gen.frequency(
+      3 -> Gen.const(None),
+      1 -> Gen.const(Some(Dataset(Seq(TUri("http://g/1")), Nil))),
+      1 -> Gen.const(Some(Dataset(
+        Seq(TUri("http://g/1"), TKeyword("gname")),
+        Seq(TUri("http://g/2"))))),
+      1 -> Gen.const(Some(Dataset(Nil, Seq(TUri("http://g/2"))))))
   } yield SelectQuery(
     proj = if (star || vars.isEmpty) Nil else vars.take(2),
     where = rows,
     orderBy = orderVars.zip(descs).map { case (v, asc) =>
       (TVar(v): TermExpr, asc) },
-    limit = limit, offset = offset, distinct = distinct)
+    limit = limit, offset = offset, distinct = distinct,
+    dataset = ds)
 
   private val genAggSelect: Gen[SparqlQuery] = for {
     rows <- genRows(1, 1)

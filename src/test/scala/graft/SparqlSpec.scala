@@ -353,6 +353,53 @@ class SparqlSpec extends GraftSpec {
     assert(d.where == Seq(Values(d.v, Seq(TUri("customer/42")))))
   }
 
+  test("FROM / FROM NAMED (§13.2/§13.3): the default graph is the RDF " +
+      "MERGE of FROM graphs, plain patterns read ONLY it, GRAPH ranges " +
+      "over NAMED graphs only, and FROM graphs are invisible to GRAPH") {
+    val q = sel(ex + gk +
+      """SELECT ?s ?o FROM ex:g1 FROM ex:g2 FROM NAMED ex:g3
+        |WHERE { ?s gk:p ?o . }""".stripMargin)
+    assert(q.dataset == Some(graft.sparql.Dataset(
+      Seq(u("g1"), u("g2")), Seq(u("g3")))))
+    val store = QuadDb.fromQuads(spark, Seq(
+      (k("a"), k("p"), l(1), u("g1")),
+      (k("a"), k("p"), l(1), u("g2")), // same triple in both FROM graphs
+      (k("b"), k("p"), l(2), u("g2")),
+      (k("c"), k("p"), l(3), u("g3")), // named only
+      (k("d"), k("p"), l(4), u("g4")), // outside the dataset
+      (k("e"), k("p"), l(5), QuadDb.DefaultGraph))) // source default: out
+    def run(text: String) = Sparql.select(store, ex + gk + text)
+      .collect().map(r => r.toSeq.indices.map(i =>
+        if (r.isNullAt(i)) null else Term.fromRow(r.getStruct(i)))).toSeq
+    // RDF merge: (a p 1) asserted in g1 AND g2 is ONE solution; g3/g4
+    // and the source's own default graph are invisible to plain rows
+    assert(bag1(run("""SELECT ?s ?o FROM ex:g1 FROM ex:g2 FROM NAMED ex:g3
+      |WHERE { ?s gk:p ?o . }""".stripMargin)) == Map(
+      Seq(k("a"), l(1)) -> 1, Seq(k("b"), l(2)) -> 1))
+    // GRAPH ?g ranges over the NAMED graphs only — never the
+    // constructed default, never a FROM graph
+    assert(bag1(run("""SELECT ?g ?s FROM ex:g1 FROM NAMED ex:g3
+      |WHERE { GRAPH ?g { ?s gk:p ?o . } }""".stripMargin)) == Map(
+      Seq(u("g3"), k("c")) -> 1))
+    // ground GRAPH on a FROM graph: merged away → no match
+    assert(run("""SELECT ?s FROM ex:g1 FROM NAMED ex:g3
+      |WHERE { GRAPH ex:g1 { ?s gk:p ?o . } }""".stripMargin).isEmpty)
+    // FROM-only dataset: GRAPH ?g is empty
+    assert(run("""SELECT ?g FROM ex:g1
+      |WHERE { ?s gk:p ?o . OPTIONAL { GRAPH ?g { ?s gk:p ?o . } } }"""
+      .stripMargin).forall(_ == Seq(null)))
+    // ASK with a dataset
+    assert(!Sparql.ask(store, parseQ(ex + gk +
+      "ASK FROM ex:g1 { ?s gk:p 3 . }").asInstanceOf[AskQuery]))
+    assert(Sparql.ask(store, parseQ(ex + gk +
+      "ASK FROM ex:g2 { ?s gk:p 2 . }").asInstanceOf[AskQuery]))
+    // triple stores have no graphs to select from
+    assert(intercept[InvalidBgp] {
+      Sparql.select(friends, ex + gk +
+        "SELECT ?s FROM ex:g1 WHERE { ?s gk:p ?o . }")
+    }.getMessage.contains("QUAD store"))
+  }
+
   test("printer round-trip: parse(print(q)) == q on all four forms") {
     val queries: Seq[String] = Seq(
       ex + gk +
