@@ -119,6 +119,57 @@ object SparqlResults {
     }(Encoders.STRING).write.mode("overwrite").text(path)
   }
 
+  // ---- the ASK result-document forms (§ "boolean" results) ----
+
+  /** An ASK result as a sparql-results+json document. */
+  def askJsonDoc(b: Boolean): String =
+    s"""{"head":{},"boolean":$b}"""
+
+  /** Parse an ASK sparql-results+json document (loud when the
+    * document is a SELECT result set — route those through
+    * [[loadJson]]). */
+  def parseAskJsonDoc(doc: String): Boolean = {
+    val root = try mapper.readTree(doc) catch {
+      case e: Exception => failJson(s"malformed JSON (${e.getMessage})")
+    }
+    Option(root.get("boolean")) match {
+      case Some(b) if b.isBoolean => b.booleanValue()
+      case Some(other) => failJson(s"non-boolean 'boolean' member: $other")
+      case None => failJson("no boolean member (a SELECT result set " +
+        "reads via loadJson)")
+    }
+  }
+
+  /** An ASK result as a sparql-results+xml document. */
+  def askXmlDoc(b: Boolean): String =
+    """<?xml version="1.0"?>""" +
+      """<sparql xmlns="http://www.w3.org/2005/sparql-results#">""" +
+      s"<head/><boolean>$b</boolean></sparql>"
+
+  /** Parse an ASK sparql-results+xml document. */
+  def parseAskXmlDoc(doc: String): Boolean = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val dom = try dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(doc.getBytes("UTF-8")))
+    catch { case e: Exception => failXml(s"malformed XML (${e.getMessage})") }
+    val root = dom.getDocumentElement
+    if (root.getLocalName != "sparql") failXml("not a sparql document")
+    val kids = root.getChildNodes
+    var out: Option[Boolean] = None
+    for (i <- 0 until kids.getLength) kids.item(i) match {
+      case e: org.w3c.dom.Element if e.getLocalName == "boolean" =>
+        e.getTextContent.trim match {
+          case "true"  => out = Some(true)
+          case "false" => out = Some(false)
+          case other   => failXml(s"non-boolean <boolean> content: $other")
+        }
+      case _ =>
+    }
+    out.getOrElse(failXml("no boolean element (a SELECT result set " +
+      "reads via loadXml)"))
+  }
+
   private def failJson(msg: String): Nothing =
     throw new IllegalArgumentException(s"sparql-results+json: $msg")
 

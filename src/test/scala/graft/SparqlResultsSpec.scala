@@ -122,6 +122,27 @@ class SparqlResultsSpec extends GraftSpec {
     }.getMessage.contains("blank-node"))
   }
 
+  test("ASK result documents: JSON and XML boolean forms round-trip; " +
+      "SELECT documents are loud in the ASK readers and vice versa") {
+    for (b <- Seq(true, false)) {
+      assert(SparqlResults.parseAskJsonDoc(SparqlResults.askJsonDoc(b)) == b)
+      assert(SparqlResults.parseAskXmlDoc(SparqlResults.askXmlDoc(b)) == b)
+    }
+    assert(SparqlResults.askJsonDoc(true) ==
+      """{"head":{},"boolean":true}""")
+    assert(intercept[Exception] {
+      SparqlResults.parseAskJsonDoc(
+        """{"head":{"vars":["x"]},"results":{"bindings":[]}}""")
+    }.getMessage.contains("no boolean"))
+    assert(intercept[Exception] {
+      SparqlResults.parseAskXmlDoc(SparqlResults.toXmlDoc(
+        everyKindFrame.limit(1)))
+    }.getMessage.contains("no boolean"))
+    assert(intercept[Exception] {
+      SparqlResults.parseJsonDoc(SparqlResults.askJsonDoc(true))
+    }.getMessage.contains("no head.vars"))
+  }
+
   test("CSV: header + lossy lexical cells per the spec (IRIs bare, " +
       "literals raw, unbound empty)") {
     val d = db(
