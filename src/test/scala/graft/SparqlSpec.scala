@@ -353,6 +353,25 @@ class SparqlSpec extends GraftSpec {
     assert(d.where == Seq(Values(d.v, Seq(TUri("customer/42")))))
   }
 
+  test("text queries run over ALL FOUR store layouts: struct, dict, " +
+      "quad, dict-quad — same solutions through each compiler path") {
+    val q = sel(ex +
+      "SELECT ?o WHERE { ex:rick <urn:graft:kw/foaf/knows> ?o }")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Term.fromRow(r.getStruct(0))).toSet
+    assert(got(Sparql.selectDf(friends, q)) == Set(martin, katie))
+    assert(got(Sparql.selectDf(friends.dictEncode(), q)) ==
+      Set(martin, katie))
+    val qdb = QuadDb.fromTripleDb(friends, u("g1"))
+    assert(got(Sparql.selectDf(qdb, q)) == Set(martin, katie))
+    assert(got(Sparql.selectDf(qdb.dictEncode(), q)) == Set(martin, katie))
+    val ask = parseQ(ex +
+      "ASK { ex:rick <urn:graft:kw/foaf/knows> ex:katie . }")
+      .asInstanceOf[AskQuery]
+    assert(Sparql.ask(friends.dictEncode(), ask))
+    assert(Sparql.ask(qdb.dictEncode(), ask))
+  }
+
   test("FROM / FROM NAMED (§13.2/§13.3): the default graph is the RDF " +
       "MERGE of FROM graphs, plain patterns read ONLY it, GRAPH ranges " +
       "over NAMED graphs only, and FROM graphs are invisible to GRAPH") {
