@@ -240,6 +240,55 @@ object Sparql {
 
   // --------------------------------------------------------- one-call
 
+  /** The whole protocol edge in one call: parse ANY query form, run
+    * it, and return the standard response BODY — SELECT → a
+    * sparql-results+json document, ASK → the boolean document,
+    * CONSTRUCT / DESCRIBE → an N-Triples document. Driver-side by
+    * nature (an HTTP response is one bounded string — the same
+    * contract as [[graft.sources.SparqlResults.toJsonDoc]]); the
+    * distributed paths are the form-specific executors. */
+  def runToJson(db: TripleDb, text: String): String = parse(text) match {
+    case q: SelectQuery => graft.sources.SparqlResults.toJsonDoc(
+      selectDf(db, q))
+    case q: AskQuery => graft.sources.SparqlResults.askJsonDoc(ask(db, q))
+    case q: ConstructQuery => ntriplesBody(constructDf(db, q))
+    case q: DescribeQuery  => ntriplesBody(describeDf(db, q))
+  }
+
+  /** [[runToJson]] over a quad store (DESCRIBE keeps graphs — its
+    * body is N-Quads; CONSTRUCT stays the triple executor's form). */
+  def runToJson(db: QuadDb, text: String): String = parse(text) match {
+    case q: SelectQuery => graft.sources.SparqlResults.toJsonDoc(
+      selectDf(db, q))
+    case q: AskQuery => graft.sources.SparqlResults.askJsonDoc(ask(db, q))
+    case q: DescribeQuery => nquadsBody(describeDf(db, q))
+    case _: ConstructQuery => throw new InvalidBgp(
+      "CONSTRUCT runs over triple stores (db.graph(g) / db.toTriples " +
+        "select the view first)")
+  }
+
+  private def ntriplesBody(triples: DataFrame): String = {
+    import org.apache.spark.sql.functions.{concat_ws, lit}
+    import graft.sources.NTriples
+    triples.select(concat_ws(" ", NTriples.termToken(col("s")),
+        NTriples.termToken(col("p")), NTriples.termToken(col("o")),
+        lit(".")))
+      .collect().map(_.getString(0)).mkString("", "\n", "\n")
+  }
+
+  private def nquadsBody(quads: DataFrame): String = {
+    import org.apache.spark.sql.functions.{concat_ws, lit, when}
+    import graft.core.{QuadDb => Q, Term}
+    import graft.sources.NTriples
+    // default-graph quads serialize without a label (the N-Quads rule)
+    val g = when(col("g") === Term.lit(Q.DefaultGraph),
+      lit(null).cast("string")).otherwise(NTriples.termToken(col("g")))
+    quads.select(concat_ws(" ", NTriples.termToken(col("s")),
+        NTriples.termToken(col("p")), NTriples.termToken(col("o")),
+        g, lit(".")))
+      .collect().map(_.getString(0)).mkString("", "\n", "\n")
+  }
+
   /** Parse + run a query string whose form is known to be SELECT. */
   def select(db: TripleDb, text: String): DataFrame = parse(text) match {
     case q: SelectQuery => selectDf(db, q)

@@ -419,6 +419,31 @@ class SparqlSpec extends GraftSpec {
     }.getMessage.contains("QUAD store"))
   }
 
+  test("runToJson: one call from query string to the standard response " +
+      "body for every result form") {
+    import graft.sources.SparqlResults
+    // SELECT → sparql-results+json
+    val sel1 = Sparql.runToJson(friends, ex +
+      "SELECT ?o WHERE { ex:rick <urn:graft:kw/foaf/knows> ?o }")
+    val (vars, rows) = SparqlResults.parseJsonDoc(sel1)
+    assert(vars == Seq("o") &&
+      rows.map(_.head).toSet == Set(martin, katie))
+    // ASK → the boolean document
+    assert(SparqlResults.parseAskJsonDoc(Sparql.runToJson(friends,
+      ex + "ASK { ex:rick <urn:graft:kw/foaf/knows> ex:katie . }")))
+    // CONSTRUCT → N-Triples body
+    val nt = Sparql.runToJson(friends, ex +
+      "CONSTRUCT { ?q <urn:graft:kw/known-by> ?p . } WHERE { " +
+      "?p <urn:graft:kw/foaf/knows> ?q . }")
+    assert(nt.linesIterator.count(_.nonEmpty) == 3)
+    assert(nt.contains("<urn:graft:kw/known-by>"))
+    // DESCRIBE over a quad store → N-Quads body (graphs kept)
+    val qdb = QuadDb.fromTripleDb(friends, u("g1"))
+    val nq = Sparql.runToJson(qdb, ex + "DESCRIBE ex:rick")
+    assert(nq.linesIterator.count(_.nonEmpty) == 3)
+    assert(nq.contains("<http://data/example/g1> ."))
+  }
+
   test("printer round-trip: parse(print(q)) == q on all four forms") {
     val queries: Seq[String] = Seq(
       ex + gk +
