@@ -146,6 +146,16 @@ object QuadDb {
       .write.mode("overwrite").partitionBy("pred").parquet(path)
   }
 
+  /** The masked quad FRAME of a [[save]]d store, without slice/stats
+    * building — the mutation-internal read ([[graft.ops.Update]] /
+    * [[graft.ops.GraphMgmt]] deltas): those paths only anti-join or
+    * filter the frame, so [[load]]'s per-load partition-listing job
+    * (the `pred` distinct) and slice stats are pure overhead there.
+    * Query paths keep [[load]]. */
+  private[graft] def loadFrame(spark: SparkSession, path: String): DataFrame =
+    Tombstones.mask(spark, path, spark.read.parquet(path),
+      Seq("s", "p", "o", "g")).drop("pred")
+
   /** Load a [[save]]d quad store, rebuilding predicate slices from the
     * partition directories. Deleted-but-not-yet-compacted quads are
     * masked at read (same [[Tombstones]] contract as [[TripleDb.load]]). */

@@ -144,7 +144,7 @@ object GraphMgmt {
     * case hits this on its destination clear). */
   def clearGraph(spark: SparkSession, path: String, g: Term): Unit = {
     import org.apache.spark.sql.functions.col
-    if (QuadDb.load(spark, path).df.where(col("g") === Term.lit(g))
+    if (QuadDb.loadFrame(spark, path).where(col("g") === Term.lit(g))
         .limit(1).isEmpty) return
     QuadDb.deleteGraph(spark, path, g)
   }
@@ -158,7 +158,7 @@ object GraphMgmt {
   def addGraph(spark: SparkSession, path: String, from: Term,
                to: Term): Unit = {
     if (from == to) return
-    val src = retagged(QuadDb.load(spark, path).df, from, to)
+    val src = retagged(QuadDb.loadFrame(spark, path), from, to)
       .localCheckpoint()
     Update.appendNovelQuads(spark, path, src)
     freeCheckpoint(src)
@@ -170,7 +170,7 @@ object GraphMgmt {
   def copyGraph(spark: SparkSession, path: String, from: Term,
                 to: Term): Unit = {
     if (from == to) return
-    val src = retagged(QuadDb.load(spark, path).df, from, to)
+    val src = retagged(QuadDb.loadFrame(spark, path), from, to)
       .localCheckpoint()
     clearGraph(spark, path, to)
     Update.appendNovelQuads(spark, path, src)

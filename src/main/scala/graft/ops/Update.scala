@@ -276,7 +276,7 @@ object Update {
                                       inserts: DataFrame): Unit = {
     Tombstones.removeKeysAt(spark, Tombstones.tombPath(path), inserts,
       Seq("s", "p", "o", "g"))
-    val novel = inserts.join(QuadDb.load(spark, path).df,
+    val novel = inserts.join(QuadDb.loadFrame(spark, path),
       Seq("s", "p", "o", "g"), "left_anti").localCheckpoint()
     if (!novel.isEmpty)
       novel.withColumn("pred", predName)

@@ -613,4 +613,33 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("Join"), s"the projected key joins the fold:\n$p")
   }
+
+  test("FROM dataset merge (round 14): graph-membership filters sit on " +
+      "the SCANS below ONE dedup pair — the RDF-merge shuffle moves " +
+      "only the SELECTED graphs' rows, never the store; a plain " +
+      "pattern over the dataset stays a pruned single-exchange plan") {
+    import graft.core.Term.TUri
+    import graft.sparql.{Dataset, SelectQuery, Sparql}
+    val db = Tables.customerQuads(spark, dir)
+    val d = Dataset(Seq(TUri("nation/1"), TUri("nation/2")),
+      Seq(TUri("nation/3")))
+    val p = plan(Sparql.datasetOf(db, d).df)
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"expected the one partial/final dedup pair:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"the merge dedup is the ONLY shuffle:\n$p")
+    assert(p.contains("Filter"),
+      s"graph membership must filter the scans:\n$p")
+    // through the front-end: a ground-predicate pattern over the
+    // dataset hits the transformed SLICE (no unpivot union), keeps the
+    // single dedup exchange, and joins nothing
+    val q = SelectQuery(proj = Seq(V("c"), V("seg")),
+      where = Seq(pat(V("c"), T(k("c_mktsegment")), V("seg"))),
+      dataset = Some(d))
+    val qp = plan(Sparql.selectDf(db, q))
+    assert(!qp.contains("Join"), s"single-pattern dataset query must " +
+      s"not join:\n$qp")
+    assert("Exchange".r.findAllIn(qp).size == 1,
+      s"only the merge-dedup shuffle:\n$qp")
+  }
 }
