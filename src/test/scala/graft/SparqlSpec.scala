@@ -419,6 +419,47 @@ class SparqlSpec extends GraftSpec {
     }.getMessage.contains("QUAD store"))
   }
 
+  test("late grammar refinements: elt{n,} quantifier desugars onto the " +
+      "fixpoint algebra, trailing VALUES joins the group, HAVING takes " +
+      "EXISTS, DISTINCT on non-COUNT aggregates is a positioned error") {
+    def where(s: String): Seq[PatternRow] =
+      sel(ex + gk + s"SELECT * WHERE { $s }").where
+    assert(where("?s gk:p{0,} ?o .") ==
+      Seq(PathPattern(?("s"), PathStar(PathPred(k("p"))), ?("o"))))
+    assert(where("?s gk:p{1,} ?o .") ==
+      Seq(PathPattern(?("s"), PathPlus(k("p")), ?("o"))))
+    assert(where("?s gk:p{3,} ?o .") ==
+      Seq(PathPattern(?("s"), PathSeq(Seq(PathPred(k("p")),
+        PathPred(k("p")), PathPlus(k("p")))), ?("o"))))
+    // trailing VALUES (§18.2.5): joins the group before the modifiers
+    val tv = sel(ex + gk +
+      """SELECT ?o WHERE { ex:rick <urn:graft:kw/foaf/knows> ?o . }
+        |ORDER BY ?o LIMIT 5 VALUES ?o { ex:katie }""".stripMargin)
+    assert(tv.where.last == Values(?("o"), Seq(katie)))
+    val got = Sparql.selectDf(friends, tv)
+      .collect().map(r => Term.fromRow(r.getStruct(0))).toSet
+    assert(got == Set(katie))
+    // HAVING EXISTS through the text grammar (q181's engine shape)
+    val he = sel(gk +
+      """SELECT ?n (COUNT(*) AS ?c) WHERE { ?x gk:in ?n . }
+        |GROUP BY ?n HAVING (?c > 1 && EXISTS { ?s gk:flag ?n . })"""
+        .stripMargin)
+    assert(he.having == Some(FilterAnd(Seq(
+      FilterCmp(?("c"), Gt, TLong(1)),
+      FilterExists(Seq(pat(?("s"), T(k("flag")), ?("n"))))))))
+    // DISTINCT beyond COUNT: loud at parse, with a position
+    val e = intercept[InvalidBgp] {
+      sel(gk + "SELECT (SUM(DISTINCT ?b) AS ?t) WHERE { ?c gk:b ?b . }")
+    }.getMessage
+    assert(e.contains("COUNT only") && e.matches(
+      "(?s)SPARQL parse error at \\d+:\\d+.*"))
+    // aggregate trailing VALUES stays out of the subset
+    assert(intercept[InvalidBgp] {
+      sel(gk + "SELECT (COUNT(*) AS ?c) WHERE { ?s gk:p ?o . } " +
+        "VALUES ?o { 1 }")
+    }.getMessage.contains("AGGREGATE"))
+  }
+
   test("runToJson: one call from query string to the standard response " +
       "body for every result form") {
     import graft.sources.SparqlResults
