@@ -458,6 +458,14 @@ class SparqlSpec extends GraftSpec {
       sel(gk + "SELECT (COUNT(*) AS ?c) WHERE { ?s gk:p ?o . } " +
         "VALUES ?o { 1 }")
     }.getMessage.contains("AGGREGATE"))
+    // CONSTRUCT WHERE shorthand (§16.2.1): the pattern IS the template
+    assert(parseQ(ex + gk +
+      "CONSTRUCT WHERE { ?p <urn:graft:kw/foaf/knows> ?q . }") ==
+      ConstructQuery(Seq((?("p"), T(knows), ?("q"))),
+        Seq(pat(?("p"), T(knows), ?("q")))))
+    assert(intercept[InvalidBgp] {
+      parseQ(ex + gk + "CONSTRUCT WHERE { ?p gk:x ?q . FILTER (?q > 1) }")
+    }.getMessage.contains("plain triple"))
   }
 
   test("runToJson: one call from query string to the standard response " +
