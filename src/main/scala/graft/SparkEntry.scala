@@ -86,6 +86,14 @@ object SparkEntry {
         |  ?c gk:c_mktsegment ?seg .
         |  FILTER NOT EXISTS { GRAPH ?g { ?c gk:c_mktsegment ?seg . } }
         |  FILTER EXISTS { GRAPH ?g2 { ?c5 gk:c_nationkey ?n5 . } }
+        |}""".stripMargin,
+    "q200_sparql_regex_i" ->
+      """PREFIX gk: <urn:graft:kw/>
+        |SELECT ?c ?name ?seg
+        |WHERE {
+        |  ?c gk:c_name ?name .
+        |  ?c gk:c_mktsegment ?seg .
+        |  FILTER (REGEX(?seg, "^bui|^aut", "i") && REGEX(?name, "[13579]$"))
         |}""".stripMargin)
 
   /** selectDf + encode every projected var to its canonical string. */
@@ -1833,22 +1841,27 @@ object SparkEntry {
         .select(Seq("c", "seg", "b", "r").map(enc): _*)
     }),
 
-    // ---- JSON-LD @context PREFIX-MAP SUBSET: a fixture AUTHORED with
-    //      compact IRIs (the schema.org embed shape) — built
-    //      distributedly from the nation table — must load to the
-    //      SAME store the full-IRI form does, proven by running q183's
+    // ---- JSON-LD @context SUBSET: a fixture AUTHORED with all three
+    //      supported context forms at once — a compact IRI
+    //      ("gk:n_name"), a bare @vocab key ("n_name" would also
+    //      work; here @vocab covers nothing extra and pins precedence)
+    //      and a TERM ALIAS ("region" → the full n_regionkey IRI, the
+    //      plain schema.org embed shape) — must load to the SAME
+    //      store the full-IRI form does, proven by running q183's
     //      BGP against the same oracle ----
     "q196_jsonld_context" -> ((sp, dir) => {
       import sp.implicits._
       val tmp = scratch("graft_q196")
       val nt = Tables.t(sp, dir, "nation")
       val line = concat(
-        functions.lit("""{"@context":{"gk":"urn:graft:kw/"},"@id":"""),
+        functions.lit("""{"@context":{"gk":"urn:graft:kw/",""" +
+          """"@vocab":"urn:graft:kw/",""" +
+          """"region":"urn:graft:kw/n_regionkey"},"@id":"""),
         functions.lit("\"urn:graft:rel/nation/"),
         col("n_nationkey").cast("string"),
         functions.lit("\",\"gk:n_name\":\""), col("n_name"),
         functions.lit(
-          "\",\"gk:n_regionkey\":{\"@id\":\"urn:graft:rel/region/"),
+          "\",\"region\":{\"@id\":\"urn:graft:rel/region/"),
         col("n_regionkey").cast("string"), functions.lit("\"}}"))
       nt.select(line.as("v")).as[String]
         .write.mode("overwrite").text(tmp)
@@ -1922,6 +1935,17 @@ object SparkEntry {
       val db = Tables.customerDb(sp, dir)
       graft.sparql.Sparql.select(db, sparqlEntrySources("q189_sparql_select"))
         .select(Seq("c", "n", "b").map(enc): _*)
+    }),
+
+    // ---- REGEX FLAGS (§17.4.3.14 / fn:matches): the portable trio
+    //      i/s/m lowers as an inline (?ism) prefix, read identically
+    //      by Java's rlike and DuckDB's RE2 — here "i" carries real
+    //      signal ("^bui|^aut" matches only case-folded); x/q refuse
+    //      at parse (SparqlSpec negatives) ----
+    "q200_sparql_regex_i" -> ((sp, dir) => {
+      val db = Tables.customerDb(sp, dir)
+      graft.sparql.Sparql.select(db, sparqlEntrySources("q200_sparql_regex_i"))
+        .select(Seq("c", "name", "seg").map(enc): _*)
     }),
 
     "q190_sparql_agg" -> ((sp, dir) => {
@@ -3583,6 +3607,16 @@ object SparkEntry {
         |FROM customer
         |WHERE regexp_matches(c_name, '[13579]$')
         |  AND regexp_matches(c_mktsegment, '^(BUI|AUT)')""".stripMargin,
+
+    // REGEX "i" flag: DuckDB's options argument ≡ the engine's inline
+    // (?i) lowering (both RE2/Java-portable; matching only — REPLACE
+    // flags stay out, the CLAUDE.md replacement-string lesson)
+    "q200_sparql_regex_i" ->
+      """SELECT 'u|customer/' || c_custkey AS c, 's|' || c_name AS name,
+        |  's|' || c_mktsegment AS seg
+        |FROM customer
+        |WHERE regexp_matches(c_mktsegment, '^bui|^aut', 'i')
+        |  AND regexp_matches(c_name, '[13579]$')""".stripMargin,
 
     // the dict layout is invisible to the answer — q152's oracle
     "q156_dict_filter" ->

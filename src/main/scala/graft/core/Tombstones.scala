@@ -45,8 +45,36 @@ private[graft] object Tombstones {
 
   def existAt(spark: SparkSession, tombDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tombDir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery for removeKeysAt's rename swap: a crash between
+    // its two renames leaves `<tombDir>_old` as the ONLY copy of the
+    // set. Without this, a missing dir reads as "no tombstones" and
+    // masked loads silently resurrect every deleted fact. Renaming
+    // `_old` back restores the pre-operation set (the removal simply
+    // never happened — atomic-or-nothing semantics).
+    if (!fs.exists(p)) {
+      val old = new org.apache.hadoop.fs.Path(tombDir + "_old")
+      if (fs.exists(old)) {
+        renameOrDie(fs, old, p)
+        return true
+      }
+      return false
+    }
+    true
   }
+
+  /** Hadoop `FileSystem.rename` signals most failures by returning
+    * FALSE, not throwing — an unchecked rename in the tombstone swap
+    * silently skips the step and later loads resurrect deleted facts.
+    * Every swap rename goes through this loud wrapper. */
+  private def renameOrDie(fs: org.apache.hadoop.fs.FileSystem,
+                          src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"tombstone swap rename failed: $src -> $dst (filesystem " +
+          "returned false); the tombstone set was NOT modified — " +
+          "resolve the target path collision and retry")
 
   /** Append tombstone rows (whatever key columns the store joins on,
     * plus its partition column for pruned compaction) and refresh the
@@ -255,11 +283,14 @@ private[graft] object Tombstones {
     * aside to `<tombDir>_old`, staging renames into place, and only
     * then does the old dir delete — so the window in which a crash
     * could leave NO tombstone dir (which masked loads would read as
-    * "no tombstones", resurrecting every deleted fact) is a single
-    * atomic rename, and a crash inside it leaves `_old` on disk as a
-    * recoverable artifact instead of silent data loss. A leftover
-    * `_old` from a prior crash is cleared up front (the new set had
-    * not yet replaced it, so the current dir is still authoritative). */
+    * "no tombstones", resurrecting every deleted fact) is bounded by
+    * the swap renames — and [[existAt]] repairs it automatically: a
+    * missing dir with `_old` present renames `_old` back before any
+    * read, so a crash mid-swap costs only the un-applied removal,
+    * never a resurrection. Renames are checked ([[renameOrDie]] —
+    * Hadoop signals failure by returning false, not throwing). A
+    * leftover `_old` NEXT TO a live dir is a post-swap crash artifact
+    * (the live dir is authoritative) and is cleared up front. */
   def removeKeysAt(spark: SparkSession, tombDir: String,
                    keys: DataFrame, keyCols: Seq[String]): Unit = {
     if (!existAt(spark, tombDir)) return
@@ -279,11 +310,14 @@ private[graft] object Tombstones {
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val n = spark.read.parquet(staging).count()
     val oldPath = new org.apache.hadoop.fs.Path(tombDir + "_old")
-    fs.delete(oldPath, true) // clear a prior crash's artifact
-    fs.rename(dir, oldPath)
+    // a leftover `_old` alongside a LIVE dir is a prior crash's
+    // post-swap artifact (the live dir is authoritative) — clear it;
+    // the dir-missing case is repaired by existAt on entry above
+    fs.delete(oldPath, true)
+    renameOrDie(fs, dir, oldPath)
     if (n == 0) fs.delete(stagingPath, true) // empty set = no tombstones
     else {
-      fs.rename(stagingPath, dir)
+      renameOrDie(fs, stagingPath, dir)
       refreshBloom(spark, tombDir, keyCols)
     }
     fs.delete(oldPath, true)

@@ -368,13 +368,22 @@ final case class FilterBound(v: V) extends FilterExpr {
   def refs: Seq[V] = Seq(v)
 }
 
-/** `REGEX(?v, pattern)` — Java-regex match (unanchored find, like
-  * SPARQL/XPath fn:matches) over STRING terms; non-string terms and
-  * unbound variables are type errors. Patterns restricted to the
-  * Java⇄RE2-portable subset keep DuckDB `regexp_matches` oracles
-  * replayable (the q57 PII precedent). */
-final case class FilterRegex(v: V, pattern: String) extends FilterExpr {
+/** `REGEX(?v, pattern [, flags])` — Java-regex match (unanchored
+  * find, like SPARQL/XPath fn:matches) over STRING terms; non-string
+  * terms and unbound variables are type errors. Patterns restricted
+  * to the Java⇄RE2-portable subset keep DuckDB `regexp_matches`
+  * oracles replayable (the q57 PII precedent). Flags are the
+  * XPath/RE2-portable trio — `i` (case-insensitive), `s` (dot
+  * matches newline), `m` (multi-line anchors) — lowered by the
+  * engine as an inline `(?ism)` prefix, which Java and RE2 read
+  * identically; `x`/`q` (whitespace-elision, literal-quote) differ
+  * across engines and refuse here. */
+final case class FilterRegex(v: V, pattern: String, flags: String = "")
+    extends FilterExpr {
   require(pattern.nonEmpty, "regex pattern must be non-empty")
+  require(flags.forall("ism".contains(_)),
+    s"unsupported REGEX flags '$flags' (portable subset: i, s, m)")
+  require(flags.distinct == flags, s"duplicate REGEX flags '$flags'")
   def refs: Seq[V] = Seq(v)
 }
 

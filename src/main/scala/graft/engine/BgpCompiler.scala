@@ -670,10 +670,15 @@ object BgpCompiler {
 
   /** [[FilterRegex]]: Java-regex unanchored find (`rlike`) over the
     * lexical form of STRING terms; any other kind — or unbound — is a
-    * type error (NULL). */
-  private def regexCol(c: Column, pattern: String): Column =
+    * type error (NULL). Flags lower as an inline `(?ism)` prefix —
+    * the one spelling Java's Pattern and RE2 (DuckDB oracles) read
+    * identically, so the flagged form stays cross-engine replayable. */
+  private def regexCol(c: Column, pattern: String,
+                       flags: String = ""): Column = {
+    val p = if (flags.isEmpty) pattern else s"(?$flags)" + pattern
     when(c.getField("kind") === Term.KString,
-      c.getField("lex").rlike(pattern)).otherwise(nullBool)
+      c.getField("lex").rlike(p)).otherwise(nullBool)
+  }
 
   /** A [[FilterExpr]] tree as one three-valued Column predicate.
     * `termOf` resolves a var name to its term-struct column (NULL
@@ -690,7 +695,7 @@ object BgpCompiler {
       cmpVarCol(termExprCol(a, termOf, boundOf), op,
         termExprCol(b, termOf, boundOf))
     case FilterBound(v)         => boundOf(v.name)
-    case FilterRegex(v, p)      => regexCol(termOf(v.name), p)
+    case FilterRegex(v, p, fl)  => regexCol(termOf(v.name), p, fl)
     case FilterIsIri(e)         =>
       val c = termExprCol(e, termOf, boundOf)
       when(c.isNull, nullBool)

@@ -74,6 +74,13 @@ object GraphMgmt {
   def clearAll(db: QuadDb): QuadDb =
     mapStore(db, distinct = true)(_.where(lit(false)))
 
+  /** `CLEAR NAMED` ≡ `DROP NAMED` (§3.2.2/3): remove every quad of
+    * every NAMED graph; the default graph survives. One pushed scan
+    * filter — no graph-catalog enumeration. */
+  def clearNamed(db: QuadDb): QuadDb =
+    mapStore(db, db.distinct)(
+      _.where(col("g") === Term.lit(QuadDb.DefaultGraph)))
+
   /** The source graph's quads retagged into `to`. */
   private def retagged(d: DataFrame, from: Term, to: Term): DataFrame =
     d.where(col("g") === Term.lit(from))
@@ -152,6 +159,17 @@ object GraphMgmt {
   /** Durable `DROP GRAPH g` — same operation (see the class note). */
   def dropGraph(spark: SparkSession, path: String, g: Term): Unit =
     clearGraph(spark, path, g)
+
+  /** Durable `CLEAR NAMED` ≡ `DROP NAMED`: tombstone every live quad
+    * OUTSIDE the default graph — one pushed scan filter feeding the
+    * tombstone append, never a per-graph loop or catalog scan. Same
+    * no-op probe discipline as [[clearGraph]]. */
+  def clearNamedGraphs(spark: SparkSession, path: String): Unit = {
+    val doomed = QuadDb.load(spark, path).df
+      .where(col("g") =!= Term.lit(QuadDb.DefaultGraph))
+    if (doomed.limit(1).isEmpty) return
+    QuadDb.deleteQuads(doomed, path)
+  }
 
   /** Durable `ADD from TO to`: resurrect + append the source graph's
     * quads retagged to `to`; only novel facts hit disk. */

@@ -36,12 +36,15 @@ import scala.jdk.CollectionConverters._
   *     opaque terms), and ARRAYS of any of these (one quad each —
   *     flattened JSON-LD set semantics).
   *
-  * `@context` is supported as a PREFIX-MAP subset (round 14): a
-  * top-level object mapping simple names to absolute IRIs ending in a
-  * gen-delim, expanding COMPACT IRIS in property keys and `@type`
-  * values — the shape schema.org-style embeds actually use. Every
-  * other `@context` form (remote URLs, arrays, `@vocab`/`@base`,
-  * expanded term definitions, vocabulary-term aliases) FAILS LOUDLY.
+  * `@context` is supported as a TERM/PREFIX-MAP subset: a top-level
+  * object mapping simple names to absolute IRIs — gen-delim-
+  * terminated entries expand COMPACT IRIS (`pfx:local`), any entry
+  * aliases a BARE TERM (`"name": "http://schema.org/name"`, the
+  * shape plain schema.org embeds use), and `@vocab` absolutizes the
+  * remaining bare property keys and `@type` values. Every other
+  * `@context` form (remote URLs, arrays, `@base`/`@language`,
+  * expanded term definitions with `@container`/`@reverse`) FAILS
+  * LOUDLY.
   *
   * Everything else also FAILS LOUDLY with the offending line: `@list`
   * (collections are outside the Term model), nested node objects with
@@ -160,56 +163,94 @@ object JsonLd {
       Term.TLong(v.longValue())
     } else Term.TDouble(v.doubleValue())
 
-  /** The `@context` PREFIX-MAP subset: a top-level JSON object whose
-    * members map simple prefix names to absolute IRI strings ending
-    * in a gen-delim ('/', '#', ':') — the shape schema.org-style
-    * compact-IRI documents actually use. Everything else a real
-    * `@context` can carry fails LOUDLY: a remote-context URL string,
-    * arrays, `@vocab`/`@base`/`@language` defaults, expanded term
-    * definitions (objects), and term aliases (the subset expands
-    * COMPACT IRIS — `pfx:local` in property keys and `@type` values —
-    * not bare vocabulary terms, whose scoping rules need full context
-    * processing). */
-  private def parseContext(line: String, node: JsonNode): Map[String, String] = {
-    if (!node.has("@context")) return Map.empty
+  /** The parsed `@context` subset: `terms` maps simple names to
+    * absolute IRIs — an entry whose IRI ends in a gen-delim works as
+    * a PREFIX (`pfx:local` → base+local, JSON-LD's compact-IRI rule)
+    * and any entry works as a bare TERM ALIAS (`name` → its IRI,
+    * JSON-LD's string term definition — the shape plain schema.org
+    * embeds use); `vocab` is the `@vocab` default that absolutizes
+    * remaining bare property keys and `@type` values. */
+  private[sources] final case class Ctx(terms: Map[String, String],
+                                        vocab: Option[String]) {
+    def ++(inner: Ctx): Ctx =
+      Ctx(terms ++ inner.terms, inner.vocab.orElse(vocab))
+    def isEmpty: Boolean = terms.isEmpty && vocab.isEmpty
+  }
+  private[sources] val NoCtx = Ctx(Map.empty, None)
+
+  /** The `@context` subset: a top-level JSON object whose members map
+    * simple names to absolute-IRI strings (gen-delim-terminated →
+    * usable as a prefix; any → usable as a bare term alias), plus
+    * `@vocab` mapping to a gen-delim-terminated absolute IRI.
+    * Everything else a real `@context` can carry fails LOUDLY: a
+    * remote-context URL string, arrays, `@base`/`@language` defaults,
+    * and expanded term definitions (objects — `@container`/`@reverse`
+    * / type-scoped semantics need a full JSON-LD processor). */
+  private def parseContext(line: String, node: JsonNode): Ctx = {
+    if (!node.has("@context")) return NoCtx
     val ctx = node.get("@context")
     if (!ctx.isObject) fail(line,
-      "@context must be a prefix-map OBJECT in this subset (remote " +
-        "context URLs / arrays need a JSON-LD processor)")
-    ctx.properties().asScala.map { e =>
+      "@context must be a term/prefix-map OBJECT in this subset " +
+        "(remote context URLs / arrays need a JSON-LD processor)")
+    var vocab: Option[String] = None
+    val terms = ctx.properties().asScala.flatMap { e =>
       val (name, v) = (e.getKey, e.getValue)
-      if (name.startsWith("@")) fail(line,
-        s"@context keyword '$name' is outside the prefix-map subset " +
-          "(@vocab/@base/@language need full context processing)")
-      if (name.contains(":")) fail(line,
-        s"@context prefix '$name' must be a simple name")
-      if (!v.isTextual) fail(line,
-        s"@context entry '$name' must map to an IRI string (expanded " +
-          "term definitions are outside the subset)")
-      val iri = v.textValue()
-      if (!iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") ||
-          !"/#:".contains(iri.last)) fail(line,
-        s"@context prefix '$name' must expand to an absolute IRI " +
-          s"ending in '/', '#', or ':' (got '$iri')")
-      name -> iri
+      if (name == "@vocab") {
+        if (!v.isTextual) fail(line, "@vocab must be an IRI string")
+        val iri = v.textValue()
+        if (!iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") ||
+            !"/#:".contains(iri.last)) fail(line,
+          s"@vocab must be an absolute IRI ending in '/', '#', or " +
+            s"':' (got '$iri')")
+        vocab = Some(iri)
+        None
+      } else {
+        if (name.startsWith("@")) fail(line,
+          s"@context keyword '$name' is outside the subset " +
+            "(@base/@language need full context processing)")
+        if (name.contains(":")) fail(line,
+          s"@context term '$name' must be a simple name")
+        if (!v.isTextual) fail(line,
+          s"@context entry '$name' must map to an IRI string " +
+            "(expanded term definitions — @container/@reverse/@id " +
+            "objects — are outside the subset)")
+        val iri = v.textValue()
+        if (!iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) fail(line,
+          s"@context term '$name' must map to an absolute IRI " +
+            s"(got '$iri')")
+        Some(name -> iri)
+      }
     }.toMap
+    Ctx(terms, vocab)
   }
 
-  /** Expand a compact IRI (`pfx:local` with a declared prefix) through
-    * the line's prefix map; anything else passes through. */
-  private def expand(ctx: Map[String, String], s: String): String = {
-    val i = s.indexOf(':')
-    if (i <= 0) s
-    else ctx.get(s.substring(0, i)) match {
-      case Some(base) => base + s.substring(i + 1)
-      case None       => s
+  /** Expand a property key / `@type` value through the line's
+    * context: exact term alias first, then compact IRI (`pfx:local`
+    * with a declared gen-delim prefix), then `@vocab` for remaining
+    * bare names; anything else passes through (absolute-IRI
+    * validation happens downstream, so unresolved keys still fail
+    * loudly). */
+  private def expand(ctx: Ctx, s: String): String =
+    ctx.terms.get(s) match {
+      case Some(iri) => iri
+      case None =>
+        val i = s.indexOf(':')
+        if (i <= 0) ctx.vocab match {
+          case Some(v) if i < 0 => v + s
+          case _                => s
+        }
+        else ctx.terms.get(s.substring(0, i)) match {
+          // compact-IRI expansion requires a prefix-SHAPED base
+          case Some(base) if "/#:".contains(base.last) =>
+            base + s.substring(i + 1)
+          case _ => s
+        }
     }
-  }
 
   /** One flattened node object → its quads in graph `g`. */
   private def nodeQuads(line: String, node: JsonNode, g: Term,
                         bnodeDoc: Option[String],
-                        outerCtx: Map[String, String]): Seq[(Term, Term, Term, Term)] = {
+                        outerCtx: Ctx): Seq[(Term, Term, Term, Term)] = {
     if (!node.isObject) fail(line, "each line must be a JSON object")
     val ctx = outerCtx ++ parseContext(line, node)
     if (!node.has("@id")) fail(line, "node object has no @id (the " +
@@ -260,7 +301,7 @@ object JsonLd {
       if (!arr.isArray) fail(line, "@graph must be an array of node objects")
       arr.elements().asScala.toSeq
         .flatMap(nodeQuads(line, _, g, bnodeDoc, ctx))
-    } else nodeQuads(line, node, QuadDb.DefaultGraph, bnodeDoc, Map.empty)
+    } else nodeQuads(line, node, QuadDb.DefaultGraph, bnodeDoc, NoCtx)
   }
 
   // ---------------------------------------------------------------

@@ -93,11 +93,32 @@ object SparqlResults {
     vars.map(mapper.writeValueAsString)
       .mkString("""{"head":{"vars":[""", ",", """]},"results":{"bindings":[""")
 
+  /** A response BODY is ONE driver string — bound the collect so an
+    * oversized result is a loud message pointing at the distributed
+    * writer, never a silent driver OOM. Probe = limit(max+1): when the
+    * result fits, the same rows the collect needed anyway; when it
+    * does not, the job stops at the bound. */
+  val BodyMaxRowsKey = "spark.graft.responseBody.maxRows"
+  private val BodyMaxRowsDefault = 1000000L
+  private[graft] def boundedRows(df: DataFrame,
+                                 writer: String): Array[Row] = {
+    val max = df.sparkSession.conf
+      .get(BodyMaxRowsKey, BodyMaxRowsDefault.toString).toLong
+    val lim = math.min(max + 1, Int.MaxValue.toLong).toInt
+    val rows = df.limit(lim).collect()
+    if (rows.length > max) throw new graft.dsl.InvalidBgp(
+      s"result exceeds the single-document response bound ($max rows) " +
+        s"— write it distributed via $writer, or raise $BodyMaxRowsKey")
+    rows
+  }
+
   /** The whole result set as ONE sparql-results+json document string —
-    * the HTTP-response shape, for bounded results (collects). */
+    * the HTTP-response shape, for bounded results (collects,
+    * [[boundedRows]]-guarded). */
   def toJsonDoc(sol: DataFrame): String = {
     val vars = sol.columns.toSeq
-    sol.collect().iterator.map(bindingJson(vars, _))
+    boundedRows(sol, "SparqlResults.saveJson").iterator
+      .map(bindingJson(vars, _))
       .mkString(headJson(vars), ",", "]}}")
   }
 
@@ -286,7 +307,8 @@ object SparqlResults {
     * (the HTTP-response shape, bounded results — collects). */
   def toXmlDoc(sol: DataFrame): String = {
     val vars = sol.columns.toSeq
-    sol.collect().iterator.map(resultXml(vars, _))
+    boundedRows(sol, "SparqlResults.saveXml").iterator
+      .map(resultXml(vars, _))
       .mkString(xmlHead(vars), "", "</results></sparql>")
   }
 

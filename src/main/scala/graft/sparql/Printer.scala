@@ -154,7 +154,9 @@ object Printer {
     case FilterArith(a, op, b) =>
       s"${termExpr(a)} ${cmp(op)} ${termExpr(b)}"
     case FilterBound(v)     => s"BOUND(?${v.name})"
-    case FilterRegex(v, p)  => s"REGEX(?${v.name}, ${str(p)})"
+    case FilterRegex(v, p, "") => s"REGEX(?${v.name}, ${str(p)})"
+    case FilterRegex(v, p, fl) =>
+      s"REGEX(?${v.name}, ${str(p)}, ${str(fl)})"
     case FilterAnd(es) => es.map(bracketed).mkString(" && ")
     case FilterOr(es)  => es.map(bracketed).mkString(" || ")
     case FilterNot(e)  => "!" + bracketed(e)
@@ -297,6 +299,9 @@ object Printer {
       s"LOAD <${NtExpressions.iriEncode(file)}>$into"
     case ClearOp(None)    => "CLEAR ALL"
     case ClearOp(Some(g)) => "CLEAR " + graphOrDefault(g)
+    case ClearNamedOp     => "CLEAR NAMED"
+    case CreateOp(g, silent) =>
+      s"CREATE ${if (silent) "SILENT " else ""}GRAPH ${term(g)}"
     case CopyOp(f, t) => s"COPY ${graphOrDefault(f)} TO ${graphOrDefault(t)}"
     case MoveOp(f, t) => s"MOVE ${graphOrDefault(f)} TO ${graphOrDefault(t)}"
     case AddOp(f, t)  => s"ADD ${graphOrDefault(f)} TO ${graphOrDefault(t)}"

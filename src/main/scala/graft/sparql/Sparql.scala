@@ -262,18 +262,23 @@ object Sparql {
       selectDf(db, q))
     case q: AskQuery => graft.sources.SparqlResults.askJsonDoc(ask(db, q))
     case q: DescribeQuery => nquadsBody(describeDf(db, q))
-    case _: ConstructQuery => throw new InvalidBgp(
-      "CONSTRUCT runs over triple stores (db.graph(g) / db.toTriples " +
-        "select the view first)")
+    // the protocol edge does the graph-collapse routing itself: a
+    // CONSTRUCT over a quad store queries the union-of-graphs view
+    // (constructDf's per-fact dedup restores set semantics, so
+    // toTriples' distinctness loss is invisible)
+    case q: ConstructQuery => ntriplesBody(constructDf(db.toTriples, q))
   }
+
+  private def boundedRows(df: DataFrame, writer: String) =
+    graft.sources.SparqlResults.boundedRows(df, writer)
 
   private def ntriplesBody(triples: DataFrame): String = {
     import org.apache.spark.sql.functions.{concat_ws, lit}
     import graft.sources.NTriples
-    triples.select(concat_ws(" ", NTriples.termToken(col("s")),
-        NTriples.termToken(col("p")), NTriples.termToken(col("o")),
-        lit(".")))
-      .collect().map(_.getString(0)).mkString("", "\n", "\n")
+    boundedRows(triples.select(concat_ws(" ",
+        NTriples.termToken(col("s")), NTriples.termToken(col("p")),
+        NTriples.termToken(col("o")), lit("."))), "NTriples.save")
+      .map(_.getString(0)).mkString("", "\n", "\n")
   }
 
   private def nquadsBody(quads: DataFrame): String = {
@@ -283,10 +288,10 @@ object Sparql {
     // default-graph quads serialize without a label (the N-Quads rule)
     val g = when(col("g") === Term.lit(Q.DefaultGraph),
       lit(null).cast("string")).otherwise(NTriples.termToken(col("g")))
-    quads.select(concat_ws(" ", NTriples.termToken(col("s")),
-        NTriples.termToken(col("p")), NTriples.termToken(col("o")),
-        g, lit(".")))
-      .collect().map(_.getString(0)).mkString("", "\n", "\n")
+    boundedRows(quads.select(concat_ws(" ",
+        NTriples.termToken(col("s")), NTriples.termToken(col("p")),
+        NTriples.termToken(col("o")), g, lit("."))), "NTriples.saveQuads")
+      .map(_.getString(0)).mkString("", "\n", "\n")
   }
 
   /** Parse + run a query string whose form is known to be SELECT. */

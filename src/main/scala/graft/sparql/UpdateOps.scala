@@ -61,6 +61,20 @@ final case class LoadOp(file: String, graph: Term) extends UpdateOp
   * here: no empty-graph containers, [[graft.ops.GraphMgmt]]'s note).
   * `graph = None` means ALL. */
 final case class ClearOp(graph: Option[Term]) extends UpdateOp
+
+/** `CLEAR/DROP NAMED` (§3.2.2/3): every NAMED graph empties, the
+  * default graph survives. Its own node (not a ClearOp list) because
+  * the engine runs it as ONE pushed scan filter — no graph
+  * enumeration ([[graft.ops.GraphMgmt.clearNamed]]). */
+case object ClearNamedOp extends UpdateOp
+
+/** `CREATE [SILENT] GRAPH g` (§3.2.1). This dataset has no
+  * empty-graph containers (a graph exists exactly while quads carry
+  * its name), so CREATE writes nothing; per spec it errors when the
+  * graph already exists unless SILENT — "exists" here means "has
+  * live quads", checked by a limit-1 probe. */
+final case class CreateOp(graph: Term, silent: Boolean) extends UpdateOp
+
 final case class CopyOp(from: Term, to: Term) extends UpdateOp
 final case class MoveOp(from: Term, to: Term) extends UpdateOp
 final case class AddOp(from: Term, to: Term) extends UpdateOp
@@ -114,6 +128,15 @@ object SparqlUpdate {
       // CLEAR ALL: tombstone every live quad (the full-mask form)
       val live = QuadDb.load(spark, path).df
       if (!live.isEmpty) QuadDb.deleteQuads(live, path)
+    case ClearNamedOp => GraphMgmt.clearNamedGraphs(spark, path)
+    case CreateOp(g, silent) =>
+      // no empty-graph containers: nothing to write; §3.2.1's
+      // already-exists error surfaces unless SILENT
+      if (!silent && !QuadDb.load(spark, path).df
+          .where(col("g") === graft.core.Term.lit(g)).limit(1).isEmpty)
+        throw new InvalidBgp(
+          s"CREATE GRAPH: graph $g already exists (has live quads) — " +
+            "use CREATE SILENT to ignore")
     case CopyOp(from, to) => GraphMgmt.copyGraph(spark, path, from, to)
     case MoveOp(from, to) => GraphMgmt.moveGraph(spark, path, from, to)
     case AddOp(from, to)  => GraphMgmt.addGraph(spark, path, from, to)

@@ -341,9 +341,17 @@ object MiniInterp {
         val x = b.getOrElse(c, null); val y = ir.getOrElse(c, null)
         x == null || y == null || x == y
       }))
-    case FilterRegex(v, p) => b.getOrElse(v.name, null) match {
-      case TString(s) => Some(p.r.findFirstIn(s).isDefined)
-      case _          => None
+    case FilterRegex(v, p, fl) => b.getOrElse(v.name, null) match {
+      // the SPEC (fn:matches): compile with flag CONSTANTS, not the
+      // engine's inline-prefix lowering — independent formulation
+      case TString(s) =>
+        val f = fl.foldLeft(0) { (acc, c) => acc | (c match {
+          case 'i' => java.util.regex.Pattern.CASE_INSENSITIVE
+          case 's' => java.util.regex.Pattern.DOTALL
+          case 'm' => java.util.regex.Pattern.MULTILINE
+        }) }
+        Some(java.util.regex.Pattern.compile(p, f).matcher(s).find())
+      case _ => None
     }
     case FilterAnd(es) =>
       val vs = es.map(evalFilter(_, b, db))
@@ -776,6 +784,14 @@ object DifferentialProps extends Properties("differential") {
       v <- Gen.oneOf(varNames)
       p <- Gen.oneOf("^x", "y$", "[ab]", "x|z")
     } yield FilterRegex(V(v), p): FilterExpr),
+    // flagged forms: 'i' flips case-sensitivity on mixed-case data;
+    // 's'/'m' are exercised for lowering correctness (fixture strings
+    // are single-line, so they mostly no-op — 'i' carries the signal)
+    1 -> (for {
+      v <- Gen.oneOf(varNames)
+      p <- Gen.oneOf("^X", "[AB]", "x|Z")
+      fl <- Gen.oneOf("i", "is", "im", "s", "m")
+    } yield FilterRegex(V(v), p, fl): FilterExpr),
     // LANGMATCHES over LANG(?v) (the canonical form) AND over a raw
     // var (usually a domain error — the three-valued path); ranges
     // hit exact / subtag-prefix / "*" / miss

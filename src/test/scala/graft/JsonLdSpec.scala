@@ -133,13 +133,13 @@ class JsonLdSpec extends GraftSpec {
       }
     assert(err("""{"@context":"http://schema.org/","@id":"http://s"}""")
       .contains("prefix-map OBJECT"))
-    assert(err("""{"@context":{"@vocab":"http://v/"},"@id":"http://s"}""")
-      .contains("@vocab"))
     assert(err("""{"@context":{"gk":{"@id":"http://x/"}},"@id":"http://s"}""")
       .contains("IRI string"))
     assert(err("""{"@context":{"gk":"relative/base/"},"@id":"http://s"}""")
       .contains("absolute IRI"))
-    assert(err("""{"@context":{"gk":"http://x/y"},"@id":"http://s"}""")
+    assert(err("""{"@context":{"@base":"http://b/"},"@id":"http://s"}""")
+      .contains("@base"))
+    assert(err("""{"@context":{"@vocab":"http://v/x"},"@id":"http://s"}""")
       .contains("ending in"))
     // an UNDECLARED colon key passes through UNCHANGED — 'zz:name' is
     // scheme-shaped, so it maps to the absolute IRI zz:name exactly
@@ -147,6 +147,43 @@ class JsonLdSpec extends GraftSpec {
     assert(parseStr("""{"@context":{"gk":"http://x/"},"@id":"http://s",""" +
       """"zz:name":1}""") == Set(
       (TUri("http://s"), TUri("zz:name"), l(1))))
+  }
+
+  test("jsonld: @context term aliases and @vocab — plain schema.org-" +
+      "shaped embeds (bare keys) expand; aliased store ≡ the full-IRI " +
+      "store; non-gen-delim entries alias but never prefix") {
+    val full = parseStr(
+      """{"@id":"http://ex/alice","@type":"http://schema.org/Person",""" +
+        """"http://schema.org/name":"Alice",""" +
+        """"http://schema.org/knows":{"@id":"http://ex/bob"}}""")
+    // string term definitions: bare keys and bare @type values alias
+    val aliased = parseStr(
+      """{"@context":{"name":"http://schema.org/name",""" +
+        """"knows":"http://schema.org/knows",""" +
+        """"Person":"http://schema.org/Person"},""" +
+        """"@id":"http://ex/alice","@type":"Person",""" +
+        """"name":"Alice","knows":{"@id":"http://ex/bob"}}""")
+    assert(aliased == full)
+    // @vocab absolutizes the REMAINING bare keys/@type values; an
+    // explicit term alias wins over the vocab default
+    val vocabbed = parseStr(
+      """{"@context":{"@vocab":"http://schema.org/",""" +
+        """"name":"http://schema.org/name"},""" +
+        """"@id":"http://ex/alice","@type":"Person",""" +
+        """"name":"Alice","knows":{"@id":"http://ex/bob"}}""")
+    assert(vocabbed == full)
+    // a non-gen-delim alias works BARE but never as a prefix: bare
+    // 'p' → the full IRI; 'p:x' is scheme-shaped and passes through
+    assert(parseStr("""{"@context":{"p":"http://x/y"},"@id":"http://s",""" +
+      """"p":1,"p:x":2}""") == Set(
+      (TUri("http://s"), TUri("http://x/y"), l(1)),
+      (TUri("http://s"), TUri("p:x"), l(2))))
+    // a bare key with NO alias and NO vocab still fails loudly
+    val e = intercept[Exception] {
+      parseStr("""{"@context":{"q":"http://x/y"},"@id":"http://s","zz":1}""")
+    }
+    assert((Option(e.getMessage) ++ Option(e.getCause).map(_.getMessage))
+      .mkString(" | ").contains("absolute IRI"))
   }
 
   test("jsonld: blank nodes skolemize per FILE under bnodes=skolem " +

@@ -111,6 +111,8 @@ object SparqlRoundTripProps extends Properties("sparql-roundtrip") {
         yield FilterArith(a, op, b)),
       2 -> genVar.map(FilterBound(_)),
       1 -> genVar.map(FilterRegex(_, "^K.*e$")),
+      1 -> (for { v <- genVar; fl <- Gen.oneOf("i", "ism", "m") }
+        yield FilterRegex(v, "^k.*E$", fl)),
       1 -> (for { a <- genLeafT; b <- genLeafT }
         yield FilterStrStarts(a, b)),
       1 -> (for { a <- genLeafT; b <- genLeafT } yield FilterStrEnds(a, b)),
@@ -289,6 +291,9 @@ object SparqlRoundTripProps extends Properties("sparql-roundtrip") {
     1 -> (for { f <- Gen.oneOf("/tmp/fz.nt", "/d/x.ttl", "a/b.jsonl")
       g <- genGraphName } yield LoadOp(f, g)),
     1 -> Gen.option(genGraphName).map(ClearOp(_)),
+    1 -> Gen.const(ClearNamedOp: UpdateOp),
+    1 -> (for { g <- Gen.oneOf[Term](TUri("http://g/1"), TKeyword("gname"))
+      s <- Gen.oneOf(true, false) } yield CreateOp(g, s)),
     1 -> (for { a <- genGraphName; b <- genGraphName } yield CopyOp(a, b)),
     1 -> (for { a <- genGraphName; b <- genGraphName } yield MoveOp(a, b)),
     1 -> (for { a <- genGraphName; b <- genGraphName } yield AddOp(a, b)))

@@ -297,14 +297,19 @@ class SparqlSpec extends GraftSpec {
       .contains("boolean"))
     assert(err("SELECT * WHERE { ?s ?p ?o FILTER (STRLEN(?o) + 1 > 2) }")
       .contains("arithmetic"))
-    assert(err("SELECT * WHERE { ?s ?p ?o FILTER regex(?o, \"x\", \"i\") }")
-      .contains("flags"))
+    // flags OUTSIDE the portable trio refuse; dup flags refuse
+    assert(err("SELECT * WHERE { ?s ?p ?o FILTER regex(?o, \"x\", \"q\") }")
+      .contains("flag"))
+    assert(err("SELECT * WHERE { ?s ?p ?o FILTER regex(?o, \"x\", \"ix\") }")
+      .contains("flag"))
+    assert(err("SELECT * WHERE { ?s ?p ?o FILTER regex(?o, \"x\", \"ii\") }")
+      .contains("duplicate"))
     assert(err("SELECT * WHERE { ?s ?p ?o FILTER (SHA1(?o) = \"x\") }")
       .contains("SHA1"))
     assert(err("SELECT * WHERE { ?s ?p ?o FILTER (NOW() > ?o) }")
       .contains("non-deterministic"))
-    assert(err("SELECT REDUCED ?s WHERE { ?s ?p ?o }")
-      .contains("REDUCED"))
+    assert(err("SELECT DISTINCT REDUCED ?s WHERE { ?s ?p ?o }")
+      .contains("exclusive"))
     // a select expression in an AGGREGATE query may only read
     // already-assigned aliases/keys (§18.2.4.2 scoping)
     assert(err("SELECT (SUM(?o) AS ?t) (STRLEN(?x) AS ?l) " +
@@ -351,6 +356,20 @@ class SparqlSpec extends GraftSpec {
       FilterCmp(?("b"), Gt, TDouble(9999.0)))))
     val d = parseQ(src("q193_sparql_describe")).asInstanceOf[DescribeQuery]
     assert(d.where == Seq(Values(d.v, Seq(TUri("customer/42")))))
+    assert(parseQ(src("q200_sparql_regex_i")) == SelectQuery(
+      proj = Seq(?("c"), ?("name"), ?("seg")),
+      where = Seq(
+        pat(?("c"), T(k("c_name")), ?("name")),
+        pat(?("c"), T(k("c_mktsegment")), ?("seg")),
+        FilterAnd(Seq(
+          FilterRegex(?("seg"), "^bui|^aut", "i"),
+          FilterRegex(?("name"), "[13579]$"))))))
+  }
+
+  test("REDUCED lowers to a plain SELECT (§18.2.5.2 permits the " +
+      "identity — one-way sugar, never printed back)") {
+    assert(parseQ("SELECT REDUCED ?s WHERE { ?s ?p ?o }") ==
+      parseQ("SELECT ?s WHERE { ?s ?p ?o }"))
   }
 
   test("text queries run over ALL FOUR store layouts: struct, dict, " +
@@ -491,6 +510,33 @@ class SparqlSpec extends GraftSpec {
     val nq = Sparql.runToJson(qdb, ex + "DESCRIBE ex:rick")
     assert(nq.linesIterator.count(_.nonEmpty) == 3)
     assert(nq.contains("<http://data/example/g1> ."))
+    // CONSTRUCT over a quad store: the protocol edge collapses graphs
+    // itself (union-of-graphs view + per-fact dedup) — same body as
+    // the triple-store leg
+    val ntq = Sparql.runToJson(qdb, ex +
+      "CONSTRUCT { ?q <urn:graft:kw/known-by> ?p . } WHERE { " +
+      "?p <urn:graft:kw/foaf/knows> ?q . }")
+    assert(ntq.linesIterator.count(_.nonEmpty) == 3)
+    assert(ntq.contains("<urn:graft:kw/known-by>"))
+  }
+
+  test("response-body bound: an oversized single-document result is a " +
+      "loud message naming the distributed writer, never a driver OOM") {
+    spark.conf.set(graft.sources.SparqlResults.BodyMaxRowsKey, "2")
+    try {
+      val e = intercept[InvalidBgp] {
+        Sparql.runToJson(friends, "SELECT * WHERE { ?s ?p ?o }")
+      }
+      assert(e.getMessage.contains("saveJson"))
+      val e2 = intercept[InvalidBgp] {
+        Sparql.runToJson(friends, ex +
+          "CONSTRUCT { ?s <urn:graft:kw/x> ?o . } WHERE { ?s ?p ?o }")
+      }
+      assert(e2.getMessage.contains("NTriples.save"))
+      // within the bound still works
+      assert(Sparql.runToJson(friends,
+        "SELECT * WHERE { ?s ?p ?o } LIMIT 2").contains("bindings"))
+    } finally spark.conf.unset(graft.sources.SparqlResults.BodyMaxRowsKey)
   }
 
   test("printer round-trip: parse(print(q)) == q on all four forms") {

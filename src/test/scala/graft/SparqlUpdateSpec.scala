@@ -34,10 +34,15 @@ class SparqlUpdateSpec extends GraftSpec {
         |WHERE { GRAPH ?g { ?c gk:seg "X" . ?c gk:bal ?b . } } ;
         |INSERT { ?c gk:mark 1 . } WHERE { ?c gk:seg "X" . } ;
         |DELETE WHERE { GRAPH <http://g/2> { ?s gk:p ?o . } } ;
+        |DELETE WHERE { ?s gk:p ?o } ;
         |LOAD SILENT <file:///tmp/x.nt> INTO GRAPH <http://g/3> ;
         |CLEAR GRAPH <http://g/1> ;
         |DROP DEFAULT ;
         |CLEAR ALL ;
+        |CLEAR NAMED ;
+        |DROP NAMED ;
+        |CREATE GRAPH <http://g/9> ;
+        |CREATE SILENT GRAPH <http://g/9> ;
         |COPY GRAPH <http://g/1> TO DEFAULT ;
         |MOVE DEFAULT TO GRAPH <http://g/2> ;
         |ADD GRAPH <http://g/1> TO GRAPH <http://g/2>""".stripMargin)
@@ -57,10 +62,18 @@ class SparqlUpdateSpec extends GraftSpec {
         Seq(pat(?("c"), T(k("seg")), T(s("X"))))),
       Modify(Seq((?("s"), T(k("p")), ?("o"), T(g2))), Nil,
         Seq(QuadPattern(?("s"), T(k("p")), ?("o"), T(g2)))),
+      // §3.1.3.2: bare DELETE WHERE rows scope to the DEFAULT graph on
+      // BOTH sides — pattern and template name the same quads
+      Modify(Seq((?("s"), T(k("p")), ?("o"), dg)), Nil,
+        Seq(QuadPattern(?("s"), T(k("p")), ?("o"), dg))),
       LoadOp("/tmp/x.nt", TUri("http://g/3")),
       ClearOp(Some(g1)),
       ClearOp(Some(QuadDb.DefaultGraph)),
       ClearOp(None),
+      ClearNamedOp,
+      ClearNamedOp, // DROP NAMED ≡ CLEAR NAMED (no empty containers)
+      CreateOp(TUri("http://g/9"), silent = false),
+      CreateOp(TUri("http://g/9"), silent = true),
       CopyOp(g1, QuadDb.DefaultGraph),
       MoveOp(QuadDb.DefaultGraph, g2),
       AddOp(g1, g2)))
@@ -77,7 +90,8 @@ class SparqlUpdateSpec extends GraftSpec {
       LoadOp("/tmp/d.jsonl", u("g3")),
       LoadOp("/tmp/d.nt", QuadDb.DefaultGraph),
       ClearOp(None), ClearOp(Some(u("g1"))),
-      ClearOp(Some(QuadDb.DefaultGraph)),
+      ClearOp(Some(QuadDb.DefaultGraph)), ClearNamedOp,
+      CreateOp(u("g7"), silent = false), CreateOp(u("g7"), silent = true),
       CopyOp(u("g1"), u("g2")), MoveOp(u("g1"), QuadDb.DefaultGraph),
       AddOp(QuadDb.DefaultGraph, u("g2")))
     assert(SparqlUpdate.parse(SparqlUpdate.print(ops)) == ops)
@@ -110,18 +124,45 @@ class SparqlUpdateSpec extends GraftSpec {
     assert(QuadDb.load(spark, store).df.isEmpty)
   }
 
-  test("loud errors: vars in DATA, paths in templates, CLEAR NAMED, " +
-      "CREATE, unknown LOAD format, missing ';'") {
+  test("loud errors: vars in DATA, paths in templates, unknown LOAD " +
+      "format, missing ';'") {
     def err(t: String): String =
       intercept[Exception] { SparqlUpdate.parse(t) }.getMessage
     assert(err("INSERT DATA { ?x <urn:p> 1 }").contains("GROUND"))
     assert(err(gk + "DELETE { ?s gk:p+ ?o . } WHERE { ?s gk:p ?o }")
       .contains("plain triples"))
-    assert(err("CLEAR NAMED").contains("NAMED"))
-    assert(err("CREATE GRAPH <urn:g>").contains("CREATE"))
     assert(err("CLEAR ALL DROP DEFAULT").contains("';'"))
     assert(intercept[Exception] {
       SparqlUpdate.formatOf("/tmp/x.rdf")
     }.getMessage.contains("format"))
+  }
+
+  test("bare DELETE WHERE touches ONLY the default graph (§3.1.3.2: " +
+      "pattern ≡ template — named-graph facts neither match nor die)") {
+    val store = freshStore()
+    SparqlUpdate.run(spark, store, gk + "DELETE WHERE { ?s gk:p ?o }")
+    // only (c p 3 @default) dies; g1/g2 facts survive untouched
+    assert(QuadDb.load(spark, store).quads.toSet ==
+      baseQuads.toSet - ((k("c"), k("p"), l(3), QuadDb.DefaultGraph)))
+  }
+
+  test("CLEAR NAMED empties every named graph, keeps the default; " +
+      "CREATE errors on a non-empty graph unless SILENT") {
+    val store = freshStore()
+    val e = intercept[InvalidBgp] {
+      SparqlUpdate.run(spark, store, "CREATE GRAPH <http://data/example/g1>")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // SILENT and fresh-graph forms both no-op cleanly
+    SparqlUpdate.run(spark, store,
+      "CREATE SILENT GRAPH <http://data/example/g1> ; " +
+        "CREATE GRAPH <urn:fresh>")
+    SparqlUpdate.run(spark, store, "CLEAR NAMED")
+    assert(QuadDb.load(spark, store).quads.toSet ==
+      Set((k("c"), k("p"), l(3), QuadDb.DefaultGraph)))
+    // a second CLEAR NAMED no-ops (probe: no live named-graph quads)
+    SparqlUpdate.run(spark, store, "DROP NAMED")
+    assert(QuadDb.load(spark, store).quads.toSet ==
+      Set((k("c"), k("p"), l(3), QuadDb.DefaultGraph)))
   }
 }

@@ -122,6 +122,29 @@ class UpdateSpec extends GraftSpec {
       afterSet - ((k("b"), cat, s("cold"))))
   }
 
+  test("tombstone crash recovery: a swap interrupted between its two " +
+      "renames leaves only _old — the next read renames it back, so " +
+      "deleted facts stay masked (never resurrected)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    TripleDb.save(base, tmp)
+    Update.deleteWhere(spark, tmp,
+      Seq((V("x"), T(amt), V("v"))),
+      Seq(pat(V("x"), T(cat), T(s("hot"))), pat(V("x"), T(amt), V("v"))))
+    val masked = TripleDb.load(spark, tmp).triples.toSet
+    assert(!masked.contains((k("a"), amt, l(5))))
+    // simulate the crash window: tombstone dir moved aside, the new
+    // set never renamed into place
+    val tombDir = tmp + "/" + graft.core.Tombstones.Dir
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(tombDir + "_old")))
+    spark.catalog.refreshByPath(tmp)
+    // a masked load repairs _old automatically — same answer
+    assert(TripleDb.load(spark, tmp).triples.toSet == masked)
+    assert(fs.exists(p) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(tombDir + "_old")))
+  }
+
   test("durable quad DELETE WHERE: graph-scoped redaction keys on the " +
       "full quad; INSERT WHERE resurrects per-quad and appends novel " +
       "facts into computed graphs") {
