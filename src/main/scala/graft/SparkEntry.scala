@@ -1872,6 +1872,22 @@ object SparkEntry {
         "n", "name", "r")
     }),
 
+    // ---- RDF/XML INTERCHANGE (the sixth W3C format): the nation
+    //      graph written as RDF/XML (per-partition self-contained
+    //      documents, shuffle-free) and read back through the DOM
+    //      subset reader — the round-trip must be invisible to the
+    //      oracle (q140's cross-format convention); region refs ride
+    //      rdf:resource, names ride plain literals ----
+    "q201_rdfxml_roundtrip" -> ((sp, dir) => {
+      val tmp = scratch("graft_q201")
+      sources.RdfXml.save(Tables.nationDb(sp, dir), tmp)
+      val loaded = sources.RdfXml.load(sp, tmp)
+      sel(loaded, Seq(
+        pat(V("n"), kw("n_name"), V("name")),
+        pat(V("n"), kw("n_regionkey"), V("r"))),
+        "n", "name", "r")
+    }),
+
     // ---- W3C SPARQL RESULT-SET SERIALIZATION: one solution frame
     //      (with an optional column exercising UNBOUND cells) chained
     //      through ALL THREE lossless formats — TSV save/load, then
@@ -3733,6 +3749,13 @@ object SparkEntry {
         |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'b|1'
         |       ELSE NULL END AS r
         |FROM customer""".stripMargin,
+
+    // the RDF/XML round-trip is invisible: the oracle is the direct
+    // relational query (q196's shape)
+    "q201_rdfxml_roundtrip" ->
+      """SELECT 'u|nation/' || n_nationkey AS n, 's|' || n_name AS name,
+        |  'u|region/' || n_regionkey AS r
+        |FROM nation""".stripMargin,
 
     // the compact-IRI fixture loads to the same store as the full-IRI
     // form — the oracle is q183's direct relational query

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.{QuadDb, Term, TripleDb}
-import graft.sources.{JsonLd, NTriples, Turtle}
+import graft.sources.{JsonLd, NTriples, RdfXml, Turtle}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,9 +36,10 @@ object GraphMgmt {
     case "ntriples" | "nt"   => NTriples.load(spark, file)
     case "turtle" | "ttl"    => Turtle.load(spark, file)
     case "jsonld" | "jsonl"  => JsonLd.load(spark, file)
+    case "rdfxml" | "rdf"    => RdfXml.load(spark, file)
     case other => throw new IllegalArgumentException(
-      s"unknown LOAD format '$other' (ntriples/turtle/jsonld; quad " +
-        "formats load via NTriples.loadQuads / Turtle.loadTrig / " +
+      s"unknown LOAD format '$other' (ntriples/turtle/jsonld/rdfxml; " +
+        "quad formats load via NTriples.loadQuads / Turtle.loadTrig / " +
         "JsonLd.loadQuads — a LOAD names one destination graph)")
   }
 

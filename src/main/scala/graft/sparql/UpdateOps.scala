@@ -92,9 +92,10 @@ object SparqlUpdate {
     if (file.endsWith(".nt") || file.endsWith(".ntriples")) "ntriples"
     else if (file.endsWith(".ttl")) "turtle"
     else if (file.endsWith(".jsonl") || file.endsWith(".jsonld")) "jsonld"
+    else if (file.endsWith(".rdf") || file.endsWith(".rdfxml")) "rdfxml"
     else throw new InvalidBgp(
-      s"LOAD cannot derive a format from '$file' (.nt/.ttl/.jsonl; or " +
-        "call GraphMgmt.loadInto with an explicit format)")
+      s"LOAD cannot derive a format from '$file' (.nt/.ttl/.jsonl/" +
+        ".rdf; or call GraphMgmt.loadInto with an explicit format)")
 
   /** Run a parsed request against a DURABLE quad store, op by op. */
   def run(spark: SparkSession, path: String, ops: Seq[UpdateOp]): Unit =

@@ -132,8 +132,9 @@ class SparqlUpdateSpec extends GraftSpec {
     assert(err(gk + "DELETE { ?s gk:p+ ?o . } WHERE { ?s gk:p ?o }")
       .contains("plain triples"))
     assert(err("CLEAR ALL DROP DEFAULT").contains("';'"))
+    assert(SparqlUpdate.formatOf("/tmp/x.rdf") == "rdfxml")
     assert(intercept[Exception] {
-      SparqlUpdate.formatOf("/tmp/x.rdf")
+      SparqlUpdate.formatOf("/tmp/x.xyz")
     }.getMessage.contains("format"))
   }
 
