@@ -1021,7 +1021,8 @@ object SparkEntry {
 
     // ---- learned quality classifier (fastText shape): templated spam
     //      planted on doc_id%5==2, hashed-ngram weights trained on the
-    //      even-id half in one counting pass, every doc scored by a
+    //      even-id half (coprime moduli — both labels appear on both
+    //      sides) in one counting pass, every doc scored by a
     //      zero-shuffle expression ----
     "q115_quality_classifier" -> ((sp, dir) => {
       val spam = "click here to claim your free prize winner bonus offer now"
@@ -1035,6 +1036,53 @@ object SparkEntry {
         labeled.where(col("doc_id") % 2 === 0), "text", "label", buckets = 1024)
       ops.Text.scoreQuality(labeled, "doc_id", "text", w)
         .select(col("doc_id"), col("label"), col("score"), col("pred"))
+    }),
+
+    // ---- TRAINED LANGUAGE ID (hashed char 2-/3-gram one-vs-rest
+    //      naive Bayes, the fastText-style LID shape): a deterministic
+    //      multilingual fixture (per-doc word sequences drawn from
+    //      four 16-word vocabularies by md5 index — document-diverse,
+    //      so held-out docs are genuinely unseen), trained on the
+    //      doc_id % 8 < 4 half (blocks of four keep all classes on
+    //      both sides of the split), classified over all docs with integer
+    //      log-odds scores and fixed-priority argmax; DuckDB replays
+    //      fixture + training + scoring end to end ----
+    "q202_langid_trained" -> ((sp, dir) => {
+      val langs = Seq("en", "de", "fr", "es")
+      val vocab = Map(
+        "en" -> Seq("the", "and", "house", "water", "friend", "morning",
+          "quickly", "bright", "children", "garden", "window", "story",
+          "winter", "river", "mountain", "evening"),
+        "de" -> Seq("und", "das", "haus", "wasser", "freund", "morgen",
+          "schnell", "hell", "kinder", "garten", "fenster", "geschichte",
+          "winter", "fluss", "berg", "abend"),
+        "fr" -> Seq("et", "la", "maison", "eau", "ami", "matin",
+          "vite", "clair", "enfants", "jardin", "fenetre", "histoire",
+          "hiver", "riviere", "montagne", "soir"),
+        "es" -> Seq("y", "la", "casa", "agua", "amigo", "manana",
+          "rapido", "claro", "ninos", "jardin", "ventana", "historia",
+          "invierno", "rio", "montana", "tarde"))
+      val lang = element_at(array(langs.map(functions.lit): _*),
+        (col("doc_id") % 4).cast("int") + 1)
+      def words(lg: String): Column = concat_ws(" ",
+        transform(sequence(functions.lit(0), functions.lit(11)), j =>
+          element_at(array(vocab(lg).map(functions.lit): _*),
+            (conv(substring(md5(concat(col("doc_id").cast("string"),
+              functions.lit("_"), j.cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 16).cast("int") + 1)))
+      val text = langs.tail.init.foldLeft(
+          when(lang === langs.head, words(langs.head))) {
+          (acc, lg) => acc.when(lang === lg, words(lg))
+        }.otherwise(words(langs.last))
+      val fixture = Tables.t(sp, dir, "documents")
+        .select(col("doc_id"), lang.as("lang"), text.as("text"))
+      // blocks-of-four split: an even/odd split would alias with
+      // lang = doc_id % 4 and starve two classes of training data
+      val w = ops.Text.trainLangWeights(
+        fixture.where(col("doc_id") % 8 < 4), "text", "lang", langs,
+        buckets = 512)
+      ops.Text.langIdTrained(fixture, "text", w, langs)
+        .select(col("doc_id"), col("lang"), col("pred_lang"))
     }),
 
     // ---- benchmark decontamination: docs sharing any 3-gram with the
@@ -5208,6 +5256,65 @@ object SparkEntry {
          |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
          |  CAST(CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id""".stripMargin,
+
+    // replays the whole trained-LID pipeline: the md5-indexed
+    // multilingual fixture, per-bucket char 2-/3-gram counts over the
+    // doc_id % 8 < 4 training half, one-vs-rest floor-log2 log-odds weights
+    // (absent classes count 0 via the bucket × class cross join), and
+    // the score-then-priority argmax
+    "q202_langid_trained" ->
+      raw"""WITH langs(c, pr) AS (VALUES ('en', 0), ('de', 1), ('fr', 2), ('es', 3)),
+         |d AS (SELECT doc_id,
+         |        (['en','de','fr','es'])[CAST(doc_id % 4 AS INT) + 1] AS lang
+         |      FROM documents),
+         |pos AS (SELECT doc_id, lang, unnest(generate_series(0, 11)) AS j FROM d),
+         |wsel AS (SELECT doc_id, lang, j,
+         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+         |    CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) + 1 AS idx
+         |  FROM pos),
+         |wrd AS (SELECT doc_id, lang, j, CASE lang
+         |  WHEN 'en' THEN (['the','and','house','water','friend','morning',
+         |    'quickly','bright','children','garden','window','story',
+         |    'winter','river','mountain','evening'])[idx]
+         |  WHEN 'de' THEN (['und','das','haus','wasser','freund','morgen',
+         |    'schnell','hell','kinder','garten','fenster','geschichte',
+         |    'winter','fluss','berg','abend'])[idx]
+         |  WHEN 'fr' THEN (['et','la','maison','eau','ami','matin',
+         |    'vite','clair','enfants','jardin','fenetre','histoire',
+         |    'hiver','riviere','montagne','soir'])[idx]
+         |  ELSE (['y','la','casa','agua','amigo','manana',
+         |    'rapido','claro','ninos','jardin','ventana','historia',
+         |    'invierno','rio','montana','tarde'])[idx] END AS word
+         |  FROM wsel),
+         |txt AS (SELECT doc_id, lang, string_agg(word, ' ' ORDER BY j) AS text
+         |        FROM wrd GROUP BY doc_id, lang),
+         |ch AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+         |       FROM txt),
+         |feat AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(substr(text, i, 2)), 1, 8)
+         |    AS BIGINT) % 512 AS b FROM ch WHERE i + 1 <= len(text)
+         |  UNION ALL
+         |  SELECT doc_id, CAST('0x' || substr(md5(substr(text, i, 3)), 1, 8)
+         |    AS BIGINT) % 512 AS b FROM ch WHERE i + 2 <= len(text)),
+         |cnt AS (SELECT f.b, t.lang AS c, count(*) AS n
+         |        FROM feat f JOIN txt t USING (doc_id)
+         |        WHERE f.doc_id % 8 < 4 GROUP BY f.b, t.lang),
+         |tot AS (SELECT b, sum(n) AS t FROM cnt GROUP BY b),
+         |wt AS (SELECT tot.b, l.c, l.pr,
+         |    (length(format('{:b}', CAST(coalesce(cnt.n, 0) + 1 AS BIGINT))) - 1)
+         |  - (length(format('{:b}', CAST(tot.t - coalesce(cnt.n, 0) + 1 AS BIGINT))) - 1)
+         |    AS w
+         |  FROM tot CROSS JOIN langs l
+         |  LEFT JOIN cnt ON cnt.b = tot.b AND cnt.c = l.c),
+         |sc AS (SELECT f.doc_id, w.c, w.pr, sum(w.w) AS s
+         |       FROM feat f JOIN wt w ON f.b = w.b GROUP BY f.doc_id, w.c, w.pr),
+         |pred AS (SELECT doc_id, c AS pred_lang FROM
+         |  (SELECT doc_id, c,
+         |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, pr) AS rn
+         |   FROM sc) WHERE rn = 1)
+         |SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang AS lang,
+         |  p.pred_lang AS pred_lang
+         |FROM txt t JOIN pred p USING (doc_id)""".stripMargin,
 
     // the bloom pre-filter has no false negatives and survivors are
     // exactly verified, so q82 ≡ q58

@@ -377,6 +377,52 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Per-class integer scores over hashed CHARACTER 2-/3-grams in ONE
+    * pass over the string: every sliding window hashes by the shared
+    * md5u32 rule mod `weights(c).length` buckets and adds each class's
+    * bucket weight. Replaces |langs| higher-order transform+aggregate
+    * chains (interpreted lambda frame per character) with one flat
+    * loop per row. Window positions count UTF-16 units — identical to
+    * codepoint (and DuckDB character) positions for BMP text; the LID
+    * fixtures are ASCII by construction. */
+  case class HashedCharNgramScores(child: Expression,
+                                   weights: Array[Array[Long]])
+      extends UnaryExpression with CodegenFallback {
+    require(weights.nonEmpty && weights.forall(_.nonEmpty) &&
+      weights.forall(_.length == weights.head.length),
+      "need one non-empty equal-length weight array per class")
+    private val buckets = weights.head.length
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    override protected def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String].toString
+      val md = mdTL.get()
+      val out = new Array[Long](weights.length)
+      def add(sub: String): Unit = {
+        val d = md.digest(sub.getBytes("UTF-8"))
+        val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val b = (u32 % buckets).toInt
+        var c = 0
+        while (c < weights.length) { out(c) += weights(c)(b); c += 1 }
+      }
+      var i = 0
+      while (i + 2 <= s.length) { add(s.substring(i, i + 2)); i += 1 }
+      i = 0
+      while (i + 3 <= s.length) { add(s.substring(i, i + 3)); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def hashedCharNgramScores(text: Column,
+                            weights: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(
+      HashedCharNgramScores(GraftSqlBridge.expression(text), weights))
+
   def hrwShard(id: Column, shards: Int): Column =
     GraftSqlBridge.column(HrwShard(GraftSqlBridge.expression(id), shards))
 

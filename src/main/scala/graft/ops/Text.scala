@@ -153,6 +153,87 @@ object Text {
           tokens(col(textCol)), weights))
       .withColumn("pred", (col("score") > 0).cast("long"))
 
+  // ------------------------------------------------------------------
+  // Trained language ID (hashed char-ngram one-vs-rest naive Bayes —
+  // the fastText-style LID shape; the marker heuristic below stays
+  // the zero-shot fallback)
+  // ------------------------------------------------------------------
+
+  /** Character 2-/3-gram feature buckets of a document, hashed by the
+    * shared md5u32 rule mod `buckets` (oracle-reproducible). The
+    * TRAINING side; scoring runs the same windows in one flat loop
+    * ([[graft.functions.TextExpressions.HashedCharNgramScores]]). */
+  def hashedCharNgramFeatures(text: Column, buckets: Int): Column = {
+    require(buckets > 0, "need at least one bucket")
+    def b(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets
+    val t = lower(text)
+    val n = length(t)
+    val empty = array().cast("array<bigint>")
+    val bi = when(n >= 2,
+      transform(sequence(lit(1), n - 1), i => b(t.substr(i, lit(2)))))
+      .otherwise(empty)
+    val tri = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => b(t.substr(i, lit(3)))))
+      .otherwise(empty)
+    concat(bi, tri)
+  }
+
+  private def flog2l(x: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros(x) // = len(bin(x)) - 1, x ≥ 1
+
+  /** One-pass multiclass LID training: per-bucket char-ngram counts
+    * by language, one-vs-rest integer log-odds weights
+    * `w_c(b) = flog2(n_cb + 1) − flog2(total_b − n_cb + 1)` (the
+    * [[trainQualityWeights]] rule, per class). One explode + one
+    * map-side-combined groupBy over the training docs; the collect is
+    * bounded by `buckets × langs.size`, never the corpus. Rows whose
+    * `langCol` is outside `langs` are ignored. */
+  def trainLangWeights(train: DataFrame, textCol: String, langCol: String,
+                       langs: Seq[String],
+                       buckets: Int = 512): Array[Array[Long]] = {
+    require(langs.nonEmpty && langs.distinct == langs, "distinct langs")
+    val cls = langs.zipWithIndex.toMap
+    val rows = fanOut(train)
+      .select(col(langCol).as("c"),
+        explode(hashedCharNgramFeatures(col(textCol), buckets)).as("b"))
+      .groupBy("b", "c").agg(count(lit(1)).as("n"))
+      .collect()
+    val w = Array.fill(langs.size)(new Array[Long](buckets))
+    rows.groupBy(_.getLong(0)).foreach { case (b, rs) =>
+      val known = rs.filter(r => cls.contains(r.getString(1)))
+      val tot = known.map(_.getLong(2)).sum
+      if (tot > 0) for ((c, ci) <- cls) {
+        val n = known.find(_.getString(1) == c).map(_.getLong(2)).getOrElse(0L)
+        w(ci)(b.toInt) = flog2l(n + 1) - flog2l(tot - n + 1)
+      }
+      // buckets never seen in training keep weight 0 for every class
+    }
+    w
+  }
+
+  /** Classify with trained weights: one zero-shuffle scan projection
+    * (per-class integer sums in a single char loop), `pred_lang` =
+    * the FIRST maximal class in `langs` order (deterministic,
+    * SQL-replicable ties); Han script overrides to "zh" like
+    * [[langId]]. Weights ride in as literals — nothing joins. */
+  def langIdTrained(docs: DataFrame, textCol: String,
+                    weights: Array[Array[Long]],
+                    langs: Seq[String]): DataFrame = {
+    require(weights.length == langs.length, "one weight array per lang")
+    val scored = fanOut(docs).withColumn("__lid_s",
+      graft.functions.TextExpressions.hashedCharNgramScores(
+        lower(col(textCol)), weights))
+    val s = col("__lid_s")
+    val pred = langs.indices.init.foldRight(lit(langs.last)) { (i, rest) =>
+      when(langs.indices.drop(i + 1).map(j => s(i) >= s(j))
+        .reduce(_ && _), langs(i)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang",
+        when(col(textCol).rlike("\\p{IsHan}"), "zh").otherwise(pred))
+      .drop("__lid_s")
+  }
+
   // language-ID marker words, distinct-count scored; priority-ordered
   // CASE keeps ties deterministic and SQL-replicable
   private val MarkersEn = Seq("the", "and", "of", "to", "in", "is", "was", "with")

@@ -325,6 +325,54 @@ class OpsSpec extends GraftSpec {
     assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
   }
 
+  test("trained language ID: held-out accuracy floor on a document-" +
+      "diverse multilingual fixture (the recall-floor discipline — " +
+      "latency and oracle tests cannot see classifier quality)") {
+    import spark.implicits._
+    val langs = Seq("en", "de", "fr", "es")
+    val vocab = Map(
+      "en" -> Seq("the", "and", "house", "water", "friend", "morning",
+        "quickly", "bright", "children", "garden", "window", "story"),
+      "de" -> Seq("und", "das", "haus", "wasser", "freund", "morgen",
+        "schnell", "hell", "kinder", "garten", "fenster", "geschichte"),
+      "fr" -> Seq("et", "la", "maison", "eau", "ami", "matin",
+        "vite", "clair", "enfants", "jardin", "fenetre", "histoire"),
+      "es" -> Seq("y", "la", "casa", "agua", "amigo", "manana",
+        "rapido", "claro", "ninos", "jardin", "ventana", "historia"))
+    // md5-indexed word draws: every doc is a DIFFERENT word sequence,
+    // so the held-out half is genuinely unseen text, not memorized
+    def md5idx(seed: String, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (u32 % m).toInt
+    }
+    val docs = (0L until 400L).map { id =>
+      val lg = langs((id % 4).toInt)
+      val text = (0 until 10)
+        .map(j => vocab(lg)(md5idx(s"$id#$j", 12))).mkString(" ")
+      (id, lg, text)
+    }.toDF("doc_id", "lang", "text")
+    // split in BLOCKS of four so every class appears on both sides
+    // (an even/odd split aliases with lang = doc_id % 4 — the training
+    // half would never see two of the classes)
+    val w = Text.trainLangWeights(docs.where(col("doc_id") % 8 < 4),
+      "text", "lang", langs, buckets = 512)
+    val held = Text.langIdTrained(docs.where(col("doc_id") % 8 >= 4),
+      "text", w, langs)
+    val (right, total) = held.select(
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)),
+        count(lit(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(total == 200L)
+    assert(right >= 190L, s"held-out accuracy $right/$total below 0.95")
+    // Han override still wins over any trained score
+    val zh = Text.langIdTrained(
+      Seq((1L, "今天天气很好")).toDF("doc_id", "text"), "text", w, langs)
+    assert(zh.select("pred_lang").head().getString(0) == "zh")
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint hash") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again"
