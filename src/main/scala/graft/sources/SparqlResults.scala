@@ -455,6 +455,21 @@ object SparqlResults {
       .write.mode("overwrite").text(path)
   }
 
+  /** The whole result set as ONE TSV document string (the
+    * HTTP-response shape, [[boundedRows]]-guarded — the third lossless
+    * content-negotiation form beside the JSON and XML documents). */
+  def toTsvDoc(sol: DataFrame): String = {
+    val header = sol.columns.map("?" + _).mkString("\t")
+    val line = concat_ws("\t",
+      sol.columns.map(n =>
+        when(col(n).isNull, functions.lit(""))
+          .otherwise(NTriples.termToken(col(n)))).toSeq: _*)
+    (Iterator(header) ++
+      boundedRows(sol.select(line.as("v")), "SparqlResults.saveTsv")
+        .iterator.map(_.getString(0)))
+      .mkString("", "\n", "\n")
+  }
+
   /** One TSV term token → a term (null for an empty cell). */
   private[graft] def tsvTerm(tok: String): Term = {
     if (tok.isEmpty) return null
