@@ -1312,7 +1312,8 @@ private final class Parser(doc: String) {
         Modify(del, ins, groupGraphPattern())
       }
     } else if (eatWord("LOAD")) {
-      skipWs(); eatWord("SILENT")
+      skipWs()
+      val silent = eatWord("SILENT")
       skipWs()
       val doc = iriRef()
       val file =
@@ -1324,7 +1325,7 @@ private final class Parser(doc: String) {
         skipWs(); expectWord("GRAPH")
         groundTerm()
       } else graft.core.QuadDb.DefaultGraph
-      LoadOp(file, g)
+      LoadOp(file, g, silent)
     } else if (peekWord("CLEAR") || peekWord("DROP")) {
       if (!eatWord("CLEAR")) expectWord("DROP") // ≡ here (no containers)
       skipWs(); eatWord("SILENT")

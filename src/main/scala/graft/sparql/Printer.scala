@@ -294,9 +294,10 @@ object Printer {
       val d = if (del.isEmpty) "" else "DELETE " + quadBlock(del) + "\n"
       val i = if (ins.isEmpty) "" else "INSERT " + quadBlock(ins) + "\n"
       d + i + "WHERE " + group(where)
-    case LoadOp(file, g) =>
+    case LoadOp(file, g, silent) =>
       val into = if (g == DefaultG) "" else s" INTO GRAPH ${term(g)}"
-      s"LOAD <${NtExpressions.iriEncode(file)}>$into"
+      val sil = if (silent) "SILENT " else ""
+      s"LOAD $sil<${NtExpressions.iriEncode(file)}>$into"
     case ClearOp(None)    => "CLEAR ALL"
     case ClearOp(Some(g)) => "CLEAR " + graphOrDefault(g)
     case ClearNamedOp     => "CLEAR NAMED"

@@ -53,9 +53,13 @@ final case class Modify(
   if (where.isEmpty) throw new InvalidBgp("DELETE/INSERT needs a WHERE")
 }
 
-/** `LOAD <doc> [INTO GRAPH g]` (§3.1.1); the document IRI is a file
-  * path (a `file:` scheme strips), format derived from the extension. */
-final case class LoadOp(file: String, graph: Term) extends UpdateOp
+/** `LOAD [SILENT] <doc> [INTO GRAPH g]` (§3.1.1); the document IRI is
+  * a file path (a `file:` scheme strips), format derived from the
+  * extension. SILENT swallows load failures (missing/unreadable
+  * document, underivable format) — the request continues, per §3.1's
+  * error semantics. */
+final case class LoadOp(file: String, graph: Term,
+                        silent: Boolean = false) extends UpdateOp
 
 /** `CLEAR/DROP (GRAPH g | DEFAULT | ALL)` (§3.2.2/3 — one operation
   * here: no empty-graph containers, [[graft.ops.GraphMgmt]]'s note).
@@ -122,8 +126,12 @@ object SparqlUpdate {
       if (ins.isEmpty) Update.deleteWhereQuads(spark, path, del, where)
       else if (del.isEmpty) Update.insertWhereQuads(spark, path, ins, where)
       else Update.deleteInsertWhereQuads(spark, path, del, ins, where)
-    case LoadOp(file, g) =>
-      GraphMgmt.loadInto(spark, path, file, formatOf(file), g)
+    case LoadOp(file, g, silent) =>
+      // SILENT = §3.1's swallow-and-continue; the probe runs the load
+      // eagerly enough that a missing document fails HERE, not in a
+      // later masked read
+      try GraphMgmt.loadInto(spark, path, file, formatOf(file), g)
+      catch { case e: Exception if silent => () }
     case ClearOp(Some(g)) => GraphMgmt.clearGraph(spark, path, g)
     case ClearOp(None) =>
       // CLEAR ALL: tombstone every live quad (the full-mask form)

@@ -642,4 +642,20 @@ class PlanSpec extends GraftSpec {
     assert("Exchange".r.findAllIn(qp).size == 1,
       s"only the merge-dedup shuffle:\n$qp")
   }
+  test("trained-LID scoring is ONE zero-shuffle scan projection: " +
+      "per-class scores ride a single expression, weights are plan " +
+      "literals — no join, no exchange, no aggregate") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val w = Array.fill(2)(new Array[Long](64))
+    val p = plan(graft.ops.Text.langIdTrained(docs, "text", w,
+      Seq("en", "de")))
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    // fanOut's round-robin repartition is the ONLY exchange allowed —
+    // never a hash shuffle (that would mean a join/agg crept in)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring must not hash-shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"scoring must not aggregate:\n$p")
+  }
 }

@@ -289,7 +289,8 @@ object SparqlRoundTripProps extends Properties("sparql-roundtrip") {
       Seq((V("s"), T(TKeyword("p")), V("o"),
         T(graft.core.QuadDb.DefaultGraph))) else ins, where)),
     1 -> (for { f <- Gen.oneOf("/tmp/fz.nt", "/d/x.ttl", "a/b.jsonl")
-      g <- genGraphName } yield LoadOp(f, g)),
+      g <- genGraphName; sil <- Gen.oneOf(true, false)
+    } yield LoadOp(f, g, sil)),
     1 -> Gen.option(genGraphName).map(ClearOp(_)),
     1 -> Gen.const(ClearNamedOp: UpdateOp),
     1 -> (for { g <- Gen.oneOf[Term](TUri("http://g/1"), TKeyword("gname"))

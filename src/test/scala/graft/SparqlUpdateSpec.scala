@@ -66,7 +66,7 @@ class SparqlUpdateSpec extends GraftSpec {
       // BOTH sides — pattern and template name the same quads
       Modify(Seq((?("s"), T(k("p")), ?("o"), dg)), Nil,
         Seq(QuadPattern(?("s"), T(k("p")), ?("o"), dg))),
-      LoadOp("/tmp/x.nt", TUri("http://g/3")),
+      LoadOp("/tmp/x.nt", TUri("http://g/3"), silent = true),
       ClearOp(Some(g1)),
       ClearOp(Some(QuadDb.DefaultGraph)),
       ClearOp(None),
@@ -89,6 +89,7 @@ class SparqlUpdateSpec extends GraftSpec {
         GraphScope(?("g"), Seq(pat(?("c"), T(k("bal")), ?("b"))))),
       LoadOp("/tmp/d.jsonl", u("g3")),
       LoadOp("/tmp/d.nt", QuadDb.DefaultGraph),
+      LoadOp("/tmp/d.nt", u("g1"), silent = true),
       ClearOp(None), ClearOp(Some(u("g1"))),
       ClearOp(Some(QuadDb.DefaultGraph)), ClearNamedOp,
       CreateOp(u("g7"), silent = false), CreateOp(u("g7"), silent = true),
@@ -145,6 +146,16 @@ class SparqlUpdateSpec extends GraftSpec {
     // only (c p 3 @default) dies; g1/g2 facts survive untouched
     assert(QuadDb.load(spark, store).quads.toSet ==
       baseQuads.toSet - ((k("c"), k("p"), l(3), QuadDb.DefaultGraph)))
+  }
+
+  test("LOAD SILENT swallows a missing document (§3.1 error " +
+      "semantics); the bare form stays loud") {
+    val store = freshStore()
+    SparqlUpdate.run(spark, store, "LOAD SILENT <file:///no/such.nt>")
+    assert(QuadDb.load(spark, store).quads.toSet == baseQuads.toSet)
+    intercept[Exception] {
+      SparqlUpdate.run(spark, store, "LOAD <file:///no/such.nt>")
+    }
   }
 
   test("CLEAR NAMED empties every named graph, keeps the default; " +
