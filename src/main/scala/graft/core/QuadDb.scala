@@ -208,14 +208,14 @@ object QuadDb {
   def deleteSubjects(spark: SparkSession, path: String,
                      subjects: DataFrame): Unit =
     deleteQuads(
-      load(spark, path).df.join(subjects.select("s"), Seq("s"), "left_semi"),
+      loadFrame(spark, path).join(subjects.select("s"), Seq("s"), "left_semi"),
       path)
 
   /** Delete a whole named graph — the takedown unit quads ADD over
     * triples (a tenant / source / crawl-snapshot graph). One masked
     * scan finds the graph's live quads, which become the tombstones. */
   def deleteGraph(spark: SparkSession, path: String, g: Term): Unit =
-    deleteQuads(load(spark, path).df.where(col("g") === Term.lit(g)), path)
+    deleteQuads(loadFrame(spark, path).where(col("g") === Term.lit(g)), path)
 
   /** Physically drop tombstoned quads: partition-pruned to the affected
     * `pred=` directories, and only files holding a deleted quad are

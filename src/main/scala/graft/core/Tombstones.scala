@@ -92,7 +92,24 @@ private[graft] object Tombstones {
     // a resurrected row.
     deleteBloom(spark, tombDir)
     rows.write.mode("append").parquet(tombDir)
-    refreshBloom(spark, tombDir, keyCols)
+    // Build the sidecar only once the set is big enough for mask to
+    // CONSULT it ([[BloomMinBytesKey]] — the same threshold, read from
+    // the same conf): below it the mask takes the plain broadcast
+    // anti-join regardless, so the two jobs the build costs (count +
+    // bloom agg) would produce a file nothing reads. The set grows only
+    // through this API, so the append that crosses the threshold builds
+    // the covering sidecar. (round-15 optimization; guide §1.2 "don't
+    // compute things you throw away")
+    if (bloomWorthwhile(spark, tombDir))
+      refreshBloom(spark, tombDir, keyCols)
+  }
+
+  /** True when the tombstone DATA bytes have reached the mask's bloom
+    * activation threshold — the build-vs-skip gate for the sidecar. */
+  private def bloomWorthwhile(spark: SparkSession, tombDir: String): Boolean = {
+    val minBytes = spark.conf
+      .get(BloomMinBytesKey, BloomMinBytesDefault.toString).toLong
+    tombBytes(spark, tombDir) >= minBytes
   }
 
   private def deleteBloom(spark: SparkSession, tombDir: String): Unit = {
@@ -318,7 +335,10 @@ private[graft] object Tombstones {
     if (n == 0) fs.delete(stagingPath, true) // empty set = no tombstones
     else {
       renameOrDie(fs, stagingPath, dir)
-      refreshBloom(spark, tombDir, keyCols)
+      // same activation gate as [[appendAt]]: a survivor set below the
+      // mask's bloom threshold never has its sidecar consulted
+      if (bloomWorthwhile(spark, tombDir))
+        refreshBloom(spark, tombDir, keyCols)
     }
     fs.delete(oldPath, true)
     spark.catalog.refreshByPath(tombDir)

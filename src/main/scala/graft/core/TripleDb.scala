@@ -125,6 +125,16 @@ object TripleDb {
       keyCols = Seq("s", "p", "o"))
   }
 
+  /** The masked triple FRAME of a [[save]]d store, without slice/stats
+    * building — the mutation-internal read (≙ [[QuadDb.loadFrame]]):
+    * semi/anti-join and filter callers never touch predicate slices,
+    * so [[load]]'s partition-listing job (the `pred` distinct collect)
+    * and per-slice stats are pure overhead there. Query paths keep
+    * [[load]]. */
+  private[graft] def loadFrame(spark: SparkSession, path: String): DataFrame =
+    Tombstones.mask(spark, path, spark.read.parquet(path),
+      Seq("s", "p", "o")).drop("pred")
+
   /** Delete EVERY fact about the given subjects (the usual takedown
     * unit): one masked scan of the store finds their live triples,
     * which become the tombstones. `subjects` needs a Term-struct
@@ -133,7 +143,7 @@ object TripleDb {
   def deleteSubjects(spark: SparkSession, path: String,
                      subjects: DataFrame): Unit =
     deleteTriples(
-      load(spark, path).df.join(subjects.select("s"), Seq("s"), "left_semi"),
+      loadFrame(spark, path).join(subjects.select("s"), Seq("s"), "left_semi"),
       path)
 
   /** Physically drop tombstoned triples: only the affected predicate

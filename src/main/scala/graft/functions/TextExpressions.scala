@@ -418,6 +418,50 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** The TRAINING-side twin of [[HashedCharNgramScores]]: every char
+    * 2-/3-gram's md5u32-mod-`buckets` id, bigrams first then trigrams
+    * (the exact emission order — and bit-identical bucket values — of
+    * the HOF formulation it replaces; NgramBucketsSpec pins the
+    * equivalence). One MessageDigest walk per row where the HOF
+    * `transform(sequence(...), md5 ∘ substr)` evaluated an interpreted
+    * expression tree per ELEMENT (round-15 optimization; the same
+    * hot-loop-into-expression move as WordShingles/LshBuckets). */
+  case class HashedCharNgramBuckets(child: Expression, buckets: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(buckets > 0, "need at least one bucket")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val mdTL =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    override protected def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String].toString
+      val md = mdTL.get()
+      val n = s.length
+      val nBi = math.max(0, n - 1)
+      val nTri = math.max(0, n - 2)
+      val out = new Array[Long](nBi + nTri)
+      def bucketOf(sub: String): Long = {
+        val d = md.digest(sub.getBytes("UTF-8"))
+        val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        u32 % buckets
+      }
+      var i = 0
+      while (i + 2 <= n) { out(i) = bucketOf(s.substring(i, i + 2)); i += 1 }
+      i = 0
+      while (i + 3 <= n) {
+        out(nBi + i) = bucketOf(s.substring(i, i + 3)); i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def hashedCharNgramBuckets(text: Column, buckets: Int): Column =
+    GraftSqlBridge.column(
+      HashedCharNgramBuckets(GraftSqlBridge.expression(text), buckets))
+
   def hashedCharNgramScores(text: Column,
                             weights: Array[Array[Long]]): Column =
     GraftSqlBridge.column(

@@ -26,9 +26,13 @@ object Components {
     */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
                 maxIter: Int = 20): DataFrame = {
+    // clustered by the per-round join key ("b") ONCE: every round's
+    // proposal join then exchanges only the label side — the persisted
+    // edge relation never re-shuffles (guide §2.4; round 15)
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .dropDuplicates("a", "b")
+      .repartition(col("b"))
       .persist()
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))

@@ -152,9 +152,13 @@ object GraphMgmt {
     * case hits this on its destination clear). */
   def clearGraph(spark: SparkSession, path: String, g: Term): Unit = {
     import org.apache.spark.sql.functions.col
-    if (QuadDb.loadFrame(spark, path).where(col("g") === Term.lit(g))
-        .limit(1).isEmpty) return
-    QuadDb.deleteGraph(spark, path, g)
+    val doomed = QuadDb.loadFrame(spark, path)
+      .where(col("g") === Term.lit(g))
+    if (doomed.limit(1).isEmpty) return
+    // same frame feeds the tombstone append — [[QuadDb.deleteGraph]]
+    // would re-load the store (slice/stats build) for the identical
+    // filter (round-15: one masked read serves probe and delete)
+    QuadDb.deleteQuads(doomed, path)
   }
 
   /** Durable `DROP GRAPH g` — same operation (see the class note). */
@@ -166,7 +170,7 @@ object GraphMgmt {
     * tombstone append, never a per-graph loop or catalog scan. Same
     * no-op probe discipline as [[clearGraph]]. */
   def clearNamedGraphs(spark: SparkSession, path: String): Unit = {
-    val doomed = QuadDb.load(spark, path).df
+    val doomed = QuadDb.loadFrame(spark, path)
       .where(col("g") =!= Term.lit(QuadDb.DefaultGraph))
     if (doomed.limit(1).isEmpty) return
     QuadDb.deleteQuads(doomed, path)

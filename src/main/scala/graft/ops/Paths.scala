@@ -49,7 +49,18 @@ object Paths {
     // keep Union's constraint rewriting from seeing duplicate attrs
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
-    val e = barrier(edges0.dropDuplicates("src", "dst"))
+    // the edge relation is the static join side of EVERY round: cluster
+    // it by the join key and PERSIST (a cached plan preserves its
+    // outputPartitioning where a localCheckpoint degrades to
+    // UnknownPartitioning — measured, PlanSpec pins it), so each
+    // round's join exchanges only the frontier, never the full edge
+    // set again (guide §2.4; round 15 — one shuffle at setup buys one
+    // fewer per round). Blocks are reclaimed by the context cleaner
+    // with the checkpointed frontiers.
+    val e = edges0.dropDuplicates("src", "dst")
+      .repartition(col("src"))
+      .select(col("src").as("src"), col("dst").as("dst"))
+      .persist()
     // `all` stays a UNION of per-round checkpointed frontiers — each
     // segment is already materialized, so the accumulated set is never
     // recomputed OR re-checkpointed per round (re-checkpointing `all`
@@ -85,7 +96,11 @@ object Paths {
                        maxIter: Int = 20): DataFrame = {
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
-    val e = barrier(edges0.dropDuplicates("src", "dst"))
+    // static-side clustering via persist, as in [[closureEdges]]
+    val e = edges0.dropDuplicates("src", "dst")
+      .repartition(col("src"))
+      .select(col("src").as("src"), col("dst").as("dst"))
+      .persist()
     var all = barrier(init0.dropDuplicates("src", "dst"))
     var frontier = all
     var i = 0
@@ -116,7 +131,11 @@ object Paths {
   def reachable(db: TripleDb, preds: Seq[Term], maxHops: Int): DataFrame = {
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
-    val e = barrier(edges(db, preds).dropDuplicates("src", "dst"))
+    // static-side clustering via persist, as in [[closureEdges]]
+    val e = edges(db, preds).dropDuplicates("src", "dst")
+      .repartition(col("src"))
+      .select(col("src").as("src"), col("dst").as("dst"))
+      .persist()
     var all = e
     var frontier = e
     for (_ <- 2 to maxHops) {

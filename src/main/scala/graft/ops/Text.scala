@@ -163,21 +163,14 @@ object Text {
     * shared md5u32 rule mod `buckets` (oracle-reproducible). The
     * TRAINING side; scoring runs the same windows in one flat loop
     * ([[graft.functions.TextExpressions.HashedCharNgramScores]]). */
-  def hashedCharNgramFeatures(text: Column, buckets: Int): Column = {
-    require(buckets > 0, "need at least one bucket")
-    def b(c: Column): Column =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets
-    val t = lower(text)
-    val n = length(t)
-    val empty = array().cast("array<bigint>")
-    val bi = when(n >= 2,
-      transform(sequence(lit(1), n - 1), i => b(t.substr(i, lit(2)))))
-      .otherwise(empty)
-    val tri = when(n >= 3,
-      transform(sequence(lit(1), n - 2), i => b(t.substr(i, lit(3)))))
-      .otherwise(empty)
-    concat(bi, tri)
-  }
+  def hashedCharNgramFeatures(text: Column, buckets: Int): Column =
+    // one MessageDigest walk per row (round 15) — the HOF formulation
+    // (transform(sequence(1, n-1), i => conv(substring(md5(substr)))))
+    // evaluated an interpreted expression tree per ngram and was the
+    // training pass's whole cost; bucket values and emission order are
+    // bit-identical (NgramBucketsSpec pins equivalence to the HOF form)
+    graft.functions.TextExpressions.hashedCharNgramBuckets(
+      lower(text), buckets)
 
   private def flog2l(x: Long): Long =
     63L - java.lang.Long.numberOfLeadingZeros(x) // = len(bin(x)) - 1, x ≥ 1

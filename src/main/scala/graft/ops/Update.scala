@@ -293,7 +293,7 @@ object Update {
     // against the POST-resurrection live view: a resurrected fact is
     // live again, so it is not re-appended (no physical duplicates);
     // checkpointed so the append never reads the store mid-write
-    val novel = inserts.join(TripleDb.load(spark, path).df,
+    val novel = inserts.join(TripleDb.loadFrame(spark, path),
       Seq("s", "p", "o"), "left_anti").localCheckpoint()
     if (!novel.isEmpty)
       novel.withColumn("pred", predName)

@@ -373,6 +373,40 @@ class OpsSpec extends GraftSpec {
     assert(zh.select("pred_lang").head().getString(0) == "zh")
   }
 
+  test("hashedCharNgramFeatures expression ≡ the HOF formulation it " +
+      "replaced (round 15): bit-identical buckets, identical emission " +
+      "order, across edge and unicode inputs") {
+    import spark.implicits._
+    val buckets = 512
+    // the pre-round-15 HOF formulation, verbatim
+    def hofFeatures(text: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      def b(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets
+      val t = lower(text)
+      val n = length(t)
+      val empty = array().cast("array<bigint>")
+      val bi = when(n >= 2,
+        transform(sequence(lit(1), n - 1), i => b(t.substr(i, lit(2)))))
+        .otherwise(empty)
+      val tri = when(n >= 3,
+        transform(sequence(lit(1), n - 2), i => b(t.substr(i, lit(3)))))
+        .otherwise(empty)
+      concat(bi, tri)
+    }
+    val d = Seq("", "a", "ab", "abc", "The Quick Brown Fox",
+      "mañana früh 今天天气 mixed", "  spaces  and\ttabs\nnewlines ",
+      "x" * 300).toDF("text")
+    val rows = d.select(
+        Text.hashedCharNgramFeatures(col("text"), buckets).as("nu"),
+        hofFeatures(col("text")).as("old"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"expression diverged from the HOF formulation: $r")
+    }
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint hash") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again"
@@ -1325,6 +1359,10 @@ class OpsSpec extends GraftSpec {
   test("tombstone bloom sidecar: forced-bloom mask ≡ plain anti-join mask " +
     "on minhash index, ivf-pq index, and triple store") {
     import graft.core.Tombstones
+    // force the sidecar from the first delete: builds are gated on the
+    // same activation threshold the mask reads (round 15), so without
+    // this the small test sets would skip the build entirely
+    spark.conf.set(Tombstones.BloomMinBytesKey, "0")
     // minhash index with deletes (the q108 store shape)
     val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_mh").toString
     Dedup.minhashIndexSave(
@@ -1358,6 +1396,8 @@ class OpsSpec extends GraftSpec {
       .select(col("s.lex"), col("p.lex"), col("o.lex"))
       .collect().map(_.toSeq).toSet
 
+    // plain-path baselines: conf unset → mask ignores the sidecar
+    spark.conf.unset(Tombstones.BloomMinBytesKey)
     val (mhPlain, pqPlain, tsPlain) = (mhIds(), pqIds(), tsRows())
     spark.conf.set(Tombstones.BloomMinBytesKey, "0")
     try {
@@ -1385,8 +1425,10 @@ class OpsSpec extends GraftSpec {
     def subjects(range: org.apache.spark.sql.Dataset[java.lang.Long]) = range
       .select(Term.uriCol(
         concat(lit("customer/"), col("id").cast("string"))).as("s"))
-    TripleDb.deleteSubjects(spark, tsTmp, subjects(spark.range(0, 100, 10)))
+    // conf set BEFORE the delete: sidecar builds gate on the same
+    // activation threshold the mask reads (round 15)
     spark.conf.set(Tombstones.BloomMinBytesKey, "0")
+    TripleDb.deleteSubjects(spark, tsTmp, subjects(spark.range(0, 100, 10)))
     try {
       val fresh = TripleDb.load(spark, tsTmp).df
       assert(fresh.queryExecution.executedPlan.toString
@@ -1422,6 +1464,8 @@ class OpsSpec extends GraftSpec {
     val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     spark.conf.set(maxBitsKey, "1024")
     spark.conf.set(maxItemsKey, "100")
+    // activation gate (round 15): force the build for this small set
+    spark.conf.set(Tombstones.BloomMinBytesKey, "0")
     try {
       val tombDir = java.nio.file.Files
         .createTempDirectory("graft_bloom_conf").toString + "/t"
@@ -1441,7 +1485,49 @@ class OpsSpec extends GraftSpec {
     } finally {
       spark.conf.unset(maxBitsKey)
       spark.conf.unset(maxItemsKey)
+      spark.conf.unset(graft.core.Tombstones.BloomMinBytesKey)
     }
+  }
+
+  test("tombstone bloom sidecar builds are gated on the mask's activation " +
+    "threshold: below it no sidecar is written (nothing would read it), " +
+    "and the append that crosses it builds a covering one") {
+    import graft.core.Tombstones
+    def sidecar(tombDir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(tombDir, "_bloom.bin")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val tombDir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_gate").toString + "/t"
+    // default threshold (32 MB): a small append must NOT build a sidecar
+    Tombstones.appendAt(
+      spark.range(0, 100).select(col("id").as("k")), tombDir, Seq("k"))
+    assert(!sidecar(tombDir),
+      "below the activation threshold the sidecar is never consulted — " +
+        "building it is wasted work")
+    // the append that crosses the (lowered) threshold builds a sidecar
+    // covering the WHOLE set, and removeKeysAt keeps the gate too
+    spark.conf.set(Tombstones.BloomMinBytesKey, "1")
+    try {
+      Tombstones.appendAt(
+        spark.range(100, 200).select(col("id").as("k")), tombDir, Seq("k"))
+      assert(sidecar(tombDir), "crossing append builds the covering sidecar")
+      Tombstones.removeKeysAt(spark, tombDir,
+        spark.range(0, 10).select(col("id").as("k")), Seq("k"))
+      assert(sidecar(tombDir), "post-removal survivors above threshold " +
+        "rebuild the sidecar")
+      spark.conf.set(Tombstones.BloomMinBytesKey,
+        (64L * 1024 * 1024).toString)
+      Tombstones.removeKeysAt(spark, tombDir,
+        spark.range(10, 20).select(col("id").as("k")), Seq("k"))
+      assert(!sidecar(tombDir), "survivors below threshold skip the rebuild")
+      // masked read still row-exact without a sidecar
+      val live = Tombstones.maskAt(spark, tombDir,
+        spark.range(0, 300).select(col("id").as("k")), Seq("k"))
+        .collect().map(_.getLong(0)).toSet
+      assert(live == ((0L until 20L) ++ (200L until 300L)).toSet,
+        "mask over the gated set stays exact")
+    } finally spark.conf.unset(Tombstones.BloomMinBytesKey)
   }
 
   test("withTsUs normalizes BOTH events fixture shapes (nanos-long, timestamp)") {

@@ -364,6 +364,42 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("iterative static side: a repartition(key)+localCheckpoint edge " +
+    "relation joins WITHOUT re-exchanging (round 15 — one shuffle at " +
+    "setup buys one fewer per round in closure/k-hop/components)") {
+    import org.apache.spark.sql.functions.lit
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the Paths.closureEdges `e` shape: clustered by the join key,
+      // then PERSISTED (a cached plan preserves its outputPartitioning;
+      // a localCheckpoint degrades to UnknownPartitioning — measured,
+      // which is why the loops persist their static side)
+      val e = spark.range(1000)
+        .select((col("id") % 100).as("src"), col("id").as("dst"))
+        .repartition(col("src"))
+        .select(col("src").as("src"), col("dst").as("dst"))
+        .persist()
+      try {
+        val frontier = spark.range(100)
+          .select(col("id").as("src"), (col("id") * 2).as("dst"))
+          .localCheckpoint()
+        val j = frontier.as("f").join(e.as("e"), col("f.dst") === col("e.src"))
+        j.collect()
+        // the EXECUTED (AQE-final) section only — the trailing
+        // "== Initial Plan ==" echo repeats pre-AQE exchanges
+        val p = plan(j).split("== Initial Plan ==").head
+        // the cache's one-time REPARTITION_BY_COL build shuffle sits
+        // INSIDE the InMemoryRelation (executed once); the join itself
+        // must add exactly one requirement exchange — the frontier's
+        assert(p.linesIterator.count(_.contains("ENSURE_REQUIREMENTS")) == 1,
+          s"expected ONE requirement exchange (frontier only — the " +
+            s"persisted edge side must keep its clustering):\n$p")
+      } finally e.unpersist()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("saltedJoin spreads a hot key and matches the unsalted join") {
     import org.apache.spark.sql.functions.{lit, when}
     val facts = spark.range(2000).select(
