@@ -164,6 +164,26 @@ object SparkEntry {
       }
       rm(new java.io.File(d))
     }))
+  /** Run a STATEFUL streaming query with its shuffle width — and
+    * therefore its state-store count — scoped to
+    * `spark.graft.stream.statePartitions` (default 8), restoring the
+    * session conf after. Every stateful operator keeps one state store
+    * PER shuffle partition per micro-batch; the harness streams carry
+    * 25-500k rows, where 32 stores' per-batch setup dominates the
+    * actual work (the q61 stream-stream-join finding, round 5, now
+    * applied to every stateful entry). The width is a CONF, not a
+    * constant: a production stream sizes it to its real key volume /
+    * throughput (state partitioning must track the stream, not the
+    * box's core count). Batch reads of the sink after the stream stops
+    * see the restored session width. */
+  private def withStreamStateWidth[A](sp: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = sp.conf.get(key)
+    sp.conf.set(key,
+      sp.conf.get("spark.graft.stream.statePartitions", "8"))
+    try body finally sp.conf.set(key, prev)
+  }
+
   private def scratch(prefix: String): String = {
     scratchHook
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
@@ -871,11 +891,13 @@ object SparkEntry {
       val in = stream.toDF().toDF("event_type", "value", "tus")
         .withColumn("ts", timestamp_micros(col("tus")))
       val sink = "graft_q54_sink"
-      val sq = streaming.Events.hourlyCountsStream(in)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      sq.processAllAvailable()
-      sq.stop()
+      withStreamStateWidth(sp) {
+        val sq = streaming.Events.hourlyCountsStream(in)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        sq.processAllAvailable()
+        sq.stop()
+      }
       sp.table(sink)
     }),
 
@@ -892,11 +914,13 @@ object SparkEntry {
         .MemoryStream[(Long, Long, Long)]
       stream.addData(rows)
       val sink = "graft_q55_sink"
-      val sq = streaming.Events.sessionizeStream(stream.toDS())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      sq.processAllAvailable()
-      sq.stop()
+      withStreamStateWidth(sp) {
+        val sq = streaming.Events.sessionizeStream(stream.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        sq.processAllAvailable()
+        sq.stop()
+      }
       sp.table(sink)
     }),
 
@@ -1188,12 +1212,14 @@ object SparkEntry {
       // unique per invocation: a fixed name would collide if two q89
       // runs overlap in one session (memory-sink query name + temp view)
       val sink = s"graft_q89_sink_${q89Seq.incrementAndGet()}"
-      val sq = ops.Sketch.hllRegisters(toks, "token", useMd5 = oracleHash)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      stream.addData(h1); sq.processAllAvailable()
-      stream.addData(h2); sq.processAllAvailable()
-      sq.stop()
+      withStreamStateWidth(sp) {
+        val sq = ops.Sketch.hllRegisters(toks, "token", useMd5 = oracleHash)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        stream.addData(h1); sq.processAllAvailable()
+        stream.addData(h2); sq.processAllAvailable()
+        sq.stop()
+      }
       sp.table(sink)
     }),
 
@@ -1232,12 +1258,14 @@ object SparkEntry {
       val vals = stream.toDF().toDF("text")
         .select(ops.Text.tokenCount(col("text")).as("v"))
       val sink = s"graft_q112_sink_${q89Seq.incrementAndGet()}"
-      val sq = ops.Sketch.hdrSketch(vals, "v")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      stream.addData(h1); sq.processAllAvailable()
-      stream.addData(h2); sq.processAllAvailable()
-      sq.stop()
+      withStreamStateWidth(sp) {
+        val sq = ops.Sketch.hdrSketch(vals, "v")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        stream.addData(h1); sq.processAllAvailable()
+        stream.addData(h2); sq.processAllAvailable()
+        sq.stop()
+      }
       sp.table(sink)
     }),
 
@@ -2860,10 +2888,12 @@ object SparkEntry {
         stream.toDF().toDF("n_nationkey", "n_name", "arr"),
         "nation", "n_nationkey", eventTimeCol = "arr", watermark = "1 minute")
       val sink = "graft_q45_sink"
-      val sq = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      sq.processAllAvailable()
-      sq.stop()
+      withStreamStateWidth(sp) {
+        val sq = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        sq.processAllAvailable()
+        sq.stop()
+      }
       sp.table(sink).select(Term.encode(col("s")).as("s"),
         Term.encode(col("p")).as("p"), Term.encode(col("o")).as("o"))
     }),
@@ -2903,17 +2933,15 @@ object SparkEntry {
       }
       val sink = "graft_q61_sink"
       // a stream-stream join keeps one state store per shuffle
-      // partition PER SIDE — at harness scale the store setup dominates,
-      // so run the stream narrow and restore the session conf after
-      val prevParts = sp.conf.get("spark.sql.shuffle.partitions")
-      sp.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // partition PER SIDE — at harness scale the store setup dominates
+      // (the original round-5 finding, now the shared helper)
+      withStreamStateWidth(sp) {
         val sq = streaming.Events.purchaseClickJoin(feed("purchase"), feed("click"))
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         sq.processAllAvailable()
         sq.stop()
-      } finally sp.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       sp.table(sink)
     }),
 
@@ -3027,11 +3055,13 @@ object SparkEntry {
       stream.addData(rows)
       val in = stream.toDF().toDF("doc_id", "text")
       val sink = "graft_q81_sink"
-      val sq = streaming.NearDupGate.flaggedPairs(in, "doc_id", "text", idx)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      sq.processAllAvailable()
-      sq.stop()
+      withStreamStateWidth(sp) {
+        val sq = streaming.NearDupGate.flaggedPairs(in, "doc_id", "text", idx)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        sq.processAllAvailable()
+        sq.stop()
+      }
       idx.unpersist()
       sp.table(sink)
     }),

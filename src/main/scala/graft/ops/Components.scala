@@ -26,13 +26,15 @@ object Components {
     */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
                 maxIter: Int = 20): DataFrame = {
-    // clustered by the per-round join key ("b") ONCE: every round's
-    // proposal join then exchanges only the label side — the persisted
-    // edge relation never re-shuffles (guide §2.4; round 15)
+    // NOT pre-clustered by the join key: round 15 measured adding
+    // .repartition(col("b")) here (so rounds skip the edge-side
+    // exchange) as consistently net-negative at sf0.1 — q52 +0.38 s,
+    // q53 +0.48 s, q80 +0.49 s, q121 +0.31 s (3× interleaved, clean
+    // control); the setup shuffle + per-round cache decode outweigh
+    // the saved 32-partition exchange. See Paths.closureEdges's note.
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .dropDuplicates("a", "b")
-      .repartition(col("b"))
       .persist()
     var labels = e.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))

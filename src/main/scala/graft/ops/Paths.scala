@@ -49,18 +49,17 @@ object Paths {
     // keep Union's constraint rewriting from seeing duplicate attrs
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
-    // the edge relation is the static join side of EVERY round: cluster
-    // it by the join key and PERSIST (a cached plan preserves its
-    // outputPartitioning where a localCheckpoint degrades to
-    // UnknownPartitioning — measured, PlanSpec pins it), so each
-    // round's join exchanges only the frontier, never the full edge
-    // set again (guide §2.4; round 15 — one shuffle at setup buys one
-    // fewer per round). Blocks are reclaimed by the context cleaner
-    // with the checkpointed frontiers.
-    val e = edges0.dropDuplicates("src", "dst")
-      .repartition(col("src"))
-      .select(col("src").as("src"), col("dst").as("dst"))
-      .persist()
+    // NOT pre-clustered by the join key: round 15 A/B'd replacing this
+    // checkpoint with repartition("src")+persist so each round's join
+    // skips the edge-side exchange (a cached plan keeps its
+    // outputPartitioning; a localCheckpoint degrades to
+    // UnknownPartitioning) — measured consistently NET-NEGATIVE at
+    // sf0.1 (3× interleaved min-of-2: q36 +0.39 s, q43 +0.21 s, q52
+    // +0.38 s with a clean q01 control): per-round columnar-cache
+    // decode + the extra setup shuffle cost more than the 32-partition
+    // exchange they save. Checkpointed binary rows stay the fast form
+    // on this box; at cluster scale, bucket the edge source instead.
+    val e = barrier(edges0.dropDuplicates("src", "dst"))
     // `all` stays a UNION of per-round checkpointed frontiers — each
     // segment is already materialized, so the accumulated set is never
     // recomputed OR re-checkpointed per round (re-checkpointing `all`
@@ -96,11 +95,8 @@ object Paths {
                        maxIter: Int = 20): DataFrame = {
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
-    // static-side clustering via persist, as in [[closureEdges]]
-    val e = edges0.dropDuplicates("src", "dst")
-      .repartition(col("src"))
-      .select(col("src").as("src"), col("dst").as("dst"))
-      .persist()
+    // checkpoint, not persist — see [[closureEdges]]'s measured note
+    val e = barrier(edges0.dropDuplicates("src", "dst"))
     var all = barrier(init0.dropDuplicates("src", "dst"))
     var frontier = all
     var i = 0
@@ -131,11 +127,8 @@ object Paths {
   def reachable(db: TripleDb, preds: Seq[Term], maxHops: Int): DataFrame = {
     def barrier(df: DataFrame): DataFrame =
       df.localCheckpoint().select(col("src").as("src"), col("dst").as("dst"))
-    // static-side clustering via persist, as in [[closureEdges]]
-    val e = edges(db, preds).dropDuplicates("src", "dst")
-      .repartition(col("src"))
-      .select(col("src").as("src"), col("dst").as("dst"))
-      .persist()
+    // checkpoint, not persist — see [[closureEdges]]'s measured note
+    val e = barrier(edges(db, preds).dropDuplicates("src", "dst"))
     var all = e
     var frontier = e
     for (_ <- 2 to maxHops) {

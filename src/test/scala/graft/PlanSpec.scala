@@ -364,9 +364,12 @@ class PlanSpec extends GraftSpec {
     }
   }
 
-  test("iterative static side: a repartition(key)+localCheckpoint edge " +
-    "relation joins WITHOUT re-exchanging (round 15 — one shuffle at " +
-    "setup buys one fewer per round in closure/k-hop/components)") {
+  test("Spark-behavior pin (round 15): a repartition(key)+persist side " +
+    "keeps its clustering through a join (no re-exchange) where a " +
+    "localCheckpoint degrades to UnknownPartitioning — recorded because " +
+    "the iterative loops A/B'd this shape and measured it NET-NEGATIVE " +
+    "at sf0.1 (cache decode + setup shuffle > the saved exchange); the " +
+    "loops deliberately keep their checkpoint barriers") {
     import org.apache.spark.sql.functions.lit
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
