@@ -142,6 +142,15 @@ object Bench {
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"bench file write failed: $e") }
+    // Measurement-record fix (round 16): the full per-query line above
+    // outgrew the driver's stdout tail-capture window two rounds
+    // running (a JSON line truncated at the FRONT cannot parse —
+    // BENCH_r14/r15 both recorded parsed:null), so a SECOND, complete
+    // summary object goes out as the very last stdout line. It is
+    // additions-only: the full contract line still prints, unchanged,
+    // and the complete per-query record still lands in the bench file.
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$nerr,"sf":"$sfDir","cpus":"$cpus","n_queries":${results.size},"queries_file":"$outFile"}"""
+    println(shortLine)
     spark.stop()
   }
 }

@@ -31,12 +31,17 @@ object JobCount {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicLong(0L)
+    // shuffle bytes written across the entry's stages: the deterministic
+    // evidence for exchange-narrowing changes (wall seconds on this box
+    // are stall-window noise; bytes are not)
+    val shufW = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks.toLong)
+        shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
     })
     // warmup mirrors Bench so one-time session costs don't attribute
@@ -45,17 +50,18 @@ object JobCount {
       graft.SparkEntry.queries("q15_select_bag")(spark, sfDir).count()
       graft.SparkEntry.warmRigs(spark, sfDir)
     } catch { case _: Throwable => () }
-    println(f"${"entry"}%-28s ${"jobs"}%6s ${"stages"}%7s ${"tasks"}%8s ${"sec"}%8s")
+    println(f"${"entry"}%-28s ${"jobs"}%6s ${"stages"}%7s ${"tasks"}%8s ${"shufKB"}%9s ${"sec"}%8s")
     for (name <- names) {
-      // settle the listener bus so a previous entry's async events
-      // don't attribute here
-      Thread.sleep(300)
-      jobs.set(0); stages.set(0); tasks.set(0L)
+      // drain the async listener bus DETERMINISTICALLY so a previous
+      // entry's events don't attribute here (fixed sleeps skewed
+      // counts when delivery outran them — round-16 ADVICE item)
+      org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+      jobs.set(0); stages.set(0); tasks.set(0L); shufW.set(0L)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // drain
-      println(f"$name%-28s ${jobs.get}%6d ${stages.get}%7d ${tasks.get}%8d $dt%8.2f")
+      org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+      println(f"$name%-28s ${jobs.get}%6d ${stages.get}%7d ${tasks.get}%8d ${shufW.get / 1024}%9d $dt%8.2f")
     }
     spark.stop()
   }
