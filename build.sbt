@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// per-test durations in the report (-oD): the round-15 driver run hit
+// its test budget mid-suite; durations make the slow suites visible
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// Parallel forked test groups were TRIED here (round 16) and measured
+// STRICTLY WORSE: 4 duration-balanced forks ran the same 353 tests in
+// 31.5 min vs 14 min sequential — concurrent local[4] Spark sessions
+// on this firecracker VM roughly double every test (the SURVEY §8.3
+// per-task floor compounds under scheduler contention; a 3 s
+// streaming test took 23 s). Sequential forking stands; the suite's
+// wall time is addressed by speeding the slowest tests instead.
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

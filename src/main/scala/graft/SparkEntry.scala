@@ -166,23 +166,42 @@ object SparkEntry {
     }))
   /** Run a STATEFUL streaming query with its shuffle width — and
     * therefore its state-store count — scoped to
-    * `spark.graft.stream.statePartitions` (default 8), restoring the
-    * session conf after. Every stateful operator keeps one state store
-    * PER shuffle partition per micro-batch; the harness streams carry
-    * 25-500k rows, where 32 stores' per-batch setup dominates the
-    * actual work (the q61 stream-stream-join finding, round 5, now
-    * applied to every stateful entry). The width is a CONF, not a
-    * constant: a production stream sizes it to its real key volume /
-    * throughput (state partitioning must track the stream, not the
-    * box's core count). Batch reads of the sink after the stream stops
-    * see the restored session width. */
-  private def withStreamStateWidth[A](sp: SparkSession)(body: => A): A = {
+    * `spark.graft.stream.statePartitions`, restoring the session conf
+    * after. Every stateful operator keeps one state store PER shuffle
+    * partition per micro-batch; the harness streams carry 25-500k
+    * rows, where 32 stores' per-batch setup dominates the actual work
+    * (the q61 stream-stream-join finding, round 5, applied to every
+    * stateful entry in round 15). The width is a CONF, not a constant,
+    * and its DEFAULT is scale-adaptive, never a fixed small number
+    * (round-16 VERDICT item): `max(8, defaultParallelism / 4)` — on
+    * this 32-core harness that is 8 (identical to the round-15
+    * behavior, so bench records stay comparable), while a session with
+    * thousands of cores gets a default that grows with the cluster
+    * instead of silently capping a 100 TB stream at 8 state stores. A
+    * production stream should still SET the conf to its real key
+    * volume / throughput. All seven stateful entries' results are
+    * partition-count-independent (watermarked aggregations,
+    * sessionize, sketch registers, banded join — oracle-pinned).
+    * Batch reads of the sink after the stream stops see the restored
+    * session width.
+    *
+    * Concurrency note (round-16 ADVICE): the set/restore pair mutates
+    * the SESSION-global shuffle width, so stream entries must not run
+    * concurrently in one session — Verify/Bench/JobCount all run
+    * entries sequentially, which is the supported mode. */
+  private[graft] def withStreamStateWidth[A](sp: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = sp.conf.get(key)
     sp.conf.set(key,
-      sp.conf.get("spark.graft.stream.statePartitions", "8"))
+      sp.conf.get("spark.graft.stream.statePartitions",
+        defaultStreamStateWidth(sp).toString))
     try body finally sp.conf.set(key, prev)
   }
+
+  /** The scale-adaptive default for [[withStreamStateWidth]]:
+    * `max(8, defaultParallelism / 4)` (spec-pinned). */
+  private[graft] def defaultStreamStateWidth(sp: SparkSession): Int =
+    math.max(8, sp.sparkContext.defaultParallelism / 4)
 
   private def scratch(prefix: String): String = {
     scratchHook

@@ -1204,7 +1204,17 @@ object BgpCompiler {
                 else functions.lit(false)))
             .drop(present.map(v => s"__f_$v"): _*)
         } else {
-          val tuples = a.select(present.map(col): _*).distinct()
+          val tuples0 = a.select(present.map(col): _*).distinct()
+          // A/B knob (round-16 VERDICT item 3): persist the BOUNDED
+          // distinct-tuple frame. Measured at sf0.1 + Stress — the
+          // solution lineage still executes twice either way (the
+          // semi-join's LEFT side is `a` itself, not the tuple frame),
+          // so this can only save the tuple-side recompute, and it
+          // pins cache blocks for the session. Default off.
+          val tuples = if (a.sparkSession.conf.getOption(
+              "graft.filter.tupleCache").contains("persist"))
+            tuples0.persist()
+          else tuples0
           var t = tuples
           // EXISTS marker columns (__ex_) are 0/1 flags, not term ids
           // — they ride the tuple key for BOUND atoms but never

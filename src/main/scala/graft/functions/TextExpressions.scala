@@ -377,14 +377,32 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** UTF-16 offset of each CODE POINT boundary in `s` (length n+1 for
+    * n code points): the ngram expressions below window over code
+    * points so they match the Spark `substr`/`length` (and DuckDB
+    * character) semantics of the HOF formulations they replaced — a
+    * UTF-16-unit walk diverges on supplementary-plane characters and
+    * encodes split surrogate halves as '?' bytes (round-16 ADVICE
+    * fix; OpsSpec pins the equivalence on an astral-plane input). */
+  private def codePointOffsets(s: String): Array[Int] = {
+    val offs = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var o = 0
+    var k = 0
+    while (k < offs.length) {
+      offs(k) = o
+      if (o < s.length) o += Character.charCount(s.codePointAt(o))
+      k += 1
+    }
+    offs
+  }
+
   /** Per-class integer scores over hashed CHARACTER 2-/3-grams in ONE
     * pass over the string: every sliding window hashes by the shared
     * md5u32 rule mod `weights(c).length` buckets and adds each class's
     * bucket weight. Replaces |langs| higher-order transform+aggregate
     * chains (interpreted lambda frame per character) with one flat
-    * loop per row. Window positions count UTF-16 units — identical to
-    * codepoint (and DuckDB character) positions for BMP text; the LID
-    * fixtures are ASCII by construction. */
+    * loop per row. Window positions count CODE POINTS (Spark
+    * substr/length semantics — see [[codePointOffsets]]). */
   case class HashedCharNgramScores(child: Expression,
                                    weights: Array[Array[Long]])
       extends UnaryExpression with CodegenFallback {
@@ -408,10 +426,12 @@ object TextExpressions {
         var c = 0
         while (c < weights.length) { out(c) += weights(c)(b); c += 1 }
       }
+      val offs = codePointOffsets(s)
+      val n = offs.length - 1
       var i = 0
-      while (i + 2 <= s.length) { add(s.substring(i, i + 2)); i += 1 }
+      while (i + 2 <= n) { add(s.substring(offs(i), offs(i + 2))); i += 1 }
       i = 0
-      while (i + 3 <= s.length) { add(s.substring(i, i + 3)); i += 1 }
+      while (i + 3 <= n) { add(s.substring(offs(i), offs(i + 3))); i += 1 }
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -421,11 +441,14 @@ object TextExpressions {
   /** The TRAINING-side twin of [[HashedCharNgramScores]]: every char
     * 2-/3-gram's md5u32-mod-`buckets` id, bigrams first then trigrams
     * (the exact emission order — and bit-identical bucket values — of
-    * the HOF formulation it replaces; NgramBucketsSpec pins the
-    * equivalence). One MessageDigest walk per row where the HOF
+    * the HOF formulation it replaces; OpsSpec "hashedCharNgramFeatures
+    * expression ≡ the HOF formulation" pins the equivalence). One
+    * MessageDigest walk per row where the HOF
     * `transform(sequence(...), md5 ∘ substr)` evaluated an interpreted
     * expression tree per ELEMENT (round-15 optimization; the same
-    * hot-loop-into-expression move as WordShingles/LshBuckets). */
+    * hot-loop-into-expression move as WordShingles/LshBuckets).
+    * Windows count CODE POINTS like the HOF's substr
+    * ([[codePointOffsets]]). */
   case class HashedCharNgramBuckets(child: Expression, buckets: Int)
       extends UnaryExpression with CodegenFallback {
     require(buckets > 0, "need at least one bucket")
@@ -436,7 +459,8 @@ object TextExpressions {
     override protected def nullSafeEval(a: Any): Any = {
       val s = a.asInstanceOf[UTF8String].toString
       val md = mdTL.get()
-      val n = s.length
+      val offs = codePointOffsets(s)
+      val n = offs.length - 1
       val nBi = math.max(0, n - 1)
       val nTri = math.max(0, n - 2)
       val out = new Array[Long](nBi + nTri)
@@ -447,10 +471,12 @@ object TextExpressions {
         u32 % buckets
       }
       var i = 0
-      while (i + 2 <= n) { out(i) = bucketOf(s.substring(i, i + 2)); i += 1 }
+      while (i + 2 <= n) {
+        out(i) = bucketOf(s.substring(offs(i), offs(i + 2))); i += 1
+      }
       i = 0
       while (i + 3 <= n) {
-        out(nBi + i) = bucketOf(s.substring(i, i + 3)); i += 1
+        out(nBi + i) = bucketOf(s.substring(offs(i), offs(i + 3))); i += 1
       }
       new GenericArrayData(out)
     }

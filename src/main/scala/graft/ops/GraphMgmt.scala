@@ -200,12 +200,38 @@ object GraphMgmt {
     freeCheckpoint(src)
   }
 
-  /** Durable `MOVE from TO to`: COPY then drop the source. */
+  /** Durable `MOVE from TO to` ≡ COPY then DROP the source, batched
+    * into ONE data append + ONE tombstone append (round-16: the
+    * unbatched composition paid two probe jobs and two tombstone
+    * appends; the end state is identical — GraphMgmtSpec's durable
+    * lifecycle pins it).
+    *
+    * Ordering is the crash-safety contract: the data append lands
+    * FIRST, so every crash window leaves the store a SUPERSET of
+    * either the old or the new state (worst case: source copied but
+    * not yet dropped — exactly the unbatched composition's window);
+    * tombstoning before the append could lose the source graph. The
+    * single tombstone append covers (a) the destination's pre-move
+    * rows NOT re-asserted by the copy (rows also in the source stay
+    * live — same physical outcome as COPY's clear+resurrect) and (b)
+    * the whole source graph. `doomed` evaluates against the
+    * post-append live view, where the anti-join against the pinned
+    * source snapshot excludes every row the append just landed. */
   def moveGraph(spark: SparkSession, path: String, from: Term,
                 to: Term): Unit = {
+    import org.apache.spark.sql.functions.col
     if (from == to) return
-    copyGraph(spark, path, from, to)
-    clearGraph(spark, path, from)
+    val src = retagged(QuadDb.loadFrame(spark, path), from, to)
+      .localCheckpoint()
+    Update.appendNovelQuads(spark, path, src)
+    val liveAfter = QuadDb.loadFrame(spark, path)
+    val doomed = liveAfter.where(col("g") === Term.lit(to))
+        .join(src, Seq("s", "p", "o", "g"), "left_anti")
+      .unionByName(liveAfter.where(col("g") === Term.lit(from)))
+    // same no-op probe discipline as [[clearGraph]]: never mint an
+    // empty tombstone set
+    if (!doomed.limit(1).isEmpty) QuadDb.deleteQuads(doomed, path)
+    freeCheckpoint(src)
   }
 
   private def freeCheckpoint(df: DataFrame): Unit =

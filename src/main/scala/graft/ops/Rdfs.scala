@@ -175,8 +175,16 @@ object Rdfs {
       struct(s.as("s"), p.as("p"), o.as("o"))
     val emptyT = array().cast(ArrayType(Term.schema))
     // ONE instance scan: broadcast left-joins attach the emissions,
-    // explode emits the row's full entailment set
-    inst
+    // explode emits the row's full entailment set.
+    // fanOut (round 16, measured): the dense star-graph parquet packs
+    // into a handful of scan tasks (bytes-based splits), and the ×5
+    // emission explode + dedup partial-aggregate then run on 2-4 cores
+    // — q127 was 6 jobs / 15 tasks / 5.9 s with ~1 MB of shuffle, i.e.
+    // parallelism-starved compute, not shuffle-bound (the round-9
+    // token-explode lesson). Conditional repartition: a no-op whenever
+    // the scan already has ≥ core-count partitions (the 100 TB case)
+    // and for streaming frames.
+    Text.fanOut(inst)
       .join(broadcast(emitDf), col("p") === col("ep"), "left")
       .join(broadcast(ccDf),
         col("p") === typeL && col("o") === col("cc_c"), "left")
@@ -193,6 +201,29 @@ object Rdfs {
         .as("t") +: extra.map(col): _*)
       .select(col("t.s").as("s") +: col("t.p").as("p") +:
         col("t.o").as("o") +: extra.map(col): _*)
+  }
+
+  /** The set-semantics dedup with a NARROW exchange key (round 16,
+    * guide §2.3 "shuffle keys, not payloads"): subject and object —
+    * the wide positions (URIs/literals) — pack losslessly into ONE
+    * binary column ([[graft.functions.TermPackExpressions]], injective
+    * by construction, round-trip spec-pinned), so the dedup exchange
+    * carries `(p struct, ~packed bytes)` instead of three five-field
+    * structs. `p` stays its OWN grouping column on purpose: ground-
+    * predicate filters over the materialized store push below the
+    * dedup exactly as they did over `dropDuplicates("s","p","o")`
+    * (grouping-key pushdown — the load-bearing pushdown for every
+    * entailment query; an object-ground filter no longer pushes, the
+    * accepted trade for the narrow key). Row set is identical:
+    * injectivity makes distinct-on-(p, pack(s,o)) ≡
+    * distinct-on-(s,p,o). */
+  private def dedupNarrow(df: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    import graft.functions.TermPackExpressions.{packTerms, unpackTermAt}
+    df.select(col("p") +: packTerms(col("s"), col("o")).as("__so") +:
+        extra.map(col): _*)
+      .distinct()
+      .select(unpackTermAt(col("__so"), 0).as("s") +: col("p") +:
+        unpackTermAt(col("__so"), 1).as("o") +: extra.map(col): _*)
   }
 
   /** Entailed closure of `db` under `ontology` (schema triples using
@@ -212,8 +243,7 @@ object Rdfs {
       cc.toSeq.flatMap { case (a, bs) => bs.map(b => (a, SubClassOf, b)) }).distinct
     val schemaDf = TripleDb.fromTerms(spark, schemaTriples).df
 
-    TripleDb(all.unionByName(schemaDf).dropDuplicates("s", "p", "o"),
-      distinct = true)
+    TripleDb(dedupNarrow(all.unionByName(schemaDf)), distinct = true)
   }
 
   /** Incremental materialization for an appended instance batch: under
@@ -247,7 +277,9 @@ object Rdfs {
       cc.toSeq.flatMap { case (a, bs) => bs.map(b => (a, SubClassOf, b)) }).distinct
     val schemaDf =
       QuadDb.fromTripleDb(TripleDb.fromTerms(spark, schemaTriples)).df
-    QuadDb(all.unionByName(schemaDf).dropDuplicates("s", "p", "o", "g"),
+    // same narrow-key dedup as [[materialize]]; `g` stays its own
+    // grouping column so graph-scoped scan filters keep pushing
+    QuadDb(dedupNarrow(all.unionByName(schemaDf), extra = Seq("g")),
       distinct = true)
   }
 }

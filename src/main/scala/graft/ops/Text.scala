@@ -168,7 +168,8 @@ object Text {
     // (transform(sequence(1, n-1), i => conv(substring(md5(substr)))))
     // evaluated an interpreted expression tree per ngram and was the
     // training pass's whole cost; bucket values and emission order are
-    // bit-identical (NgramBucketsSpec pins equivalence to the HOF form)
+    // bit-identical (OpsSpec "hashedCharNgramFeatures expression ≡ the
+    // HOF formulation" pins equivalence, incl. astral-plane input)
     graft.functions.TextExpressions.hashedCharNgramBuckets(
       lower(text), buckets)
 

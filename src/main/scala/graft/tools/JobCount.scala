@@ -27,6 +27,13 @@ object JobCount {
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
+    // same A/B knob as Bench/Explain: "k=v,k=v" extra confs
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)

@@ -97,4 +97,32 @@ class GraphMgmtSpec extends GraftSpec {
     QuadDb.compact(spark, store)
     assert(quadSet(QuadDb.load(spark, store)) == afterCopy)
   }
+
+  test("durable MOVE (batched, round 16): one data append + one " +
+      "tombstone append — overlapping destination rows survive, " +
+      "replaced rows and the whole source are tombstoned, value-form " +
+      "parity, empty-source MOVE clears the destination") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gm_mv").toString
+    val store = s"$tmp/store"
+    QuadDb.save(base, store)
+    // g1 = {(a p 1) (a p 2)}, g2 = {(b q 3) (a p 1)}: (a p 1) overlaps
+    GraphMgmt.moveGraph(spark, store, g1, g2)
+    val got = quadSet(QuadDb.load(spark, store))
+    // ≡ the value-form MOVE on the same data
+    assert(got == quadSet(GraphMgmt.move(base, g1, g2)))
+    assert(got == Set(
+      (k("a"), k("p"), l(1), g2), (k("a"), k("p"), l(2), g2),
+      (k("c"), k("r"), l(4), QuadDb.DefaultGraph)))
+    // MOVE from a graph with no live quads clears the destination
+    // (value-form semantics: to := from's — empty — data)
+    GraphMgmt.moveGraph(spark, store, g3, g2)
+    val cleared = quadSet(QuadDb.load(spark, store))
+    assert(cleared == Set((k("c"), k("r"), l(4), QuadDb.DefaultGraph)))
+    // from == to: no-op
+    GraphMgmt.moveGraph(spark, store, g3, g3)
+    assert(quadSet(QuadDb.load(spark, store)) == cleared)
+    // compaction agrees (tombstones were well-formed)
+    QuadDb.compact(spark, store)
+    assert(quadSet(QuadDb.load(spark, store)) == cleared)
+  }
 }

@@ -66,11 +66,19 @@ class JsonLdSpec extends GraftSpec {
   test("jsonld: outside-subset forms fail loudly — @context, @list, " +
       "nested node objects, missing @id, relative keys, null values, " +
       "int64 overflow, malformed JSON") {
-    def err(line: String): String =
-      intercept[Exception] { parseStr(line) } match {
+    // parse a one-row in-memory frame instead of writing + loading a
+    // temp file per case: same parser expressions, same loud errors,
+    // a fraction of the per-case cost (round 16 — the loud-forms test
+    // was the single slowest in the suite at 44 s)
+    def err(line: String): String = {
+      import spark.implicits._
+      intercept[Exception] {
+        JsonLd.parse(Seq(line).toDF("value")).collect()
+      } match {
         case e => (Option(e.getMessage) ++
           Option(e.getCause).map(_.getMessage)).mkString(" | ")
       }
+    }
     // remote-context URLs stay outside the subset (the prefix-MAP
     // form is legal since round 14 — see the @context test)
     assert(err("""{"@context":"http://ctx/","@id":"http://s"}""")
@@ -126,11 +134,19 @@ class JsonLdSpec extends GraftSpec {
     assert(quads == Set(
       (TUri("gk:ignored-not-expanded"), k("p"), l(1), TUri("http://g/1")),
       (k("b"), TUri("http://x/q"), l(2), TUri("http://g/1"))))
-    def err(line: String): String =
-      intercept[Exception] { parseStr(line) } match {
+    // parse a one-row in-memory frame instead of writing + loading a
+    // temp file per case: same parser expressions, same loud errors,
+    // a fraction of the per-case cost (round 16 — the loud-forms test
+    // was the single slowest in the suite at 44 s)
+    def err(line: String): String = {
+      import spark.implicits._
+      intercept[Exception] {
+        JsonLd.parse(Seq(line).toDF("value")).collect()
+      } match {
         case e => (Option(e.getMessage) ++
           Option(e.getCause).map(_.getMessage)).mkString(" | ")
       }
+    }
     assert(err("""{"@context":"http://schema.org/","@id":"http://s"}""")
       .contains("prefix-map OBJECT"))
     assert(err("""{"@context":{"gk":{"@id":"http://x/"}},"@id":"http://s"}""")

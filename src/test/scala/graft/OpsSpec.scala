@@ -396,6 +396,11 @@ class OpsSpec extends GraftSpec {
     }
     val d = Seq("", "a", "ab", "abc", "The Quick Brown Fox",
       "mañana früh 今天天气 mixed", "  spaces  and\ttabs\nnewlines ",
+      // supplementary-plane chars: the HOF's substr counts CODE
+      // POINTS, so the expression must too — a UTF-16-unit walk gets
+      // both the gram count and gram bytes wrong here (round-16
+      // ADVICE fix; surrogate pairs must never split)
+      "a😀b𝔘c", "😀😁😂",
       "x" * 300).toDF("text")
     val rows = d.select(
         Text.hashedCharNgramFeatures(col("text"), buckets).as("nu"),

@@ -568,10 +568,18 @@ class PlanSpec extends GraftSpec {
     // re-ran the scan once per rule family — 8 scans at worst)
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 instance scan, found $scans:\n$p")
-    // one shuffle total: the final dropDuplicates
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
-      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
-    assert(exchanges == 1, s"expected only the dedup shuffle, found $exchanges:\n$p")
+    // one KEYED shuffle total — the set-semantics dedup — and its key
+    // list must carry the NARROW (p, packed s∥o) form, never three
+    // full term structs (round 16). A round-robin exchange below it is
+    // the conditional fanOut (a no-op once the scan has ≥ core-count
+    // partitions; this fixture is one task without it).
+    val keyed = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"expected only the dedup shuffle, found $keyed:\n$p")
+    val extra = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange") &&
+      !l.contains("hashpartitioning") && !l.contains("RoundRobin"))
+    assert(extra == 0, s"unexpected non-fanOut exchange:\n$p")
+    assert(p.contains("__so"), s"dedup exchange must carry the packed key:\n$p")
   }
 
   test("quad store: ground-graph scope is a scan filter (no join, no " +

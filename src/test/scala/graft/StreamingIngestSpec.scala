@@ -284,4 +284,24 @@ class StreamingIngestSpec extends GraftSpec {
     assert(streamed((k("alice"), Rdfs.TypeP, k("person"))))
     assert(streamed((k("carol"), Rdfs.TypeP, k("employee"))))
   }
+
+  test("stream state width: conf honored, default scale-adaptive (never " +
+      "a fixed 8 at cluster parallelism), session width restored") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // default derives from the session's parallelism, floor 8
+    assert(SparkEntry.defaultStreamStateWidth(spark) ==
+      math.max(8, spark.sparkContext.defaultParallelism / 4))
+    SparkEntry.withStreamStateWidth(spark) {
+      assert(spark.conf.get(key) ==
+        SparkEntry.defaultStreamStateWidth(spark).toString)
+    }
+    assert(spark.conf.get(key) == before)
+    // an explicit conf wins over the derived default
+    spark.conf.set("spark.graft.stream.statePartitions", "13")
+    try SparkEntry.withStreamStateWidth(spark) {
+      assert(spark.conf.get(key) == "13")
+    } finally spark.conf.unset("spark.graft.stream.statePartitions")
+    assert(spark.conf.get(key) == before)
+  }
 }

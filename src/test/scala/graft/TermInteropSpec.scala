@@ -325,4 +325,43 @@ class TermInteropSpec extends GraftSpec {
     assert(ex.getMessage.contains("bad escape") ||
       Option(ex.getCause).exists(_.getMessage.contains("bad escape")))
   }
+
+  test("term pack/unpack (round 16): lossless injective round-trip over " +
+      "every kind incl. hostile lexicals; narrow-key dedup ≡ struct " +
+      "dedup; null structs keep their own equivalence class") {
+    import graft.functions.TermPackExpressions._
+    import org.apache.spark.sql.functions
+    val exotic = db(
+      (k("a"), k("p"), s("tab\there\nand \"quotes\" \\ backslash %pct")),
+      (TNil, k("p"), s("")),
+      (k("b"), k("p"), l(9007199254740993L)),          // exact past 2^53
+      (k("c"), k("p"), TDouble(-0.0)),
+      (k("c2"), k("p"), TDouble(1.0 / 3.0)),           // full mantissa
+      (k("d"), k("p"), TLangString("héllo 😀 astral", "de")),
+      (k("e"), k("p"), TTyped("foo>bar", "http://some/data type")),
+      (k("f"), k("p"), TDate("2024-02-29T00:00:00")),
+      (k("g"), k("p"), Term.opaque("pt", Array[Byte](0, 127, -128))),
+      (k("h"), k("p"), TBool(true)),
+      (TUri("http://absolute/iri?x=1"), k("p"), TUri("relative/row 7")))
+    val rt = TripleDb(exotic.df.select(
+      unpackTermAt(packTerms(col("s"), col("o")), 0).as("s"),
+      col("p"),
+      unpackTermAt(packTerms(col("s"), col("o")), 1).as("o")))
+    assert(rt.triples.toSet == exotic.triples.toSet)
+    // dedup on (p, packed(s,o)) ≡ dedup on the three structs — the
+    // injectivity that licenses the narrow entailment exchange key
+    val dup = exotic.df.unionByName(exotic.df)
+    assert(dup.select(col("p"), packTerms(col("s"), col("o")).as("k"))
+      .distinct().count() ==
+      dup.dropDuplicates("s", "p", "o").count())
+    // null struct packs to its own marker and unpacks to null
+    val nr = exotic.df.limit(1).select(
+      unpackTermAt(packTerms(
+        functions.lit(null).cast(Term.schema), col("o")), 0).as("n"),
+      unpackTermAt(packTerms(
+        functions.lit(null).cast(Term.schema), col("o")), 1).as("o2"),
+      col("o")).head()
+    assert(nr.isNullAt(0))
+    assert(nr.getStruct(1) == nr.getStruct(2))
+  }
 }
